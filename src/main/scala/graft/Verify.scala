@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,13 +13,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // Plain micros timestamps in the dumped parquet (not INT96), so the
+      // driver's DuckDB/pyarrow compare sees the same logical type the
+      // oracle produces.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = fn(spark, sfDir)
+        // Session TZ is UTC, so TIMESTAMP -> TIMESTAMP_NTZ keeps the
+        // wall-clock value; the dump then carries the same naive-micros
+        // logical type DuckDB's oracle produces.
+        val normed = out.schema.fields.foldLeft(out) { (d, f) =>
+          if (f.dataType == TimestampType)
+            d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+          else d
+        }
+        normed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

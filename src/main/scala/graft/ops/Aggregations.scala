@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators.
+  *
+  * Semantics derived from the reference's `utils/helpers.py:496-509` and
+  * `silver_to_gold.py:102-131` (rafaelarm2/breweries-etl). All lower to
+  * Catalyst hash aggregates: partial (map-side) agg -> shuffle on the
+  * group keys -> final agg, so the shuffle carries one row per
+  * (partition, group), not per input row — the shape that survives 100 TB.
+  */
+object Aggregations {
+
+  /** A1 — generic group-count: COUNT(*) per key tuple, count column named
+    * by the caller (reference helpers.py:496-509). The reference's pandas
+    * groupby drops null-keyed groups, but it only ever runs on silver
+    * columns guaranteed non-null by F1; `groupBy` on non-null keys is
+    * observationally identical to `GROUP BY`.
+    */
+  def groupCount(df: DataFrame, keys: Seq[String], countName: String = "count"): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(countName))
+
+  /** A2 — gold aggregation `by_type_location`
+    * (reference silver_to_gold.py:117-119).
+    */
+  def goldByTypeLocation(silver: DataFrame): DataFrame =
+    groupCount(silver, Seq("brewery_type", "location", "state", "city"), "brewery_count")
+
+  /** A3 — gold aggregation `by_location`
+    * (reference silver_to_gold.py:120-122).
+    */
+  def goldByLocation(silver: DataFrame): DataFrame =
+    groupCount(silver, Seq("location", "state", "city"), "brewery_count")
+
+  /** A4 — exact distinct count (reference bronze_to_silver.py:83-84 uses
+    * `nunique`, which is exact — so no approx_count_distinct here; the
+    * approximate variant is offered separately for the 100 TB path).
+    */
+  def distinctCount(df: DataFrame, column: String): Long =
+    df.select(column).distinct().count()
+
+  /** Approximate distinct (HLL++) — the scale-path alternative to A4. */
+  def approxDistinct(df: DataFrame, column: String, rsd: Double = 0.01): DataFrame =
+    df.agg(approx_count_distinct(col(column), rsd).as(s"${column}_approx_distinct"))
+
+  /** A5 — value counts, most frequent first
+    * (reference helpers.py:83 `value_counts()`).
+    */
+  def valueCounts(df: DataFrame, column: String): DataFrame =
+    df.groupBy(col(column)).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(column).asc)
+
+  /** A6 — row count (used for record metrics throughout the reference). */
+  def rowCount(df: DataFrame): Long = df.count()
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import graft.pipeline.Breweries
+import org.apache.spark.sql.functions._
+
+class AggregationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A1 groupCount = COUNT(*) per key tuple with caller-named column") {
+    val df = Seq(("x", "a"), ("x", "a"), ("x", "b"), ("y", "a")).toDF("k1", "k2")
+    val out = Aggregations.groupCount(df, Seq("k1", "k2"), "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("x", "a", 2L), ("x", "b", 1L), ("y", "a", 1L)))
+  }
+
+  test("A2/A3 gold invariants: counts sum to silver rows; A2 refines A3") {
+    val silver = Breweries.silver(spark, sf0001).cache()
+    val byType = Aggregations.goldByTypeLocation(silver)
+    val byLoc = Aggregations.goldByLocation(silver)
+    val total = silver.count()
+    assert(byType.agg(sum("brewery_count")).as[Long].head() == total)
+    assert(byLoc.agg(sum("brewery_count")).as[Long].head() == total)
+    // rolling A2 up over brewery_type reproduces A3 exactly
+    val rolled = byType.groupBy("location", "state", "city")
+      .agg(sum("brewery_count").as("brewery_count"))
+    assert(rolled.except(byLoc.select("location", "state", "city", "brewery_count")).isEmpty)
+    silver.unpersist()
+  }
+
+  test("A4 exact distinct count matches distinct().count()") {
+    val li = Tables.lineitem(spark, sf0001)
+    assert(Aggregations.distinctCount(li, "l_returnflag") == 3)
+  }
+
+  test("A5 valueCounts orders by frequency desc") {
+    val df = Seq("a", "b", "b", "b", "c", "c").toDF("v")
+    val out = Aggregations.valueCounts(df, "v").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("b", 3L), ("c", 2L), ("a", 1L)))
+  }
+
+  test("F1+silver conservation on fixtures: valid + quarantine = bronze") {
+    val bronze = Breweries.bronze(spark, sf0001).cache()
+    val (valid, quarantine) = Quality.nullKeySplit(bronze, Breweries.KeyFields)
+    assert(valid.count() + quarantine.count() == bronze.count())
+    bronze.unpersist()
+  }
+}
