@@ -1,24 +1,77 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness (BASELINE.md protocol): per query, one warmup run
+  * then the MEDIAN of 3 timed runs; every run fully materializes the
+  * result through the `noop` sink so Catalyst cannot prune away the
+  * measured work (a bare `.count()` would column-prune projections).
+  * Failures are loud: the failing query is reported in an `errors` map and
+  * the process exits non-zero — a broken query can never "improve" the
+  * bench.
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timeOnce(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Optional comma-separated filter for targeted profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+      try {
+        materialize(fn(spark, sfDir)) // warmup: JIT, codegen, file listing
+        // drop persisted sketches between runs: intra-query caching is part
+        // of the operator design and belongs in the measurement; CROSS-run
+        // cache hits (identical plan -> cache manager match) would not
+        spark.catalog.clearCache()
+        val samples = Seq.fill(runs) {
+          val t = timeOnce(materialize(fn(spark, sfDir)))
+          spark.catalog.clearCache()
+          t
+        }
+        val median = samples.sorted.apply(samples.size / 2)
+        times += name -> median
+        System.err.println(f"[bench] $name%-28s median=$median%8.3f s  (${samples.map(s => f"$s%.3f").mkString(", ")})")
+      } catch {
+        case e: Throwable =>
+          errors += name -> e.toString.take(200)
+          System.err.println(s"[bench] FAILED $name: $e")
+          e.printStackTrace()
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -20,8 +20,8 @@ object SparkEntry {
     pipeline.Breweries.silver(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries
+    ParityQueries.queries ++ LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle
+    ParityQueries.oracle ++ LlmQueries.oracle
 }

@@ -23,13 +23,16 @@ object Tables {
   }
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read it as raw nanos
-    * (`nanosAsLong`) and truncate to a proper micros TimestampType —
-    * the same micros truncation DuckDB applies on `CAST(ts AS TIMESTAMP)`,
-    * keeping oracle parity.
+    * vectorized reader rejects outright. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set ONCE at session
+    * build by Verify/Bench/SparkSpec — not mutated here, so session
+    * behavior is order-independent) the column arrives as raw nanos;
+    * truncate to a proper micros TimestampType — the same truncation
+    * DuckDB applies on `CAST(ts AS TIMESTAMP)`, keeping oracle parity.
     */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

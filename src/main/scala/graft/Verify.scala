@@ -8,12 +8,17 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Pin the JVM default timezone too (not just the session TZ):
+    // java.sql.Timestamp literals and NTZ casts otherwise shift on a
+    // non-UTC host and silently break the oracle compare.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Plain micros timestamps in the dumped parquet (not INT96), so the
       // driver's DuckDB/pyarrow compare sees the same logical type the
       // oracle produces.
@@ -34,6 +39,7 @@ object Verify {
           else d
         }
         normed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        spark.catalog.clearCache() // release per-query persisted sketches
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

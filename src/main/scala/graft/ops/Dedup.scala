@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (hash-groupBy), MinHash + banded LSH (near-dup candidates without an
+  * all-pairs join), exact n-gram Jaccard verification over the candidate
+  * set, and 64-bit tf-weighted SimHash with pigeonhole banding.
+  *
+  * Scale posture (100 TB): the per-document sketches (shingles, MinHash
+  * signature, band signatures) are pure projections — array expressions
+  * inside one whole-stage-codegen map, no explode, no shuffle. The only
+  * shuffles are (a) the groupBy on the band signature (rows are
+  * (doc_id, band, sig) — tiny vs the corpus) and (b) the candidate-pair
+  * verification join, whose left side is the candidate set, not the corpus.
+  * Nothing here ever compares all pairs.
+  *
+  * Determinism: every hash is md5 over explicit UTF-8 strings with literal
+  * integer seeds, so results are reproducible across engines (the DuckDB
+  * oracles in [[graft.queries.LlmQueries]] replay the identical
+  * computation).
+  */
+object Dedup {
+
+  /** Exact dedup: group documents by a canonical content key
+    * (md5 of lowercased text), keep the lowest id as the keeper.
+    * One hash-aggregate; the shuffle carries one row per distinct content.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(lower(col(textCol))).as("text_key"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-gram shingles as an array column `shingles`
+    * (map-only; empty array when the document has fewer than k tokens).
+    */
+  def withShingles(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ws = split(lower(col(textCol)), " ")
+    df.withColumn("shingles",
+      when(size(ws) >= k,
+        array_distinct(transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => array_join(slice(ws, i, lit(k)), " "))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exploded distinct-shingle relation (doc_id, s) — the base for the
+    * exact-Jaccard verification (set semantics, so distinct matters).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    withShingles(df, textCol, k)
+      .select(col(idCol).as("doc_id"), explode(col("shingles")).as("s"))
+
+  /** MinHash signature as one aggregate pass: for seed j, mh_j = min over
+    * shingles of md5(j || ':' || shingle), computed as `numHashes` min()
+    * aggregates over the exploded shingle relation.
+    *
+    * Why this shape and not a per-row array expression: Spark's
+    * higher-order functions (transform/array_min) evaluate interpreted,
+    * and CollapseProject inlines the shingle array into every seed's
+    * lambda — 16x recompute, per join side. The explode + partial-agg
+    * formulation computes each md5 exactly once map-side and shuffles only
+    * the (doc_id, 16 hashes) sketch.
+    *
+    * The shingle array here is deliberately NOT deduplicated and NOT
+    * guarded by a CASE: min() is insensitive to duplicates, and the
+    * cheaper generator expression matters because `InferFiltersFromGenerate`
+    * re-evaluates it in a pushed-down filter. Documents with < k tokens
+    * produce an empty sequence and simply drop out (same contract as the
+    * oracle's `range()`).
+    */
+  def minhashSketch(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, numHashes: Int): DataFrame = {
+    // Restore task parallelism before the compute-heavy map pipeline: a
+    // single-split local file would otherwise run all numHashes md5 passes
+    // on one core. No-op when the scan already has >= defaultParallelism
+    // splits (the at-scale case — never reshuffle a large corpus for this).
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val in = if (df.rdd.getNumPartitions < p)
+      df.select(col(idCol), col(textCol)).repartition(p) else df
+    val ws = split(lower(col(textCol)), " ")
+    // pre-filter on the native split size: documents with < k tokens drop
+    // out here (same contract as the oracle's empty range()), and the
+    // sequence bound below is then always >= 1
+    val grams = transform(sequence(lit(1), size(ws) - (k - 1)),
+      i => array_join(slice(ws, i, lit(k)), " "))
+    in.filter(size(ws) >= k)
+      .select(col(idCol).as("doc_id"), explode(grams).as("s"))
+      .groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("s")))).as("mh0"),
+        (1 until numHashes).map(j =>
+          min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j")): _*)
+  }
+
+  /** Banded LSH candidate pairs: the signature is cut into `bands` bands
+    * of numHashes/bands hashes; two documents are candidates iff some
+    * band's signature (md5 of the comma-joined hashes) matches exactly.
+    * Only (doc_id, band, sig) rows are shuffled for the bucket self-join;
+    * the sketch aggregation underneath is one reused exchange, so the
+    * corpus-side work runs once.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String,
+                        numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sketch = minhashSketch(df, idCol, "text", 3, numHashes)
+    // The band relation is sketch-sized (bands rows x ~50 B per document —
+    // orders of magnitude under the corpus). PERSIST it so the bucket
+    // self-join reads one materialization instead of recomputing the whole
+    // scan->shingle->sketch pipeline per join side (broadcast joins have
+    // no common exchange for ReuseExchange to dedup).
+    val banded = sketch.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*))
+      }: _*)).as(Seq("band", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+      && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over a candidate-pair set: the corpus is first
+    * semi-joined down to documents that actually appear in a candidate
+    * pair, so the shingle explode + intersection join are sized by the
+    * candidate set, not the corpus — at 100 TB the verification cost is
+    * O(candidates), independent of corpus size.
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, idCol: String,
+                    k: Int, threshold: Double): DataFrame = {
+    // Both relations here are candidate-sized (small by construction) and
+    // referenced 2-3 times each — persist so the upstream LSH pipeline and
+    // the semi-joined shingle explode run once, not per reference.
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
+      .distinct()
+    val needed = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
+    val sh = shingleRows(needed, idCol, "text", k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("ca") + col("cb") - col("inter")).cast("double")
+    inter
+      .join(sizes.select(col("doc_id"), col("c").as("ca")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("c").as("cb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /** Full fuzzy-dedup pipeline: banded-LSH candidates, then exact Jaccard
+    * verification (the canonical two-phase near-dup shape at scale).
+    */
+  def fuzzy(docs: DataFrame, idCol: String, numHashes: Int, bands: Int,
+            threshold: Double): DataFrame =
+    jaccardVerify(docs, lshCandidatePairs(docs, idCol, numHashes, bands),
+      idCol, 3, threshold)
+
+  /** 64-bit tf-weighted SimHash, returned as two 32-bit halves
+    * (`simhash_hi`, `simhash_lo`) to stay inside signed-long arithmetic on
+    * every engine. Bit i of md5(token) is extracted from its hex digits;
+    * the per-bit score is sum(tf * (2*bit - 1)); a positive score sets the
+    * bit. Two groupBys: (doc, token) for tf and (doc, bit) for scores —
+    * both shuffle sketch-sized data, not the corpus text.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("w")))
+    val bits = tok
+      .select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .withColumn("d", conv(expr("substr(h, (i div 4) + 1, 1)"), 16, 10).cast("int"))
+      .withColumn("bit", expr("shiftright(d, CAST(3 - i % 4 AS INT)) & 1"))
+      .groupBy("doc_id", "i")
+      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
+    bits.groupBy("doc_id").agg(
+      sum(expr("CASE WHEN s > 0 AND i < 32 THEN shiftleft(CAST(1 AS BIGINT), CAST(31 - i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash_hi"),
+      sum(expr("CASE WHEN s > 0 AND i >= 32 THEN shiftleft(CAST(1 AS BIGINT), CAST(63 - i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash_lo"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3 with
+    * the default banding): the 64 bits are cut into four 16-bit blocks; by
+    * pigeonhole, any pair within distance 3 matches at least one block
+    * exactly, so candidates are found with an equi-join on (block, value)
+    * and only candidates pay the popcount.
+    */
+  def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
+    // persist: sketch-sized (4 rows/doc); read once by both join sides
+    val banded = sketches.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      posexplode(array(
+        shiftright(col("simhash_hi"), 16), col("simhash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("simhash_lo"), 16), col("simhash_lo").bitwiseAND(lit(65535L))))
+        .as(Seq("band", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash_hi").as("ha"), col("a.simhash_lo").as("la"),
+        col("b.simhash_hi").as("hb"), col("b.simhash_lo").as("lb"))
+      .distinct()
+    val dist = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+      bit_count(col("la").bitwiseXOR(col("lb")))
+    cand.filter(dist <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), dist.cast("int").as("hamming"))
+  }
+}

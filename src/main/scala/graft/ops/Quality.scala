@@ -28,20 +28,22 @@ object Quality {
     * reads (or one shared scan when cached), never a driver materialize.
     *
     * The timestamp is injected (a single driver-side value) for
-    * deterministic, hashable outputs.
+    * deterministic, hashable outputs, and carried as an ISO-8601 STRING to
+    * match the reference's quarantine schema exactly
+    * (`datetime.now().isoformat()`, bronze_to_silver.py:183).
     */
   def nullKeySplit(
       df: DataFrame,
       keyCols: Seq[String],
       quarantineReason: String = "missing_key_values",
-      quarantineTs: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      quarantineTsIso: String = "2026-01-01T00:00:00"
   ): (DataFrame, DataFrame) = {
     val anyNull  = keyCols.map(col(_).isNull).reduce(_ || _)
     val noneNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val valid = df.filter(noneNull)
     val quarantine = df.filter(anyNull)
       .withColumn("quarantine_reason", lit(quarantineReason))
-      .withColumn("quarantine_timestamp", lit(quarantineTs))
+      .withColumn("quarantine_timestamp", lit(quarantineTsIso))
     (valid, quarantine)
   }
 

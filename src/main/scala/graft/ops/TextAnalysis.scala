@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting (whitespace +
+  * regex), language identification (stopword-list heuristic), quality
+  * scoring, and document fingerprinting (rolling char-n-gram hash).
+  *
+  * Every operator here is a pure per-row projection built from Catalyst
+  * array/string expressions — map-only, whole-stage-codegen, zero
+  * shuffles. At 100 TB these run at scan speed and their outputs (small
+  * scalar sketches) are what downstream aggregations shuffle, never the
+  * text itself.
+  */
+object TextAnalysis {
+
+  /** Common stopword lists for the langid heuristic. A real deployment
+    * loads bigger lexicons from files; the mechanism (per-language hit
+    * counts over the token stream, argmax with deterministic priority)
+    * is unchanged.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "auf", "ein", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une", "des", "du"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "para", "una", "por", "con"))
+
+  private def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  private def hits(ws: Column, lang: String): Column =
+    size(filter(ws, w => array_contains(
+      array(Stopwords(lang).map(lit): _*), w)))
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens
+    * (`[a-z0-9]+` runs), plus the recomputed char length.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(tokens(col(textCol))).as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("n_re_tokens"),
+      length(col(textCol)).as("n_chars_calc"))
+
+  /** Language-ID heuristic: count stopword hits per language, predict the
+    * argmax with deterministic priority en > de > fr > es on ties.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val s = Map("en" -> col("s_en"), "de" -> col("s_de"),
+      "fr" -> col("s_fr"), "es" -> col("s_es"))
+    df.select(col(idCol),
+      hits(ws, "en").as("s_en"), hits(ws, "de").as("s_de"),
+      hits(ws, "fr").as("s_fr"), hits(ws, "es").as("s_es"))
+      .withColumn("predicted_lang",
+        when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
+          .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
+          .when(s("fr") >= s("es"), "fr")
+          .otherwise("es"))
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * alphanumeric-char ratio, and a composite score in [0, 1]
+    * (length prior x stopword-naturalness). All ratios are doubles
+    * rounded to 6 places for cross-engine determinism.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val nTok = size(ws).cast("double")
+    val meanLen = aggregate(transform(ws, w => length(w)), lit(0),
+      (acc, v) => acc + v).cast("double") / nTok
+    val stopRatio = hits(ws, "en").cast("double") / nTok
+    val alnumRatio =
+      length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+        .cast("double") / length(col(textCol)).cast("double")
+    val score = least(nTok / lit(100.0), lit(1.0)) *
+      (lit(1.0) - abs(stopRatio - lit(0.4)))
+    df.select(col(idCol),
+      size(ws).as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(alnumRatio, 6).as("alnum_ratio"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /** Document fingerprint: rolling char 8-gram hashes, summarized as the
+    * minimum md5 (a bottom-1 sketch — equal fingerprints are a strong
+    * near-dup signal) plus the distinct-gram cardinality. For texts
+    * shorter than 8 chars the whole text is the single gram.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // `substring` needs a column-valued position, which the Column API
+    // doesn't expose — build the gram array with a SQL expression.
+    val gramsExpr = expr(
+      s"transform(sequence(1, greatest(length($textCol) - 7, 1)), " +
+        s"i -> substring($textCol, i, 8))")
+    df.select(col(idCol),
+      array_min(transform(gramsExpr, g => md5(g))).as("fp_min_hash"),
+      size(array_distinct(gramsExpr)).as("n_distinct_grams"))
+  }
+}

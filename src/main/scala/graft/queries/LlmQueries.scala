@@ -1,0 +1,363 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Breweries, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline operators as oracle-checked queries over the
+  * driver fixtures (`documents`, `embeddings`, `events`): deduplication
+  * (exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine),
+  * similarity search (brute-force + IVF), text analysis (tokens, langid,
+  * quality, fingerprints), windowed event aggregation, JSON/multimodal
+  * column handling, and the materializing pipeline driver.
+  *
+  * Every oracle below replays the Spark computation in DuckDB SQL with
+  * matching hash functions (md5 over identical strings), matching integer
+  * semantics, and double-precision float math rounded to 6 places.
+  */
+object LlmQueries {
+
+  private val StopEn = TextAnalysis.Stopwords("en")
+
+  /** DuckDB list literal for a stopword list. */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB double-precision dot product between two list columns,
+    * accumulated in index order (mirrors Spark's `aggregate(zip_with(...))`
+    * left fold).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Shared shingle/minhash CTE prefix (word 3-grams, 16 hashes). */
+  private val MinhashCtes: String =
+    """w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+      |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+      |mh AS (SELECT doc_id, j, min(md5(j || ':' || s)) AS m
+      |       FROM sh, unnest(range(0, 16)) u(j) GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, j // 4 AS band, md5(string_agg(m, ',' ORDER BY j)) AS sig
+      |          FROM mh GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b
+      |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared SimHash CTE prefix (64-bit tf-weighted, two 32-bit halves). */
+  private val SimhashCtes: String =
+    """tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |              FROM documents) GROUP BY 1, 2),
+      |bits AS (SELECT doc_id, i,
+      |           sum(tf * (2 * ((strpos('0123456789abcdef',
+      |                             substr(md5(w), (i // 4) + 1, 1)) - 1
+      |                           >> (3 - i % 4)) & 1) - 1)) AS s
+      |         FROM tok, unnest(range(0, 64)) t(i) GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |         CAST(sum(CASE WHEN s > 0 AND i < 32
+      |             THEN 1::BIGINT << CAST(31 - i AS INT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+      |         CAST(sum(CASE WHEN s > 0 AND i >= 32
+      |             THEN 1::BIGINT << CAST(63 - i AS INT) ELSE 0 END) AS BIGINT) AS simhash_lo
+      |       FROM bits GROUP BY 1)""".stripMargin
+
+  val queries: Map[String, Query] = Map(
+
+    // ---- Deduplication ------------------------------------------------
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id",
+        numHashes = 16, bands = 4)),
+
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+        maxHamming = 3)),
+
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), "label", 0.35)),
+
+    // ---- Similarity search -------------------------------------------
+
+    "sim_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 100 === 0, k = 10)),
+
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 100 === 0, centroidMod = 50, nprobe = 3, k = 10)),
+
+    // ---- Text analysis -----------------------------------------------
+
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- Event windows / JSON ----------------------------------------
+
+    "events_tumbling" -> ((s, dir) =>
+      EventOps.tumbling(Tables.events(s, dir), "1 hour")),
+
+    "events_sliding" -> ((s, dir) =>
+      EventOps.sliding(Tables.events(s, dir), "1 hour", "30 minutes")),
+
+    "events_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(Tables.events(s, dir), gapMinutes = 30)),
+
+    "events_json_props" -> ((s, dir) =>
+      EventOps.jsonPropsAgg(Tables.events(s, dir))),
+
+    // ---- Multimodal columns ------------------------------------------
+
+    "mm_media_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(
+        Multimodal.documentsAsMedia(Tables.documents(s, dir)))),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.fakeFeatures(
+        Multimodal.documentsAsMedia(Tables.documents(s, dir)))),
+
+    // ---- Pipeline driver (real writes + read-back) -------------------
+
+    "pipeline_gold_readback" -> ((s, dir) => {
+      val out = ParityQueries.scratch("pipeline_run")
+      // wipe the previous run: quarantine is APPEND by design, so reusing
+      // the scratch root without a wipe would accumulate across runs
+      graft.sources.Extractor.prepareLandingDir(out)
+      Pipeline.run(s, dir, out)
+      s.read.parquet(s"$out/gold/by_type_location")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      """SELECT md5(lower(text)) AS text_key, min(doc_id) AS keeper_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH $MinhashCtes
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
+
+    "dedup_fuzzy" ->
+      s"""WITH $MinhashCtes,
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |ver AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |        FROM cand c
+         |        JOIN sh x ON x.doc_id = c.doc_a
+         |        JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+         |        GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(inter AS DOUBLE) / (sa.c + sb.c - inter), 6) AS jaccard
+         |FROM ver JOIN sz sa ON doc_a = sa.doc_id
+         |         JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $SimhashCtes
+         |SELECT doc_id, simhash_hi, simhash_lo FROM sh""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $SimhashCtes,
+         |bnd AS (SELECT doc_id, b,
+         |          CASE b WHEN 0 THEN simhash_hi >> 16
+         |                 WHEN 1 THEN simhash_hi & 65535
+         |                 WHEN 2 THEN simhash_lo >> 16
+         |                 ELSE simhash_lo & 65535 END AS v
+         |        FROM sh, unnest(range(0, 4)) t(b)),
+         |cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM bnd a JOIN bnd b
+         |        ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) +
+         |            bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INT) AS hamming
+         |FROM cnd JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+         |WHERE bit_count(xor(x.simhash_hi, y.simhash_hi)) +
+         |      bit_count(xor(x.simhash_lo, y.simhash_lo)) <= 3""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      s"""SELECT vec_a, vec_b, round(sim, 6) AS cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE sim >= 0.35""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |p AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY sim DESC, vec_id) AS rn
+         |      FROM p)
+         |SELECT query_id, vec_id, round(sim, 6) AS cosine
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, embedding, centroid_id FROM (
+         |          SELECT e.vec_id, e.embedding, c.centroid_id,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.ce")} DESC,
+         |                       c.centroid_id) AS rn
+         |          FROM embeddings e, c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |probe AS (SELECT query_id, qe, centroid_id FROM (
+         |            SELECT q.query_id, q.qe, c.centroid_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+         |                         c.centroid_id) AS rn
+         |            FROM q, c) WHERE rn <= 3),
+         |cand AS (SELECT p.query_id, a.vec_id,
+         |           ${cosSql("p.qe", "a.embedding")} AS sim
+         |         FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
+         |         WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY sim DESC, vec_id) AS rn
+         |      FROM cand)
+         |SELECT query_id, vec_id, round(sim, 6) AS cosine
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_re_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_calc
+        |FROM documents""".stripMargin,
+
+    "text_langid" -> {
+      val langs = Seq("en", "de", "fr", "es")
+      val scoreCols = langs.map { l =>
+        s"CAST(len(list_filter(ws, w -> list_contains(" +
+          s"${sqlList(TextAnalysis.Stopwords(l))}, w))) AS INT) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM t)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM s""".stripMargin
+    },
+
+    "text_quality" -> {
+      val en = sqlList(StopEn)
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |x AS (SELECT doc_id, text, ws,
+         |        CAST(len(ws) AS DOUBLE) AS nt,
+         |        CAST(len(list_filter(ws, w -> list_contains($en, w))) AS DOUBLE) AS hits
+         |      FROM t)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS INT) AS n_tokens,
+         |  round(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+         |        AS DOUBLE) / nt, 6) AS mean_token_len,
+         |  round(hits / nt, 6) AS stopword_ratio,
+         |  round(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |        AS DOUBLE) / length(text), 6) AS alnum_ratio,
+         |  round(least(nt / 100, CAST(1 AS DOUBLE)) *
+         |        (1 - abs(hits / nt - 0.4)), 6) AS quality_score
+         |FROM x""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH g AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS gm
+         |           FROM documents,
+         |                unnest(range(1, greatest(length(text)-7, 1)+1)) t(i))
+         |SELECT doc_id, min(md5(gm)) AS fp_min_hash,
+         |       CAST(count(DISTINCT gm) AS INT) AS n_distinct_grams
+         |FROM g GROUP BY 1""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "events_sliding" ->
+      """WITH x AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b,
+        |                  event_type, value FROM events),
+        |e AS (SELECT b AS ws, event_type, value FROM x
+        |      UNION ALL
+        |      SELECT b - INTERVAL 30 MINUTE, event_type, value FROM x)
+        |SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS isnew
+        |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS media_len,
+        |  md5(text) AS media_md5,
+        |  upper(hex(encode(substr(text, 1, 8)))) AS head_hex,
+        |  'text/plain' AS media_type
+        |FROM documents""".stripMargin,
+
+    "mm_features" -> {
+      def f(i: Int) =
+        s"round(CAST(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1" +
+          s" AS DOUBLE) / 15, 6) AS f$i"
+      s"""SELECT doc_id AS media_id, ${f(1)}, ${f(2)}, ${f(3)}, ${f(4)}
+         |FROM documents""".stripMargin
+    },
+
+    "pipeline_gold_readback" ->
+      s"""WITH silver AS (${Breweries.SilverSql})
+         |SELECT brewery_type, location, state, city, count(*) AS brewery_count
+         |FROM silver GROUP BY 1, 2, 3, 4""".stripMargin
+  )
+}

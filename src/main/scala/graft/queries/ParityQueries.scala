@@ -5,8 +5,6 @@ import graft.ops.{Aggregations, Cleaning, Quality}
 import graft.pipeline.Breweries
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
-
 /** One verifiable query per reference operator from SURVEY.md §2
   * (S/F/P/A/U inventory ids in the names). Each entry has a matching
   * DuckDB oracle in [[oracle]] unless the operation is not
@@ -15,16 +13,35 @@ import java.nio.file.Files
   */
 object ParityQueries {
 
+  /** Stable scratch location, overwritten on every invocation. */
+  def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
+
   val queries: Map[String, Query] = Map(
     // S8 — plain parquet table scan (reference helpers.py:326-360).
     "s8_parquet_scan" -> ((s, dir) => Tables.supplier(s, dir)),
 
+    // S1/S2/S3/S5 — the paginated extract connector end-to-end against the
+    // fixture source (reference extract_brewery_data.py:68-133): page loop
+    // with stop conditions writes JSON landing files, read back as one
+    // relation. The HTTP impl shares the same loop (SourceSpec covers its
+    // retry/backoff contract offline).
+    "s1_landing_extract" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val source = new graft.sources.FixtureBrewerySource(n.toJSON.collect().toSeq)
+      val landing = scratch("s1_landing")
+      graft.sources.Extractor.extract(source, landing, perPage = 10, batchTag = "verify")
+      s.read.schema(n.schema).option("multiLine", true).json(landing)
+    }),
+
     // S4/S6/U1 — JSON landing-file read: write the nation table as
     // JSON-lines landing files, read them back as one relation (schema-on-
     // read union of files, reference landing_to_bronze.py:128-139).
+    // Fixed scratch dirs (overwritten per run) instead of fresh temp dirs,
+    // so repeated Verify/bench runs don't leak copies under /tmp.
     "s4_json_landing_read" -> ((s, dir) => {
       val n = Tables.nation(s, dir)
-      val tmp = Files.createTempDirectory("graft_landing_").toString
+      val tmp = scratch("landing")
       n.write.mode("overwrite").json(tmp)
       s.read.schema(n.schema).json(tmp)
     }),
@@ -34,7 +51,7 @@ object ParityQueries {
     "s7_partitioned_roundtrip" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      val tmp = Files.createTempDirectory("graft_part_").toString
+      val tmp = scratch("part")
       li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
       s.read.parquet(tmp).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
@@ -43,10 +60,10 @@ object ParityQueries {
     "f1_valid_rows" -> ((s, dir) =>
       Quality.nullKeySplit(Breweries.bronze(s, dir), Breweries.KeyFields)._1),
 
-    // F1 — null-key split, quarantine side with reason enrichment.
+    // F1 — null-key split, quarantine side with reason + ISO-string
+    // timestamp enrichment (reference bronze_to_silver.py:182-183).
     "f1_quarantine_rows" -> ((s, dir) =>
-      Quality.nullKeySplit(Breweries.bronze(s, dir), Breweries.KeyFields)._2
-        .drop("quarantine_timestamp")),
+      Quality.nullKeySplit(Breweries.bronze(s, dir), Breweries.KeyFields)._2),
 
     // F3 — duplicate-id diagnostic (reference helpers.py:116-131).
     "f3_duplicate_ids" -> ((s, dir) =>
@@ -113,10 +130,12 @@ object ParityQueries {
 
     // U1/U2 — union-all (reference landing_to_bronze.py:128-139,
     // helpers.py:458-480): two disjoint filters unioned back == source.
+    // Null-COMPLETE split (`<=>`): a NULL o_orderstatus lands in the
+    // negated side instead of being dropped by null-rejecting `=!=`.
     "u1_union_all" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       o.filter(col("o_orderstatus") === "O")
-        .unionByName(o.filter(col("o_orderstatus") =!= "O"))
+        .unionByName(o.filter(!(col("o_orderstatus") <=> "O")))
     }),
 
     // EP2 — the full silver chain end-to-end (F1+P1+P2+P3+P4+P6).
@@ -125,6 +144,7 @@ object ParityQueries {
 
   val oracle: Map[String, String] = Map(
     "s8_parquet_scan" -> "SELECT * FROM supplier",
+    "s1_landing_extract" -> "SELECT * FROM nation",
     "s4_json_landing_read" -> "SELECT * FROM nation",
     "s7_partitioned_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
@@ -135,7 +155,8 @@ object ParityQueries {
          |  AND city IS NOT NULL AND country IS NOT NULL""".stripMargin,
     "f1_quarantine_rows" ->
       s"""WITH bronze AS (${Breweries.BronzeSql})
-         |SELECT *, 'missing_key_values' AS quarantine_reason FROM bronze
+         |SELECT *, 'missing_key_values' AS quarantine_reason,
+         |       '2026-01-01T00:00:00' AS quarantine_timestamp FROM bronze
          |WHERE id IS NULL OR brewery_type IS NULL OR state IS NULL
          |   OR city IS NULL OR country IS NULL""".stripMargin,
     "f3_duplicate_ids" ->
