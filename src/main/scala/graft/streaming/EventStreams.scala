@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch window operators in
+  * [[graft.ops.EventOps]]. Spark's unified API means the aggregation
+  * expressions are IDENTICAL to the batch path — `readStream` swaps in for
+  * `read`, plus a watermark for state eviction; StreamingSpec asserts
+  * batch/stream result parity on the fixture events.
+  *
+  * Scale posture: windowed aggregation state is (window x key)-sized and
+  * evicted by the watermark; sessionization state is one small record per
+  * active (user) group, timed out on event-time. Both shuffle only
+  * partial aggregates / group keys — the raw stream is never buffered
+  * unbounded.
+  */
+object EventStreams {
+
+  /** Tumbling (or sliding, when `slide` is set) windowed counts + sums
+    * with a watermark. Works on a streaming OR batch DataFrame — same
+    * plan, which is exactly the point.
+    */
+  def windowedCounts(events: DataFrame, width: String,
+                     slide: Option[String] = None,
+                     watermark: String = "1 hour"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col("ts"), width, s)
+      case None => window(col("ts"), width)
+    }
+    events.withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization as custom streaming state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes
+    * when no event arrives within `gapMinutes` of its last event (tracked
+    * via watermark timeout) — the streaming analogue of
+    * [[graft.ops.EventOps.sessionize]].
+    *
+    * Within a batch, events are sorted and split on the gap; closed
+    * sessions are emitted immediately, the open tail is kept in state and
+    * emitted when the event-time timeout fires.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.selectExpr("user_id", "ts").as[SessionEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap horizon: close the open session
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val sorted = it.map(_.ts.getTime).toSeq.sorted
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += Session(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Aggregations, Cleaning, Dedup, Quality}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck invariants (SURVEY §5): properties the operators must hold
+  * for ANY input, not just the fixtures. Spark-backed properties run a
+  * reduced number of samples (each sample is a Spark job).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, samples: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(samples), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val rawString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.oneOf("", "   ", "http://x.com", "https://y.org", "www.z.net",
+      "  spaced.com  ", "HTTPS://UPPER.COM"))
+
+  test("P4 URL normalization is idempotent (pure column function)") {
+    val norm = Cleaning.normalizeUrlCol(col("u"))
+    // evaluate via a single DataFrame holding many generated samples
+    val gen = Gen.listOfN(200, rawString)
+    check(Prop.forAll(gen) { us =>
+      val df = us.toDF("u")
+      val first = df.select(norm.as("u")).as[Option[String]].collect()
+      val twice = df.select(norm.as("u")).toDF("u")
+        .select(norm.as("u")).as[Option[String]].collect()
+      first.sameElements(twice)
+    }, samples = 5)
+  }
+
+  test("F1 split conserves rows and partitions them exactly") {
+    val row = for {
+      id <- Gen.option(Gen.alphaNumStr)
+      ty <- Gen.option(Gen.alphaNumStr)
+    } yield (id, ty)
+    check(Prop.forAll(Gen.listOfN(100, row)) { rows =>
+      val df = rows.toDF("id", "brewery_type")
+      val (valid, quar) = Quality.nullKeySplit(df, Seq("id", "brewery_type"))
+      val expectBad = rows.count(r => r._1.isEmpty || r._2.isEmpty)
+      valid.count() + quar.count() == rows.length &&
+        quar.count() == expectBad
+    }, samples = 5)
+  }
+
+  test("A2 rolls up to A3: summing over brewery_type preserves counts") {
+    val row = for {
+      ty <- Gen.oneOf("micro", "nano", "bar")
+      loc <- Gen.oneOf("US", "DE")
+      st <- Gen.oneOf("CA", "TX", "BY")
+      city <- Gen.oneOf("a", "b", "c")
+    } yield (ty, loc, st, city)
+    check(Prop.forAll(Gen.listOfN(300, row)) { rows =>
+      val silver = rows.toDF("brewery_type", "location", "state", "city")
+      val a2 = Aggregations.goldByTypeLocation(silver)
+      val a3 = Aggregations.goldByLocation(silver)
+      val rolled = a2.groupBy("location", "state", "city")
+        .agg(sum("brewery_count").as("brewery_count"))
+        .as[(String, String, String, Long)].collect().toSet
+      val direct = a3.as[(String, String, String, Long)].collect().toSet
+      rolled == direct
+    }, samples = 5)
+  }
+
+  test("exact dedup conserves cardinality: sum(n_copies) == row count") {
+    val gen = Gen.listOfN(120,
+      Gen.oneOf("aaa bbb ccc", "xxx yyy zzz", "one two three", "unique"))
+    check(Prop.forAll(gen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.exact(df, "doc_id", "text")
+      out.agg(sum("n_copies")).as[Long].head() == texts.length
+    }, samples = 5)
+  }
+
+  test("minhash signatures are permutation-invariant over document order") {
+    val docGen = Gen.listOfN(8, Gen.oneOf("w1", "w2", "w3", "w4"))
+      .map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(20, docGen)) { texts =>
+      val df1 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val df2 = texts.zipWithIndex.reverse.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val s1 = Dedup.minhashSketch(df1, "doc_id", "text", 3, 8)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val s2 = Dedup.minhashSketch(df2, "doc_id", "text", 3, 8)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      s1 == s2
+    }, samples = 3)
+  }
+}

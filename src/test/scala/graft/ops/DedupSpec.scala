@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words entirely here now today"),
+    (5L, "ab") // < 3 tokens: excluded from shingle-based sketches
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps the lowest id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dupGroup = out.find(_._3 == 2).get
+    assert(dupGroup._2 == 1L) // keeper is the min doc_id
+    assert(out.count(_._3 == 1) == 3)
+  }
+
+  test("minhash sketch: identical docs get identical signatures; short docs drop out") {
+    val sk = Dedup.minhashSketch(docs, "doc_id", "text", 3, 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getString)).toMap
+    assert(sk.keySet == Set(1L, 2L, 3L, 4L)) // doc 5 has < 3 tokens
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L) != sk(4L))
+    // near-dup shares most minhashes (Jaccard ~0.78 over shingles)
+    assert(sk(1L).zip(sk(3L)).count { case (a, b) => a == b } >= 8)
+  }
+
+  test("LSH candidate pairs find exact+near dups, never self/reversed pairs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => a == b })
+  }
+
+  test("fuzzy dedup verifies candidates with exact Jaccard at the threshold") {
+    val out = Dedup.fuzzy(docs, "doc_id", 16, 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val exact = out.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(exact._3 == 1.0) // identical shingle sets
+    out.foreach(r => assert(r._3 >= 0.5 && r._3 <= 1.0))
+    // the unrelated doc 4 must not survive verification against 1/2/3
+    assert(!out.exists(r => r._1 == 4L || r._2 == 4L))
+  }
+
+  test("fuzzy dedup on the fixture corpus finds the planted near-dup pairs") {
+    val out = Dedup.fuzzy(Tables.documents(spark, sf0001), "doc_id", 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 28) // planted pairs (measured against DuckDB)
+    assert(out.forall(_._3 >= 0.5))
+    assert(out.count(_._3 > 0.9) >= 20) // the bulk sit at Jaccard ~0.98
+  }
+
+  test("simhash: identical docs agree, near-dups are close, unrelated far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(hamming(sh(1L), sh(2L)) == 0)
+    assert(hamming(sh(1L), sh(3L)) <= 16)
+    assert(hamming(sh(1L), sh(4L)) > 16)
+    // 32-bit halves: values stay in unsigned-int range
+    sh.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi <= 0xffffffffL && lo >= 0 && lo <= 0xffffffffL)
+    }
+  }
+
+  test("simhash banding returns exactly the pairs within maxHamming") {
+    val sketches = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sketches, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    pairs.foreach(p => assert(p._3 <= 3))
+  }
+}

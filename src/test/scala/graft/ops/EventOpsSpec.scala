@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0, """{"k": 1}"""),
+    (2L, ts("2024-01-01 10:55:00"), 7L, "click", 2.0, """{"k": 2}"""),
+    (3L, ts("2024-01-01 11:10:00"), 7L, "view", 4.0, """{"k": 3}"""),
+    (4L, ts("2024-01-01 13:00:00"), 7L, "click", 8.0, """{"k": 4}"""),
+    (5L, ts("2024-01-01 10:20:00"), 9L, "click", 16.0, """{"k": 5}""")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("tumbling windows: hour-aligned, per event_type") {
+    val out = EventOps.tumbling(events, "1 hour")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1.toString, r._3) -> (r._4, r._5)).toMap
+    assert(out(("2024-01-01 10:00:00.0", "click")) == (3L, 19.0)) // 1+2+16
+    assert(out(("2024-01-01 11:00:00.0", "view")) == (1L, 4.0))
+    assert(out(("2024-01-01 13:00:00.0", "click")) == (1L, 8.0))
+  }
+
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    val out = EventOps.sliding(events, "1 hour", "30 minutes")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect()
+    assert(out.map(_._4).sum == events.count() * 2) // 2 windows per event
+    // the 10:05 click is in [09:30,10:30) and [10:00,11:00)
+    val w1 = out.filter(r => r._1.toString == "2024-01-01 09:30:00.0" && r._3 == "click")
+    assert(w1.length == 1 && w1.head._4 == 2) // 10:05 and 10:20 clicks
+  }
+
+  test("sessionize splits on the inactivity gap per user") {
+    val out = EventOps.sessionize(events, gapMinutes = 30)
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect()
+    val u7 = out.filter(_._1 == 7L).sortBy(_._2)
+    // user 7: 10:05 | gap 50m | 10:55+11:10 | gap 110m | 13:00 -> 3 sessions
+    assert(u7.length == 3)
+    assert(u7(0)._5 == 1 && u7(1)._5 == 2 && u7(2)._5 == 1)
+    assert(u7(1)._3.toString == "2024-01-01 10:55:00.0")
+    assert(u7(1)._4.toString == "2024-01-01 11:10:00.0")
+    assert(out.count(_._1 == 9L) == 1)
+  }
+
+  test("sessionize: a gap of exactly the threshold does NOT split") {
+    val e = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventOps.sessionize(e, 30).count() == 1)
+  }
+
+  test("json props extraction aggregates the typed field") {
+    val out = EventOps.jsonPropsAgg(events)
+      .as[(String, Long, Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out("click") == ("click", 4L, 12L, 1, 5)) // k: 1,2,4,5
+    assert(out("view") == ("view", 1L, 3L, 3, 3))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (100L, Array(0f, 1f, 0f, 0f), 0),
+    (2L, Array(1f, 0.001f, 0f, 0f), 0), // nearly parallel to 0
+    (3L, Array(-1f, 0f, 0f, 0f), 1),    // anti-parallel to 0
+    (4L, Array(0.7071f, 0.7071f, 0f, 0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("native fdot expression matches a hand-computed dot product") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = vecs.select(call_function("graft_fdot",
+      col("embedding"), col("embedding")).as("d"))
+      .as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(4) - (0.7071 * 0.7071 * 2)) < 1e-6)
+  }
+
+  test("cosine column: parallel=1, orthogonal=0, anti-parallel=-1") {
+    graft.functions.GraftFunctions.register(spark)
+    val a = vecs.filter($"vec_id" === 0).select($"embedding".as("ea"))
+    val out = a.crossJoin(vecs.select($"vec_id", $"embedding"))
+      .select($"vec_id", Similarity.cosine($"ea", $"embedding").as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(0L) - 1.0) < 1e-12)
+    assert(math.abs(out(100L)) < 1e-12)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self, breaks ties by id") {
+    val out = Similarity.bruteForceTopK(vecs, $"vec_id" % 100 === 0, k = 2)
+      .as[(Long, Long, Double)].collect()
+    val forQ0 = out.filter(_._1 == 0L).map(t => (t._2, t._3)).sortBy(-_._2)
+    assert(forQ0.head._1 == 2L) // nearly parallel wins
+    assert(!out.exists(t => t._1 == t._2))
+    assert(out.count(_._1 == 0L) == 2 && out.count(_._1 == 100L) == 2)
+  }
+
+  test("IVF top-k achieves high recall vs brute force on the fixture corpus") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pred = col("vec_id") % 100 === 0
+    val brute = Similarity.bruteForceTopK(e, pred, 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val ivf = Similarity.ivfTopK(e, pred, centroidMod = 50, nprobe = 3, k = 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(ivf.size == brute.size)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=3 of ~10 cells
+  }
+
+  test("blocked near-dup pairs stay within a bucket and above the threshold") {
+    val out = Similarity.blockedNearDupPairs(vecs, "label", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // label 0: (0,2) are near-parallel; (0,100) orthogonal must not appear
+    assert(out.exists(t => t._1 == 0L && t._2 == 2L))
+    assert(!out.exists(t => t._1 == 0L && t._2 == 100L))
+    // label 1: (3,4) have cosine ~ -0.7071: excluded
+    assert(!out.exists(t => t._1 == 3L && t._2 == 4L))
+    out.foreach(t => assert(t._3 >= 0.9))
+  }
+}

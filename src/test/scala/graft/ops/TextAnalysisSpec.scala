@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox and the lazy dog"),
+    (2L, "der hund und die katze auf der strasse"),
+    (3L, "abc"),
+    (4L, "a b! c-d 42x")
+  ).toDF("doc_id", "text")
+
+  test("token counts: whitespace vs regex tokenization") {
+    val out = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 8 && out(1L)._3 == 8)
+    // "a b! c-d 42x": 4 ws tokens but 5 alnum runs (c-d splits)
+    assert(out(4L)._2 == 4 && out(4L)._3 == 5)
+    assert(out(3L)._4 == 3) // n_chars
+  }
+
+  test("langid scores stopword hits per language and argmaxes with priority") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "s_en", "s_de", "predicted_lang")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3 && out(1L)._4 == "en") // the, and, the
+    assert(out(2L)._3 == 5 && out(2L)._4 == "de") // der, und, die, auf, der
+    assert(out(3L)._2 == 0 && out(3L)._4 == "en") // all-zero tie -> priority en
+  }
+
+  test("quality signals: ratios and bounded composite score") {
+    val out = TextAnalysis.quality(docs, "doc_id", "text")
+      .as[(Long, Int, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val d1 = out(1L)
+    assert(d1._2 == 8)
+    assert(math.abs(d1._3 - 29.0 / 8) < 1e-6) // mean token len (no spaces)
+    assert(math.abs(d1._4 - 3.0 / 8) < 1e-6)  // the, and, the
+    out.values.foreach { r =>
+      assert(r._5 >= 0 && r._5 <= 1); assert(r._6 >= 0 && r._6 <= 1)
+    }
+  }
+
+  test("fingerprint: identical text agrees; short text uses the whole-gram path") {
+    val two = Seq((1L, "same content here"), (2L, "same content here"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(two, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == out(2L)._2)
+    assert(out(1L)._3 == out(2L)._3)
+    assert(out(3L)._3 == 1) // < 8 chars: a single whole-text gram
+  }
+}

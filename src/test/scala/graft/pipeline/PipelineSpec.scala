@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.metrics.EtlMetrics
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  test("full medallion run materializes every layer with conserved counts") {
+    val out = Files.createTempDirectory("graft_pipe_").toString
+    val metrics = EtlMetrics.quiet()
+    val res = Pipeline.run(spark, sf0001, out, metrics)
+
+    assert(res.landingFiles == 1) // 150 bronze rows, perPage 200
+    assert(res.bronzeRows == 150 && res.bronzeBytes > 0)
+    // conservation: silver + quarantine == bronze
+    assert(res.silverRows + res.quarantineRows == res.bronzeRows)
+    assert(res.goldRows("by_type_location") > 0)
+    assert(res.goldRows("by_location") > 0)
+
+    // silver is partitioned by location on disk (Hive-style dirs)
+    val silverDirs = new java.io.File(s"$out/silver").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(silverDirs.nonEmpty && silverDirs.forall(_.startsWith("location=")))
+
+    // gold read-back equals the in-memory aggregation
+    val gold = spark.read.parquet(s"$out/gold/by_location")
+    assert(gold.columns.toSet ==
+      Set("location", "state", "city", "brewery_count"))
+
+    // reference-compatible metric names were recorded
+    val snap = metrics.snapshot()
+    assert(snap.keys.exists(_.startsWith("brewery_etl_operations_total")))
+    assert(snap.keys.exists(_.startsWith("brewery_etl_records_processed_total")))
+    assert(metrics.durationCount("brewery_etl_processing_duration_seconds",
+      Map("operation" -> "bronze_to_silver")) == 1)
+  }
+
+  test("quarantine is append-mode: it grows across runs, silver does not") {
+    val out = Files.createTempDirectory("graft_pipe_").toString
+    val r1 = Pipeline.run(spark, sf0001, out)
+    val r2 = Pipeline.run(spark, sf0001, out)
+    assert(r2.silverRows == r1.silverRows)
+    assert(r2.quarantineRows == 2 * r1.quarantineRows)
+  }
+
+  test("atomic overwrite leaves no temp dir and swaps content completely") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_atomic_").toString + "/t"
+    Pipeline.atomicOverwrite(spark, Seq(1, 2, 3).toDF("x"), path)
+    Pipeline.atomicOverwrite(spark, Seq(9).toDF("x"), path)
+    assert(spark.read.parquet(path).count() == 1)
+    assert(!new java.io.File(path + ".__tmp").exists())
+  }
+
+  test("retry wrapper: retries with delay then surfaces the final failure") {
+    var tries = 0
+    var sleeps = 0
+    val got = Pipeline.retry(3, delayMillis = 5, sleeper = _ => sleeps += 1) {
+      tries += 1
+      if (tries < 3) throw new RuntimeException("boom") else 42
+    }
+    assert(got == 42 && tries == 3 && sleeps == 2)
+    intercept[RuntimeException] {
+      Pipeline.retry(2, 0, _ => ())(throw new RuntimeException("always"))
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.EventOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("batch/stream parity: the same window expression, same results") {
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 4.0))
+      .toDF("ts", "event_type", "value")
+    val viaStreamOp = EventStreams.windowedCounts(events, "1 hour")
+      .collect().map(_.toSeq).toSet
+    val viaBatchOp = EventOps.tumbling(events, "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(viaStreamOp == viaBatchOp)
+  }
+
+  test("streaming tumbling windows: watermark closes windows in append mode") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "1 hour",
+      watermark = "30 minutes")
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // nothing final yet: watermark = 10:20 - 30m < 11:00
+      assert(spark.table("win_test").count() == 0)
+      // an event far enough ahead finalizes the 10:00 window
+      input.addData((ts("2024-01-01 12:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .as[(Timestamp, Timestamp, String, Long, Double)].collect()
+      val w10 = rows.find(r => r._1 == ts("2024-01-01 10:00:00") && r._3 == "click")
+      assert(w10.exists(r => r._4 == 2 && r._5 == 3.0))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization: event-time timeout closes the session") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionizeStream(
+      input.toDF().toDF("user_id", "ts"), gapMinutes = 30,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // session still open
+      // same batch split: two sessions for user 9 arrive together
+      // (10:30 sits clearly above the current watermark of 10:00)
+      input.addData((9L, ts("2024-01-01 10:30:00")), (9L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val closedInBatch = spark.table("sess_test")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      assert(closedInBatch.exists(r => r._1 == 9L && r._4 == 1))
+      // push the watermark far past every open session's gap horizon
+      input.addData((1L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      val u7 = rows.filter(_._1 == 7L)
+      assert(u7.length == 1 && u7.head._4 == 2)
+      assert(u7.head._2 == ts("2024-01-01 10:00:00"))
+      assert(u7.head._3 == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+}
