@@ -71,13 +71,10 @@ object Dedup {
     */
   def minhashSketch(df: DataFrame, idCol: String, textCol: String,
                     k: Int, numHashes: Int): DataFrame = {
-    // Restore task parallelism before the compute-heavy map pipeline: a
-    // single-split local file would otherwise run all numHashes md5 passes
-    // on one core. No-op when the scan already has >= defaultParallelism
-    // splits (the at-scale case — never reshuffle a large corpus for this).
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val in = if (df.rdd.getNumPartitions < p)
-      df.select(col(idCol), col(textCol)).repartition(p) else df
+    // Restore task parallelism before the compute-heavy map pipeline
+    // (single-split local files would run all numHashes md5 passes on one
+    // core; no-op at scale — see [[Par.fanOut]]).
+    val in = Par.fanOut(df.select(col(idCol), col(textCol)))
     val ws = split(lower(col(textCol)), " ")
     // pre-filter on the native split size: documents with < k tokens drop
     // out here (same contract as the oracle's empty range()), and the
@@ -168,7 +165,7 @@ object Dedup {
     * both shuffle sketch-sized data, not the corpus text.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df
+    val tok = Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

@@ -93,7 +93,7 @@ object TextAnalysis {
     val gramsExpr = expr(
       s"transform(sequence(1, greatest(length($textCol) - 7, 1)), " +
         s"i -> substring($textCol, i, 8))")
-    df.select(col(idCol),
+    Par.fanOut(df.select(col(idCol), col(textCol))).select(col(idCol),
       array_min(transform(gramsExpr, g => md5(g))).as("fp_min_hash"),
       size(array_distinct(gramsExpr)).as("n_distinct_grams"))
   }
