@@ -57,9 +57,13 @@ object Quality {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
 
-  /** Count of duplicated ids (scalar form used by the reference's gauge). */
+  /** Count of duplicated ids (scalar form used by the reference's gauge).
+    * One aggregate job — `count(*) - count(distinct id)` — instead of two
+    * separate scans.
+    */
   def duplicateIdCount(df: DataFrame, idCol: String = "id"): Long =
-    df.count() - df.select(idCol).distinct().count()
+    df.agg((count(lit(1)) - countDistinct(col(idCol))).as("d"))
+      .head().getLong(0)
 
   /** A7 — per-field null counts in a single job
     * (reference bronze_to_silver.py:185-188 runs one `isna().sum()` per

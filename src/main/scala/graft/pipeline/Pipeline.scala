@@ -89,16 +89,17 @@ object Pipeline {
     */
   def run(spark: SparkSession, sfDir: String, outRoot: String,
           metrics: EtlMetrics = EtlMetrics.quiet(),
-          perPage: Int = 200): RunResult = {
+          perPage: Int = 200, csvGold: Boolean = false): RunResult = {
     val lay = Layout(outRoot)
     val sourceDf = Breweries.bronze(spark, sfDir)
     val source = new FixtureBrewerySource(sourceDf.toJSON.collect().toSeq)
-    run(spark, source, sourceDf.schema, lay, metrics, perPage)
+    run(spark, source, sourceDf.schema, lay, metrics, perPage, csvGold)
   }
 
   def run(spark: SparkSession, source: BrewerySource,
           schema: org.apache.spark.sql.types.StructType, lay: Layout,
-          metrics: EtlMetrics, perPage: Int): RunResult = {
+          metrics: EtlMetrics, perPage: Int,
+          csvGold: Boolean): RunResult = {
 
     // Stage 1 — extract: driver-side paginated fetch into the landing zone.
     val files = metrics.timed("extract_brewery_data") {
@@ -144,6 +145,9 @@ object Pipeline {
 
     // Stage 4 — silver -> gold: the two reference aggregations, one
     // partial+final hash-agg each over the partitioned silver table.
+    // csvGold also writes header'd CSV next to the parquet (the reference
+    // README documents CSV gold outputs its code never wrote — offered
+    // behind a flag, SURVEY §3).
     val goldRows = metrics.timed("silver_to_gold") {
       val silver = spark.read.parquet(lay.silver)
       val aggs = Map(
@@ -151,6 +155,9 @@ object Pipeline {
         "by_location" -> Aggregations.goldByLocation(silver))
       aggs.map { case (name, df) =>
         atomicOverwrite(spark, df, lay.gold(name))
+        if (csvGold)
+          df.coalesce(1).write.mode("overwrite").option("header", true)
+            .csv(lay.gold(name) + "_csv")
         val n = spark.read.parquet(lay.gold(name)).count()
         metrics.recordsProcessed(s"gold_$name", n)
         name -> n

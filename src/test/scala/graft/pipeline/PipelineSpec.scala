@@ -36,6 +36,15 @@ class PipelineSpec extends SparkSpec {
       Map("operation" -> "bronze_to_silver")) == 1)
   }
 
+  test("csvGold flag writes header'd CSV alongside the parquet gold") {
+    val out = Files.createTempDirectory("graft_pipe_").toString
+    Pipeline.run(spark, sf0001, out, csvGold = true)
+    val csv = spark.read.option("header", true)
+      .csv(s"$out/gold/by_location_csv")
+    assert(csv.columns.toSet == Set("location", "state", "city", "brewery_count"))
+    assert(csv.count() == spark.read.parquet(s"$out/gold/by_location").count())
+  }
+
   test("quarantine is append-mode: it grows across runs, silver does not") {
     val out = Files.createTempDirectory("graft_pipe_").toString
     val r1 = Pipeline.run(spark, sf0001, out)
