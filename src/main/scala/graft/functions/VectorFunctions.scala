@@ -87,14 +87,25 @@ object GraftFunctions {
   val fdotInfo = new ExpressionInfo(
     classOf[FloatDotProduct].getName, "graft_fdot")
 
-  def register(spark: SparkSession): Unit =
+  val vecAvgInfo = new ExpressionInfo(
+    classOf[VectorAvgAggregate].getName, "graft_vec_avg")
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fdot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_avg", exprs => VectorAvgAggregate(exprs.head)
+        .toAggregateExpression(), "built-in")
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_fdot"),
       GraftFunctions.fdotInfo,
       exprs => FloatDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_avg"),
+      GraftFunctions.vecAvgInfo,
+      exprs => VectorAvgAggregate(exprs.head).toAggregateExpression()))
+  }
 }

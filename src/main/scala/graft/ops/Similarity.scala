@@ -108,6 +108,17 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
   }
 
+  /** Per-bucket centroid (element-wise mean embedding) via the custom
+    * [[graft.functions.VectorAvgAggregate]] — the training step of an IVF
+    * coarse quantizer / k-means iteration. One primitive buffer per
+    * (partition, bucket) crosses the shuffle, not dim rows per vector.
+    */
+  def centroids(embeddings: DataFrame, bucketCol: String): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings.groupBy(col(bucketCol))
+      .agg(call_function("graft_vec_avg", col("embedding")).as("centroid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket
     * (`bucketCol`): only same-bucket pairs are compared. With a learned
     * quantizer as the bucketer this is IVF near-dup at 100 TB; here the

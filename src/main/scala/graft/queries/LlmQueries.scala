@@ -101,6 +101,15 @@ object LlmQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, centroidMod = 50, nprobe = 3, k = 10)),
 
+    // IVF centroid training step: element-wise mean embedding per bucket
+    // via the custom TypedImperativeAggregate (exploded for scalar
+    // row-level oracle comparison; 1-based dim to match SQL indexing).
+    "vec_centroids" -> ((s, dir) =>
+      Similarity.centroids(Tables.embeddings(s, dir), "label")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("i", "v")))
+        .select(col("label"), (col("i") + 1).as("dim"),
+          round(col("v"), 6).as("avg_val"))),
+
     // ---- Text analysis -----------------------------------------------
 
     "text_tokens" -> ((s, dir) =>
@@ -246,6 +255,12 @@ object LlmQueries {
          |      FROM cand)
          |SELECT query_id, vec_id, round(sim, 6) AS cosine
          |FROM r WHERE rn <= 10""".stripMargin,
+
+    "vec_centroids" ->
+      """SELECT label, CAST(i AS INT) AS dim,
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
+        |FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -25,14 +25,19 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"======== $name (static plan) ========")
       df.explain("formatted")
-      // run it so AQE finalizes, then show the adaptive plan
-      df.write.format("noop").mode("overwrite").save()
+      // Execute THIS QueryExecution so AQE finalizes in place (a .write
+      // would re-plan on a fresh QueryExecution and leave this one initial)
+      df.queryExecution.toRdd.count()
+      // AQE's toString appends the pre-adaptive plan under "Initial Plan";
+      // audit only the finalized section
       val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
       println(s"-------- $name (final adaptive plan) --------")
       println(finalPlan)
       val reused = "ReusedExchange".r.findAllIn(finalPlan).length
       val exch = "Exchange".r.findAllIn(finalPlan).length
-      val codegen = "WholeStageCodegen".r.findAllIn(finalPlan).length
+      // whole-stage codegen shows as "*(n)" markers in adaptive plan strings
+      val codegen = "\\*\\(\\d+\\)".r.findAllIn(finalPlan).toSet.size
       println(s"[explain] $name: exchanges=$exch reused=$reused wholeStageCodegenSpans=$codegen")
     }
     spark.stop()

@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=3 of ~10 cells
   }
 
+  test("centroids: custom vector-avg aggregate computes element-wise means") {
+    val out = Similarity.centroids(vecs, "label").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // label 0: mean of (1,0,0,0), (0,1,0,0), (1,0.001,0,0)
+    assert(math.abs(out(0).head - 2.0 / 3) < 1e-9)
+    assert(math.abs(out(0)(1) - 1.001 / 3) < 1e-6)
+    assert(out(0)(2) == 0.0)
+    // label 1: mean of (-1,0,0,0), (0.7071,0.7071,0,0)
+    assert(math.abs(out(1).head - (-1 + 0.7071) / 2) < 1e-6)
+    // matches the exploded-SQL formulation exactly
+    import org.apache.spark.sql.functions.{avg, posexplode}
+    val exploded = vecs.select($"label", posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy("label", "i").agg(avg($"v".cast("double")).as("m"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (l, rs) => l -> rs.sortBy(_._2).map(_._3).toSeq }
+    out.foreach { case (l, c) =>
+      c.zip(exploded(l)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("blocked near-dup pairs stay within a bucket and above the threshold") {
     val out = Similarity.blockedNearDupPairs(vecs, "label", threshold = 0.9)
       .as[(Long, Long, Double)].collect()
