@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.{LlmQueries, ParityQueries}
+
+/** Plan-shape regression tests: the physical plans the engine depends on
+  * for 100 TB viability, asserted so a refactor can't silently regress
+  * them (e.g. losing a broadcast, a pushed filter, or the pre-shuffle
+  * top-k).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("medallion silver: dimensions broadcast, no sort-merge join") {
+    val p = planOf("medallion_silver")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_nationkey)]"))
+  }
+
+  test("gold aggregate: partial (map-side) aggregation before the exchange") {
+    val p = planOf("a1_group_count")
+    assert(p.contains("partial_count"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("brute-force top-k: pre-shuffle rank limit + codegen'd native dot") {
+    val p = planOf("sim_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("graft_fdot"))
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
+    // exactly one real shuffle: the window partitioning on query_id
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("scans prune columns: dedup reads only (doc_id, text)") {
+    val p = planOf("dedup_minhash_pairs")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("events windows: single shuffle, windows assigned map-side") {
+    val p = planOf("events_tumbling")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"))
+  }
+}
