@@ -108,6 +108,42 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
   }
 
+  /** Deterministic sign-random-projection (SRP) LSH bucket for cosine
+    * similarity: bit p of the bucket is the sign of the dot product with
+    * pseudo-random hyperplane p, whose components are md5-derived
+    * (`hexdigit(md5("p:i")) - 7.5`) — reproducible across engines, no
+    * rand(). Vectors with high cosine land in the same bucket with high
+    * probability, so near-dup search joins within buckets only — the
+    * data-independent alternative to [[ivfTopK]]'s learned cells.
+    *
+    * The hyperplanes are materialized ONCE on the driver and embedded as
+    * float-array literals; each row pays `planes` codegen'd dot products.
+    */
+  def srpBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(p: Int, i: Int): Float = {
+      val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (Character.digit(hex.charAt(0), 16) - 7.5).toFloat
+    }
+    val bucket = (0 until planes).map { p =>
+      val plane = typedLit((1 to dim).map(i => w(p, i)))
+      when(fdot(col("embedding"), plane) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** SRP-bucketed near-duplicate pairs: candidates share an SRP bucket;
+    * only candidates pay the exact cosine.
+    */
+  def srpNearDupPairs(embeddings: DataFrame, planes: Int, dim: Int,
+                      threshold: Double): DataFrame = {
+    val bucketed = embeddings
+      .join(srpBuckets(embeddings, planes, dim), Seq("vec_id"))
+    blockedNearDupPairs(bucketed, "bucket", threshold)
+  }
+
   /** Per-bucket centroid (element-wise mean embedding) via the custom
     * [[graft.functions.VectorAvgAggregate]] — the training step of an IVF
     * coarse quantizer / k-means iteration. One primitive buffer per

@@ -101,6 +101,11 @@ object LlmQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, centroidMod = 50, nprobe = 3, k = 10)),
 
+    // SRP-LSH bucket assignment (data-independent cosine bucketing; the
+    // hyperplanes are md5-derived so the oracle replays them exactly).
+    "sim_srp_buckets" -> ((s, dir) =>
+      Similarity.srpBuckets(Tables.embeddings(s, dir), planes = 8, dim = 64)),
+
     // IVF centroid training step: element-wise mean embedding per bucket
     // via the custom TypedImperativeAggregate (exploded for scalar
     // row-level oracle comparison; 1-based dim to match SQL indexing).
@@ -255,6 +260,19 @@ object LlmQueries {
          |      FROM cand)
          |SELECT query_id, vec_id, round(sim, 6) AS cosine
          |FROM r WHERE rn <= 10""".stripMargin,
+
+    "sim_srp_buckets" ->
+      """WITH hp AS (SELECT p, i,
+        |         CAST(strpos('0123456789abcdef',
+        |                     substr(md5(p || ':' || i), 1, 1)) - 1 AS DOUBLE)
+        |           - 7.5 AS w
+        |       FROM range(0, 8) t(p), range(1, 65) u(i)),
+        |d AS (SELECT e.vec_id, hp.p,
+        |        sum(CAST(e.embedding[hp.i] AS DOUBLE) * hp.w) AS dot
+        |      FROM embeddings e, hp GROUP BY 1, 2)
+        |SELECT vec_id,
+        |       CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        |FROM d GROUP BY 1""".stripMargin,
 
     "vec_centroids" ->
       """SELECT label, CAST(i AS INT) AS dim,

@@ -55,6 +55,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=3 of ~10 cells
   }
 
+  test("SRP buckets: deterministic, cosine-sensitive, within range") {
+    val e = Tables.embeddings(spark, sf0001)
+    val b1 = Similarity.srpBuckets(e, 8, 64).as[(Long, Int)].collect().toMap
+    val b2 = Similarity.srpBuckets(e, 8, 64).as[(Long, Int)].collect().toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+    assert(b1.values.toSet.size > 32) // spreads over many buckets
+    // identical vectors always collide
+    val dup = Seq((1L, Array(0.3f, -0.2f, 0.9f, 0.1f), 0),
+      (2L, Array(0.3f, -0.2f, 0.9f, 0.1f), 0)).toDF("vec_id", "embedding", "label")
+    val db = Similarity.srpBuckets(dup, 8, 4).as[(Long, Int)].collect().toMap
+    assert(db(1L) == db(2L))
+  }
+
+  test("SRP near-dup pairs: same-bucket candidates filtered by exact cosine") {
+    val dup = Seq(
+      (1L, Array(0.3f, -0.2f, 0.9f, 0.1f), 0),
+      (2L, Array(0.3f, -0.2f, 0.9f, 0.1f), 0),
+      (3L, Array(-0.3f, 0.2f, -0.9f, -0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.srpNearDupPairs(dup, 8, 4, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("centroids: custom vector-avg aggregate computes element-wise means") {
     val out = Similarity.centroids(vecs, "label").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
