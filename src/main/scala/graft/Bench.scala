@@ -45,6 +45,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try {
+        // measurement hygiene: don't let garbage from earlier queries'
+        // plans/broadcasts bill GC pauses to this one (observed 5x skew
+        // on late queries in a 40-query session without this)
+        System.gc()
         materialize(fn(spark, sfDir)) // warmup: JIT, codegen, file listing
         // drop persisted sketches between runs: intra-query caching is part
         // of the operator design and belongs in the measurement; CROSS-run

@@ -20,8 +20,8 @@ object SparkEntry {
     pipeline.Breweries.silver(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ LlmQueries.queries
+    ParityQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle ++ LlmQueries.oracle
+    ParityQueries.oracle ++ LlmQueries.oracle ++ AnalyticsQueries.oracle
 }

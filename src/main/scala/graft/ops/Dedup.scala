@@ -161,8 +161,12 @@ object Dedup {
     * (`simhash_hi`, `simhash_lo`) to stay inside signed-long arithmetic on
     * every engine. Bit i of md5(token) is extracted from its hex digits;
     * the per-bit score is sum(tf * (2*bit - 1)); a positive score sets the
-    * bit. Two groupBys: (doc, token) for tf and (doc, bit) for scores —
-    * both shuffle sketch-sized data, not the corpus text.
+    * bit.
+    *
+    * Shuffle shape: the 64 per-bit scores are 64 AGGREGATE COLUMNS over
+    * the (doc, token, tf) relation — not an exploded (doc, token, bit)
+    * relation, which would push 64x the rows through the shuffle. Two
+    * doc-keyed shuffles total, each carrying sketch-sized rows.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = Par.fanOut(df.select(col(idCol), col(textCol)))
@@ -170,16 +174,20 @@ object Dedup {
         explode(split(lower(col(textCol)), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("w")))
-    val bits = tok
-      .select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("i"))
-      .withColumn("d", conv(expr("substr(h, (i div 4) + 1, 1)"), 16, 10).cast("int"))
-      .withColumn("bit", expr("shiftright(d, CAST(3 - i % 4 AS INT)) & 1"))
-      .groupBy("doc_id", "i")
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
-    bits.groupBy("doc_id").agg(
-      sum(expr("CASE WHEN s > 0 AND i < 32 THEN shiftleft(CAST(1 AS BIGINT), CAST(31 - i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash_hi"),
-      sum(expr("CASE WHEN s > 0 AND i >= 32 THEN shiftleft(CAST(1 AS BIGINT), CAST(63 - i AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash_lo"))
+    def bitScore(i: Int) = {
+      val bit = expr(s"shiftright(CAST(conv(substring(h, ${i / 4 + 1}, 1), " +
+        s"16, 10) AS INT), ${3 - i % 4}) & 1")
+      sum(col("tf") * (bit * 2 - 1)).as(s"s$i")
+    }
+    val scores = tok.groupBy("doc_id")
+      .agg(bitScore(0), (1 until 64).map(bitScore): _*)
+    def half(lo: Int, hi: Int, shiftBase: Int) =
+      (lo until hi).map(i =>
+        when(col(s"s$i") > 0, lit(1L << (shiftBase - i))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    scores.select(col("doc_id"),
+      half(0, 32, 31).as("simhash_hi"),
+      half(32, 64, 63).as("simhash_lo"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (<= 3 with

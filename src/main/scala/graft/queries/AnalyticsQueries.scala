@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped analytical queries over the fixture star schema — the
+  * general-analytics workload of the engine (scan-heavy aggregation,
+  * selective multi-way joins, grouped top-k). These exercise exactly the
+  * shapes that dominate at 100 TB: partial aggregation before the
+  * exchange, broadcast of dimensions, pushdown of date/segment filters
+  * into the parquet scan (asserted in PlanSpec for the medallion twins).
+  *
+  * Float determinism: unbounded double sums over 600 k rows are NOT
+  * reproducible across engines at 6 decimals, so money aggregates cast to
+  * DECIMAL(18,4) first — sums become exact and hash-comparable; averages
+  * divide the exact sums in double and round.
+  */
+object AnalyticsQueries {
+
+  private val Cut = "1998-06-30"
+
+  val queries: Map[String, Query] = Map(
+
+    // TPC-H Q1 shape: pricing summary over the fact table.
+    "tpch_q1_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(Cut).cast("timestamp"))
+        .withColumn("price", col("l_extendedprice").cast("decimal(18,4)"))
+        .withColumn("disc", col("l_discount").cast("decimal(18,4)"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
+          sum(col("price")).as("sum_base_price"),
+          sum((col("price") * (lit(1).cast("decimal(18,4)") - col("disc")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty",
+          round(col("sum_qty").cast("double") / col("count_order"), 6))),
+
+    // TPC-H Q3 shape: top-10 highest-revenue unshipped orders for a
+    // customer segment (selective joins + grouped top-k).
+    "tpch_q3_priority" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit(Cut).cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit(Cut).cast("timestamp"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("rev", (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("rev")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: revenue by nation for one region — the 5-way
+    // dimension join with broadcast dims over the fact scan.
+    "tpch_q5_region_volume" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .withColumn("rev", (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "tpch_q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+         |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+         |      AS DECIMAL(18,4))) AS sum_disc_price,
+         |  count(*) AS count_order,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         |        / count(*), 6) AS avg_qty
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$Cut 00:00:00'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "tpch_q3_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+         |      AS DECIMAL(18,4))) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '$Cut 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '$Cut 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "tpch_q5_region_volume" ->
+      """SELECT n_name,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin
+  )
+}
