@@ -34,6 +34,21 @@ object Aggregations {
   def goldByLocation(silver: DataFrame): DataFrame =
     groupCount(silver, Seq("location", "state", "city"), "brewery_count")
 
+  /** A2+A3 in ONE pass via grouping sets: the reference computes the two
+    * gold aggregations independently (two scans, two shuffles); since A3's
+    * keys are a subset of A2's, a single grouping-sets aggregate produces
+    * both with one scan and one shuffle — at 100 TB, half the gold-stage
+    * cost. `is_by_location` = 1 marks the rolled-up (A3) rows.
+    */
+  def goldGroupingSets(silver: DataFrame): DataFrame =
+    silver
+      .groupingSets(
+        Seq(Seq(col("brewery_type"), col("location"), col("state"), col("city")),
+          Seq(col("location"), col("state"), col("city"))),
+        col("brewery_type"), col("location"), col("state"), col("city"))
+      .agg(count(lit(1)).as("brewery_count"),
+        grouping(col("brewery_type")).cast("int").as("is_by_location"))
+
   /** A4 — exact distinct count (reference bronze_to_silver.py:83-84 uses
     * `nunique`, which is exact — so no approx_count_distinct here; the
     * approximate variant is offered separately for the 100 TB path).

@@ -111,6 +111,12 @@ object ParityQueries {
     // A3 — gold by_location (reference silver_to_gold.py:120-122).
     "a3_gold_by_location" -> ((s, dir) => Breweries.goldByLocation(s, dir)),
 
+    // A2+A3 fused: one grouping-sets pass produces both gold tables
+    // (one scan + one shuffle instead of two — the reference runs them
+    // independently; SURVEY §2.4 flags the fusion).
+    "a2_a3_grouping_sets" -> ((s, dir) =>
+      Aggregations.goldGroupingSets(Breweries.silver(s, dir))),
+
     // A4 — exact distinct count (reference bronze_to_silver.py:83-84).
     "a4_distinct_count" -> ((s, dir) =>
       Tables.lineitem(s, dir).agg(countDistinct(col("l_returnflag")).as("n_distinct"))),
@@ -198,6 +204,14 @@ object ParityQueries {
       s"""WITH silver AS (${Breweries.SilverSql})
          |SELECT location, state, city, count(*) AS brewery_count
          |FROM silver GROUP BY 1, 2, 3""".stripMargin,
+    "a2_a3_grouping_sets" ->
+      s"""WITH silver AS (${Breweries.SilverSql})
+         |SELECT brewery_type, location, state, city,
+         |       count(*) AS brewery_count,
+         |       CAST(grouping(brewery_type) AS INT) AS is_by_location
+         |FROM silver
+         |GROUP BY GROUPING SETS ((brewery_type, location, state, city),
+         |                        (location, state, city))""".stripMargin,
     "a4_distinct_count" ->
       "SELECT count(DISTINCT l_returnflag) AS n_distinct FROM lineitem",
     "a5_value_counts" ->

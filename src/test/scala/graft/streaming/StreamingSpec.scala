@@ -49,6 +49,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-stream over the events fixture matches the batch aggregation") {
+    // readStream over the same parquet the batch path reads: the unified
+    // API promise, exercised on real fixture data end-to-end.
+    val batchEvents = graft.Tables.events(spark, sf0001)
+      .select("ts", "event_type", "value")
+    // stage a micros-typed copy (the raw fixture is TIMESTAMP(NANOS),
+    // which the streaming parquet source rejects like the batch one)
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    batchEvents.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(staged)
+    val q = EventStreams.windowedCounts(stream, "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win").collect().map(_.toSeq).toSet
+      val batch = EventOps.tumbling(batchEvents, "1 hour")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionization: event-time timeout closes the session") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
