@@ -112,8 +112,13 @@ object Pipeline {
     // Stage 2 — landing -> bronze: union-all of page files (schema-on-read),
     // ingestion metadata, overwrite write, read-back verification (S10).
     val (bronzeRows, bronzeBytes) = metrics.timed("landing_to_bronze") {
+      // FAILFAST: the reference raises on an unreadable/corrupt landing
+      // file (landing_to_bronze.py:146-154) rather than skipping it.
+      // (Its `finally` also bumps the failure counter on every file —
+      // a reference bug we deliberately do not replicate.)
       val landing = spark.read.schema(schema)
-        .option("multiLine", true).json(lay.landing)
+        .option("multiLine", true).option("mode", "FAILFAST")
+        .json(lay.landing)
       val bronze = Cleaning.withIngestionMetadata(
         landing, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
       metrics.setGauge("brewery_etl_transform_schema_fields_count",
@@ -126,8 +131,10 @@ object Pipeline {
     }
 
     // Stage 3 — bronze -> silver + quarantine: ONE materialized input, two
-    // complementary pushdown-filtered sinks.
+    // complementary pushdown-filtered sinks. Executor-side input metrics
+    // recorded alongside the dir-size gauge.
     val (silverRows, quarantineRows) = metrics.timed("bronze_to_silver") {
+      graft.metrics.SparkIoMetrics.measure(spark, metrics, "bronze_to_silver") {
       val bronze = spark.read.parquet(lay.bronze)
       Quality.requireColumns(bronze, Breweries.KeyFields)
       val (cleaned, quarantine) = Breweries.silverSplit(bronze)
@@ -141,6 +148,7 @@ object Pipeline {
       metrics.incCounter("brewery_etl_records_discarded_total",
         Map("operation" -> "bronze_to_silver"), qRows.toDouble)
       (sRows, qRows)
+      }
     }
 
     // Stage 4 — silver -> gold: the two reference aggregations, one

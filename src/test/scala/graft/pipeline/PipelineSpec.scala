@@ -34,6 +34,9 @@ class PipelineSpec extends SparkSpec {
     assert(snap.keys.exists(_.startsWith("brewery_etl_records_processed_total")))
     assert(metrics.durationCount("brewery_etl_processing_duration_seconds",
       Map("operation" -> "bronze_to_silver")) == 1)
+    // executor-side input accounting captured real bytes through the stage
+    assert(metrics.counter("brewery_etl_data_processed_bytes",
+      Map("operation" -> "bronze_to_silver_input")) > 0)
   }
 
   test("csvGold flag writes header'd CSV alongside the parquet gold") {
