@@ -110,6 +110,11 @@ object Dedup {
         md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*))
       }: _*)).as(Seq("band", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize ONCE, serially, before the join: its two sides (stream +
+    // broadcast thread) would otherwise race to compute the same cache
+    // blocks concurrently — observed as multi-10x nondeterministic stalls
+    // on block locks.
+    banded.count()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
@@ -130,11 +135,13 @@ object Dedup {
     // referenced 2-3 times each — persist so the upstream LSH pipeline and
     // the semi-joined shingle explode run once, not per reference.
     val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // serial materialization — see lshCandidatePairs
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
     val needed = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
     val sh = shingleRows(needed, idCol, "text", k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // serial materialization before the 3 dependent joins
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
@@ -204,6 +211,7 @@ object Dedup {
         shiftright(col("simhash_lo"), 16), col("simhash_lo").bitwiseAND(lit(65535L))))
         .as(Seq("band", "v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // serial materialization — see lshCandidatePairs
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
