@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, EventOps, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Breweries, Pipeline}
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,34 @@ object LlmQueries {
 
     "events_json_props" -> ((s, dir) =>
       EventOps.jsonPropsAgg(Tables.events(s, dir))),
+
+    // As-of join (operator Spark lacks; composed via union-and-carry, one
+    // shuffle + one sort — validated against DuckDB's NATIVE ASOF JOIN):
+    // each purchase matched to the user's most recent prior click.
+    "events_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Joins.asofBackward(purchases, clicks, "user_id", "ts", "prior_click_ts")
+        // no-match sentinel instead of NULL: NaT != NaT under the hash
+        // compare, so a nullable timestamp column can never hash-match
+        .withColumn("prior_click_ts", coalesce(col("prior_click_ts"),
+          lit("1970-01-01 00:00:00").cast("timestamp")))
+    }),
+
+    // Range join via bucketization (equi-join on a time-bucket grid, then
+    // the exact range filter — never a nested loop): clicks within 5
+    // minutes after each error event, counted per error.
+    "events_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select("ts")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("w_end"))
+      Joins.rangeJoin(clicks, "ts", errors, "w_start", "w_end", 300000L)
+        .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+    }),
 
     // ---- Multimodal columns ------------------------------------------
 
@@ -371,6 +399,25 @@ object LlmQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS prior_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "events_range_join" ->
+      """WITH c AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |er AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS s,
+        |              CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS e
+        |       FROM events WHERE event_type = 'error')
+        |SELECT err_id, count(*) AS n_clicks
+        |FROM er JOIN c ON c.ts >= er.s AND c.ts < er.e
+        |GROUP BY 1""".stripMargin,
 
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,

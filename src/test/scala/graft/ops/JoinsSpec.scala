@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof backward join picks the greatest right ts <= left ts per key") {
+    val purchases = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),
+      (3L, 9L, ts("2024-01-01 09:00:00"))) // user 9 has no clicks
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (7L, ts("2024-01-01 09:30:00")),
+      (7L, ts("2024-01-01 10:00:00")), // tie with purchase 1: inclusive
+      (7L, ts("2024-01-01 11:59:00")),
+      (8L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = Joins.asofBackward(purchases, clicks, "user_id", "ts", "prior")
+      .as[(Long, Long, Timestamp, Option[Timestamp])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L).contains(ts("2024-01-01 10:00:00"))) // equal ts wins
+    assert(out(2L).contains(ts("2024-01-01 11:59:00"))) // greatest prior
+    assert(out(3L).isEmpty)                             // no prior click
+  }
+
+  test("asof join preserves every left row exactly once") {
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter($"event_type" === "click").select("user_id", "ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts")
+    val out = Joins.asofBackward(purchases, clicks, "user_id", "ts", "prior")
+    assert(out.count() == purchases.count())
+    assert(out.select("event_id").distinct().count() == purchases.count())
+  }
+
+  test("bucketed range join equals the naive theta join") {
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter($"event_type" === "click").select("ts")
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("w_end"))
+    val bucketed = Joins.rangeJoin(clicks, "ts", errors, "w_start", "w_end", 300000L)
+      .groupBy("err_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val naive = clicks.join(errors,
+      $"ts" >= $"w_start" && $"ts" < $"w_end")
+      .groupBy("err_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("range join: boundary semantics are [start, end)") {
+    val rows = Seq((ts("2024-01-01 10:00:00")), (ts("2024-01-01 10:05:00")))
+      .toDF("ts")
+    val ivals = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")))
+      .toDF("id", "s", "e")
+    val out = Joins.rangeJoin(rows, "ts", ivals, "s", "e", 300000L)
+    assert(out.count() == 1) // start inclusive, end exclusive
+  }
+}
