@@ -39,11 +39,13 @@ object Verify {
           else d
         }
         normed.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // release per-query persisted sketches
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query persisted sketches even when the query failed —
+      // a leak here would eat the memory budget of every later query
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

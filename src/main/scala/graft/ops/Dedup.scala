@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.StringType
   * integer seeds, so results are reproducible across engines (the DuckDB
   * oracles in [[graft.queries.LlmQueries]] replay the identical
   * computation).
+  *
+  * Resource contract: the pair operators persist small sketch relations
+  * (MEMORY_AND_DISK) to prevent recomputation races across join sides.
+  * They are NOT unpersisted here (the returned plans still reference
+  * them); consume the result, then release with
+  * `spark.catalog.clearCache()` — as Verify/Bench do per query.
   */
 object Dedup {
 
@@ -97,9 +103,10 @@ object Dedup {
     * corpus-side work runs once.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String,
-                        numHashes: Int, bands: Int): DataFrame = {
+                        numHashes: Int, bands: Int,
+                        textCol: String = "text", k: Int = 3): DataFrame = {
     val r = numHashes / bands
-    val sketch = minhashSketch(df, idCol, "text", 3, numHashes)
+    val sketch = minhashSketch(df, idCol, textCol, k, numHashes)
     // The band relation is sketch-sized (bands rows x ~50 B per document —
     // orders of magnitude under the corpus). PERSIST it so the bucket
     // self-join reads one materialization instead of recomputing the whole
@@ -130,7 +137,8 @@ object Dedup {
     * O(candidates), independent of corpus size.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, idCol: String,
-                    k: Int, threshold: Double): DataFrame = {
+                    k: Int, threshold: Double,
+                    textCol: String = "text"): DataFrame = {
     // Both relations here are candidate-sized (small by construction) and
     // referenced 2-3 times each — persist so the upstream LSH pipeline and
     // the semi-joined shingle explode run once, not per reference.
@@ -139,7 +147,7 @@ object Dedup {
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
     val needed = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
-    val sh = shingleRows(needed, idCol, "text", k)
+    val sh = shingleRows(needed, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // serial materialization before the 3 dependent joins
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
@@ -160,9 +168,10 @@ object Dedup {
     * verification (the canonical two-phase near-dup shape at scale).
     */
   def fuzzy(docs: DataFrame, idCol: String, numHashes: Int, bands: Int,
-            threshold: Double): DataFrame =
-    jaccardVerify(docs, lshCandidatePairs(docs, idCol, numHashes, bands),
-      idCol, 3, threshold)
+            threshold: Double, textCol: String = "text", k: Int = 3): DataFrame =
+    jaccardVerify(docs,
+      lshCandidatePairs(docs, idCol, numHashes, bands, textCol, k),
+      idCol, k, threshold, textCol)
 
   /** 64-bit tf-weighted SimHash, returned as two 32-bit halves
     * (`simhash_hi`, `simhash_lo`) to stay inside signed-long arithmetic on
@@ -204,6 +213,11 @@ object Dedup {
     * and only candidates pay the popcount.
     */
   def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
+    // pigeonhole guarantee: 4 bands of 16 bits find every pair only up to
+    // distance 3 (one band must match exactly) — larger thresholds would
+    // silently lose recall, so reject them
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     // persist: sketch-sized (4 rows/doc); read once by both join sides
     val banded = sketches.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
       posexplode(array(

@@ -58,11 +58,13 @@ object Quality {
       .filter(col("cnt") > 1)
 
   /** Count of duplicated ids (scalar form used by the reference's gauge).
-    * One aggregate job — `count(*) - count(distinct id)` — instead of two
-    * separate scans.
+    * One aggregate job instead of two separate scans. NULL parity with
+    * pandas `duplicated()` (NaN == NaN there): the null group counts as
+    * one distinct value, so `count(*) - count(distinct id) - [any null]`.
     */
   def duplicateIdCount(df: DataFrame, idCol: String = "id"): Long =
-    df.agg((count(lit(1)) - countDistinct(col(idCol))).as("d"))
+    df.agg((count(lit(1)) - countDistinct(col(idCol)) -
+      coalesce(max(when(col(idCol).isNull, 1).otherwise(0)), lit(0))).as("d"))
       .head().getLong(0)
 
   /** A7 — per-field null counts in a single job

@@ -73,9 +73,9 @@ object Similarity {
       .withColumn("csim", fdot(col("embedding"), col("ce")) / (col("nrm") * col("cnrm")))
     val rn = row_number().over(
       Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id")))
+    // carry every original column (schema-agnostic) + norm + assignment
     scored.withColumn("rn", rn).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
-        col("centroid_id"))
+      .select(embeddings.columns.map(col) :+ col("nrm") :+ col("centroid_id"): _*)
   }
 
   /** IVF search: centroids = vectors with `vec_id % centroidMod == 0`

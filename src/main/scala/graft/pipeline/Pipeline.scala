@@ -64,23 +64,31 @@ object Pipeline {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Atomic overwrite: write to a temp sibling, then swap via rename
-    * (reference helpers.py:363-417). Readers never observe a half-written
-    * table; the swap is two metadata ops on any HDFS-compatible FS.
+  /** Atomic overwrite: write to a temp sibling, rename the old table
+    * ASIDE, rename the new one in, then drop the old (reference
+    * helpers.py:363-417). A crash at any point leaves either the old or
+    * the new COMPLETE table recoverable — the previous committed data is
+    * never deleted before its replacement is in place. (Append sinks like
+    * quarantine keep plain append mode — schema evolution across versions
+    * is the caller's concern there.)
     */
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 5000000): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new HPath(path + ".__tmp")
+    val old = new HPath(path + ".__old")
     val dest = new HPath(path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
     val w = df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
-    if (fs.exists(dest)) fs.delete(dest, true)
+    val hadPrev = fs.exists(dest)
+    if (hadPrev) require(fs.rename(dest, old), s"stash of previous $path failed")
     require(fs.rename(tmp, dest), s"atomic swap failed for $path")
+    if (hadPrev) fs.delete(old, true)
   }
 
   /** Full run against the driver fixtures: the fixture source replays the

@@ -419,6 +419,11 @@ object LlmQueries {
         |FROM er JOIN c ON c.ts >= er.s AND c.ts < er.e
         |GROUP BY 1""".stripMargin,
 
+    // NOTE: the library's head_hex is BYTE-based (magic-number semantics);
+    // DuckDB 1.0 cannot byte-slice a BLOB, so the oracle char-slices then
+    // encodes — equivalent on this ASCII fixture corpus, and the
+    // deliberate difference is documented here rather than weakening the
+    // library to char semantics.
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS media_len,

@@ -73,12 +73,21 @@ object EventStreams {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
+                // within the gap of either session bound: merge, widening
+                // BOTH bounds (a late-but-within-watermark event may
+                // precede the open session's start — batch parity)
+                case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1))
+                case Some(s) if t > s.end =>
                   closed += Session(uid, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  // out-of-order event more than a gap BEFORE the open
+                  // session: it forms its own already-closed session
+                  closed += Session(uid, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1)
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

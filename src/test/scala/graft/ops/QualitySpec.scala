@@ -39,6 +39,14 @@ class QualitySpec extends SparkSpec {
     assert(Quality.duplicateIdCount(df) == 3) // 6 rows - 3 distinct
   }
 
+  test("F3 duplicateIdCount counts the null group like pandas duplicated()") {
+    val df = Seq(Some("a"), Some("a"), None, None, None, Some("b"))
+      .toDF("id")
+    // pandas: a,a -> 1 dup; NaN,NaN,NaN -> 2 dups; b -> 0  == 3
+    assert(Quality.duplicateIdCount(df) == 3)
+    assert(Quality.duplicateIdCount(Seq.empty[Option[String]].toDF("id")) == 0)
+  }
+
   test("A7 nullCounts counts per-column nulls in one pass") {
     val counts = Quality.nullCounts(frame, Seq("id", "brewery_type", "note"))
       .collect()(0)

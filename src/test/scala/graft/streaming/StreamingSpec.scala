@@ -76,15 +76,18 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, Timestamp)]
     val q = EventStreams.sessionizeStream(
       input.toDF().toDF("user_id", "ts"), gapMinutes = 30,
-      watermark = "10 minutes")
+      watermark = "2 hours")
       .writeStream.format("memory").queryName("sess_test")
       .outputMode("append").start()
     try {
       input.addData((7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")))
       q.processAllAvailable()
       assert(spark.table("sess_test").count() == 0) // session still open
+      // late-but-within-watermark event BEFORE the open session's start:
+      // must merge and LOWER session_start (batch parity)
+      input.addData((7L, ts("2024-01-01 09:45:00")))
+      q.processAllAvailable()
       // same batch split: two sessions for user 9 arrive together
-      // (10:30 sits clearly above the current watermark of 10:00)
       input.addData((9L, ts("2024-01-01 10:30:00")), (9L, ts("2024-01-01 12:00:00")))
       q.processAllAvailable()
       val closedInBatch = spark.table("sess_test")
@@ -98,8 +101,8 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("sess_test")
         .as[(Long, Timestamp, Timestamp, Long)].collect()
       val u7 = rows.filter(_._1 == 7L)
-      assert(u7.length == 1 && u7.head._4 == 2)
-      assert(u7.head._2 == ts("2024-01-01 10:00:00"))
+      assert(u7.length == 1 && u7.head._4 == 3)
+      assert(u7.head._2 == ts("2024-01-01 09:45:00")) // lowered by the late event
       assert(u7.head._3 == ts("2024-01-01 10:10:00"))
     } finally q.stop()
   }
