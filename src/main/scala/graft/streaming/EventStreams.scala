@@ -36,6 +36,20 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: drop rows whose content key was already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` keys
+    * the state on the md5 content key and evicts it as event time
+    * advances — bounded state, unlike a naive global distinct). The
+    * streaming face of [[graft.ops.Dedup.exact]] for ingestion pipelines.
+    */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
+                  tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("text_key",
+        org.apache.spark.sql.functions.md5(lower(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_key")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -71,6 +71,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates, keeps firsts") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "same doc", ts("2024-01-01 10:00:00")),
+        (2L, "same doc", ts("2024-01-01 10:05:00")),
+        (3L, "other doc", ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark horizon also dropped
+      input.addData((4L, "same doc", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L)) // one survivor per content key
+    } finally q.stop()
+  }
+
   test("streaming sessionization: event-time timeout closes the session") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
