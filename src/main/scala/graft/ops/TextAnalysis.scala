@@ -82,6 +82,21 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** Grouped distribution profile of a numeric column (here: document
+    * lengths per language): exact percentiles (linear interpolation —
+    * Spark `percentile`, not the approximate sketch, so results are
+    * engine-reproducible), sample stddev, min/max. The corpus-profiling
+    * aggregate a curation pipeline runs before setting quality cutoffs.
+    */
+  def lengthStats(df: DataFrame, groupCol: String, numCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"percentile($numCol, 0.5)"), 6).as("median_len"),
+        round(expr(s"percentile($numCol, 0.9)"), 6).as("p90_len"),
+        round(stddev(col(numCol)), 6).as("sd_len"),
+        min(col(numCol)).as("min_len"),
+        max(col(numCol)).as("max_len"))
+
   /** Document fingerprint: rolling char 8-gram hashes, summarized as the
     * minimum md5 (a bottom-1 sketch — equal fingerprints are a strong
     * near-dup signal) plus the distinct-gram cardinality. For texts

@@ -129,6 +129,9 @@ object LlmQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")),
 
+    "text_length_stats" -> ((s, dir) =>
+      TextAnalysis.lengthStats(Tables.documents(s, dir), "lang", "n_chars")),
+
     // ---- Event windows / JSON ----------------------------------------
 
     "events_tumbling" -> ((s, dir) =>
@@ -361,6 +364,14 @@ object LlmQueries {
          |SELECT doc_id, min(md5(gm)) AS fp_min_hash,
          |       CAST(count(DISTINCT gm) AS INT) AS n_distinct_grams
          |FROM g GROUP BY 1""".stripMargin,
+
+    "text_length_stats" ->
+      """SELECT lang, count(*) AS n,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS median_len,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_len,
+        |  round(stddev_samp(n_chars), 6) AS sd_len,
+        |  min(n_chars) AS min_len, max(n_chars) AS max_len
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "events_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
