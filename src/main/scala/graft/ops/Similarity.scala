@@ -155,6 +155,19 @@ object Similarity {
       .agg(call_function("graft_vec_avg", col("embedding")).as("centroid"))
   }
 
+  /** One Lloyd (k-means) iteration: assign every vector to its nearest
+    * centroid, then recompute each cell's centroid as the element-wise
+    * mean via [[graft.functions.VectorAvgAggregate]]. Composing
+    * [[ivfAssign]] + [[centroids]] IS the IVF training loop — run it to a
+    * fixed point (or budget) to replace the deterministic seed codebook
+    * with a learned one. One broadcast + two sketch-sized shuffles per
+    * iteration.
+    */
+  def kmeansIterate(embeddings: DataFrame, centroids0: DataFrame): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroids0)
+    Similarity.centroids(assigned, "centroid_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket
     * (`bucketCol`): only same-bucket pairs are compared. With a learned
     * quantizer as the bucketer this is IVF near-dup at 100 TB; here the

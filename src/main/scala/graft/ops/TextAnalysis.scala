@@ -82,6 +82,52 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** Characteristic character trigrams per language for the char-n-gram
+    * language-ID variant (tiny profiles; production swaps in learned
+    * top-k profiles — the scoring mechanism is unchanged).
+    */
+  val CharProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" th", "the", "ing", "and"),
+    "de" -> Seq("der", "sch", "ein", "und"),
+    "fr" -> Seq("les", "ent", "que", "des"),
+    "es" -> Seq("los", "cio", "nte", "ado"))
+
+  /** Char-n-gram language ID: per language, total occurrences of its
+    * characteristic trigrams (counted via length-difference after
+    * replace — pure string expressions, no regex), argmax with the same
+    * deterministic priority as [[langId]].
+    */
+  def langIdCharNgrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def score(lang: String) = CharProfiles(lang).map { g =>
+      val esc = g.replace("'", "''")
+      expr(s"(length(lower($textCol)) - " +
+        s"length(replace(lower($textCol), '$esc', ''))) div ${g.length}")
+    }.reduce(_ + _).cast("int")
+    val s = Map("en" -> col("c_en"), "de" -> col("c_de"),
+      "fr" -> col("c_fr"), "es" -> col("c_es"))
+    df.select(col(idCol),
+      score("en").as("c_en"), score("de").as("c_de"),
+      score("fr").as("c_fr"), score("es").as("c_es"))
+      .withColumn("predicted_lang",
+        when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
+          .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
+          .when(s("fr") >= s("es"), "fr")
+          .otherwise("es"))
+  }
+
+  /** Corpus-level repeated-phrase detection (C4/RefinedWeb-style
+    * boilerplate diagnostics): word k-grams appearing in at least
+    * `minDocs` DISTINCT documents, with their document frequency. The
+    * shuffle carries (gram, doc) pairs deduplicated per document
+    * map-side; at 100 TB the gram hash, not the text, is what moves.
+    */
+  def commonNgrams(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, minDocs: Long): DataFrame =
+    Dedup.shingleRows(df, idCol, textCol, k)
+      .groupBy(col("s").as("ngram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Grouped distribution profile of a numeric column (here: document
     * lengths per language): exact percentiles (linear interpolation —
     * Spark `percentile`, not the approximate sketch, so results are

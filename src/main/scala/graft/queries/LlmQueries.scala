@@ -132,6 +132,24 @@ object LlmQueries {
     "text_length_stats" -> ((s, dir) =>
       TextAnalysis.lengthStats(Tables.documents(s, dir), "lang", "n_chars")),
 
+    "text_langid_chargram" -> ((s, dir) =>
+      TextAnalysis.langIdCharNgrams(Tables.documents(s, dir), "doc_id", "text")),
+
+    // C4-style boilerplate diagnostics: word 5-grams shared by >= 2 docs
+    "text_common_ngrams" -> ((s, dir) =>
+      TextAnalysis.commonNgrams(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, minDocs = 2)),
+
+    // one Lloyd iteration from the deterministic seed codebook (exploded
+    // for scalar-row oracle comparison)
+    "vec_kmeans_iter" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.kmeansIterate(e, e.filter(col("vec_id") % 50 === 0))
+        .select(col("centroid_id"), posexplode(col("centroid")).as(Seq("i", "v")))
+        .select(col("centroid_id"), (col("i") + 1).as("dim"),
+          round(col("v"), 6).as("avg_val"))
+    }),
+
     // ---- Event windows / JSON ----------------------------------------
 
     "events_tumbling" -> ((s, dir) =>
@@ -372,6 +390,45 @@ object LlmQueries {
         |  round(stddev_samp(n_chars), 6) AS sd_len,
         |  min(n_chars) AS min_len, max(n_chars) AS max_len
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_langid_chargram" -> {
+      def score(lang: String) = TextAnalysis.CharProfiles(lang).map { g =>
+        val esc = g.replace("'", "''")
+        s"(length(lower(text)) - length(replace(lower(text), '$esc', ''))) // ${g.length}"
+      }.mkString("CAST(", " + ", " AS INT)")
+      s"""WITH s AS (SELECT doc_id,
+         |  ${score("en")} AS c_en, ${score("de")} AS c_de,
+         |  ${score("fr")} AS c_fr, ${score("es")} AS c_es
+         |FROM documents)
+         |SELECT doc_id, c_en, c_de, c_fr, c_es,
+         |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         |       WHEN c_fr >= c_es THEN 'fr'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM s""".stripMargin
+    },
+
+    "text_common_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+        |       FROM w, unnest(range(1, greatest(len(ws)-4, 0)+1)) t(i))
+        |SELECT s AS ngram, count(DISTINCT doc_id) AS n_docs
+        |FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "vec_kmeans_iter" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, embedding, centroid_id FROM (
+         |          SELECT e.vec_id, e.embedding, c.centroid_id,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.ce")} DESC,
+         |                       c.centroid_id) AS rn
+         |          FROM embeddings e, c) WHERE rn = 1)
+         |SELECT centroid_id, CAST(i AS INT) AS dim,
+         |       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
+         |FROM asg, unnest(range(1, len(embedding)+1)) t(i)
+         |GROUP BY 1, 2""".stripMargin,
 
     "events_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
