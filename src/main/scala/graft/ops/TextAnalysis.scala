@@ -122,11 +122,20 @@ object TextAnalysis {
     * map-side; at 100 TB the gram hash, not the text, is what moves.
     */
   def commonNgrams(df: DataFrame, idCol: String, textCol: String,
-                   k: Int, minDocs: Long): DataFrame =
-    Dedup.shingleRows(df, idCol, textCol, k)
-      .groupBy(col("s").as("ngram"))
+                   k: Int, minDocs: Long): DataFrame = {
+    // raw (non-distinct) gram explode: countDistinct(doc_id) dedups
+    // per-document repeats anyway, and skipping array_distinct avoids an
+    // O(grams^2) interpreted pass per document
+    val ws = split(lower(col(textCol)), " ")
+    val grams = transform(sequence(lit(1), size(ws) - (k - 1)),
+      i => array_join(slice(ws, i, lit(k)), " "))
+    Par.fanOut(df.select(col(idCol), col(textCol)))
+      .filter(size(ws) >= k)
+      .select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
+      .groupBy("ngram")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+  }
 
   /** Grouped distribution profile of a numeric column (here: document
     * lengths per language): exact percentiles (linear interpolation —
