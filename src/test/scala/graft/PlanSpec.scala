@@ -41,6 +41,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("as-of join: no nested-loop or cartesian operator anywhere") {
+    val p = planOf("events_asof_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof must stay union+window, got:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("range join: bucketized equi-join, not a nested loop") {
+    val p = planOf("events_range_join")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("events windows: single shuffle, windows assigned map-side") {
     val p = planOf("events_tumbling")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
