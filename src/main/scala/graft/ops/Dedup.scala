@@ -38,6 +38,29 @@ object Dedup {
     df.groupBy(md5(lower(col(textCol))).as("text_key"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Materializing exact dedup: return the KEPT rows themselves (the
+    * lowest-id representative of every content group) — what an ingestion
+    * pipeline actually writes downstream. Shuffle carries (key, min_id)
+    * pairs; the corpus is re-read once for the semi-join, never collected.
+    */
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exact(df, idCol, textCol).select(col("keeper_id"))
+    df.join(keepers, col(idCol) === col("keeper_id"), "left_semi")
+  }
+
+  /** Deterministic hash-based sampling: keep rows whose md5-derived bucket
+    * (0-99) falls below `pct`. Unlike `sample()`/`sampleBy()` this is
+    * reproducible across engines, runs, and partitionings — the
+    * train/test-split primitive for dataset curation (split = complement
+    * of the same predicate).
+    */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol)) < pct)
+
+  /** md5-derived bucket 0-99 from the first 4 hex digits of md5(id). */
+  private[ops] def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(id.cast(StringType)), 1, 4), 16, 10).cast("int") % 100)
+
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens).
     */

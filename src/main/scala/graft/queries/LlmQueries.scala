@@ -72,6 +72,13 @@ object LlmQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
+    "dedup_exact_rows" -> ((s, dir) =>
+      Dedup.exactKeepFirst(Tables.documents(s, dir), "doc_id", "text")),
+
+    // deterministic 20%-per-document sample (train/test-split primitive)
+    "sample_hash_20pct" -> ((s, dir) =>
+      Dedup.hashSample(Tables.documents(s, dir), "doc_id", 20)),
+
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4)),
@@ -220,6 +227,18 @@ object LlmQueries {
       """SELECT md5(lower(text)) AS text_key, min(doc_id) AS keeper_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_exact_rows" ->
+      """SELECT * FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+        |                 GROUP BY md5(lower(text)))""".stripMargin,
+
+    "sample_hash_20pct" ->
+      """SELECT * FROM documents
+        |WHERE CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS INT) % 100 < 20""".stripMargin,
 
     "dedup_minhash_pairs" ->
       s"""WITH $MinhashCtes

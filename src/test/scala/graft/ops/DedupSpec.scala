@@ -23,6 +23,23 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._3 == 1) == 3)
   }
 
+  test("exactKeepFirst returns the surviving rows themselves") {
+    val kept = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L)) // doc 2 deduped away
+  }
+
+  test("hash sampling is deterministic, disjoint with its complement") {
+    val ids = (1L to 1000L).toDF("doc_id")
+    val in = Dedup.hashSample(ids, "doc_id", 20).as[Long].collect().toSet
+    val again = Dedup.hashSample(ids, "doc_id", 20).as[Long].collect().toSet
+    assert(in == again)
+    // roughly 20% (md5 is uniform), and exact split with the complement
+    assert(in.size > 130 && in.size < 270)
+    val out = ids.except(Dedup.hashSample(ids, "doc_id", 20)).as[Long].collect().toSet
+    assert((in & out).isEmpty && in.size + out.size == 1000)
+  }
+
   test("minhash sketch: identical docs get identical signatures; short docs drop out") {
     val sk = Dedup.minhashSketch(docs, "doc_id", "text", 3, 16).collect()
       .map(r => r.getLong(0) -> (1 to 16).map(r.getString)).toMap
