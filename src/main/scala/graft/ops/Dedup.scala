@@ -57,9 +57,12 @@ object Dedup {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol)) < pct)
 
-  /** md5-derived bucket 0-99 from the first 4 hex digits of md5(id). */
+  /** md5-derived bucket 0-99 from the first 8 hex digits of md5(id) —
+    * 32 bits, so the mod-100 bias is ~2e-8 (4 digits would skew buckets
+    * 0-35 by 1/655 relative).
+    */
   private[ops] def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (conv(substring(md5(id.cast(StringType)), 1, 4), 16, 10).cast("int") % 100)
+    (conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast("long") % 100)
 
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens).
@@ -98,20 +101,26 @@ object Dedup {
     * produce an empty sequence and simply drop out (same contract as the
     * oracle's `range()`).
     */
-  def minhashSketch(df: DataFrame, idCol: String, textCol: String,
-                    k: Int, numHashes: Int): DataFrame = {
-    // Restore task parallelism before the compute-heavy map pipeline
-    // (single-split local files would run all numHashes md5 passes on one
-    // core; no-op at scale — see [[Par.fanOut]]).
+  /** Raw (non-distinct) exploded word-k-gram relation (doc_id, s) — the
+    * shared generator for the MinHash sketch and corpus n-gram counting.
+    * Fans out single-split scans ([[Par.fanOut]]) and pre-filters on the
+    * NATIVE split size so the sequence bound stays >= 1 even under
+    * `InferFiltersFromGenerate` re-evaluation; documents with < k tokens
+    * drop out (same contract as the oracles' empty `range()`).
+    */
+  private[ops] def rawGramRows(df: DataFrame, idCol: String,
+                               textCol: String, k: Int): DataFrame = {
     val in = Par.fanOut(df.select(col(idCol), col(textCol)))
     val ws = split(lower(col(textCol)), " ")
-    // pre-filter on the native split size: documents with < k tokens drop
-    // out here (same contract as the oracle's empty range()), and the
-    // sequence bound below is then always >= 1
     val grams = transform(sequence(lit(1), size(ws) - (k - 1)),
       i => array_join(slice(ws, i, lit(k)), " "))
     in.filter(size(ws) >= k)
       .select(col(idCol).as("doc_id"), explode(grams).as("s"))
+  }
+
+  def minhashSketch(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, numHashes: Int): DataFrame = {
+    rawGramRows(df, idCol, textCol, k)
       .groupBy("doc_id")
       .agg(min(md5(concat(lit("0:"), col("s")))).as("mh0"),
         (1 until numHashes).map(j =>

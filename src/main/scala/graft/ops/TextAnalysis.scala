@@ -26,6 +26,23 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une", "des", "du"),
     "es" -> Seq("el", "la", "los", "y", "es", "en", "para", "una", "por", "con"))
 
+  /** Tie-break priority order for both language-ID variants. Adding a
+    * language = adding its profile AND its place here; every scorer,
+    * argmax, and oracle generator derives from this single list.
+    */
+  val LangPriority: Seq[String] = Seq("en", "de", "fr", "es")
+
+  /** Deterministic argmax over per-language score columns, in
+    * [[LangPriority]] order (earlier languages win ties).
+    */
+  private def argmaxLang(scoreCol: String => Column): Column =
+    LangPriority.zipWithIndex.init.foldLeft(when(lit(false), "")) {
+      case (acc, (lang, i)) =>
+        val beatsRest = LangPriority.drop(i + 1)
+          .map(o => scoreCol(lang) >= scoreCol(o)).reduce(_ && _)
+        acc.when(beatsRest, lang)
+    }.otherwise(LangPriority.last)
+
   private def tokens(textCol: Column): Column = split(lower(textCol), " ")
 
   private def hits(ws: Column, lang: String): Column =
@@ -46,16 +63,9 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = tokens(col(textCol))
-    val s = Map("en" -> col("s_en"), "de" -> col("s_de"),
-      "fr" -> col("s_fr"), "es" -> col("s_es"))
-    df.select(col(idCol),
-      hits(ws, "en").as("s_en"), hits(ws, "de").as("s_de"),
-      hits(ws, "fr").as("s_fr"), hits(ws, "es").as("s_es"))
-      .withColumn("predicted_lang",
-        when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
-          .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
-          .when(s("fr") >= s("es"), "fr")
-          .otherwise("es"))
+    df.select(col(idCol) +:
+      LangPriority.map(l => hits(ws, l).as(s"s_$l")): _*)
+      .withColumn("predicted_lang", argmaxLang(l => col(s"s_$l")))
   }
 
   /** Quality signals: token count, mean token length, stopword ratio,
@@ -94,25 +104,19 @@ object TextAnalysis {
 
   /** Char-n-gram language ID: per language, total occurrences of its
     * characteristic trigrams (counted via length-difference after
-    * replace — pure string expressions, no regex), argmax with the same
-    * deterministic priority as [[langId]].
+    * replace — Column functions, no SQL-string splicing, so grams with
+    * quotes/metacharacters are safe), argmax with the same deterministic
+    * priority as [[langId]]. Languages derive from [[CharProfiles]] keys
+    * via [[LangPriority]] — extending the profiles extends the scorer.
     */
   def langIdCharNgrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lt = lower(col(textCol))
     def score(lang: String) = CharProfiles(lang).map { g =>
-      val esc = g.replace("'", "''")
-      expr(s"(length(lower($textCol)) - " +
-        s"length(replace(lower($textCol), '$esc', ''))) div ${g.length}")
+      ((length(lt) - length(replace(lt, lit(g), lit("")))) / g.length).cast("int")
     }.reduce(_ + _).cast("int")
-    val s = Map("en" -> col("c_en"), "de" -> col("c_de"),
-      "fr" -> col("c_fr"), "es" -> col("c_es"))
-    df.select(col(idCol),
-      score("en").as("c_en"), score("de").as("c_de"),
-      score("fr").as("c_fr"), score("es").as("c_es"))
-      .withColumn("predicted_lang",
-        when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
-          .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
-          .when(s("fr") >= s("es"), "fr")
-          .otherwise("es"))
+    df.select(col(idCol) +:
+      LangPriority.map(l => score(l).as(s"c_$l")): _*)
+      .withColumn("predicted_lang", argmaxLang(l => col(s"c_$l")))
   }
 
   /** Corpus-level repeated-phrase detection (C4/RefinedWeb-style
@@ -122,20 +126,14 @@ object TextAnalysis {
     * map-side; at 100 TB the gram hash, not the text, is what moves.
     */
   def commonNgrams(df: DataFrame, idCol: String, textCol: String,
-                   k: Int, minDocs: Long): DataFrame = {
+                   k: Int, minDocs: Long): DataFrame =
     // raw (non-distinct) gram explode: countDistinct(doc_id) dedups
-    // per-document repeats anyway, and skipping array_distinct avoids an
-    // O(grams^2) interpreted pass per document
-    val ws = split(lower(col(textCol)), " ")
-    val grams = transform(sequence(lit(1), size(ws) - (k - 1)),
-      i => array_join(slice(ws, i, lit(k)), " "))
-    Par.fanOut(df.select(col(idCol), col(textCol)))
-      .filter(size(ws) >= k)
-      .select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
+    // per-document repeats anyway (shared generator with the MinHash path)
+    Dedup.rawGramRows(df, idCol, textCol, k)
+      .withColumnRenamed("s", "ngram")
       .groupBy("ngram")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-  }
 
   /** Grouped distribution profile of a numeric column (here: document
     * lengths per language): exact percentiles (linear interpolation —
@@ -146,8 +144,8 @@ object TextAnalysis {
   def lengthStats(df: DataFrame, groupCol: String, numCol: String): DataFrame =
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        round(expr(s"percentile($numCol, 0.5)"), 6).as("median_len"),
-        round(expr(s"percentile($numCol, 0.9)"), 6).as("p90_len"),
+        round(call_function("percentile", col(numCol), lit(0.5)), 6).as("median_len"),
+        round(call_function("percentile", col(numCol), lit(0.9)), 6).as("p90_len"),
         round(stddev(col(numCol)), 6).as("sd_len"),
         min(col(numCol)).as("min_len"),
         max(col(numCol)).as("max_len"))

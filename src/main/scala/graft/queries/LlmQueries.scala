@@ -24,6 +24,19 @@ object LlmQueries {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Deterministic-priority argmax CASE over per-language score columns,
+    * generated from the SAME ordered list the Spark side uses.
+    */
+  private def argmaxSql(prefix: String): String = {
+    val langs = TextAnalysis.LangPriority
+    val arms = langs.zipWithIndex.init.map { case (l, i) =>
+      val conds = langs.drop(i + 1)
+        .map(o => s"$prefix$l >= $prefix$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n       ")
+    s"CASE $arms\n       ELSE '${langs.last}' END"
+  }
+
   /** DuckDB double-precision dot product between two list columns,
     * accumulated in index order (mirrors Spark's `aggregate(zip_with(...))`
     * left fold).
@@ -233,12 +246,16 @@ object LlmQueries {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents
         |                 GROUP BY md5(lower(text)))""".stripMargin,
 
-    "sample_hash_20pct" ->
-      """SELECT * FROM documents
-        |WHERE CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
-        |           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
-        |           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
-        |           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS INT) % 100 < 20""".stripMargin,
+    "sample_hash_20pct" -> {
+      // first 8 hex digits of md5(id) as a 32-bit int: polynomial over
+      // per-digit strpos values (DuckDB has no hex->int conv)
+      val terms = (1 to 8).map { i =>
+        val pow = 1L << (4 * (8 - i))
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+      }.mkString(" +\n           ")
+      s"""SELECT * FROM documents
+         |WHERE CAST($terms AS BIGINT) % 100 < 20""".stripMargin
+    },
 
     "dedup_minhash_pairs" ->
       s"""WITH $MinhashCtes
@@ -356,8 +373,7 @@ object LlmQueries {
         |FROM documents""".stripMargin,
 
     "text_langid" -> {
-      val langs = Seq("en", "de", "fr", "es")
-      val scoreCols = langs.map { l =>
+      val scoreCols = TextAnalysis.LangPriority.map { l =>
         s"CAST(len(list_filter(ws, w -> list_contains(" +
           s"${sqlList(TextAnalysis.Stopwords(l))}, w))) AS INT) AS s_$l"
       }.mkString(",\n  ")
@@ -366,11 +382,8 @@ object LlmQueries {
          |s AS (SELECT doc_id,
          |  $scoreCols
          |FROM t)
-         |SELECT doc_id, s_en, s_de, s_fr, s_es,
-         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |       WHEN s_fr >= s_es THEN 'fr'
-         |       ELSE 'es' END AS predicted_lang
+         |SELECT doc_id, ${TextAnalysis.LangPriority.map("s_" + _).mkString(", ")},
+         |  ${argmaxSql("s_")} AS predicted_lang
          |FROM s""".stripMargin
     },
 
@@ -415,15 +428,13 @@ object LlmQueries {
         val esc = g.replace("'", "''")
         s"(length(lower(text)) - length(replace(lower(text), '$esc', ''))) // ${g.length}"
       }.mkString("CAST(", " + ", " AS INT)")
+      val scoreCols = TextAnalysis.LangPriority
+        .map(l => s"${score(l)} AS c_$l").mkString(",\n  ")
       s"""WITH s AS (SELECT doc_id,
-         |  ${score("en")} AS c_en, ${score("de")} AS c_de,
-         |  ${score("fr")} AS c_fr, ${score("es")} AS c_es
+         |  $scoreCols
          |FROM documents)
-         |SELECT doc_id, c_en, c_de, c_fr, c_es,
-         |  CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-         |       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
-         |       WHEN c_fr >= c_es THEN 'fr'
-         |       ELSE 'es' END AS predicted_lang
+         |SELECT doc_id, ${TextAnalysis.LangPriority.map("c_" + _).mkString(", ")},
+         |  ${argmaxSql("c_")} AS predicted_lang
          |FROM s""".stripMargin
     },
 

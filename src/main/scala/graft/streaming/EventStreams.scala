@@ -42,7 +42,7 @@ object EventStreams {
     * advances — bounded state, unlike a naive global distinct). The
     * streaming face of [[graft.ops.Dedup.exact]] for ingestion pipelines.
     */
-  def dedupStream(docs: DataFrame, idCol: String, textCol: String,
+  def dedupStream(docs: DataFrame, textCol: String,
                   tsCol: String, watermark: String): DataFrame =
     docs
       .withColumn("text_key",

@@ -76,7 +76,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Timestamp)]
     val q = EventStreams.dedupStream(
       input.toDF().toDF("doc_id", "text", "ts"),
-      "doc_id", "text", "ts", watermark = "1 hour")
+      "text", "ts", watermark = "1 hour")
       .writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").start()
     try {
