@@ -56,6 +56,22 @@ object ParityQueries {
       s.read.parquet(tmp).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
+    // Source-format coverage beyond parquet/JSON: header'd CSV and ORC
+    // round trips (write the table out, read it back with schema).
+    "s7_csv_roundtrip" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val tmp = scratch("csv")
+      n.write.mode("overwrite").option("header", true).csv(tmp)
+      s.read.schema(n.schema).option("header", true).csv(tmp)
+    }),
+
+    "s7_orc_roundtrip" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val tmp = scratch("orc")
+      sup.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    }),
+
     // F1 — null-key split, valid side (reference bronze_to_silver.py:164-204).
     "f1_valid_rows" -> ((s, dir) =>
       Quality.nullKeySplit(Breweries.bronze(s, dir), Breweries.KeyFields)._1),
@@ -151,6 +167,8 @@ object ParityQueries {
   val oracle: Map[String, String] = Map(
     "s8_parquet_scan" -> "SELECT * FROM supplier",
     "s1_landing_extract" -> "SELECT * FROM nation",
+    "s7_csv_roundtrip" -> "SELECT * FROM nation",
+    "s7_orc_roundtrip" -> "SELECT * FROM supplier",
     "s4_json_landing_read" -> "SELECT * FROM nation",
     "s7_partitioned_roundtrip" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
