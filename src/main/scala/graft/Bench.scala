@@ -15,6 +15,13 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** tmpfs scratch when available (local bench boxes), else /tmp. */
+  private[graft] def scratchDir(): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_spark" else
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  }
+
   private def timeOnce(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -32,6 +39,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs scratch for shuffle/spill: shared-host disk stalls on /tmp
+      // showed up as random 15-60 s spikes on individual bench samples
+      .config("spark.local.dir", scratchDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
