@@ -19,6 +19,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs shuffle scratch (see Bench.scratchDir: /tmp disk stalls)
+      .config("spark.local.dir", Bench.scratchDir())
       // Plain micros timestamps in the dumped parquet (not INT96), so the
       // driver's DuckDB/pyarrow compare sees the same logical type the
       // oracle produces.
