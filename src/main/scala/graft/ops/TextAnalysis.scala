@@ -135,6 +135,57 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** PII redaction: replace email-/phone-/URL-shaped substrings with typed
+    * tags (map-only regex scrubbing; patterns kept RE2-compatible so the
+    * DuckDB oracle replays them — production swaps in its full pattern
+    * bank, the mechanism is unchanged).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9 -]{7,}[0-9]" -> "<PHONE>",
+    "https?://[^ ]+" -> "<URL>")
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(lower(col(textCol))) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    df.select(col(idCol), redacted.as("redacted_text"))
+  }
+
+  /** Within-document repetition ratio (Gopher-style quality rule):
+    * 1 - distinct/total word k-grams — high values flag boilerplate-heavy
+    * or looping documents. Map-only per-row arrays.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val ws = split(lower(col(textCol)), " ")
+    val grams = transform(sequence(lit(1), size(ws) - (k - 1)),
+      i => array_join(slice(ws, i, lit(k)), " "))
+    df.filter(size(ws) >= k)
+      .select(col(idCol),
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+          size(grams).cast("double"), 6).as("rep_ratio"))
+  }
+
+  /** Sequence packing for pretraining prep: assign documents (in a
+    * deterministic order) to fixed-capacity bins by cumulative length —
+    * the running-total formulation (bin = floor(previous-cumsum /
+    * capacity)). NOTE the global ordering makes this a single-partition
+    * window; at 100 TB, partition by a shard key first and pack per shard
+    * (bin ids then namespace by shard) — the per-shard computation is
+    * exactly this function.
+    */
+  def packBins(df: DataFrame, idCol: String, lenCol: String,
+               capacity: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(lenCol))
+      .withColumn("cum_before", coalesce(sum(col(lenCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / capacity).cast("long"))
+  }
+
   /** Grouped distribution profile of a numeric column (here: document
     * lengths per language): exact percentiles (linear interpolation —
     * Spark `percentile`, not the approximate sketch, so results are

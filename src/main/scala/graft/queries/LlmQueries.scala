@@ -155,6 +155,15 @@ object LlmQueries {
     "text_langid_chargram" -> ((s, dir) =>
       TextAnalysis.langIdCharNgrams(Tables.documents(s, dir), "doc_id", "text")),
 
+    "text_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(Tables.documents(s, dir), "doc_id", "text")),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    "text_pack_bins" -> ((s, dir) =>
+      TextAnalysis.packBins(Tables.documents(s, dir), "doc_id", "n_chars", 4096)),
+
     // C4-style boilerplate diagnostics: word 5-grams shared by >= 2 docs
     "text_common_ngrams" -> ((s, dir) =>
       TextAnalysis.commonNgrams(Tables.documents(s, dir), "doc_id", "text",
@@ -437,6 +446,38 @@ object LlmQueries {
          |  ${argmaxSql("c_")} AS predicted_lang
          |FROM s""".stripMargin
     },
+
+    "text_redact" -> {
+      // DuckDB single-quoted strings are literal (no backslash
+      // processing) — only quotes need escaping
+      val chain = TextAnalysis.PiiPatterns.foldLeft("lower(text)") {
+        case (c, (pat, tag)) =>
+          val esc = pat.replace("'", "''")
+          s"regexp_replace($c, '$esc', '$tag', 'g')"
+      }
+      s"SELECT doc_id, $chain AS redacted_text FROM documents"
+    },
+
+    "text_repetition" ->
+      """WITH g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gm
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |        FROM documents) t,
+        |       unnest(range(1, greatest(len(ws)-2, 0)+1)) u(i))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+        |       CAST(count(DISTINCT gm) AS INT) AS n_distinct,
+        |       round(1.0 - CAST(count(DISTINCT gm) AS DOUBLE) / count(*), 6)
+        |         AS rep_ratio
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "text_pack_bins" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
+        |    AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
 
     "text_common_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws

@@ -43,6 +43,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction replaces emails, phones, and URLs with typed tags") {
+    val d = Seq(
+      (1L, "contact me at john.doe@example.com or +1 555-123-4567 ok"),
+      (2L, "see https://example.com/page?q=1 for details"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(d, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact me at <EMAIL> or <PHONE> ok")
+    assert(out(2L) == "see <URL> for details")
+    assert(out(3L) == "nothing sensitive here")
+  }
+
+  test("repetition ratio: looping text scores high, varied text zero") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "each word appears exactly once here")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(d, "doc_id", "text", 3)
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 6 && out(1L)._3 == 1) // one distinct 3-gram
+    assert(out(1L)._4 > 0.8)
+    assert(out(2L)._4 == 0.0)
+  }
+
+  test("bin packing: cumulative capacity assignment, deterministic order") {
+    val d = Seq((1L, 3000L), (2L, 3000L), (3L, 3000L), (4L, 100L))
+      .toDF("doc_id", "n_chars")
+    val out = TextAnalysis.packBins(d, "doc_id", "n_chars", capacity = 4096)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0) // cum_before 0
+    assert(out(2L) == 0) // cum_before 3000
+    assert(out(3L) == 1) // cum_before 6000
+    assert(out(4L) == 2) // cum_before 9000
+  }
+
   test("fingerprint: identical text agrees; short text uses the whole-gram path") {
     val two = Seq((1L, "same content here"), (2L, "same content here"),
       (3L, "tiny")).toDF("doc_id", "text")
