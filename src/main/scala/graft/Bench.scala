@@ -15,11 +15,13 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** tmpfs scratch when available (local bench boxes), else /tmp. */
+  /** tmpfs scratch when available (local bench boxes), else /tmp —
+    * per-process so concurrent Verify/Bench/test JVMs can't collide.
+    */
   private[graft] def scratchDir(): String = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_spark" else
-      sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    if (shm.isDirectory && shm.canWrite) Scratch.dir("/dev/shm", "graft_spark")
+    else Scratch.dir(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_spark")
   }
 
   private def timeOnce(body: => Unit): Double = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the embedding hot path: double-precision
-  * dot product over two `array<float>` columns.
+  * dot product over two `array<float>` (or `array<double>`) columns.
   *
   * Why a custom Expression instead of `aggregate(zip_with(...))`: Spark's
   * higher-order functions are evaluated INTERPRETED (per-element lambda
@@ -30,14 +30,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // each side independently array<float> or array<double> (raw embeddings
+  // are float; learned centroids from the mean aggregate are double) —
+  // accumulation is double either way, matching the oracle's all-double math
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_fdot expects two array<float> arguments, got " +
+      s"graft_fdot expects array<float>|array<double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -45,15 +48,24 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_fdot"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+      }
       i += 1
     }
     s
@@ -61,15 +73,25 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT fixed locals: with non-nullable inputs
+      // nullSafeCodeGen adds no braced scope, so two instances fused into
+      // one codegen function (cosine() composes three) would otherwise
+      // redeclare the same variables — a Janino error and a silent
+      // fallback to interpreted eval
+      val n = ctx.freshName("fdotN")
+      val acc = ctx.freshName("fdotAcc")
+      val i = ctx.freshName("fdotI")
+      def get(arr: String, idx: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${get(a, i, isFloat(left))} * ${get(b, i, isFloat(right))};
          |  }
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

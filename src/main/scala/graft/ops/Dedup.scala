@@ -17,10 +17,11 @@ import org.apache.spark.sql.types.StringType
   * verification join, whose left side is the candidate set, not the corpus.
   * Nothing here ever compares all pairs.
   *
-  * Determinism: every hash is md5 over explicit UTF-8 strings with literal
-  * integer seeds, so results are reproducible across engines (the DuckDB
-  * oracles in [[graft.queries.LlmQueries]] replay the identical
-  * computation).
+  * Determinism: every hash is md5 over explicit UTF-8 strings (MinHash
+  * derives its signature values from ONE md5 per gram via a literal-seed
+  * universal-hash family — see [[MinhashSeeds]]), so results are
+  * reproducible across engines (the DuckDB oracles in
+  * [[graft.queries.LlmQueries]] replay the identical computation).
   *
   * Resource contract: the pair operators persist small sketch relations
   * (MEMORY_AND_DISK) to prevent recomputation races across join sides.
@@ -118,13 +119,39 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(grams).as("s"))
   }
 
+  /** Universal-hash family for the MinHash signature: the gram is md5'd
+    * ONCE, its first 15 hex digits (60 bits) become an integer `h`, and
+    * signature value j is `(a_j * (h mod p) + b_j) mod p` over the
+    * Mersenne prime p = 2^31 - 1. One string hash + numHashes integer
+    * multiply-adds per gram — vs numHashes independent md5 evaluations,
+    * which at 16 hashes made md5 the most expensive expression in the
+    * whole suite. Seeds derive from public mixing constants (Knuth's
+    * multiplicative hash 2654435761, Numerical Recipes' LCG increment
+    * 1013904223); the DuckDB oracle replays the identical arithmetic.
+    */
+  val MinhashPrime: Long = 2147483647L
+  val MinhashSeeds: IndexedSeq[(Long, Long)] = (0 until 64).map { j =>
+    (((j + 1).toLong * 2654435761L) % MinhashPrime,
+      ((j + 1).toLong * 1013904223L) % MinhashPrime)
+  }
+
+  /** 60-bit md5 prefix of `s` reduced mod [[MinhashPrime]] — the shared
+    * per-gram hash every signature value derives from. 15 hex digits stay
+    * inside signed-long range; a_j * hm < 2^62 keeps the multiply exact.
+    */
+  private def gramHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashPrime
+
   def minhashSketch(df: DataFrame, idCol: String, textCol: String,
                     k: Int, numHashes: Int): DataFrame = {
+    def mhMin(j: Int) = {
+      val (a, b) = MinhashSeeds(j)
+      min((lit(a) * col("hm") + lit(b)) % MinhashPrime).as(s"mh$j")
+    }
     rawGramRows(df, idCol, textCol, k)
+      .withColumn("hm", gramHash(col("s")))
       .groupBy("doc_id")
-      .agg(min(md5(concat(lit("0:"), col("s")))).as("mh0"),
-        (1 until numHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j")): _*)
+      .agg(mhMin(0), (1 until numHashes).map(mhMin): _*)
   }
 
   /** Banded LSH candidate pairs: the signature is cut into `bands` bands
@@ -144,9 +171,11 @@ object Dedup {
     // self-join reads one materialization instead of recomputing the whole
     // scan->shingle->sketch pipeline per join side (broadcast joins have
     // no common exchange for ReuseExchange to dedup).
+    // band signature = the comma-joined hash values themselves (~40 chars
+    // for 4 ints) — hashing them again would cost more than it saves
     val banded = sketch.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
-        md5(concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*))
+        concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)
       }: _*)).as(Seq("band", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize ONCE, serially, before the join: its two sides (stream +
@@ -204,6 +233,64 @@ object Dedup {
     jaccardVerify(docs,
       lshCandidatePairs(docs, idCol, numHashes, bands, textCol, k),
       idCol, k, threshold, textCol)
+
+  /** Connected-component resolution over verified near-dup PAIRS — the
+    * step that turns a pair report into a dedup operator: A~B and B~C put
+    * all three in one cluster whose keeper is the minimum doc id.
+    * Returns (node, label) where label is the cluster keeper.
+    *
+    * Algorithm: iterated min-label propagation. Every node starts labeled
+    * with itself; each round every node takes the min of its own label and
+    * its neighbors' labels; fixed point in O(component diameter) rounds —
+    * near-dup clusters are short chains, so single-digit rounds in
+    * practice (the planted fixture converges in 2). Deterministic: no
+    * randomness, min is order-insensitive.
+    *
+    * Scale posture: state is one (node, label) row per document THAT
+    * APPEARS IN A PAIR (candidate-sized, not corpus-sized); each round is
+    * one equi-join + partial-agg shuffle on that relation. Labels are
+    * persisted per round and the previous round is unpersisted once the
+    * new one is materialized, so lineage stays one round deep.
+    */
+  def resolveClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist(sl)
+    edges.count() // serial materialization — see lshCandidatePairs
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist(sl)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"label propagation did not converge in $maxRounds rounds")
+      val neighborMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(sl)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count() // materializes next
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The deduplicated corpus after fuzzy matching: drop every non-keeper
+    * member of each verified near-dup cluster — the fuzzy counterpart of
+    * [[exactKeepFirst]]. Anti-join is dropped-set-sized, corpus scanned once.
+    */
+  def fuzzyKeepFirst(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val dropped = resolveClusters(pairs)
+      .filter(col("node") =!= col("label")).select(col("node"))
+    docs.join(dropped, docs(idCol) === dropped("node"), "left_anti")
+  }
 
   /** 64-bit tf-weighted SimHash, returned as two 32-bit halves
     * (`simhash_hi`, `simhash_lo`) to stay inside signed-long arithmetic on

@@ -85,8 +85,19 @@ object Similarity {
     * the unit tests.
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, centroidMod: Int,
-              nprobe: Int, k: Int): DataFrame = {
-    val centroids = embeddings.filter(col("vec_id") % centroidMod === 0)
+              nprobe: Int, k: Int): DataFrame =
+    ivfTopKWith(embeddings,
+      embeddings.filter(col("vec_id") % centroidMod === 0).select("vec_id", "embedding"),
+      queryPred, nprobe, k)
+
+  /** IVF search against an EXPLICIT codebook `(vec_id, embedding)` — the
+    * entry point once [[kmeansTrain]] has produced a learned quantizer
+    * (embedding may be array<float> or array<double>; the dot-product
+    * expression accepts either).
+    */
+  def ivfTopKWith(embeddings: DataFrame, codebook: DataFrame, queryPred: Column,
+                  nprobe: Int, k: Int): DataFrame = {
+    val centroids = codebook
     val assigned = ivfAssign(embeddings, centroids)
     val q = withNorm(embeddings).filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -166,6 +177,49 @@ object Similarity {
   def kmeansIterate(embeddings: DataFrame, centroids0: DataFrame): DataFrame = {
     val assigned = ivfAssign(embeddings, centroids0)
     Similarity.centroids(assigned, "centroid_id")
+  }
+
+  /** Lloyd's-algorithm training driver: iterate [[kmeansIterate]] from the
+    * `seed` codebook until the codebook reaches a fixed point or
+    * `maxIters` — the missing loop between the single step and an actual
+    * ANN index build. Returns the learned codebook `(vec_id, embedding)`
+    * ready for [[ivfTopKWith]].
+    *
+    * Determinism across engines: centroid components are rounded to 6
+    * decimal places after EVERY iteration. Unrounded means differ between
+    * engines in the last float bits (summation order), and iteration 2's
+    * assignments would amplify that into divergent trajectories; on the
+    * 1e-6 grid both engines see bit-identical codebooks, and the fixed
+    * point becomes exact equality. Cells that lose all members drop out
+    * (standard Lloyd on dead centroids).
+    *
+    * Scale posture: per iteration one broadcast-assign scan of the corpus
+    * + one sketch-sized centroid aggregate; the codebook (k x dim doubles)
+    * is collected to the driver — driver-sized BY DEFINITION (a coarse
+    * quantizer that doesn't fit on the driver can't be broadcast for
+    * assignment either). Collecting it also truncates lineage, so the
+    * loop's plan depth stays constant.
+    */
+  def kmeansTrain(embeddings: DataFrame, seed: DataFrame, maxIters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var cb = seed
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      it += 1
+      val next = Similarity
+        .centroids(ivfAssign(embeddings, cb.toDF("vec_id", "embedding")), "centroid_id")
+        .select(col("centroid_id").cast("long"),
+          transform(col("centroid"), v => round(v, 6)).as("embedding"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      converged = next == cb
+      cb = next
+    }
+    cb.toDF("vec_id", "embedding")
   }
 
   /** Embedding-cosine near-duplicate pairs within a coarse bucket

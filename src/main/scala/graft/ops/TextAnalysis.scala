@@ -127,12 +127,16 @@ object TextAnalysis {
     */
   def commonNgrams(df: DataFrame, idCol: String, textCol: String,
                    k: Int, minDocs: Long): DataFrame =
-    // raw (non-distinct) gram explode: countDistinct(doc_id) dedups
-    // per-document repeats anyway (shared generator with the MinHash path)
-    Dedup.rawGramRows(df, idCol, textCol, k)
+    // per-document-DISTINCT grams map-side (array_distinct before the
+    // explode), so document frequency is a plain count(*) — one partial+
+    // final aggregate. The raw-gram + countDistinct(doc_id) formulation
+    // shuffled every repeated gram occurrence AND paid Spark's two-phase
+    // distinct-aggregate Expand; this emits each (doc, gram) once.
+    Dedup.shingleRows(Par.fanOut(df.select(col(idCol), col(textCol))),
+        idCol, textCol, k)
       .withColumnRenamed("s", "ngram")
       .groupBy("ngram")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   /** PII redaction: replace email-/phone-/URL-shaped substrings with typed

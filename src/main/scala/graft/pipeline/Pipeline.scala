@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.metrics.EtlMetrics
 import graft.ops.{Aggregations, Cleaning, Quality}
-import graft.sources.{BrewerySource, Extractor, FixtureBrewerySource}
+import graft.sources.{BrewerySource, Extractor, IteratorBrewerySource}
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -29,8 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    skew. A salting suffix (location=XX/part=N) is the escape hatch if a
   *    single partition exceeds a task's write throughput — not needed at
   *    fixture scale.
-  *  - Quarantine is APPEND (reference bronze_to_silver.py:191): it grows
-  *    across runs by design; run isolation is the caller's outRoot.
+  *  - Quarantine accumulates ACROSS runs (reference bronze_to_silver
+  *    .py:191's append) but each run owns a `run=<runTag>` subdir written
+  *    with atomic overwrite: a retried stage rewrites its own subdir
+  *    instead of double-appending, so every stage body below is
+  *    idempotent and safe to wrap in [[retry]] (which all four are —
+  *    reference brewery_pipeline.py:18-19 retries per task). Callers
+  *    wanting cross-run accumulation pass distinct runTags; the
+  *    partition-discovery read of the quarantine root unions them.
   */
 object Pipeline {
 
@@ -94,32 +100,44 @@ object Pipeline {
   /** Full run against the driver fixtures: the fixture source replays the
     * bronze-shaped rows as paginated JSON (offline stand-in for the REST
     * connector — swap in [[graft.sources.HttpBrewerySource]] online).
+    * Pages stream through `toLocalIterator` — driver memory is
+    * page-bounded, never the whole corpus (a retry restarts the iterator).
     */
   def run(spark: SparkSession, sfDir: String, outRoot: String,
           metrics: EtlMetrics = EtlMetrics.quiet(),
-          perPage: Int = 200, csvGold: Boolean = false): RunResult = {
+          perPage: Int = 200, csvGold: Boolean = false,
+          runTag: String = "batch0"): RunResult = {
     val lay = Layout(outRoot)
     val sourceDf = Breweries.bronze(spark, sfDir)
-    val source = new FixtureBrewerySource(sourceDf.toJSON.collect().toSeq)
-    run(spark, source, sourceDf.schema, lay, metrics, perPage, csvGold)
+    val source = new IteratorBrewerySource(() => {
+      import scala.jdk.CollectionConverters._
+      sourceDf.toJSON.toLocalIterator().asScala
+    })
+    run(spark, source, sourceDf.schema, lay, metrics, perPage, csvGold,
+      runTag, retryDelayMillis = 0)
   }
 
   def run(spark: SparkSession, source: BrewerySource,
           schema: org.apache.spark.sql.types.StructType, lay: Layout,
           metrics: EtlMetrics, perPage: Int,
-          csvGold: Boolean): RunResult = {
+          csvGold: Boolean, runTag: String,
+          retryDelayMillis: Long): RunResult = {
+
+    def stage[T](body: => T): T = retry(3, retryDelayMillis)(body)
 
     // Stage 1 — extract: driver-side paginated fetch into the landing zone.
-    val files = metrics.timed("extract_brewery_data") {
+    // Idempotent under retry: extract() wipes the landing dir first and a
+    // page-1 fetch resets sequential sources.
+    val files = stage { metrics.timed("extract_brewery_data") {
       val fs = Extractor.extract(source, lay.landing, perPage,
         batchTag = "fixture")
       metrics.incCounter("brewery_etl_extract_pages_total", by = fs.size.toDouble)
       fs
-    }
+    }}
 
     // Stage 2 — landing -> bronze: union-all of page files (schema-on-read),
     // ingestion metadata, overwrite write, read-back verification (S10).
-    val (bronzeRows, bronzeBytes) = metrics.timed("landing_to_bronze") {
+    val (bronzeRows, bronzeBytes) = stage { metrics.timed("landing_to_bronze") {
       // FAILFAST: the reference raises on an unreadable/corrupt landing
       // file (landing_to_bronze.py:146-154) rather than skipping it.
       // (Its `finally` also bumps the failure counter on every file —
@@ -136,17 +154,20 @@ object Pipeline {
       metrics.recordsProcessed("landing_to_bronze", rows)
       metrics.bytesProcessed("landing_to_bronze", bytes)
       (rows, bytes)
-    }
+    }}
 
     // Stage 3 — bronze -> silver + quarantine: ONE materialized input, two
     // complementary pushdown-filtered sinks. Executor-side input metrics
     // recorded alongside the dir-size gauge.
-    val (silverRows, quarantineRows) = metrics.timed("bronze_to_silver") {
+    val (silverRows, quarantineRows) = stage { metrics.timed("bronze_to_silver") {
       graft.metrics.SparkIoMetrics.measure(spark, metrics, "bronze_to_silver") {
       val bronze = spark.read.parquet(lay.bronze)
       Quality.requireColumns(bronze, Breweries.KeyFields)
       val (cleaned, quarantine) = Breweries.silverSplit(bronze)
-      quarantine.write.mode("append").parquet(lay.quarantine)
+      // per-run subdir + atomic overwrite: cross-run APPEND semantics via
+      // distinct runTags, but a RETRY of this stage rewrites instead of
+      // double-appending
+      atomicOverwrite(spark, quarantine, s"${lay.quarantine}/run=$runTag")
       atomicOverwrite(spark, cleaned, lay.silver, partitionBy = Seq("location"))
       val sRows = spark.read.parquet(lay.silver).count()
       val qRows = spark.read.parquet(lay.quarantine).count()
@@ -157,14 +178,14 @@ object Pipeline {
         Map("operation" -> "bronze_to_silver"), qRows.toDouble)
       (sRows, qRows)
       }
-    }
+    }}
 
     // Stage 4 — silver -> gold: the two reference aggregations, one
     // partial+final hash-agg each over the partitioned silver table.
     // csvGold also writes header'd CSV next to the parquet (the reference
     // README documents CSV gold outputs its code never wrote — offered
     // behind a flag, SURVEY §3).
-    val goldRows = metrics.timed("silver_to_gold") {
+    val goldRows = stage { metrics.timed("silver_to_gold") {
       val silver = spark.read.parquet(lay.silver)
       val aggs = Map(
         "by_type_location" -> Aggregations.goldByTypeLocation(silver),
@@ -178,7 +199,7 @@ object Pipeline {
         metrics.recordsProcessed(s"gold_$name", n)
         name -> n
       }
-    }
+    }}
 
     RunResult(files.size, bronzeRows, bronzeBytes, silverRows,
       quarantineRows, goldRows)

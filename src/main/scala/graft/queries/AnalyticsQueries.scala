@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Float determinism: unbounded double sums over 600 k rows are NOT
   * reproducible across engines at 6 decimals, so money aggregates cast to
-  * DECIMAL(18,4) first — sums become exact and hash-comparable; averages
-  * divide the exact sums in double and round.
+  * DECIMAL(18,4) first — sums stay exact through the accumulation. The
+  * FINAL emitted value is `round(cast(sum AS double), 6)` in BOTH engines:
+  * Spark's DECIMAL result carries a fixed scale (`131202.0000`) while the
+  * oracle path renders floats (`131202.0`), so emitting the decimal
+  * directly hash-mismatches on trailing zeros even when the values are
+  * identical. The double emission is the convention every other green
+  * query uses; the sums are exact before the single terminal rounding.
   */
 object AnalyticsQueries {
 
@@ -29,13 +34,18 @@ object AnalyticsQueries {
         .withColumn("disc", col("l_discount").cast("decimal(18,4)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"),
-          sum(col("price")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("dec_qty"),
+          sum(col("price")).as("dec_base_price"),
           sum((col("price") * (lit(1).cast("decimal(18,4)") - col("disc")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).as("dec_disc_price"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          round(col("sum_qty").cast("double") / col("count_order"), 6))),
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("dec_qty").cast("double"), 6).as("sum_qty"),
+          round(col("dec_base_price").cast("double"), 6).as("sum_base_price"),
+          round(col("dec_disc_price").cast("double"), 6).as("sum_disc_price"),
+          col("count_order"),
+          round(col("dec_qty").cast("double") / col("count_order"), 6)
+            .as("avg_qty"))),
 
     // TPC-H Q3 shape: top-10 highest-revenue unshipped orders for a
     // customer segment (selective joins + grouped top-k).
@@ -51,7 +61,12 @@ object AnalyticsQueries {
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
           .cast("decimal(18,4)"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum(col("rev")).as("revenue"))
+        .agg(sum(col("rev")).as("dec_rev"))
+        // order on the ROUNDED double both engines emit: revenue sums of
+        // scale-4 decimals are >= 1e-4 apart, far beyond double error, so
+        // the rounded ordering is the exact ordering
+        .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          round(col("dec_rev").cast("double"), 6).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -75,7 +90,10 @@ object AnalyticsQueries {
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
           .cast("decimal(18,4)"))
         .groupBy(col("n_name"))
-        .agg(sum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("rev")).as("dec_rev"), count(lit(1)).as("n_items"))
+        .select(col("n_name"),
+          round(col("dec_rev").cast("double"), 6).as("revenue"),
+          col("n_items"))
     })
   )
 
@@ -83,11 +101,13 @@ object AnalyticsQueries {
 
     "tpch_q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-         |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-         |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
+         |    AS sum_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+         |    AS sum_base_price,
+         |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-         |      AS DECIMAL(18,4))) AS sum_disc_price,
+         |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price,
          |  count(*) AS count_order,
          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
          |        / count(*), 6) AS avg_qty
@@ -97,9 +117,9 @@ object AnalyticsQueries {
 
     "tpch_q3_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-         |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-         |      AS DECIMAL(18,4))) AS revenue
+         |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
@@ -112,9 +132,9 @@ object AnalyticsQueries {
 
     "tpch_q5_region_volume" ->
       """SELECT n_name,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-        |      AS DECIMAL(18,4))) AS revenue,
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -48,18 +48,90 @@ object LlmQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** Shared shingle/minhash CTE prefix (word 3-grams, 16 hashes). */
-  private val MinhashCtes: String =
-    """w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-      |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
-      |mh AS (SELECT doc_id, j, min(md5(j || ':' || s)) AS m
-      |       FROM sh, unnest(range(0, 16)) u(j) GROUP BY 1, 2),
-      |bands AS (SELECT doc_id, j // 4 AS band, md5(string_agg(m, ',' ORDER BY j)) AS sig
-      |          FROM mh GROUP BY doc_id, j // 4),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |         FROM bands a JOIN bands b
-      |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  /** Nearest-centroid assignment CTE body (mirrors [[Similarity.ivfAssign]]:
+    * argmax cosine, ties on centroid id) against centroid CTE `cCte`.
+    */
+  private def asgSql(cCte: String): String =
+    s"""SELECT vec_id, embedding, centroid_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC,
+       |               c.centroid_id) AS rn
+       |  FROM embeddings e, $cCte c) WHERE rn = 1""".stripMargin
+
+  /** Centroid-recompute CTE body (mirrors one [[Similarity.kmeansTrain]]
+    * step: per-dim mean rounded to 6 places, reassembled as a list).
+    */
+  private def cMeanSql(asgCte: String): String =
+    s"""SELECT centroid_id, list(av ORDER BY i) AS ce FROM (
+       |  SELECT centroid_id, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av
+       |  FROM $asgCte, unnest(range(1, len(embedding)+1)) t(i)
+       |  GROUP BY 1, 2) GROUP BY 1""".stripMargin
+
+  /** Shared shingle/minhash CTE prefix (word 3-grams, 16 hashes) —
+    * replays [[Dedup.minhashSketch]]'s universal-hash family exactly: one
+    * md5 per distinct gram, first 15 hex digits as a 60-bit integer
+    * (polynomial over per-digit strpos values — DuckDB has no hex->int
+    * conv), then `(a_j * hm + b_j) mod p` with the seeds spliced from
+    * [[Dedup.MinhashSeeds]] so the two engines can never drift.
+    */
+  private val MinhashCtes: String = {
+    val p = graft.ops.Dedup.MinhashPrime
+    val seedRows = graft.ops.Dedup.MinhashSeeds.take(16).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    val hexPoly = (1 to 15).map { i =>
+      val pow = 1L << (4 * (15 - i))
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $pow"
+    }.mkString(" +\n              ")
+    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+       |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+       |shm AS (SELECT doc_id,
+       |          ($hexPoly) % $p AS hm
+       |        FROM (SELECT doc_id, md5(s) AS h FROM sh)),
+       |seeds(j, a, b) AS (VALUES $seedRows),
+       |mh AS (SELECT doc_id, j, min((a * hm + b) % $p) AS m
+       |       FROM shm, seeds GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // 4 AS band,
+       |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS sig
+       |          FROM mh GROUP BY doc_id, j // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** [[MinhashCtes]] extended with exact-Jaccard verification (`ver` =
+    * pairs at or above the 0.5 threshold, raw jaccard in `jac`) — shared
+    * by the fuzzy pair, cluster-resolution, and kept-corpus oracles.
+    */
+  private val FuzzyCtes: String =
+    s"""$MinhashCtes,
+       |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |       FROM cand c
+       |       JOIN sh x ON x.doc_id = c.doc_a
+       |       JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+       |       GROUP BY 1, 2),
+       |ver AS (SELECT doc_a, doc_b,
+       |          CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac
+       |        FROM iv JOIN sz sa ON doc_a = sa.doc_id
+       |                JOIN sz sb ON doc_b = sb.doc_id
+       |        WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5)""".stripMargin
+
+  /** [[FuzzyCtes]] extended with min-label connected components over the
+    * verified pairs (recursive reachability walk — every node's cluster
+    * label is the minimum id it can reach over symmetric edges), mirroring
+    * [[Dedup.resolveClusters]]'s fixed point. Splice after WITH RECURSIVE.
+    */
+  private val ClusterCtes: String =
+    s"""$FuzzyCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+       |          UNION SELECT doc_b, doc_a FROM ver),
+       |walk(node, reach) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+       |cc AS (SELECT node, min(reach) AS keeper FROM walk GROUP BY 1)""".stripMargin
 
   /** Shared SimHash CTE prefix (64-bit tf-weighted, two 32-bit halves). */
   private val SimhashCtes: String =
@@ -100,6 +172,24 @@ object LlmQueries {
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // cluster resolution over the verified pairs: every clustered doc with
+    // its keeper (= min id reachable through the near-dup graph)
+    "dedup_fuzzy_resolved" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.resolveClusters(
+          Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4, threshold = 0.5))
+        .select(col("node").as("doc_id"), col("label").as("keeper_id"),
+          when(col("node") === col("label"), 1).otherwise(0).as("kept"))
+    }),
+
+    // the deduplicated corpus itself (fuzzy analogue of dedup_exact_rows)
+    "dedup_fuzzy_kept" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.fuzzyKeepFirst(docs,
+        Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4, threshold = 0.5),
+        "doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -120,6 +210,16 @@ object LlmQueries {
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, centroidMod = 50, nprobe = 3, k = 10)),
+
+    // IVF with a LEARNED codebook: two Lloyd iterations from the
+    // deterministic seed (fixed budget so the oracle can replay the exact
+    // trajectory), then the same probe/rank pipeline
+    "sim_ivf_topk_learned" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Similarity.kmeansTrain(e,
+        e.filter(col("vec_id") % 50 === 0), maxIters = 2)
+      Similarity.ivfTopKWith(e, cb, col("vec_id") % 100 === 0, nprobe = 3, k = 10)
+    }),
 
     // SRP-LSH bucket assignment (data-independent cosine bucketing; the
     // hyperplanes are md5-derived so the oracle replays them exactly).
@@ -271,18 +371,19 @@ object LlmQueries {
          |SELECT doc_a, doc_b FROM cand""".stripMargin,
 
     "dedup_fuzzy" ->
-      s"""WITH $MinhashCtes,
-         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
-         |ver AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |        FROM cand c
-         |        JOIN sh x ON x.doc_id = c.doc_a
-         |        JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
-         |        GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |       round(CAST(inter AS DOUBLE) / (sa.c + sb.c - inter), 6) AS jaccard
-         |FROM ver JOIN sz sa ON doc_a = sa.doc_id
-         |         JOIN sz sb ON doc_b = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5""".stripMargin,
+      s"""WITH $FuzzyCtes
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ver""".stripMargin,
+
+    "dedup_fuzzy_resolved" ->
+      s"""WITH RECURSIVE $ClusterCtes
+         |SELECT node AS doc_id, keeper AS keeper_id,
+         |       CAST(CASE WHEN node = keeper THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM cc""".stripMargin,
+
+    "dedup_fuzzy_kept" ->
+      s"""WITH RECURSIVE $ClusterCtes
+         |SELECT * FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $SimhashCtes
@@ -347,6 +448,33 @@ object LlmQueries {
          |cand AS (SELECT p.query_id, a.vec_id,
          |           ${cosSql("p.qe", "a.embedding")} AS sim
          |         FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
+         |         WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY sim DESC, vec_id) AS rn
+         |      FROM cand)
+         |SELECT query_id, vec_id, round(sim, 6) AS cosine
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    "sim_ivf_topk_learned" ->
+      s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |            FROM embeddings WHERE vec_id % 50 = 0),
+         |asg1 AS (${asgSql("c0")}),
+         |c1 AS (${cMeanSql("asg1")}),
+         |asg2 AS (${asgSql("c1")}),
+         |c2 AS (${cMeanSql("asg2")}),
+         |asg3 AS (${asgSql("c2")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |probe AS (SELECT query_id, qe, centroid_id FROM (
+         |            SELECT q.query_id, q.qe, c.centroid_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+         |                         c.centroid_id) AS rn
+         |            FROM q, c2 c) WHERE rn <= 3),
+         |cand AS (SELECT p.query_id, a.vec_id,
+         |           ${cosSql("p.qe", "a.embedding")} AS sim
+         |         FROM probe p JOIN asg3 a ON p.centroid_id = a.centroid_id
          |         WHERE a.vec_id <> p.query_id),
          |r AS (SELECT query_id, vec_id, sim,
          |        row_number() OVER (PARTITION BY query_id
@@ -484,8 +612,8 @@ object LlmQueries {
         |           FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
         |       FROM w, unnest(range(1, greatest(len(ws)-4, 0)+1)) t(i))
-        |SELECT s AS ngram, count(DISTINCT doc_id) AS n_docs
-        |FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+        |SELECT s AS ngram, count(*) AS n_docs
+        |FROM sh GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     "vec_kmeans_iter" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce

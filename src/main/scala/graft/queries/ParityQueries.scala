@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object ParityQueries {
 
-  /** Stable scratch location, overwritten on every invocation. */
+  /** Per-process scratch location (stable within a run, overwritten on
+    * every invocation; concurrent Verify/Bench/test processes each get
+    * their own root — see [[graft.Scratch]]).
+    */
   def scratch(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_scratch/$name"
+    s"${graft.Scratch.dir(sys.props("java.io.tmpdir"), "graft_scratch")}/$name"
 
   val queries: Map[String, Query] = Map(
     // S8 — plain parquet table scan (reference helpers.py:326-360).

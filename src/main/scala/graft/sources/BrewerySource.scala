@@ -32,6 +32,26 @@ final class FixtureBrewerySource(rows: Seq[String]) extends BrewerySource {
   }
 }
 
+/** Streaming offline source: pages pulled from a SEQUENTIAL row iterator
+  * (e.g. `Dataset.toJSON.toLocalIterator`), so driver memory stays
+  * page-bounded instead of materializing the whole corpus the way
+  * [[FixtureBrewerySource]] does. The extract loop reads pages in
+  * ascending order, which is all a REST cursor supports anyway; a fetch
+  * of page 1 (re)creates the iterator via `mkRows`, making a full
+  * extract retry replayable.
+  */
+final class IteratorBrewerySource(mkRows: () => Iterator[String]) extends BrewerySource {
+  private var rows: Iterator[String] = Iterator.empty
+  private var nextPage = 0
+  def fetchPage(page: Int, perPage: Int): String = {
+    if (page == 1) { rows = mkRows(); nextPage = 1 }
+    require(page == nextPage,
+      s"sequential source: expected page $nextPage, got $page")
+    nextPage += 1
+    rows.take(perPage).mkString("[", ",", "]")
+  }
+}
+
 /** HTTP source with the reference's retry contract (helpers.py:214-258):
   * `maxRetries` attempts, fixed `backoffMillis` between attempts, per-call
   * timeout, raise after exhaustion. The `get` function is injectable so the

@@ -82,28 +82,27 @@ object EventStreams {
             Iterator(Session(uid, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n))
           } else {
-            val sorted = it.map(_.ts.getTime).toSeq.sorted
-            var cur = state.getOption
+            // batch events as singleton intervals + the open session,
+            // sorted by start, fold-merged on the gap — the SAME split
+            // batch sessionize performs, so out-of-order events within the
+            // watermark merge with each other (not only with the open
+            // session) before anything is declared closed
+            val items = (it.map(e =>
+              SessionState(e.ts.getTime, e.ts.getTime, 1)).toSeq ++
+              state.getOption.toSeq).sortBy(s => (s.start, s.end))
             val closed = Seq.newBuilder[Session]
-            sorted.foreach { t =>
+            var cur: Option[SessionState] = None
+            items.foreach { s =>
               cur match {
-                // within the gap of either session bound: merge, widening
-                // BOTH bounds (a late-but-within-watermark event may
-                // precede the open session's start — batch parity)
-                case Some(s) if t - s.end <= gapMs && s.start - t <= gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1))
-                case Some(s) if t > s.end =>
-                  closed += Session(uid, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case Some(s) =>
-                  // out-of-order event more than a gap BEFORE the open
-                  // session: it forms its own already-closed session
-                  closed += Session(uid, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1)
+                case Some(c) if s.start - c.end <= gapMs =>
+                  cur = Some(SessionState(c.start, math.max(c.end, s.end),
+                    c.n + s.n))
+                case Some(c) =>
+                  closed += Session(uid, new java.sql.Timestamp(c.start),
+                    new java.sql.Timestamp(c.end), c.n)
+                  cur = Some(s)
                 case None =>
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(s)
               }
             }
             cur.foreach { s =>

@@ -42,10 +42,12 @@ class DedupSpec extends SparkSpec {
 
   test("minhash sketch: identical docs get identical signatures; short docs drop out") {
     val sk = Dedup.minhashSketch(docs, "doc_id", "text", 3, 16).collect()
-      .map(r => r.getLong(0) -> (1 to 16).map(r.getString)).toMap
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
     assert(sk.keySet == Set(1L, 2L, 3L, 4L)) // doc 5 has < 3 tokens
     assert(sk(1L) == sk(2L))
     assert(sk(1L) != sk(4L))
+    // signature values live in the universal-hash range [0, p)
+    sk.values.flatten.foreach(v => assert(v >= 0 && v < Dedup.MinhashPrime))
     // near-dup shares most minhashes (Jaccard ~0.78 over shingles)
     assert(sk(1L).zip(sk(3L)).count { case (a, b) => a == b } >= 8)
   }
@@ -75,6 +77,30 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 28) // planted pairs (measured against DuckDB)
     assert(out.forall(_._3 >= 0.5))
     assert(out.count(_._3 > 0.9) >= 20) // the bulk sit at Jaccard ~0.98
+  }
+
+  test("cluster resolution: chains collapse to the min id, converges") {
+    // A~B, B~C (a chain — NOT a clique) plus an independent pair D~E:
+    // min-label propagation must converge across the chain hop
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("cluster resolution converges on a long chain (diameter > 2 rounds)") {
+    val chain = (1L until 12L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(chain).as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(1L))
+    assert(out.keySet == (1L to 12L).toSet)
+  }
+
+  test("fuzzyKeepFirst drops every non-keeper cluster member, keeps the rest") {
+    val pairs = Dedup.fuzzy(docs, "doc_id", 16, 4, threshold = 0.5)
+    val kept = Dedup.fuzzyKeepFirst(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // docs 1/2/3 form one near-dup cluster (keeper 1); 4 and 5 untouched
+    assert(kept == Seq(1L, 4L, 5L))
   }
 
   test("simhash: identical docs agree, near-dups are close, unrelated far") {

@@ -55,6 +55,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=3 of ~10 cells
   }
 
+  test("kmeansTrain reaches a fixed point; learned IVF recall >= seed recall") {
+    val e = Tables.embeddings(spark, sf0001)
+    val seed = e.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding")
+    val learned = Similarity.kmeansTrain(e, seed, maxIters = 10)
+    // fixed point: one more training round from the learned book is a no-op
+    val onceMore = Similarity.kmeansTrain(e, learned, maxIters = 1)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(snap(onceMore) == snap(learned))
+    // cells can only merge/die, never appear
+    assert(learned.count() <= seed.count())
+    // the learned quantizer must not search WORSE than the raw seed subset
+    val pred = col("vec_id") % 100 === 0
+    val brute = Similarity.bruteForceTopK(e, pred, 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    def recall(cb: org.apache.spark.sql.DataFrame) = {
+      val got = Similarity.ivfTopKWith(e, cb, pred, nprobe = 3, k = 10)
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    assert(recall(learned) >= recall(seed))
+  }
+
   test("SRP buckets: deterministic, cosine-sensitive, within range") {
     val e = Tables.embeddings(spark, sf0001)
     val b1 = Similarity.srpBuckets(e, 8, 64).as[(Long, Int)].collect().toMap

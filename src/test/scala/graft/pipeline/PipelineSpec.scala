@@ -48,12 +48,16 @@ class PipelineSpec extends SparkSpec {
     assert(csv.count() == spark.read.parquet(s"$out/gold/by_location").count())
   }
 
-  test("quarantine is append-mode: it grows across runs, silver does not") {
+  test("quarantine accumulates across runTags; a re-run of one tag is idempotent") {
     val out = Files.createTempDirectory("graft_pipe_").toString
-    val r1 = Pipeline.run(spark, sf0001, out)
-    val r2 = Pipeline.run(spark, sf0001, out)
+    val r1 = Pipeline.run(spark, sf0001, out, runTag = "r1")
+    val r2 = Pipeline.run(spark, sf0001, out, runTag = "r2")
+    // cross-run accumulation (the reference's append semantics)
     assert(r2.silverRows == r1.silverRows)
     assert(r2.quarantineRows == 2 * r1.quarantineRows)
+    // a RETRY of the same tag overwrites its own subdir: no double-append
+    val r2again = Pipeline.run(spark, sf0001, out, runTag = "r2")
+    assert(r2again.quarantineRows == r2.quarantineRows)
   }
 
   test("atomic overwrite leaves no temp dir and swaps content completely") {

@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream -> checkpointed parquet sink (the deployed shape)") {
+    // the end-to-end wiring users actually run: file source, append mode,
+    // checkpointed file sink; closed windows must match the batch result
+    val batchEvents = graft.Tables.events(spark, sf0001)
+      .select("ts", "event_type", "value")
+    val staged = java.nio.file.Files.createTempDirectory("graft_fs_src_").toString
+    batchEvents.write.mode("overwrite").parquet(staged)
+    val sink = java.nio.file.Files.createTempDirectory("graft_fs_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fs_ckpt_").toString
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(staged)
+    val q = EventStreams.windowedCounts(stream, "1 hour", watermark = "1 hour")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(sink).collect().map(_.toSeq).toSet
+    val batch = EventOps.tumbling(batchEvents, "1 hour").collect().map(_.toSeq).toSet
+    // append emits only watermark-closed windows: a subset of batch that
+    // must include everything strictly below the watermark horizon
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    val maxTs = batchEvents.agg(org.apache.spark.sql.functions.max("ts"))
+      .collect()(0).getTimestamp(0).getTime
+    val horizon = maxTs - 3600L * 1000
+    val mustHave = EventOps.tumbling(batchEvents, "1 hour")
+      .filter($"window_end" < new Timestamp(horizon))
+      .collect().map(_.toSeq).toSet
+    assert(mustHave.subsetOf(streamed))
+  }
+
   test("streaming exact dedup drops in-watermark duplicates, keeps firsts") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
@@ -115,6 +143,13 @@ class StreamingSpec extends SparkSpec {
       val closedInBatch = spark.table("sess_test")
         .as[(Long, Timestamp, Timestamp, Long)].collect()
       assert(closedInBatch.exists(r => r._1 == 9L && r._4 == 1))
+      // TWO out-of-order events more than a gap before user 11's open
+      // session but within a gap of EACH OTHER: they must merge into ONE
+      // closed session, not two singletons (batch parity)
+      input.addData((11L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData((11L, ts("2024-01-01 10:00:00")), (11L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
       // push the watermark far past every open session's gap horizon
       input.addData((1L, ts("2024-01-01 20:00:00")))
       q.processAllAvailable()
@@ -126,6 +161,10 @@ class StreamingSpec extends SparkSpec {
       assert(u7.length == 1 && u7.head._4 == 3)
       assert(u7.head._2 == ts("2024-01-01 09:45:00")) // lowered by the late event
       assert(u7.head._3 == ts("2024-01-01 10:10:00"))
+      val u11 = rows.filter(_._1 == 11L).sortBy(_._2.getTime)
+      assert(u11.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
     } finally q.stop()
   }
 }
