@@ -112,12 +112,25 @@ object GraftFunctions {
   val vecAvgInfo = new ExpressionInfo(
     classOf[VectorAvgAggregate].getName, "graft_vec_avg")
 
+  val wordGramsInfo = new ExpressionInfo(
+    classOf[WordGrams].getName, "graft_word_grams")
+
+  /** Builder for [[WordGrams]] from a `call_function` argument list:
+    * (text, k literal, distinct literal).
+    */
+  private[functions] def wordGramsBuilder(exprs: Seq[Expression]): Expression =
+    WordGrams(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Boolean])
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fdot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_avg", exprs => VectorAvgAggregate(exprs.head)
         .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_grams", wordGramsBuilder, "built-in")
   }
 }
 
@@ -129,5 +142,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_vec_avg"),
       GraftFunctions.vecAvgInfo,
       exprs => VectorAvgAggregate(exprs.head).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("graft_word_grams"),
+      GraftFunctions.wordGramsInfo,
+      GraftFunctions.wordGramsBuilder))
   }
 }

@@ -67,14 +67,16 @@ object Dedup {
 
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens).
+    * Built on the native codegen [[graft.functions.WordGrams]] expression —
+    * the HOF formulation (`array_distinct(transform(...))`) evaluated
+    * interpreted and was re-evaluated by `InferFiltersFromGenerate` under
+    * every explode, which made shingling the hot spot of the whole fuzzy
+    * pipeline (4 s of its 5 s at sf0.1).
     */
   def withShingles(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val ws = split(lower(col(textCol)), " ")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("shingles",
-      when(size(ws) >= k,
-        array_distinct(transform(sequence(lit(1), size(ws) - (k - 1)),
-          i => array_join(slice(ws, i, lit(k)), " "))))
-        .otherwise(array().cast("array<string>")))
+      call_function("graft_word_grams", lower(col(textCol)), lit(k), lit(true)))
   }
 
   /** Exploded distinct-shingle relation (doc_id, s) — the base for the
@@ -104,19 +106,18 @@ object Dedup {
     */
   /** Raw (non-distinct) exploded word-k-gram relation (doc_id, s) — the
     * shared generator for the MinHash sketch and corpus n-gram counting.
-    * Fans out single-split scans ([[Par.fanOut]]) and pre-filters on the
-    * NATIVE split size so the sequence bound stays >= 1 even under
-    * `InferFiltersFromGenerate` re-evaluation; documents with < k tokens
-    * drop out (same contract as the oracles' empty `range()`).
+    * Fans out single-split scans ([[Par.fanOut]]); documents with < k
+    * tokens yield an empty gram array and drop out of the explode (same
+    * contract as the oracles' empty `range()`). Gram generation is the
+    * native codegen [[graft.functions.WordGrams]] — see [[withShingles]].
     */
   private[ops] def rawGramRows(df: DataFrame, idCol: String,
                                textCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val in = Par.fanOut(df.select(col(idCol), col(textCol)))
-    val ws = split(lower(col(textCol)), " ")
-    val grams = transform(sequence(lit(1), size(ws) - (k - 1)),
-      i => array_join(slice(ws, i, lit(k)), " "))
-    in.filter(size(ws) >= k)
-      .select(col(idCol).as("doc_id"), explode(grams).as("s"))
+    in.select(col(idCol).as("doc_id"),
+      explode(call_function("graft_word_grams",
+        lower(col(textCol)), lit(k), lit(false))).as("s"))
   }
 
   /** Universal-hash family for the MinHash signature: the gram is md5'd
@@ -125,14 +126,28 @@ object Dedup {
     * Mersenne prime p = 2^31 - 1. One string hash + numHashes integer
     * multiply-adds per gram — vs numHashes independent md5 evaluations,
     * which at 16 hashes made md5 the most expensive expression in the
-    * whole suite. Seeds derive from public mixing constants (Knuth's
-    * multiplicative hash 2654435761, Numerical Recipes' LCG increment
-    * 1013904223); the DuckDB oracle replays the identical arithmetic.
+    * whole suite.
+    *
+    * Seed independence matters: each (a_j, b_j) is derived from its own
+    * md5 digest. An earlier revision used `a_j = (j+1)*A mod p`, which
+    * makes `h_j(x) = (j+1) * (A*h + B) mod p` — every signature value a
+    * scalar multiple of ONE hash, so the 16 "independent" minhashes were
+    * heavily correlated, the 4 bands acted like one, and LSH recall on the
+    * planted fixture dropped from 28/28 to 24/28. The seeds are plan-time
+    * Scala constants spliced as literals into BOTH engines (the DuckDB
+    * oracle's `VALUES` list), so parity is by construction.
     */
   val MinhashPrime: Long = 2147483647L
   val MinhashSeeds: IndexedSeq[(Long, Long)] = (0 until 64).map { j =>
-    (((j + 1).toLong * 2654435761L) % MinhashPrime,
-      ((j + 1).toLong * 1013904223L) % MinhashPrime)
+    // first 15 hex digits (60 bits) of md5 over a per-seed tag
+    def h60(tag: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$j".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (h60("graft-minhash-a-") % (MinhashPrime - 1) + 1, // a in [1, p-1]
+      h60("graft-minhash-b-") % MinhashPrime)          // b in [0, p-1]
   }
 
   /** 60-bit md5 prefix of `s` reduced mod [[MinhashPrime]] — the shared
@@ -239,27 +254,38 @@ object Dedup {
     * all three in one cluster whose keeper is the minimum doc id.
     * Returns (node, label) where label is the cluster keeper.
     *
-    * Algorithm: iterated min-label propagation. Every node starts labeled
-    * with itself; each round every node takes the min of its own label and
-    * its neighbors' labels; fixed point in O(component diameter) rounds —
-    * near-dup clusters are short chains, so single-digit rounds in
-    * practice (the planted fixture converges in 2). Deterministic: no
-    * randomness, min is order-insensitive.
+    * Algorithm: min-label propagation WITH pointer jumping. Every node
+    * starts labeled with itself; each round a node takes the min of its
+    * own label, its neighbors' labels, and its label's label (the jump —
+    * classic pointer doubling), so convergence is O(log diameter) rounds
+    * instead of O(diameter): a 1000-long near-dup chain resolves in ~10
+    * rounds, not 1000. Deterministic: no randomness, min is
+    * order-insensitive.
     *
     * Scale posture: state is one (node, label) row per document THAT
     * APPEARS IN A PAIR (candidate-sized, not corpus-sized); each round is
-    * one equi-join + partial-agg shuffle on that relation. Labels are
-    * persisted per round and the previous round is unpersisted once the
-    * new one is materialized, so lineage stays one round deep.
+    * two equi-joins + one partial-agg shuffle on that relation.
+    *
+    * Lineage control: the input and every round's labels are cut with
+    * `localCheckpoint` (eager). Without the cut, round N's logical plan
+    * embeds the FULL upstream pipeline (LSH + verification) N times over —
+    * Catalyst re-analyzes and re-canonicalizes those trees on every round,
+    * which measured 10x slower than the actual 500-row joins at sf0.1.
+    * Checkpointed blocks are reference-counted by the ContextCleaner and
+    * freed when the returned plan is garbage-collected, so repeated calls
+    * do not accumulate cached relations (unlike `persist`, there is no
+    * cache-manager entry to leak). On a multi-executor cluster, flip to
+    * reliable `checkpoint()` (HDFS-backed) if executor loss during the
+    * short resolution phase must be survivable — the algorithm is
+    * unchanged.
     */
   def resolveClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist(sl)
-    edges.count() // serial materialization — see lshCandidatePairs
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist(sl)
+      .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -268,17 +294,20 @@ object Dedup {
         s"label propagation did not converge in $maxRounds rounds")
       val neighborMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(sl)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count() // materializes next
-      labels.unpersist()
-      labels = next
+      val stepped = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("l1"))
+      // pointer jump: follow the candidate label to ITS current label and
+      // take the min — label(v) stays inside v's component (it is always
+      // some member's id), so the fixed point is still the component min
+      val dict = labels.select(col("node").as("dn"), col("label").as("dl"))
+      val next = stepped.join(dict, col("l1") === col("dn"), "left")
+        .select(col("node"), col("old"),
+          least(col("l1"), coalesce(col("dl"), col("l1"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
     }
-    edges.unpersist()
     labels
   }
 

@@ -162,14 +162,18 @@ object TextAnalysis {
     */
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
-    val ws = split(lower(col(textCol)), " ")
-    val grams = transform(sequence(lit(1), size(ws) - (k - 1)),
-      i => array_join(slice(ws, i, lit(k)), " "))
-    df.filter(size(ws) >= k)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // native codegen gram generation (see [[graft.functions.WordGrams]]);
+    // the HOF formulation re-evaluated an interpreted transform 3x per row
+    val grams = call_function("graft_word_grams",
+      lower(col(textCol)), lit(k), lit(false))
+    val dgrams = call_function("graft_word_grams",
+      lower(col(textCol)), lit(k), lit(true))
+    df.filter(size(split(lower(col(textCol)), " ")) >= k)
       .select(col(idCol),
         size(grams).as("n_grams"),
-        size(array_distinct(grams)).as("n_distinct"),
-        round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(dgrams).as("n_distinct"),
+        round(lit(1.0) - size(dgrams).cast("double") /
           size(grams).cast("double"), 6).as("rep_ratio"))
   }
 

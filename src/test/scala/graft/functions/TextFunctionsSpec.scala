@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** [[WordGrams]] must be a drop-in replacement for the HOF formulation it
+  * displaced: `transform(sequence(1, size(ws)-k+1), i -> array_join(
+  * slice(ws, i, k), ' '))` over `ws = split(lower(text), ' ')`, with
+  * `array_distinct` on top for the distinct variant. Equality is checked
+  * on the real documents fixture (planted dups, multi-space edge cases get
+  * explicit rows).
+  */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofGrams(textCol: String, k: Int, distinct: Boolean) = {
+    val ws = split(lower(col(textCol)), " ")
+    val raw = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    if (distinct) array_distinct(raw) else raw
+  }
+
+  private def native(textCol: String, k: Int, distinct: Boolean) = {
+    GraftFunctions.register(spark)
+    call_function("graft_word_grams", lower(col(textCol)), lit(k), lit(distinct))
+  }
+
+  private val edge = Seq(
+    "", " ", "  ", "one", "one two", "one two three",
+    "a  double  space run", " leading space", "trailing space ",
+    "rep rep rep rep rep", "Tabs\tstay intact here today",
+    "ümlaut ünïcode grams über alles").toDF("text")
+
+  for (k <- Seq(2, 3, 5); distinct <- Seq(true, false)) {
+    test(s"word grams k=$k distinct=$distinct match the HOF formulation (edge cases)") {
+      val diff = edge.select(
+        hofGrams("text", k, distinct).as("hof"),
+        native("text", k, distinct).as("ng"))
+        .filter(not(col("hof") === col("ng")))
+      assert(diff.count() == 0, diff.collect().mkString("\n"))
+    }
+  }
+
+  test("word grams match the HOF formulation on the documents fixture (k=3)") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+    val diff = docs.select(
+      hofGrams("text", 3, true).as("hof"),
+      native("text", 3, true).as("ng"))
+      .filter(not(col("hof") === col("ng")))
+    assert(diff.count() == 0)
+  }
+
+  test("null text yields null grams") {
+    val one = Seq(Tuple1[String](null)).toDF("text")
+    assert(one.select(native("text", 3, false)).collect().head.isNullAt(0))
+  }
+}
