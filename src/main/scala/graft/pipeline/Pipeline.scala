@@ -82,9 +82,13 @@ object Pipeline {
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 5000000): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val tmp = new HPath(path + ".__tmp")
-    val old = new HPath(path + ".__old")
     val dest = new HPath(path)
+    // dot-prefixed siblings: Hadoop's hidden-file filter excludes them
+    // from every listing/partition-discovery read, so a crash between the
+    // tmp write and the swap can never surface a half table (or a phantom
+    // `run=<tag>.__tmp` partition under an appended root) to readers
+    val tmp = new HPath(dest.getParent, "." + dest.getName + ".__tmp")
+    val old = new HPath(dest.getParent, "." + dest.getName + ".__old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
     val w = df.write.mode("overwrite")
@@ -123,21 +127,25 @@ object Pipeline {
           csvGold: Boolean, runTag: String,
           retryDelayMillis: Long): RunResult = {
 
+    // Metric discipline under retry: `timed` stays INSIDE the retry so
+    // every attempt records its status + duration (the reference's
+    // per-attempt ETLMetricsContext semantics); DATA metrics (records /
+    // bytes / gauges / page counts) are emitted once, AFTER the stage's
+    // retry boundary, so a failed-then-retried attempt can never
+    // double-count them.
     def stage[T](body: => T): T = retry(3, retryDelayMillis)(body)
 
     // Stage 1 — extract: driver-side paginated fetch into the landing zone.
     // Idempotent under retry: extract() wipes the landing dir first and a
     // page-1 fetch resets sequential sources.
     val files = stage { metrics.timed("extract_brewery_data") {
-      val fs = Extractor.extract(source, lay.landing, perPage,
-        batchTag = "fixture")
-      metrics.incCounter("brewery_etl_extract_pages_total", by = fs.size.toDouble)
-      fs
+      Extractor.extract(source, lay.landing, perPage, batchTag = "fixture")
     }}
+    metrics.incCounter("brewery_etl_extract_pages_total", by = files.size.toDouble)
 
     // Stage 2 — landing -> bronze: union-all of page files (schema-on-read),
     // ingestion metadata, overwrite write, read-back verification (S10).
-    val (bronzeRows, bronzeBytes) = stage { metrics.timed("landing_to_bronze") {
+    val (bronzeRows, bronzeBytes, bronzeFields) = stage { metrics.timed("landing_to_bronze") {
       // FAILFAST: the reference raises on an unreadable/corrupt landing
       // file (landing_to_bronze.py:146-154) rather than skipping it.
       // (Its `finally` also bumps the failure counter on every file —
@@ -147,19 +155,19 @@ object Pipeline {
         .json(lay.landing)
       val bronze = Cleaning.withIngestionMetadata(
         landing, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
-      metrics.setGauge("brewery_etl_transform_schema_fields_count",
-        bronze.schema.fields.length.toDouble)
       atomicOverwrite(spark, bronze, lay.bronze)
       val (rows, bytes) = Extractor.readBack(spark, lay.bronze)
-      metrics.recordsProcessed("landing_to_bronze", rows)
-      metrics.bytesProcessed("landing_to_bronze", bytes)
-      (rows, bytes)
+      (rows, bytes, bronze.schema.fields.length)
     }}
+    metrics.setGauge("brewery_etl_transform_schema_fields_count",
+      bronzeFields.toDouble)
+    metrics.recordsProcessed("landing_to_bronze", bronzeRows)
+    metrics.bytesProcessed("landing_to_bronze", bronzeBytes)
 
     // Stage 3 — bronze -> silver + quarantine: ONE materialized input, two
     // complementary pushdown-filtered sinks. Executor-side input metrics
     // recorded alongside the dir-size gauge.
-    val (silverRows, quarantineRows) = stage { metrics.timed("bronze_to_silver") {
+    val (silverRows, quarantineRows, silverParts) = stage { metrics.timed("bronze_to_silver") {
       graft.metrics.SparkIoMetrics.measure(spark, metrics, "bronze_to_silver") {
       val bronze = spark.read.parquet(lay.bronze)
       Quality.requireColumns(bronze, Breweries.KeyFields)
@@ -171,14 +179,15 @@ object Pipeline {
       atomicOverwrite(spark, cleaned, lay.silver, partitionBy = Seq("location"))
       val sRows = spark.read.parquet(lay.silver).count()
       val qRows = spark.read.parquet(lay.quarantine).count()
-      metrics.recordsProcessed("bronze_to_silver", sRows)
-      metrics.setGauge("brewery_etl_silver_partitions_count",
-        spark.read.parquet(lay.silver).select("location").distinct().count().toDouble)
-      metrics.incCounter("brewery_etl_records_discarded_total",
-        Map("operation" -> "bronze_to_silver"), qRows.toDouble)
-      (sRows, qRows)
+      val parts = spark.read.parquet(lay.silver)
+        .select("location").distinct().count()
+      (sRows, qRows, parts)
       }
     }}
+    metrics.recordsProcessed("bronze_to_silver", silverRows)
+    metrics.setGauge("brewery_etl_silver_partitions_count", silverParts.toDouble)
+    metrics.incCounter("brewery_etl_records_discarded_total",
+      Map("operation" -> "bronze_to_silver"), quarantineRows.toDouble)
 
     // Stage 4 — silver -> gold: the two reference aggregations, one
     // partial+final hash-agg each over the partitioned silver table.
@@ -195,11 +204,12 @@ object Pipeline {
         if (csvGold)
           df.coalesce(1).write.mode("overwrite").option("header", true)
             .csv(lay.gold(name) + "_csv")
-        val n = spark.read.parquet(lay.gold(name)).count()
-        metrics.recordsProcessed(s"gold_$name", n)
-        name -> n
+        name -> spark.read.parquet(lay.gold(name)).count()
       }
     }}
+    goldRows.foreach { case (name, n) =>
+      metrics.recordsProcessed(s"gold_$name", n)
+    }
 
     RunResult(files.size, bronzeRows, bronzeBytes, silverRows,
       quarantineRows, goldRows)

@@ -48,7 +48,17 @@ final class IteratorBrewerySource(mkRows: () => Iterator[String]) extends Brewer
     require(page == nextPage,
       s"sequential source: expected page $nextPage, got $page")
     nextPage += 1
-    rows.take(perPage).mkString("[", ",", "]")
+    // counted drain — NOT rows.take(perPage): Iterator.take leaves the
+    // parent iterator in an undefined state, so reusing it for the next
+    // page relies on implementation behavior
+    val b = new StringBuilder("[")
+    var n = 0
+    while (n < perPage && rows.hasNext) {
+      if (n > 0) b.append(',')
+      b.append(rows.next())
+      n += 1
+    }
+    b.append(']').toString
   }
 }
 

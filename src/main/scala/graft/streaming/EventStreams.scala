@@ -52,18 +52,29 @@ object EventStreams {
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionBuf(sessions: Seq[SessionState])
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
 
   /** Gap-based sessionization as custom streaming state
-    * (`flatMapGroupsWithState` + event-time timeout): a session closes
-    * when no event arrives within `gapMinutes` of its last event (tracked
-    * via watermark timeout) — the streaming analogue of
-    * [[graft.ops.EventOps.sessionize]].
+    * (`flatMapGroupsWithState` + event-time timeout) — the streaming
+    * analogue of [[graft.ops.EventOps.sessionize]], with BATCH PARITY for
+    * every event the engine admits (ts above the watermark).
     *
-    * Within a batch, events are sorted and split on the gap; closed
-    * sessions are emitted immediately, the open tail is kept in state and
-    * emitted when the event-time timeout fires.
+    * State per user is the list of CANDIDATE sessions (merged on the gap,
+    * exactly the batch fold). A candidate is emitted only once the
+    * watermark passes `end + gap`: any still-admissible event has
+    * `ts > watermark >= end + gap`, so nothing can extend or merge into it
+    * any more. Emitting earlier (the previous revision closed a session as
+    * soon as a later in-batch event was a gap ahead) diverges from batch
+    * when an out-of-order event inside the gap arrives in a later
+    * micro-batch. Events at or below the watermark are dropped by the
+    * engine before this function runs — standard Spark late-data
+    * semantics, the one contract batch mode cannot mirror.
+    *
+    * Scale posture: state is a handful of candidate sessions per ACTIVE
+    * user (bounded by watermark delay / gap), timed out on event time; the
+    * raw stream is never buffered.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermark: String = "1 hour"): Dataset[Session] = {
@@ -72,45 +83,43 @@ object EventStreams {
     events.selectExpr("user_id", "ts").as[SessionEvent]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, it, state: GroupState[SessionState]) =>
-          if (it.isEmpty && state.hasTimedOut) {
-            // watermark passed the gap horizon: close the open session
-            val s = state.get
-            state.remove()
-            Iterator(Session(uid, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n))
-          } else {
-            // batch events as singleton intervals + the open session,
-            // sorted by start, fold-merged on the gap — the SAME split
-            // batch sessionize performs, so out-of-order events within the
-            // watermark merge with each other (not only with the open
-            // session) before anything is declared closed
-            val items = (it.map(e =>
-              SessionState(e.ts.getTime, e.ts.getTime, 1)).toSeq ++
-              state.getOption.toSeq).sortBy(s => (s.start, s.end))
-            val closed = Seq.newBuilder[Session]
-            var cur: Option[SessionState] = None
-            items.foreach { s =>
-              cur match {
-                case Some(c) if s.start - c.end <= gapMs =>
-                  cur = Some(SessionState(c.start, math.max(c.end, s.end),
-                    c.n + s.n))
-                case Some(c) =>
-                  closed += Session(uid, new java.sql.Timestamp(c.start),
-                    new java.sql.Timestamp(c.end), c.n)
-                  cur = Some(s)
-                case None =>
-                  cur = Some(s)
-              }
+        case (uid, it, state: GroupState[SessionBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // batch events as singleton intervals + existing candidates,
+          // sorted by start, fold-merged on the gap — the batch split
+          val items = (it.map(e =>
+            SessionState(e.ts.getTime, e.ts.getTime, 1)).toSeq ++
+            state.getOption.map(_.sessions).getOrElse(Seq.empty))
+            .sortBy(s => (s.start, s.end))
+          val merged = Seq.newBuilder[SessionState]
+          var cur: Option[SessionState] = None
+          items.foreach { s =>
+            cur match {
+              case Some(c) if s.start - c.end <= gapMs =>
+                cur = Some(SessionState(c.start, math.max(c.end, s.end),
+                  c.n + s.n))
+              case Some(c) =>
+                merged += c
+                cur = Some(s)
+              case None =>
+                cur = Some(s)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
           }
+          cur.foreach(merged += _)
+          // finalized = unreachable by any admissible future event
+          val (closed, open) = merged.result().partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(open))
+            // fire when the watermark can finalize the earliest candidate
+            // (> wm by construction: everything <= wm was just closed)
+            state.setTimeoutTimestamp(open.map(_.end + gapMs).min)
+          }
+          closed.sortBy(_.start).iterator.map(s =>
+            Session(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
       }
   }
 }

@@ -66,16 +66,27 @@ class SimilaritySpec extends SparkSpec {
     assert(snap(onceMore) == snap(learned))
     // cells can only merge/die, never appear
     assert(learned.count() <= seed.count())
-    // the learned quantizer must not search WORSE than the raw seed subset
+    // Lloyd's guarantee is the QUANTIZATION OBJECTIVE (mean cosine of each
+    // vector to its assigned centroid — spherical k-means is monotone in
+    // it), NOT IVF recall at a fixed nprobe, which on this structureless
+    // random fixture is noise either way. Assert the objective improved,
+    // and that the learned book still searches sanely.
+    def objective(cb: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = Similarity.ivfAssign(e, cb)
+      val c = cb.select(col("vec_id").as("centroid_id"),
+        col("embedding").as("ce"))
+      assigned.join(c, Seq("centroid_id"))
+        .select(avg(Similarity.cosine(col("embedding"), col("ce"))))
+        .as[Double].collect().head
+    }
+    assert(objective(learned) >= objective(seed) - 1e-4)
     val pred = col("vec_id") % 100 === 0
     val brute = Similarity.bruteForceTopK(e, pred, 10)
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
-    def recall(cb: org.apache.spark.sql.DataFrame) = {
-      val got = Similarity.ivfTopKWith(e, cb, pred, nprobe = 3, k = 10)
-        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
-      (brute & got).size.toDouble / brute.size
-    }
-    assert(recall(learned) >= recall(seed))
+    val got = Similarity.ivfTopKWith(e, learned, pred, nprobe = 3, k = 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"learned-IVF recall $recall too low")
   }
 
   test("SRP buckets: deterministic, cosine-sensitive, within range") {

@@ -137,18 +137,19 @@ class StreamingSpec extends SparkSpec {
       // must merge and LOWER session_start (batch parity)
       input.addData((7L, ts("2024-01-01 09:45:00")))
       q.processAllAvailable()
-      // same batch split: two sessions for user 9 arrive together
+      // two sessions for user 9 arrive in ONE batch; the first is a gap
+      // ahead but must stay HELD until the watermark passes its horizon
+      // (an out-of-order event could still merge into it)
       input.addData((9L, ts("2024-01-01 10:30:00")), (9L, ts("2024-01-01 12:00:00")))
       q.processAllAvailable()
-      val closedInBatch = spark.table("sess_test")
-        .as[(Long, Timestamp, Timestamp, Long)].collect()
-      assert(closedInBatch.exists(r => r._1 == 9L && r._4 == 1))
+      assert(spark.table("sess_test").count() == 0) // watermark still behind
       // TWO out-of-order events more than a gap before user 11's open
-      // session but within a gap of EACH OTHER: they must merge into ONE
-      // closed session, not two singletons (batch parity)
+      // session but within a gap of EACH OTHER (and above the 10:00
+      // watermark): they must merge into ONE session, not two singletons
+      // (batch parity)
       input.addData((11L, ts("2024-01-01 12:00:00")))
       q.processAllAvailable()
-      input.addData((11L, ts("2024-01-01 10:00:00")), (11L, ts("2024-01-01 10:10:00")))
+      input.addData((11L, ts("2024-01-01 10:05:00")), (11L, ts("2024-01-01 10:14:00")))
       q.processAllAvailable()
       // push the watermark far past every open session's gap horizon
       input.addData((1L, ts("2024-01-01 20:00:00")))
@@ -161,9 +162,13 @@ class StreamingSpec extends SparkSpec {
       assert(u7.length == 1 && u7.head._4 == 3)
       assert(u7.head._2 == ts("2024-01-01 09:45:00")) // lowered by the late event
       assert(u7.head._3 == ts("2024-01-01 10:10:00"))
+      val u9 = rows.filter(_._1 == 9L).sortBy(_._2.getTime)
+      assert(u9.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+        (ts("2024-01-01 10:30:00"), ts("2024-01-01 10:30:00"), 1L),
+        (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
       val u11 = rows.filter(_._1 == 11L).sortBy(_._2.getTime)
       assert(u11.map(r => (r._2, r._3, r._4)).toSeq == Seq(
-        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        (ts("2024-01-01 10:05:00"), ts("2024-01-01 10:14:00"), 2L),
         (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
     } finally q.stop()
   }
