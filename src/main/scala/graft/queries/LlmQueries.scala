@@ -118,20 +118,23 @@ object LlmQueries {
        |                JOIN sz sb ON doc_b = sb.doc_id
        |        WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5)""".stripMargin
 
-  /** [[FuzzyCtes]] extended with min-label connected components over the
-    * verified pairs (recursive reachability walk — every node's cluster
-    * label is the minimum id it can reach over symmetric edges), mirroring
+  /** Min-label connected components over a (doc_a, doc_b) pair CTE
+    * (recursive reachability walk — every node's cluster label is the
+    * minimum id it can reach over symmetric edges), mirroring
     * [[Dedup.resolveClusters]]'s fixed point. Splice after WITH RECURSIVE.
     */
-  private val ClusterCtes: String =
-    s"""$FuzzyCtes,
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
-       |          UNION SELECT doc_b, doc_a FROM ver),
+  private def clusterWalkCtes(pairCte: String): String =
+    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM $pairCte
+       |          UNION SELECT doc_b, doc_a FROM $pairCte),
        |walk(node, reach) AS (
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
        |cc AS (SELECT node, min(reach) AS keeper FROM walk GROUP BY 1)""".stripMargin
+
+  private val ClusterCtes: String =
+    s"""$FuzzyCtes,
+       |${clusterWalkCtes("ver")}""".stripMargin
 
   /** Shared SimHash CTE prefix (64-bit tf-weighted, two 32-bit halves). */
   private val SimhashCtes: String =
@@ -149,6 +152,29 @@ object LlmQueries {
       |         CAST(sum(CASE WHEN s > 0 AND i >= 32
       |             THEN 1::BIGINT << CAST(63 - i AS INT) ELSE 0 END) AS BIGINT) AS simhash_lo
       |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** [[SimhashCtes]] extended to the pigeonhole-banded candidate pairs and
+    * the hamming-verified pair set `spairs` (mirrors
+    * [[Dedup.simhashPairs]]) — shared by the pair and cluster oracles.
+    */
+  private val SimhashPairCtes: String =
+    s"""$SimhashCtes,
+       |bnd AS (SELECT doc_id, b,
+       |          CASE b WHEN 0 THEN simhash_hi >> 16
+       |                 WHEN 1 THEN simhash_hi & 65535
+       |                 WHEN 2 THEN simhash_lo >> 16
+       |                 ELSE simhash_lo & 65535 END AS v
+       |        FROM sh, unnest(range(0, 4)) t(b)),
+       |cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM bnd a JOIN bnd b
+       |        ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+       |spairs AS (SELECT doc_a, doc_b,
+       |             CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) +
+       |                  bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INT) AS hamming
+       |           FROM cnd JOIN sh x ON doc_a = x.doc_id
+       |                    JOIN sh y ON doc_b = y.doc_id
+       |           WHERE bit_count(xor(x.simhash_hi, y.simhash_hi)) +
+       |                 bit_count(xor(x.simhash_lo, y.simhash_lo)) <= 3)""".stripMargin
 
   val queries: Map[String, Query] = Map(
 
@@ -197,6 +223,17 @@ object LlmQueries {
       Dedup.simhashPairs(
         Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
         maxHamming = 3)),
+
+    // cluster resolution over the OTHER sketch family's verified pairs —
+    // the same resolveClusters operator composes with any pair source
+    "dedup_simhash_resolved" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+        maxHamming = 3)
+      Dedup.resolveClusters(pairs)
+        .select(col("node").as("doc_id"), col("label").as("keeper_id"),
+          when(col("node") === col("label"), 1).otherwise(0).as("kept"))
+    }),
 
     "dedup_embedding_pairs" -> ((s, dir) =>
       Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), "label", 0.35)),
@@ -390,22 +427,15 @@ object LlmQueries {
          |SELECT doc_id, simhash_hi, simhash_lo FROM sh""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      s"""WITH $SimhashCtes,
-         |bnd AS (SELECT doc_id, b,
-         |          CASE b WHEN 0 THEN simhash_hi >> 16
-         |                 WHEN 1 THEN simhash_hi & 65535
-         |                 WHEN 2 THEN simhash_lo >> 16
-         |                 ELSE simhash_lo & 65535 END AS v
-         |        FROM sh, unnest(range(0, 4)) t(b)),
-         |cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |        FROM bnd a JOIN bnd b
-         |        ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |       CAST(bit_count(xor(x.simhash_hi, y.simhash_hi)) +
-         |            bit_count(xor(x.simhash_lo, y.simhash_lo)) AS INT) AS hamming
-         |FROM cnd JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
-         |WHERE bit_count(xor(x.simhash_hi, y.simhash_hi)) +
-         |      bit_count(xor(x.simhash_lo, y.simhash_lo)) <= 3""".stripMargin,
+      s"""WITH $SimhashPairCtes
+         |SELECT doc_a, doc_b, hamming FROM spairs""".stripMargin,
+
+    "dedup_simhash_resolved" ->
+      s"""WITH RECURSIVE $SimhashPairCtes,
+         |${clusterWalkCtes("spairs")}
+         |SELECT node AS doc_id, keeper AS keeper_id,
+         |       CAST(CASE WHEN node = keeper THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM cc""".stripMargin,
 
     "dedup_embedding_pairs" ->
       s"""SELECT vec_a, vec_b, round(sim, 6) AS cosine FROM (

@@ -79,6 +79,16 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._3 > 0.9) >= 20) // the bulk sit at Jaccard ~0.98
   }
 
+  test("cluster resolution composes with simhash pairs (other sketch family)") {
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(docs, "doc_id", "text"), maxHamming = 3)
+    val out = Dedup.resolveClusters(pairs).as[(Long, Long)].collect().toMap
+    // identical docs 1/2 are hamming-0 — one cluster with keeper 1
+    assert(out(1L) == 1L && out(2L) == 1L)
+    // every label is a member of the pair graph and <= its node
+    assert(out.forall { case (n, l) => l <= n && out.contains(l) })
+  }
+
   test("cluster resolution: chains collapse to the min id, converges") {
     // A~B, B~C (a chain — NOT a clique) plus an independent pair D~E:
     // min-label propagation must converge across the chain hop
