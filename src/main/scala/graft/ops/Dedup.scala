@@ -60,10 +60,30 @@ object Dedup {
 
   /** md5-derived bucket 0-99 from the first 8 hex digits of md5(id) —
     * 32 bits, so the mod-100 bias is ~2e-8 (4 digits would skew buckets
-    * 0-35 by 1/655 relative).
+    * 0-35 by 1/655 relative). Public: the split primitive for
+    * train/test/holdout carving and for [[incrementalLshCandidates]]'s
+    * batch-vs-corpus fixtures.
     */
-  private[ops] def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def hashBucket(id: Column): Column =
     (conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast("long") % 100)
+
+  /** Deterministic stratified sample: the first `nPer` rows of every
+    * `groupCol` stratum, ordered by md5(id) (id as tiebreak) — the
+    * per-language / per-source quota primitive for corpus balancing.
+    * Unlike `sampleBy` the result is engine- and run-reproducible.
+    *
+    * Scale posture: one shuffle on the stratum key; Spark plans the
+    * rank-filter as WindowGroupLimit (per-partition partial top-n before
+    * the exchange), so the shuffle carries at most nPer rows per
+    * (stratum, input partition), not the corpus.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       nPer: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nPer).drop("__rk")
+  }
 
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens).
@@ -176,22 +196,30 @@ object Dedup {
     * the sketch aggregation underneath is one reused exchange, so the
     * corpus-side work runs once.
     */
+  /** (doc_id, band, sig) LSH band relation — the unit that gets indexed,
+    * self-joined ([[lshCandidatePairs]]) or joined against an existing
+    * index ([[incrementalLshCandidates]]). Band signature = the
+    * comma-joined hash values themselves (~40 chars for 4 ints) — hashing
+    * them again would cost more than it saves.
+    */
+  private def bandRelation(df: DataFrame, idCol: String, numHashes: Int,
+                           bands: Int, textCol: String, k: Int): DataFrame = {
+    val r = numHashes / bands
+    minhashSketch(df, idCol, textCol, k, numHashes).select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)
+      }: _*)).as(Seq("band", "sig")))
+  }
+
   def lshCandidatePairs(df: DataFrame, idCol: String,
                         numHashes: Int, bands: Int,
                         textCol: String = "text", k: Int = 3): DataFrame = {
-    val r = numHashes / bands
-    val sketch = minhashSketch(df, idCol, textCol, k, numHashes)
     // The band relation is sketch-sized (bands rows x ~50 B per document —
     // orders of magnitude under the corpus). PERSIST it so the bucket
     // self-join reads one materialization instead of recomputing the whole
     // scan->shingle->sketch pipeline per join side (broadcast joins have
     // no common exchange for ReuseExchange to dedup).
-    // band signature = the comma-joined hash values themselves (~40 chars
-    // for 4 ints) — hashing them again would cost more than it saves
-    val banded = sketch.select(col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws(",", (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)
-      }: _*)).as(Seq("band", "sig")))
+    val banded = bandRelation(df, idCol, numHashes, bands, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize ONCE, serially, before the join: its two sides (stream +
     // broadcast thread) would otherwise race to compute the same cache
@@ -204,6 +232,38 @@ object Dedup {
       && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental-ingestion LSH candidates: near-dup candidates for a NEW
+    * batch of documents against an already-ingested corpus, plus within
+    * the batch itself — WITHOUT ever joining the old corpus against
+    * itself. This is the shape a production pipeline actually runs on
+    * every ingest: the corpus band relation is an INDEX (computed once,
+    * stored alongside the corpus — here recomputed from `corpus` since
+    * the fixture has no persisted index), and each batch pays
+    * O(|batch| x bucket density), independent of corpus-squared.
+    *
+    * Result equals `lshCandidatePairs(corpus union batch)` restricted to
+    * pairs touching the batch (band signatures are per-document, so the
+    * split changes nothing), with pairs in canonical (min, max) order.
+    */
+  def incrementalLshCandidates(corpus: DataFrame, batch: DataFrame,
+                               idCol: String, numHashes: Int, bands: Int,
+                               textCol: String = "text", k: Int = 3): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bOld = bandRelation(corpus, idCol, numHashes, bands, textCol, k).persist(sl)
+    bOld.count() // serial materialization — see lshCandidatePairs
+    val bNew = bandRelation(batch, idCol, numHashes, bands, textCol, k).persist(sl)
+    bNew.count()
+    val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+    val cross = bNew.as("a").join(bOld.as("b"),
+      onBand && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val intra = bNew.as("a").join(bNew.as("b"),
+      onBand && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    cross.union(intra).distinct()
   }
 
   /** Exact n-gram Jaccard over a candidate-pair set: the corpus is first

@@ -177,6 +177,45 @@ object TextAnalysis {
           size(grams).cast("double"), 6).as("rep_ratio"))
   }
 
+  /** One-pass C4/Gopher-style curation filter: language, token-count
+    * band, composite quality score and within-document repetition computed
+    * in a SINGLE map-only projection over one scan (not a join of the
+    * individual signal operators — at 100 TB the corpus is read once), and
+    * the kept rows returned with their signals.
+    *
+    * Documents with fewer than `k` tokens have no k-grams and are dropped
+    * (they cannot pass a sane `minTokens` anyway).
+    */
+  def curationFilter(df: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int, maxTokens: Int, minQuality: Double,
+                     maxRepetition: Double, keepLang: String,
+                     k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val ws = tokens(col(textCol))
+    val nTok = size(ws).cast("double")
+    val stopRatio = hits(ws, "en").cast("double") / nTok
+    val score = least(nTok / lit(100.0), lit(1.0)) *
+      (lit(1.0) - abs(stopRatio - lit(0.4)))
+    val grams = call_function("graft_word_grams",
+      lower(col(textCol)), lit(k), lit(false))
+    val dgrams = call_function("graft_word_grams",
+      lower(col(textCol)), lit(k), lit(true))
+    val rep = lit(1.0) - size(dgrams).cast("double") / size(grams).cast("double")
+    df.filter(size(ws) >= k)
+      .select(col(idCol) +:
+        LangPriority.map(l => hits(ws, l).as(s"s_$l")) :+
+        size(ws).as("n_tokens") :+
+        round(score, 6).as("quality_score") :+
+        round(rep, 6).as("rep_ratio"): _*)
+      .withColumn("predicted_lang", argmaxLang(l => col(s"s_$l")))
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("quality_score") >= minQuality &&
+        col("rep_ratio") <= maxRepetition &&
+        col("predicted_lang") === keepLang)
+      .select(col(idCol), col("n_tokens"), col("quality_score"),
+        col("rep_ratio"), col("predicted_lang"))
+  }
+
   /** Sequence packing for pretraining prep: assign documents (in a
     * deterministic order) to fixed-capacity bins by cumulative length —
     * the running-total formulation (bin = floor(previous-cumsum /

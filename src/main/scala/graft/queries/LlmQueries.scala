@@ -153,6 +153,18 @@ object LlmQueries {
       |             THEN 1::BIGINT << CAST(63 - i AS INT) ELSE 0 END) AS BIGINT) AS simhash_lo
       |       FROM bits GROUP BY 1)""".stripMargin
 
+  /** md5-derived bucket 0-99 of doc_id (mirrors [[Dedup.hashBucket]]):
+    * first 8 hex digits of md5 as a 32-bit int, a polynomial over
+    * per-digit strpos values (DuckDB has no hex->int conv), mod 100.
+    */
+  private val HashBucketSql: String = {
+    val terms = (1 to 8).map { i =>
+      val pow = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+    }.mkString(" +\n           ")
+    s"CAST($terms AS BIGINT) % 100"
+  }
+
   /** [[SimhashCtes]] extended to the pigeonhole-banded candidate pairs and
     * the hamming-verified pair set `spairs` (mirrors
     * [[Dedup.simhashPairs]]) — shared by the pair and cluster oracles.
@@ -189,6 +201,21 @@ object LlmQueries {
     // deterministic 20%-per-document sample (train/test-split primitive)
     "sample_hash_20pct" -> ((s, dir) =>
       Dedup.hashSample(Tables.documents(s, dir), "doc_id", 20)),
+
+    // deterministic per-language quota (corpus-balancing primitive)
+    "sample_stratified" -> ((s, dir) =>
+      Dedup.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 50)),
+
+    // incremental ingest: LSH candidates for a 20% "new batch" against the
+    // other 80% "already-ingested corpus" (hash-bucket split), computed
+    // batch-vs-index — the old corpus is never self-joined
+    "dedup_incremental_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalLshCandidates(
+        docs.filter(Dedup.hashBucket(col("doc_id")) >= 20),
+        docs.filter(Dedup.hashBucket(col("doc_id")) < 20),
+        "doc_id", numHashes = 16, bands = 4)
+    }),
 
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id",
@@ -306,6 +333,13 @@ object LlmQueries {
       TextAnalysis.commonNgrams(Tables.documents(s, dir), "doc_id", "text",
         k = 5, minDocs = 2)),
 
+    // one-pass curation filter: english, 20-2000 tokens, quality >= 0.1,
+    // repetition <= 0.2 — the composed keep-set with its signals
+    "text_curation" -> ((s, dir) =>
+      TextAnalysis.curationFilter(Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en")),
+
     // one Lloyd iteration from the deterministic seed codebook (exploded
     // for scalar-row oracle comparison)
     "vec_kmeans_iter" -> ((s, dir) => {
@@ -392,16 +426,25 @@ object LlmQueries {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents
         |                 GROUP BY md5(lower(text)))""".stripMargin,
 
-    "sample_hash_20pct" -> {
-      // first 8 hex digits of md5(id) as a 32-bit int: polynomial over
-      // per-digit strpos values (DuckDB has no hex->int conv)
-      val terms = (1 to 8).map { i =>
-        val pow = 1L << (4 * (8 - i))
-        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $pow"
-      }.mkString(" +\n           ")
+    "sample_hash_20pct" ->
       s"""SELECT * FROM documents
-         |WHERE CAST($terms AS BIGINT) % 100 < 20""".stripMargin
-    },
+         |WHERE $HashBucketSql < 20""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT * EXCLUDE (rk) FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50""".stripMargin,
+
+    // the incremental operator's result set is, by construction, the full
+    // candidate set restricted to pairs touching the new batch
+    "dedup_incremental_pairs" ->
+      s"""WITH $MinhashCtes,
+         |nw AS (SELECT doc_id FROM documents WHERE $HashBucketSql < 20)
+         |SELECT doc_a, doc_b FROM cand
+         |WHERE doc_a IN (SELECT doc_id FROM nw)
+         |   OR doc_b IN (SELECT doc_id FROM nw)""".stripMargin,
 
     "dedup_minhash_pairs" ->
       s"""WITH $MinhashCtes
@@ -626,6 +669,36 @@ object LlmQueries {
         |       round(1.0 - CAST(count(DISTINCT gm) AS DOUBLE) / count(*), 6)
         |         AS rep_ratio
         |FROM g GROUP BY 1""".stripMargin,
+
+    "text_curation" -> {
+      val en = sqlList(StopEn)
+      val scoreCols = TextAnalysis.LangPriority.map { l =>
+        s"CAST(len(list_filter(ws, w -> list_contains(" +
+          s"${sqlList(TextAnalysis.Stopwords(l))}, w))) AS INT) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |x AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS nt,
+         |        CAST(len(list_filter(ws, w -> list_contains($en, w))) AS DOUBLE) AS hits,
+         |  $scoreCols
+         |      FROM t WHERE len(ws) >= 3),
+         |g AS (SELECT doc_id,
+         |        round(1.0 - CAST(count(DISTINCT gm) AS DOUBLE) / count(*), 6)
+         |          AS rep_ratio
+         |      FROM (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gm
+         |            FROM t, unnest(range(1, greatest(len(ws)-2, 0)+1)) u(i))
+         |      GROUP BY 1),
+         |s AS (SELECT x.doc_id, CAST(nt AS INT) AS n_tokens,
+         |        round(least(nt / 100, CAST(1 AS DOUBLE)) *
+         |              (1 - abs(hits / nt - 0.4)), 6) AS quality_score,
+         |        g.rep_ratio,
+         |        ${argmaxSql("s_")} AS predicted_lang
+         |      FROM x JOIN g USING (doc_id))
+         |SELECT doc_id, n_tokens, quality_score, rep_ratio, predicted_lang
+         |FROM s
+         |WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.1
+         |  AND rep_ratio <= 0.2 AND predicted_lang = 'en'""".stripMargin
+    },
 
     "text_pack_bins" ->
       """SELECT doc_id, n_chars,

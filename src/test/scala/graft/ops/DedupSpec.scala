@@ -79,6 +79,33 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._3 > 0.9) >= 20) // the bulk sit at Jaccard ~0.98
   }
 
+  test("incremental LSH candidates = full candidates restricted to the batch") {
+    val corpus = Tables.documents(spark, sf0001)
+    val batch = corpus.filter(Dedup.hashBucket(col("doc_id")) < 20)
+    val rest = corpus.filter(Dedup.hashBucket(col("doc_id")) >= 20)
+    val inc = Dedup.incrementalLshCandidates(rest, batch, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.lshCandidatePairs(corpus, "doc_id", 16, 4)
+      .as[(Long, Long)].collect()
+      .filter(p => batchIds(p._1) || batchIds(p._2)).toSet
+    assert(inc == full)
+    assert(inc.forall { case (a, b) => a < b })
+  }
+
+  test("stratified sample: per-group quota, deterministic, subset of input") {
+    val docs = Tables.documents(spark, sf0001)
+    val s1 = Dedup.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val s2 = Dedup.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(s1.sorted.toSeq == s2.sorted.toSeq)
+    val perGroup = s1.groupBy(_._1).view.mapValues(_.length)
+    assert(perGroup.values.forall(_ <= 5))
+    val langs = docs.select("lang").distinct().as[String].collect()
+    assert(perGroup.keySet == langs.toSet) // every stratum represented
+  }
+
   test("cluster resolution composes with simhash pairs (other sketch family)") {
     val pairs = Dedup.simhashPairs(
       Dedup.simhash(docs, "doc_id", "text"), maxHamming = 3)

@@ -66,6 +66,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._4 == 0.0)
   }
 
+  test("curation filter: single pass keeps in-band english docs with signals") {
+    val corpus = Seq(
+      // kept: english, 20-2000 tokens, low repetition
+      (1L, ("the cat sat on a mat and the dog ran to the park with a ball " +
+        "for fun in the sun all day")),
+      // dropped: too few tokens
+      (2L, "the quick brown fox"),
+      // dropped: german
+      (3L, ("der hund und die katze auf der strasse mit einem ball und " +
+        "der sonne ist das leben auf dem land sehr schoen heute")),
+      // dropped: extreme repetition
+      (4L, Seq.fill(10)("the cat sat").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curationFilter(corpus, "doc_id", "text",
+      minTokens = 20, maxTokens = 2000, minQuality = 0.05,
+      maxRepetition = 0.2, keepLang = "en")
+      .as[(Long, Int, Double, Double, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L))
+    val kept = out.head
+    assert(kept._2 >= 20 && kept._5 == "en" && kept._4 <= 0.2)
+  }
+
   test("bin packing: cumulative capacity assignment, deterministic order") {
     val d = Seq((1L, 3000L), (2L, 3000L), (3L, 3000L), (4L, 100L))
       .toDF("doc_id", "n_chars")
