@@ -68,6 +68,141 @@ object WordGramsUtil {
   }
 }
 
+/** Runtime for [[StopwordHits]] and [[CharGramFingerprint]]: single-pass
+  * compiled scans over the text, no token-array allocation, no per-element
+  * lambda dispatch.
+  */
+object TextScoreUtil {
+  /** Count of space-separated tokens of `s` contained in `words` —
+    * equivalent to `size(filter(split(s, " "), w -> array_contains(words,
+    * w)))` (empty tokens from split-on-single-space semantics are never
+    * stopwords, so the one-pass scan needs no special-casing).
+    */
+  def hitCount(s: UTF8String, words: java.util.HashSet[String]): Int = {
+    val str = s.toString
+    var hits = 0
+    var start = 0
+    var i = 0
+    val len = str.length
+    while (i <= len) {
+      if (i == len || str.charAt(i) == ' ') {
+        if (i > start && words.contains(str.substring(start, i))) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** (min md5 hex, distinct-gram count) over the rolling char `n`-grams of
+    * `s`; texts shorter than n chars contribute the whole text as the
+    * single gram — mirrors [[graft.ops.TextAnalysis.fingerprint]]'s HOF
+    * formulation and the DuckDB oracle's `substr` walk.
+    */
+  def charGramFingerprint(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nGrams = math.max(str.length - (n - 1), 1)
+    val seen = new java.util.HashSet[String](nGrams * 2)
+    var minHex: String = null
+    var i = 0
+    while (i < nGrams) {
+      val gm = str.substring(i, math.min(i + n, str.length))
+      if (seen.add(gm)) {
+        md.reset()
+        val d = md.digest(gm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
+          hex(2 * j + 1) = HexDigits(d(j) & 0xf)
+          j += 1
+        }
+        val h = new String(hex)
+        if (minHex == null || h < minHex) minHex = h
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(minHex), seen.size)
+  }
+}
+
+/** Native codegen count of stopword occurrences among the space-separated
+  * tokens of a string column — the scoring primitive behind language ID
+  * and quality signals. The HOF formulation (`size(filter(split(...)))`)
+  * is interpreted AND CodegenFallback: one occurrence anywhere in a
+  * predicate knocks the whole operator out of whole-stage codegen, which
+  * also disables subexpression elimination — the curation filter was
+  * re-evaluating `split(lower(text))` ~20x per row because of it.
+  */
+case class StopwordHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_stopword_hits expects a string argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_stopword_hits"
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextScoreUtil.hitCount(input.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", wordSet,
+      classOf[java.util.HashSet[String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextScoreUtil.hitCount($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
+/** Native codegen document fingerprint: struct(fp_min_hash, n_distinct_grams)
+  * over rolling char n-grams, one compiled pass (md5 hashed once per
+  * DISTINCT gram) — replaces two interpreted HOF walks over the gram array.
+  */
+case class CharGramFingerprint(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_fingerprint expects a string argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fp_min_hash",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct_grams",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_char_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextScoreUtil.charGramFingerprint(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextScoreUtil.charGramFingerprint($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramFingerprint =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression for the text-dedup hot path: word k-grams
   * (optionally per-document distinct) of a string column.
   *

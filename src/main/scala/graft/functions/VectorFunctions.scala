@@ -115,6 +115,12 @@ object GraftFunctions {
   val wordGramsInfo = new ExpressionInfo(
     classOf[WordGrams].getName, "graft_word_grams")
 
+  val stopwordHitsInfo = new ExpressionInfo(
+    classOf[StopwordHits].getName, "graft_stopword_hits")
+
+  val charFpInfo = new ExpressionInfo(
+    classOf[CharGramFingerprint].getName, "graft_char_fingerprint")
+
   /** Builder for [[WordGrams]] from a `call_function` argument list:
     * (text, k literal, distinct literal).
     */
@@ -122,6 +128,18 @@ object GraftFunctions {
     WordGrams(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Boolean])
+
+  /** Builder for [[StopwordHits]]: (text, array<string> literal). */
+  private[functions] def stopwordHitsBuilder(exprs: Seq[Expression]): Expression =
+    StopwordHits(exprs.head,
+      exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).toSeq.map(_.toString))
+
+  /** Builder for [[CharGramFingerprint]]: (text, n literal). */
+  private[functions] def charFpBuilder(exprs: Seq[Expression]): Expression =
+    CharGramFingerprint(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -131,6 +149,10 @@ object GraftFunctions {
         .toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_grams", wordGramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stopword_hits", stopwordHitsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_fingerprint", charFpBuilder, "built-in")
   }
 }
 
@@ -145,5 +167,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_word_grams"),
       GraftFunctions.wordGramsInfo,
       GraftFunctions.wordGramsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_stopword_hits"),
+      GraftFunctions.stopwordHitsInfo,
+      GraftFunctions.stopwordHitsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_char_fingerprint"),
+      GraftFunctions.charFpInfo,
+      GraftFunctions.charFpBuilder))
   }
 }

@@ -45,9 +45,16 @@ object TextAnalysis {
 
   private def tokens(textCol: Column): Column = split(lower(textCol), " ")
 
-  private def hits(ws: Column, lang: String): Column =
-    size(filter(ws, w => array_contains(
-      array(Stopwords(lang).map(lit): _*), w)))
+  /** Stopword hit count for `lang` over the lowered text — the native
+    * codegen [[graft.functions.StopwordHits]]. The HOF formulation
+    * (`size(filter(ws, array_contains(...)))`) was CodegenFallback: one
+    * occurrence in a predicate disabled whole-stage codegen AND
+    * subexpression elimination for the whole operator, so multi-signal
+    * filters re-evaluated `split(lower(text))` per reference.
+    */
+  private def hits(loweredText: Column, lang: String): Column =
+    call_function("graft_stopword_hits", loweredText,
+      lit(Stopwords(lang).toArray))
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens
     * (`[a-z0-9]+` runs), plus the recomputed char length.
@@ -62,9 +69,10 @@ object TextAnalysis {
     * argmax with deterministic priority en > de > fr > es on ties.
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = tokens(col(textCol))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lt = lower(col(textCol))
     df.select(col(idCol) +:
-      LangPriority.map(l => hits(ws, l).as(s"s_$l")): _*)
+      LangPriority.map(l => hits(lt, l).as(s"s_$l")): _*)
       .withColumn("predicted_lang", argmaxLang(l => col(s"s_$l")))
   }
 
@@ -74,11 +82,17 @@ object TextAnalysis {
     * rounded to 6 places for cross-engine determinism.
     */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val ws = tokens(col(textCol))
     val nTok = size(ws).cast("double")
-    val meanLen = aggregate(transform(ws, w => length(w)), lit(0),
-      (acc, v) => acc + v).cast("double") / nTok
-    val stopRatio = hits(ws, "en").cast("double") / nTok
+    // sum of token lengths == chars minus separators (single-space split
+    // partitions the string), so the interpreted aggregate/transform fold
+    // reduces to one codegen'd replace — same integer, same oracle
+    // (over lower(text) like the token array, since case mapping can
+    // change length for some code points)
+    val meanLen = length(replace(lower(col(textCol)), lit(" "), lit("")))
+      .cast("double") / nTok
+    val stopRatio = hits(lower(col(textCol)), "en").cast("double") / nTok
     val alnumRatio =
       length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
         .cast("double") / length(col(textCol)).cast("double")
@@ -191,19 +205,18 @@ object TextAnalysis {
                      maxRepetition: Double, keepLang: String,
                      k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    val lt = lower(col(textCol))
     val ws = tokens(col(textCol))
     val nTok = size(ws).cast("double")
-    val stopRatio = hits(ws, "en").cast("double") / nTok
+    val stopRatio = hits(lt, "en").cast("double") / nTok
     val score = least(nTok / lit(100.0), lit(1.0)) *
       (lit(1.0) - abs(stopRatio - lit(0.4)))
-    val grams = call_function("graft_word_grams",
-      lower(col(textCol)), lit(k), lit(false))
-    val dgrams = call_function("graft_word_grams",
-      lower(col(textCol)), lit(k), lit(true))
+    val grams = call_function("graft_word_grams", lt, lit(k), lit(false))
+    val dgrams = call_function("graft_word_grams", lt, lit(k), lit(true))
     val rep = lit(1.0) - size(dgrams).cast("double") / size(grams).cast("double")
     df.filter(size(ws) >= k)
       .select(col(idCol) +:
-        LangPriority.map(l => hits(ws, l).as(s"s_$l")) :+
+        LangPriority.map(l => hits(lt, l).as(s"s_$l")) :+
         size(ws).as("n_tokens") :+
         round(score, 6).as("quality_score") :+
         round(rep, 6).as("rep_ratio"): _*)
@@ -254,13 +267,13 @@ object TextAnalysis {
     * shorter than 8 chars the whole text is the single gram.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // `substring` needs a column-valued position, which the Column API
-    // doesn't expose — build the gram array with a SQL expression.
-    val gramsExpr = expr(
-      s"transform(sequence(1, greatest(length($textCol) - 7, 1)), " +
-        s"i -> substring($textCol, i, 8))")
+    // native codegen one-pass fingerprint (md5 once per DISTINCT gram) —
+    // the HOF formulation built the gram array twice (interpreted) and
+    // md5'd every duplicate occurrence
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fp = call_function("graft_char_fingerprint", col(textCol), lit(8))
     Par.fanOut(df.select(col(idCol), col(textCol))).select(col(idCol),
-      array_min(transform(gramsExpr, g => md5(g))).as("fp_min_hash"),
-      size(array_distinct(gramsExpr)).as("n_distinct_grams"))
+      fp.getField("fp_min_hash").as("fp_min_hash"),
+      fp.getField("n_distinct_grams").as("n_distinct_grams"))
   }
 }

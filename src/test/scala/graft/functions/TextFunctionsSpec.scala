@@ -56,4 +56,38 @@ class TextFunctionsSpec extends SparkSpec {
     val one = Seq(Tuple1[String](null)).toDF("text")
     assert(one.select(native("text", 3, false)).collect().head.isNullAt(0))
   }
+
+  test("stopword hits match the HOF formulation on fixture + edge cases") {
+    GraftFunctions.register(spark)
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .select("text").union(edge)
+    for (lang <- TextAnalysis.LangPriority) {
+      val list = TextAnalysis.Stopwords(lang)
+      val hof = size(filter(split(lower(col("text")), " "),
+        w => array_contains(array(list.map(lit): _*), w)))
+      val ng = call_function("graft_stopword_hits",
+        lower(col("text")), lit(list.toArray))
+      val diff = docs.select(hof.as("a"), ng.as("b"))
+        .filter(col("a") =!= col("b"))
+      assert(diff.count() == 0, s"lang=$lang")
+    }
+  }
+
+  test("char-gram fingerprint matches the HOF formulation on the fixture") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .select("text").union(edge.filter(length(col("text")) > 0))
+    val gramsExpr = expr(
+      "transform(sequence(1, greatest(length(text) - 7, 1)), " +
+        "i -> substring(text, i, 8))")
+    val fp = call_function("graft_char_fingerprint", col("text"), lit(8))
+    val diff = docs.select(
+      array_min(transform(gramsExpr, g => md5(g))).as("h1"),
+      size(array_distinct(gramsExpr)).as("d1"),
+      fp.getField("fp_min_hash").as("h2"),
+      fp.getField("n_distinct_grams").as("d2"))
+      .filter(col("h1") =!= col("h2") || col("d1") =!= col("d2"))
+    assert(diff.count() == 0, diff.collect().take(5).mkString("\n"))
+  }
 }
