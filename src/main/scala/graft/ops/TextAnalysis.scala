@@ -246,6 +246,22 @@ object TextAnalysis {
       .withColumn("bin", floor(col("cum_before") / capacity).cast("long"))
   }
 
+  /** [[packBins]]'s 100 TB shape: pack PER SHARD (window partitioned by
+    * `shardCol`, so every shard's running sum is an independent parallel
+    * task) and namespace the bin id by shard. Bins never span shards —
+    * exactly how a distributed pretraining-prep job lays out sequences.
+    */
+  def packBinsSharded(df: DataFrame, shardCol: String, idCol: String,
+                      lenCol: String, capacity: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol), col(lenCol))
+      .withColumn("cum_before", coalesce(sum(col(lenCol)).over(w), lit(0L)))
+      .withColumn("bin", concat_ws(":", col(shardCol),
+        floor(col("cum_before") / capacity).cast("long")))
+  }
+
   /** Grouped distribution profile of a numeric column (here: document
     * lengths per language): exact percentiles (linear interpolation —
     * Spark `percentile`, not the approximate sketch, so results are

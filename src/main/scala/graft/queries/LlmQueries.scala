@@ -328,6 +328,11 @@ object LlmQueries {
     "text_pack_bins" -> ((s, dir) =>
       TextAnalysis.packBins(Tables.documents(s, dir), "doc_id", "n_chars", 4096)),
 
+    // the distributed shape: per-shard packing, shard-namespaced bin ids
+    "text_pack_bins_sharded" -> ((s, dir) =>
+      TextAnalysis.packBinsSharded(Tables.documents(s, dir), "source",
+        "doc_id", "n_chars", 4096)),
+
     // C4-style boilerplate diagnostics: word 5-grams shared by >= 2 docs
     "text_common_ngrams" -> ((s, dir) =>
       TextAnalysis.commonNgrams(Tables.documents(s, dir), "doc_id", "text",
@@ -706,6 +711,17 @@ object LlmQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    AS cum_before,
         |  CAST(floor(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
+        |    AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
+
+    "text_pack_bins_sharded" ->
+      """SELECT source, doc_id, n_chars,
+        |  CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  source || ':' || CAST(floor(coalesce(sum(n_chars) OVER (
+        |    PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
         |    AS BIGINT) AS bin
         |FROM documents""".stripMargin,

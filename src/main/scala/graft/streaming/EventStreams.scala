@@ -50,6 +50,17 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_key")
 
+  /** Stream-static enrichment: left-join a (small, broadcastable) static
+    * dimension onto the stream. Spark re-plans the static side per
+    * micro-batch, so the join is a map-side broadcast lookup — no
+    * streaming state, no shuffle of the stream. The standard shape for
+    * attaching user/source/catalog attributes during ingestion; for
+    * dimensions too big to broadcast, pre-bucket both sides
+    * ([[graft.sources.BucketedTables]]) and let the join co-locate.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
   final case class SessionBuf(sessions: Seq[SessionState])

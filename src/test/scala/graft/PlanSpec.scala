@@ -59,4 +59,33 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
     assert(p.contains("partial_count"))
   }
+
+  test("stratified sample: partial per-partition top-n BEFORE the exchange") {
+    val p = planOf("sample_stratified")
+    assert(p.contains("WindowGroupLimit"))
+    // Partial limit upstream of the exchange bounds shuffle rows to
+    // nPer per (stratum, input partition)
+    val iPartial = p.indexOf("WindowGroupLimit")
+    val iExchange = p.indexOf("Exchange hashpartitioning")
+    assert(iExchange >= 0 && p.indexOf("Partial") > iExchange,
+      s"expected Partial WindowGroupLimit below the exchange:\n$p")
+    assert(iPartial >= 0)
+  }
+
+  test("curation filter: fully codegen single-scan projection+filter") {
+    val p = planOf("text_curation")
+    // native expressions keep the whole operator inside codegen (the HOF
+    // formulation fell back and lost subexpression elimination)
+    assert(p.contains("*(1) Filter") || p.contains("* Filter"),
+      s"curation filter must stay in WholeStageCodegen:\n$p")
+    assert(!p.contains("Exchange"), "curation must be map-only")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("langid scoring: codegen native hits, no interpreted lambda filter") {
+    val p = planOf("text_langid")
+    assert(p.contains("graft_stopword_hits"))
+    assert(!p.contains("lambdafunction"),
+      s"stopword scoring must not use interpreted HOFs:\n$p")
+  }
 }

@@ -121,6 +121,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim lookup, no streaming state") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (9L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.enrich(
+      input.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, 1.0), (9L, 2.0), (11L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .as[(Long, Double, Option[String])].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((7L, 1.0, Some("gold")),
+        (9L, 2.0, Some("basic")), (11L, 3.0, None))) // left join keeps 11
+    } finally q.stop()
+  }
+
   test("streaming sessionization: event-time timeout closes the session") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
