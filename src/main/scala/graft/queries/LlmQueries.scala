@@ -188,6 +188,41 @@ object LlmQueries {
        |           WHERE bit_count(xor(x.simhash_hi, y.simhash_hi)) +
        |                 bit_count(xor(x.simhash_lo, y.simhash_lo)) <= 3)""".stripMargin
 
+  /** Curation-filter CTE chain over an arbitrary base relation (mirrors
+    * [[TextAnalysis.curationFilter]]); pair with [[CurationSelect]].
+    */
+  private def curationCtes(base: String): String = {
+    val en = sqlList(StopEn)
+    val scoreCols = TextAnalysis.LangPriority.map { l =>
+      s"CAST(len(list_filter(ws, w -> list_contains(" +
+        s"${sqlList(TextAnalysis.Stopwords(l))}, w))) AS INT) AS s_$l"
+    }.mkString(",\n  ")
+    s"""ct AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |       FROM $base),
+       |cx AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS nt,
+       |        CAST(len(list_filter(ws, w -> list_contains($en, w))) AS DOUBLE) AS hits,
+       |  $scoreCols
+       |      FROM ct WHERE len(ws) >= 3),
+       |cg AS (SELECT doc_id,
+       |        round(1.0 - CAST(count(DISTINCT gm) AS DOUBLE) / count(*), 6)
+       |          AS rep_ratio
+       |      FROM (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gm
+       |            FROM ct, unnest(range(1, greatest(len(ws)-2, 0)+1)) u(i))
+       |      GROUP BY 1),
+       |cs AS (SELECT cx.doc_id, CAST(nt AS INT) AS n_tokens,
+       |        round(least(nt / 100, CAST(1 AS DOUBLE)) *
+       |              (1 - abs(hits / nt - 0.4)), 6) AS quality_score,
+       |        cg.rep_ratio,
+       |        ${argmaxSql("s_")} AS predicted_lang
+       |      FROM cx JOIN cg USING (doc_id))""".stripMargin
+  }
+
+  private val CurationSelect: String =
+    """SELECT doc_id, n_tokens, quality_score, rep_ratio, predicted_lang
+      |FROM cs
+      |WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.1
+      |  AND rep_ratio <= 0.2 AND predicted_lang = 'en'""".stripMargin
+
   val queries: Map[String, Query] = Map(
 
     // ---- Deduplication ------------------------------------------------
@@ -344,6 +379,19 @@ object LlmQueries {
       TextAnalysis.curationFilter(Tables.documents(s, dir), "doc_id", "text",
         minTokens = 20, maxTokens = 2000, minQuality = 0.1,
         maxRepetition = 0.2, keepLang = "en")),
+
+    // end-to-end corpus prep: fuzzy near-dup removal (cluster keep-first)
+    // feeding the curation filter — the composition a training-data
+    // pipeline actually ships, as ONE lazy plan
+    "llm_corpus_prep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Dedup.fuzzyKeepFirst(docs,
+        Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4, threshold = 0.5),
+        "doc_id")
+      TextAnalysis.curationFilter(kept, "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en")
+    }),
 
     // one Lloyd iteration from the deterministic seed codebook (exploded
     // for scalar-row oracle comparison)
@@ -675,35 +723,18 @@ object LlmQueries {
         |         AS rep_ratio
         |FROM g GROUP BY 1""".stripMargin,
 
-    "text_curation" -> {
-      val en = sqlList(StopEn)
-      val scoreCols = TextAnalysis.LangPriority.map { l =>
-        s"CAST(len(list_filter(ws, w -> list_contains(" +
-          s"${sqlList(TextAnalysis.Stopwords(l))}, w))) AS INT) AS s_$l"
-      }.mkString(",\n  ")
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-         |           FROM documents),
-         |x AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS nt,
-         |        CAST(len(list_filter(ws, w -> list_contains($en, w))) AS DOUBLE) AS hits,
-         |  $scoreCols
-         |      FROM t WHERE len(ws) >= 3),
-         |g AS (SELECT doc_id,
-         |        round(1.0 - CAST(count(DISTINCT gm) AS DOUBLE) / count(*), 6)
-         |          AS rep_ratio
-         |      FROM (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gm
-         |            FROM t, unnest(range(1, greatest(len(ws)-2, 0)+1)) u(i))
-         |      GROUP BY 1),
-         |s AS (SELECT x.doc_id, CAST(nt AS INT) AS n_tokens,
-         |        round(least(nt / 100, CAST(1 AS DOUBLE)) *
-         |              (1 - abs(hits / nt - 0.4)), 6) AS quality_score,
-         |        g.rep_ratio,
-         |        ${argmaxSql("s_")} AS predicted_lang
-         |      FROM x JOIN g USING (doc_id))
-         |SELECT doc_id, n_tokens, quality_score, rep_ratio, predicted_lang
-         |FROM s
-         |WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.1
-         |  AND rep_ratio <= 0.2 AND predicted_lang = 'en'""".stripMargin
-    },
+    "text_curation" ->
+      s"""WITH ${curationCtes("documents")}
+         |$CurationSelect""".stripMargin,
+
+    // end-to-end corpus prep: fuzzy dedup (keep-first) THEN curation —
+    // one composed plan, one composed oracle
+    "llm_corpus_prep" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |kept AS (SELECT * FROM documents
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |${curationCtes("kept")}
+         |$CurationSelect""".stripMargin,
 
     "text_pack_bins" ->
       """SELECT doc_id, n_chars,
