@@ -391,6 +391,16 @@ object Dedup {
     * the (doc, token, tf) relation — not an exploded (doc, token, bit)
     * relation, which would push 64x the rows through the shuffle. Two
     * doc-keyed shuffles total, each carrying sketch-sized rows.
+    *
+    * Bit extraction: the md5 hex is parsed ONCE per token into two 32-bit
+    * longs (`hh` = hex digits 1-8, `hl` = digits 9-16); bit i is then a
+    * single `shiftright + & 1` on the right half. The per-bit formulation
+    * (`conv(substring(h, i/4+1, 1))` separately for each of the 64 bits)
+    * evaluated 64 substring+conv expression trees per (doc, token) row and
+    * made the sketch the most expensive stage of the whole suite. Digit
+    * d (1-based) of a hex number occupies bits [4*(8-d), 4*(8-d)+3] of its
+    * 32-bit value, so bit i of the digit-wise walk is exactly bit 31-i
+    * (resp. 63-i) of `hh` (resp. `hl`) — identical bits, ~64x fewer parses.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = Par.fanOut(df.select(col(idCol), col(textCol)))
@@ -398,9 +408,12 @@ object Dedup {
         explode(split(lower(col(textCol)), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("w")))
+      .withColumn("hh", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("hl", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
     def bitScore(i: Int) = {
-      val bit = expr(s"shiftright(CAST(conv(substring(h, ${i / 4 + 1}, 1), " +
-        s"16, 10) AS INT), ${3 - i % 4}) & 1")
+      val bit =
+        if (i < 32) shiftright(col("hh"), 31 - i).bitwiseAND(lit(1L))
+        else shiftright(col("hl"), 63 - i).bitwiseAND(lit(1L))
       sum(col("tf") * (bit * 2 - 1)).as(s"s$i")
     }
     val scores = tok.groupBy("doc_id")
