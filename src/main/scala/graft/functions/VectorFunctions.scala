@@ -121,25 +121,43 @@ object GraftFunctions {
   val charFpInfo = new ExpressionInfo(
     classOf[CharGramFingerprint].getName, "graft_char_fingerprint")
 
+  /** Clear analysis-time error for builder misuse: the parameter slots of
+    * the graft functions are plan-time constants, so anything non-foldable
+    * (or a wrong arity) must fail with a message, not an opaque
+    * NullPointer/ClassCast deep in `eval()`.
+    */
+  private def checkArgs(name: String, exprs: Seq[Expression],
+                        arity: Int, usage: String): Unit = {
+    require(exprs.length == arity, s"$name expects $usage (got ${exprs.length} args)")
+    require(exprs.tail.forall(_.foldable),
+      s"$name expects $usage — all parameters after the first must be literals")
+  }
+
   /** Builder for [[WordGrams]] from a `call_function` argument list:
     * (text, k literal, distinct literal).
     */
-  private[functions] def wordGramsBuilder(exprs: Seq[Expression]): Expression =
+  private[functions] def wordGramsBuilder(exprs: Seq[Expression]): Expression = {
+    checkArgs("graft_word_grams", exprs, 3, "(text, k literal, distinct literal)")
     WordGrams(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Boolean])
+  }
 
   /** Builder for [[StopwordHits]]: (text, array<string> literal). */
-  private[functions] def stopwordHitsBuilder(exprs: Seq[Expression]): Expression =
+  private[functions] def stopwordHitsBuilder(exprs: Seq[Expression]): Expression = {
+    checkArgs("graft_stopword_hits", exprs, 2, "(text, array<string> literal)")
     StopwordHits(exprs.head,
       exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toArray[org.apache.spark.unsafe.types.UTF8String](
           org.apache.spark.sql.types.StringType).toSeq.map(_.toString))
+  }
 
   /** Builder for [[CharGramFingerprint]]: (text, n literal). */
-  private[functions] def charFpBuilder(exprs: Seq[Expression]): Expression =
+  private[functions] def charFpBuilder(exprs: Seq[Expression]): Expression = {
+    checkArgs("graft_char_fingerprint", exprs, 2, "(text, n literal)")
     CharGramFingerprint(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -86,17 +86,22 @@ object Dedup {
   }
 
   /** Distinct word k-gram shingles as an array column `shingles`
-    * (map-only; empty array when the document has fewer than k tokens).
-    * Built on the native codegen [[graft.functions.WordGrams]] expression —
-    * the HOF formulation (`array_distinct(transform(...))`) evaluated
-    * interpreted and was re-evaluated by `InferFiltersFromGenerate` under
-    * every explode, which made shingling the hot spot of the whole fuzzy
-    * pipeline (4 s of its 5 s at sf0.1).
+    * (map-only; empty array when the document has fewer than k tokens OR
+    * the text is NULL — the NULL-text coalesce keeps the historical
+    * empty-array contract even though the underlying native expression is
+    * NULL-in/NULL-out, so consumers computing `size(shingles)` see 0, not
+    * NULL). Built on the native codegen [[graft.functions.WordGrams]]
+    * expression — the HOF formulation (`array_distinct(transform(...))`)
+    * evaluated interpreted and was re-evaluated by
+    * `InferFiltersFromGenerate` under every explode, which made shingling
+    * the hot spot of the whole fuzzy pipeline (4 s of its 5 s at sf0.1).
     */
   def withShingles(df: DataFrame, textCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("shingles",
-      call_function("graft_word_grams", lower(col(textCol)), lit(k), lit(true)))
+      coalesce(
+        call_function("graft_word_grams", lower(col(textCol)), lit(k), lit(true)),
+        typedLit(Seq.empty[String])))
   }
 
   /** Exploded distinct-shingle relation (doc_id, s) — the base for the
@@ -263,7 +268,16 @@ object Dedup {
     val intra = bNew.as("a").join(bNew.as("b"),
       onBand && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    cross.union(intra).distinct()
+    // Eagerly materialize the (small, candidate-sized) result with a
+    // lineage cut, then RELEASE the band-relation caches: this is the
+    // per-ingest production path, so leaving bOld/bNew pinned would
+    // accumulate cache-manager entries across every ingest of a session.
+    // Checkpointed blocks self-free via the ContextCleaner when the
+    // returned plan is collected — same rationale as resolveClusters.
+    val result = cross.union(intra).distinct().localCheckpoint()
+    bOld.unpersist()
+    bNew.unpersist()
+    result
   }
 
   /** Exact n-gram Jaccard over a candidate-pair set: the corpus is first

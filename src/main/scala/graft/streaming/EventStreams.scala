@@ -119,14 +119,21 @@ object EventStreams {
             }
           }
           cur.foreach(merged += _)
-          // finalized = unreachable by any admissible future event
-          val (closed, open) = merged.result().partition(_.end + gapMs <= wm)
+          // finalized = unreachable by any admissible future event. The
+          // engine admits events with ts == watermark (it drops only
+          // ts < wm), so a session is safe to emit only when
+          // end + gap < wm STRICTLY — at equality an event at exactly
+          // end + gap could still arrive and merge in batch mode.
+          val (closed, open) = merged.result().partition(_.end + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionBuf(open))
-            // fire when the watermark can finalize the earliest candidate
-            // (> wm by construction: everything <= wm was just closed)
-            state.setTimeoutTimestamp(open.map(_.end + gapMs).min)
+            // fire when the watermark can finalize the earliest candidate;
+            // the engine requires the timeout to sit strictly above the
+            // current watermark, and end + gap == wm is now possible for
+            // an open candidate — clamp to wm + 1
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end + gapMs).min, wm + 1))
           }
           closed.sortBy(_.start).iterator.map(s =>
             Session(uid, new java.sql.Timestamp(s.start),
