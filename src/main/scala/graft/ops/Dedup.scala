@@ -216,9 +216,45 @@ object Dedup {
       }: _*)).as(Seq("band", "sig")))
   }
 
+  /** Drop every member of a band bucket whose membership exceeds `cap` —
+    * the guard that keeps bucket self-joins from going quadratic when a
+    * real corpus floods near-identical documents into one bucket (a
+    * bucket of n members contributes n^2/2 candidate pairs; one
+    * million-document flood would dominate the whole job). Exact-duplicate
+    * collapse ([[exactKeepFirst]]) is the FIRST line of defense — compose
+    * it upstream, as [[nearDupKeepFirst]] does; the cap is the loud
+    * backstop for floods that survive it. Dropping a bucket trades recall
+    * (its members skip near-dup detection), never correctness of the
+    * surviving pairs, and every drop is reported on stderr with sizes.
+    *
+    * Scale shape: bucket sizes are one partial-agg pass over the
+    * sketch-sized band relation; the hot set (buckets over cap) is tiny by
+    * construction and broadcast for the anti-join — `banded` itself is
+    * never re-shuffled.
+    */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                cap: Int, what: String): DataFrame = {
+    if (cap <= 0) banded
+    else {
+      val hot = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nHot = hot.count()
+      if (nHot > 0) {
+        val dropped = hot.agg(sum(col("__bsz"))).head().getLong(0)
+        System.err.println(s"[graft] $what: dropped $nHot hot bucket(s) " +
+          s"(> $cap members, $dropped rows total) from the candidate " +
+          s"join; their documents skip near-dup detection — collapse " +
+          s"exact duplicates upstream to avoid this")
+      }
+      banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+    }
+  }
+
   def lshCandidatePairs(df: DataFrame, idCol: String,
                         numHashes: Int, bands: Int,
-                        textCol: String = "text", k: Int = 3): DataFrame = {
+                        textCol: String = "text", k: Int = 3,
+                        maxBucketSize: Int = 0): DataFrame = {
     // The band relation is sketch-sized (bands rows x ~50 B per document —
     // orders of magnitude under the corpus). PERSIST it so the bucket
     // self-join reads one materialization instead of recomputing the whole
@@ -231,8 +267,10 @@ object Dedup {
     // blocks concurrently — observed as multi-10x nondeterministic stalls
     // on block locks.
     banded.count()
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val pruned = capBuckets(banded, Seq("band", "sig"), maxBucketSize,
+      "lshCandidatePairs")
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
       && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -316,11 +354,13 @@ object Dedup {
 
   /** Full fuzzy-dedup pipeline: banded-LSH candidates, then exact Jaccard
     * verification (the canonical two-phase near-dup shape at scale).
+    * `maxBucketSize` > 0 enables the hot-bucket backstop ([[capBuckets]]).
     */
   def fuzzy(docs: DataFrame, idCol: String, numHashes: Int, bands: Int,
-            threshold: Double, textCol: String = "text", k: Int = 3): DataFrame =
+            threshold: Double, textCol: String = "text", k: Int = 3,
+            maxBucketSize: Int = 0): DataFrame =
     jaccardVerify(docs,
-      lshCandidatePairs(docs, idCol, numHashes, bands, textCol, k),
+      lshCandidatePairs(docs, idCol, numHashes, bands, textCol, k, maxBucketSize),
       idCol, k, threshold, textCol)
 
   /** Connected-component resolution over verified near-dup PAIRS — the
@@ -395,6 +435,34 @@ object Dedup {
     docs.join(dropped, docs(idCol) === dropped("node"), "left_anti")
   }
 
+  /** The production near-dup dedup composition: exact-duplicate collapse
+    * FIRST, then fuzzy keep-first over the collapsed corpus. A real crawl
+    * corpus contains floods of IDENTICAL documents; uncollapsed, every
+    * member of a flood lands in the same band bucket and the bucket
+    * self-join goes quadratic in the flood size. Collapse makes each
+    * flood contribute ONE bucket member (its keeper); `maxBucketSize`
+    * remains available as the loud backstop for NEAR-identical floods
+    * that survive exact collapse ([[capBuckets]]).
+    *
+    * Returns the deduplicated corpus: exact keepers minus fuzzy-cluster
+    * non-keepers. The collapsed corpus is persisted because the fuzzy
+    * phase scans it three times (sketch, verification semi-join, final
+    * anti-join); on a real cluster at 100 TB, write it to storage between
+    * the phases instead — the composition is unchanged.
+    */
+  def nearDupKeepFirst(docs: DataFrame, idCol: String, numHashes: Int,
+                       bands: Int, threshold: Double,
+                       textCol: String = "text", k: Int = 3,
+                       maxBucketSize: Int = 0): DataFrame = {
+    val collapsed = exactKeepFirst(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    collapsed.count() // serial materialization — see lshCandidatePairs
+    fuzzyKeepFirst(collapsed,
+      fuzzy(collapsed, idCol, numHashes, bands, threshold, textCol, k,
+        maxBucketSize),
+      idCol)
+  }
+
   /** 64-bit tf-weighted SimHash, returned as two 32-bit halves
     * (`simhash_hi`, `simhash_lo`) to stay inside signed-long arithmetic on
     * every engine. Bit i of md5(token) is extracted from its hex digits;
@@ -447,20 +515,23 @@ object Dedup {
     * exactly, so candidates are found with an equi-join on (block, value)
     * and only candidates pay the popcount.
     */
-  def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(sketches: DataFrame, maxHamming: Int,
+                   maxBucketSize: Int = 0): DataFrame = {
     // pigeonhole guarantee: 4 bands of 16 bits find every pair only up to
     // distance 3 (one band must match exactly) — larger thresholds would
     // silently lose recall, so reject them
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     // persist: sketch-sized (4 rows/doc); read once by both join sides
-    val banded = sketches.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+    val banded0 = sketches.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
       posexplode(array(
         shiftright(col("simhash_hi"), 16), col("simhash_hi").bitwiseAND(lit(65535L)),
         shiftright(col("simhash_lo"), 16), col("simhash_lo").bitwiseAND(lit(65535L))))
         .as(Seq("band", "v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.count() // serial materialization — see lshCandidatePairs
+    banded0.count() // serial materialization — see lshCandidatePairs
+    val banded = capBuckets(banded0, Seq("band", "v"), maxBucketSize,
+      "simhashPairs")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&

@@ -146,13 +146,14 @@ object Similarity {
   }
 
   /** SRP-bucketed near-duplicate pairs: candidates share an SRP bucket;
-    * only candidates pay the exact cosine.
+    * only candidates pay the exact cosine. `maxBucketSize` > 0 enables
+    * the hot-bucket backstop (see [[blockedNearDupPairs]]).
     */
   def srpNearDupPairs(embeddings: DataFrame, planes: Int, dim: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, maxBucketSize: Int = 0): DataFrame = {
     val bucketed = embeddings
       .join(srpBuckets(embeddings, planes, dim), Seq("vec_id"))
-    blockedNearDupPairs(bucketed, "bucket", threshold)
+    blockedNearDupPairs(bucketed, "bucket", threshold, maxBucketSize)
   }
 
   /** Per-bucket centroid (element-wise mean embedding) via the custom
@@ -228,8 +229,12 @@ object Similarity {
     * fixture `label` column plays the cell id.
     */
   def blockedNearDupPairs(embeddings: DataFrame, bucketCol: String,
-                          threshold: Double): DataFrame = {
-    val e = withNorm(embeddings)
+                          threshold: Double, maxBucketSize: Int = 0): DataFrame = {
+    // hot-bucket backstop: a degenerate cell (embedding flood, collapsed
+    // quantizer cell) would make the within-bucket pair join quadratic —
+    // cap membership, loudly (see Dedup.capBuckets)
+    val e = Dedup.capBuckets(withNorm(embeddings), Seq(bucketCol),
+      maxBucketSize, "blockedNearDupPairs")
     val a = e.select(col(bucketCol).as("bucket"),
       col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col(bucketCol).as("bucket"),

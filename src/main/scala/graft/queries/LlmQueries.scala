@@ -75,7 +75,7 @@ object LlmQueries {
     * conv), then `(a_j * hm + b_j) mod p` with the seeds spliced from
     * [[Dedup.MinhashSeeds]] so the two engines can never drift.
     */
-  private val MinhashCtes: String = {
+  private def minhashCtes(base: String): String = {
     val p = graft.ops.Dedup.MinhashPrime
     val seedRows = graft.ops.Dedup.MinhashSeeds.take(16).zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
@@ -83,7 +83,7 @@ object LlmQueries {
       val pow = 1L << (4 * (15 - i))
       s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $pow"
     }.mkString(" +\n              ")
-    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $base),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
        |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
        |shm AS (SELECT doc_id,
@@ -100,12 +100,14 @@ object LlmQueries {
        |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** [[MinhashCtes]] extended with exact-Jaccard verification (`ver` =
+  private val MinhashCtes: String = minhashCtes("documents")
+
+  /** [[minhashCtes]] extended with exact-Jaccard verification (`ver` =
     * pairs at or above the 0.5 threshold, raw jaccard in `jac`) — shared
     * by the fuzzy pair, cluster-resolution, and kept-corpus oracles.
     */
-  private val FuzzyCtes: String =
-    s"""$MinhashCtes,
+  private def fuzzyCtes(base: String): String =
+    s"""${minhashCtes(base)},
        |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
        |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
        |       FROM cand c
@@ -117,6 +119,8 @@ object LlmQueries {
        |        FROM iv JOIN sz sa ON doc_a = sa.doc_id
        |                JOIN sz sb ON doc_b = sb.doc_id
        |        WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5)""".stripMargin
+
+  private val FuzzyCtes: String = fuzzyCtes("documents")
 
   /** Min-label connected components over a (doc_a, doc_b) pair CTE
     * (recursive reachability walk — every node's cluster label is the
@@ -298,6 +302,14 @@ object LlmQueries {
         Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4, threshold = 0.5),
         "doc_id")
     }),
+
+    // the guarded production composition: exact collapse FIRST (floods of
+    // identical docs contribute one bucket member), then fuzzy keep-first
+    // with the hot-bucket backstop armed (no fixture bucket exceeds it, so
+    // the oracle is the uncapped pipeline over the collapsed corpus)
+    "dedup_guarded_kept" -> ((s, dir) =>
+      Dedup.nearDupKeepFirst(Tables.documents(s, dir), "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
@@ -537,6 +549,16 @@ object LlmQueries {
     "dedup_fuzzy_kept" ->
       s"""WITH RECURSIVE $ClusterCtes
          |SELECT * FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
+
+    "dedup_guarded_kept" ->
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")}
+         |SELECT * FROM x0
          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
 
     "dedup_simhash" ->
