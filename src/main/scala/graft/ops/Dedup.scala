@@ -515,6 +515,19 @@ object Dedup {
     * exactly, so candidates are found with an equi-join on (block, value)
     * and only candidates pay the popcount.
     */
+  /** SimHash pigeonhole band relation (doc_id, simhash_hi, simhash_lo,
+    * band, v): the 64 bits cut into four 16-bit blocks. This is the unit
+    * an ingestion pipeline PERSISTS as the corpus index — self-joined by
+    * [[simhashPairs]], joined batch-vs-index by
+    * [[incrementalSimhashPairs]].
+    */
+  def simhashBandIndex(sketches: DataFrame): DataFrame =
+    sketches.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      posexplode(array(
+        shiftright(col("simhash_hi"), 16), col("simhash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("simhash_lo"), 16), col("simhash_lo").bitwiseAND(lit(65535L))))
+        .as(Seq("band", "v")))
+
   def simhashPairs(sketches: DataFrame, maxHamming: Int,
                    maxBucketSize: Int = 0): DataFrame = {
     // pigeonhole guarantee: 4 bands of 16 bits find every pair only up to
@@ -523,11 +536,7 @@ object Dedup {
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     // persist: sketch-sized (4 rows/doc); read once by both join sides
-    val banded0 = sketches.select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-      posexplode(array(
-        shiftright(col("simhash_hi"), 16), col("simhash_hi").bitwiseAND(lit(65535L)),
-        shiftright(col("simhash_lo"), 16), col("simhash_lo").bitwiseAND(lit(65535L))))
-        .as(Seq("band", "v")))
+    val banded0 = simhashBandIndex(sketches)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded0.count() // serial materialization — see lshCandidatePairs
     val banded = capBuckets(banded0, Seq("band", "v"), maxBucketSize,
@@ -544,5 +553,47 @@ object Dedup {
       bit_count(col("la").bitwiseXOR(col("lb")))
     cand.filter(dist <= maxHamming)
       .select(col("doc_a"), col("doc_b"), dist.cast("int").as("hamming"))
+  }
+
+  /** Incremental-ingestion SimHash pairs: Hamming near-dups for a NEW
+    * batch of sketches against an already-ingested corpus index, plus
+    * within the batch — the old corpus is never self-joined (same shape
+    * as [[incrementalLshCandidates]], for the other sketch family). The
+    * corpus side is the persisted [[simhashBandIndex]] in production;
+    * here it is recomputed from `corpusSketches`. Equals
+    * `simhashPairs(corpus union batch)` restricted to pairs touching the
+    * batch, in canonical (min, max) id order.
+    */
+  def incrementalSimhashPairs(corpusSketches: DataFrame,
+                              batchSketches: DataFrame,
+                              maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bOld = simhashBandIndex(corpusSketches).persist(sl)
+    bOld.count() // serial materialization — see lshCandidatePairs
+    val bNew = simhashBandIndex(batchSketches).persist(sl)
+    bNew.count()
+    val onBand = col("a.band") === col("b.band") && col("a.v") === col("b.v")
+    def pairCols = Seq(
+      least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+      greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+      col("a.simhash_hi").as("ha"), col("a.simhash_lo").as("la"),
+      col("b.simhash_hi").as("hb"), col("b.simhash_lo").as("lb"))
+    val cross = bNew.as("a").join(bOld.as("b"),
+      onBand && col("a.doc_id") =!= col("b.doc_id")).select(pairCols: _*)
+    val intra = bNew.as("a").join(bNew.as("b"),
+      onBand && col("a.doc_id") < col("b.doc_id")).select(pairCols: _*)
+    val cand = cross.union(intra).distinct()
+    val dist = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+      bit_count(col("la").bitwiseXOR(col("lb")))
+    // eager candidate-sized materialization + cache release — the
+    // per-ingest path must not accumulate cached band relations
+    val result = cand.filter(dist <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), dist.cast("int").as("hamming"))
+      .localCheckpoint()
+    bOld.unpersist()
+    bNew.unpersist()
+    result
   }
 }

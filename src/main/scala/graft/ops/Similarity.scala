@@ -156,6 +156,50 @@ object Similarity {
     blockedNearDupPairs(bucketed, "bucket", threshold, maxBucketSize)
   }
 
+  /** SRP near-dup index relation (vec_id, embedding, nrm, bucket) — what
+    * an ingestion pipeline persists alongside the corpus so each new
+    * batch pays only batch-vs-index work ([[incrementalSrpNearDup]]).
+    */
+  def srpIndex(embeddings: DataFrame, planes: Int, dim: Int): DataFrame =
+    withNorm(embeddings).join(srpBuckets(embeddings, planes, dim), Seq("vec_id"))
+
+  /** Incremental-ingestion embedding near-dup: cosine near-duplicates for
+    * a NEW batch of vectors against an already-ingested corpus, plus
+    * within the batch — the corpus is never self-joined (the SRP
+    * counterpart of [[graft.ops.Dedup.incrementalLshCandidates]]). The
+    * corpus side is the persisted [[srpIndex]] in production; here it is
+    * recomputed from `corpus`. SRP buckets are deterministic per row
+    * (md5-derived hyperplanes), so batch bucketing needs no knowledge of
+    * the corpus. Equals `srpNearDupPairs(corpus union batch)` restricted
+    * to pairs touching the batch, in canonical (min, max) id order.
+    */
+  def incrementalSrpNearDup(corpus: DataFrame, batch: DataFrame,
+                            planes: Int, dim: Int,
+                            threshold: Double): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bOld = srpIndex(corpus, planes, dim).persist(sl)
+    bOld.count() // serial materialization — see Dedup.lshCandidatePairs
+    val bNew = srpIndex(batch, planes, dim).persist(sl)
+    bNew.count()
+    def side(tag: String, d: DataFrame) = d.select(col("bucket"),
+      col("vec_id").as(s"v$tag"), col("embedding").as(s"e$tag"),
+      col("nrm").as(s"n$tag"))
+    val cross = side("a", bNew).join(side("b", bOld), Seq("bucket"))
+      .filter(col("va") =!= col("vb"))
+    val intra = side("a", bNew).join(side("b", bNew), Seq("bucket"))
+      .filter(col("va") < col("vb"))
+    val result = cross.union(intra)
+      .withColumn("sim", fdot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"),
+        round(col("sim"), 6).as("cosine"))
+      .localCheckpoint() // eager + cache release: the per-ingest path
+    bOld.unpersist()
+    bNew.unpersist()
+    result
+  }
+
   /** Per-bucket centroid (element-wise mean embedding) via the custom
     * [[graft.functions.VectorAvgAggregate]] — the training step of an IVF
     * coarse quantizer / k-means iteration. One primitive buffer per

@@ -333,6 +333,26 @@ object LlmQueries {
     "dedup_embedding_pairs" -> ((s, dir) =>
       Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), "label", 0.35)),
 
+    // incremental ingest for the SimHash family: batch (20% hash split) vs
+    // the corpus band index + batch-internal, never corpus self-joined
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      val sk = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.incrementalSimhashPairs(
+        sk.filter(Dedup.hashBucket(col("doc_id")) >= 20),
+        sk.filter(Dedup.hashBucket(col("doc_id")) < 20),
+        maxHamming = 3)
+    }),
+
+    // incremental ingest for embedding near-dup: new vectors vs the
+    // persisted SRP index + batch-internal (vec_id % 5 = the "new batch")
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.incrementalSrpNearDup(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0),
+        planes = 4, dim = 64, threshold = 0.25)
+    }),
+
     // ---- Similarity search -------------------------------------------
 
     "sim_topk" -> ((s, dir) =>
@@ -583,6 +603,37 @@ object LlmQueries {
          |  FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.35""".stripMargin,
+
+    // restriction of the full simhash pair set to pairs touching the batch
+    "dedup_simhash_incremental" ->
+      s"""WITH $SimhashPairCtes,
+         |nw AS (SELECT doc_id FROM documents WHERE $HashBucketSql < 20)
+         |SELECT doc_a, doc_b, hamming FROM spairs
+         |WHERE doc_a IN (SELECT doc_id FROM nw)
+         |   OR doc_b IN (SELECT doc_id FROM nw)""".stripMargin,
+
+    // SRP buckets (4 planes) -> within-bucket cosine pairs, restricted to
+    // pairs touching the vec_id % 5 batch
+    "dedup_embedding_incremental" ->
+      s"""WITH hp AS (SELECT p, i,
+         |         CAST(strpos('0123456789abcdef',
+         |                     substr(md5(p || ':' || i), 1, 1)) - 1 AS DOUBLE)
+         |           - 7.5 AS w
+         |       FROM range(0, 4) t(p), range(1, 65) u(i)),
+         |d AS (SELECT e.vec_id, hp.p,
+         |        sum(CAST(e.embedding[hp.i] AS DOUBLE) * hp.w) AS dot
+         |      FROM embeddings e, hp GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+         |       FROM d GROUP BY 1),
+         |eb AS (SELECT e.vec_id, e.embedding, bk.bucket
+         |       FROM embeddings e JOIN bk USING (vec_id)),
+         |pr AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         ${cosSql("x.embedding", "y.embedding")} AS sim
+         |       FROM eb x JOIN eb y
+         |       ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, round(sim, 6) AS cosine FROM pr
+         |WHERE sim >= 0.25 AND (vec_a % 5 = 0 OR vec_b % 5 = 0)""".stripMargin,
 
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
