@@ -206,7 +206,15 @@ object Dedup {
     * index ([[incrementalLshCandidates]]). Band signature = the
     * comma-joined hash values themselves (~40 chars for 4 ints) — hashing
     * them again would cost more than it saves.
+    *
+    * Public as [[bandIndex]]: this is the relation an ingestion pipeline
+    * PERSISTS as the corpus near-dup index (see
+    * [[graft.streaming.NearDupIngest]] for the streaming writer).
     */
+  def bandIndex(df: DataFrame, idCol: String, numHashes: Int,
+                bands: Int, textCol: String = "text", k: Int = 3): DataFrame =
+    bandRelation(df, idCol, numHashes, bands, textCol, k)
+
   private def bandRelation(df: DataFrame, idCol: String, numHashes: Int,
                            bands: Int, textCol: String, k: Int): DataFrame = {
     val r = numHashes / bands

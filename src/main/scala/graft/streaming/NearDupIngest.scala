@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming near-dup ingestion: the streaming face of fuzzy dedup. Each
+  * micro-batch of documents is MinHash-banded and LSH-joined against a
+  * PERSISTENT band-index table (plus batch-internal), then appended to
+  * that index — so the near-dup candidate set grows with the corpus while
+  * every batch pays only O(batch x bucket density), never a corpus
+  * self-join. This is `foreachBatch` driving
+  * [[graft.ops.Dedup.incrementalLshCandidates]]'s join shape with the
+  * index side read from storage instead of recomputed.
+  *
+  * State posture: there is NO Spark streaming state at all — the index is
+  * an ordinary parquet table (at production scale: bucketed by `sig`, on
+  * a transactional table format), so state is storage-bounded, survives
+  * restarts, and is shared by the batch operators
+  * ([[graft.ops.Dedup.bandIndex]] produces the identical relation).
+  *
+  * Delivery contract: `foreachBatch` is at-least-once for plain-file
+  * sinks — a retried batch can append its band rows and pairs twice.
+  * Candidate pairs are a SET (downstream verification dedups via
+  * `distinct`, as [[graft.ops.Dedup.jaccardVerify]] already does), and
+  * duplicate index rows only produce duplicate candidates, never wrong
+  * ones; a transactional sink upgrades this to exactly-once without
+  * touching the logic.
+  */
+object NearDupIngest {
+
+  /** Start the ingestion stream: `docs` must carry `idCol` + `textCol`.
+    * Candidate pairs (doc_a, doc_b) are appended to `pairsDir`; the band
+    * index accumulates in `indexDir`.
+    */
+  def start(docs: DataFrame, indexDir: String, pairsDir: String,
+            checkpointDir: String, idCol: String = "doc_id",
+            numHashes: Int = 16, bands: Int = 4,
+            textCol: String = "text", k: Int = 3): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        ingestBatch(batch, indexDir, pairsDir, idCol, numHashes, bands,
+          textCol, k)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** One ingest step (also directly usable from a batch scheduler): band
+    * the batch, join new-vs-index and new-vs-new, append pairs, append
+    * the batch's bands to the index.
+    */
+  def ingestBatch(batch: DataFrame, indexDir: String, pairsDir: String,
+                  idCol: String, numHashes: Int, bands: Int,
+                  textCol: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val bNew = Dedup.bandIndex(batch, idCol, numHashes, bands, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bNew.count() // serial materialization — see Dedup.lshCandidatePairs
+    val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+    val intra = bNew.as("a").join(bNew.as("b"),
+      onBand && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs =
+      if (hasParquet(spark, indexDir)) {
+        val bOld = spark.read.parquet(indexDir)
+        val cross = bNew.as("a").join(bOld.as("b"),
+          onBand && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        cross.union(intra)
+      } else intra
+    pairs.distinct().write.mode("append").parquet(pairsDir)
+    bNew.write.mode("append").parquet(indexDir)
+    bNew.unpersist()
+  }
+
+  private def hasParquet(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+  }
+}
