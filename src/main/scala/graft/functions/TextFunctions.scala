@@ -21,8 +21,81 @@ import org.apache.spark.unsafe.types.UTF8String
 object WordGramsUtil {
   private val Empty = new GenericArrayData(Array.empty[Any])
 
-  def grams(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+  /** Java-regex `\s` membership — the separator class of the
+    * whitespace-robust mode (matches `split(text, "\\s+")` semantics and
+    * RE2/DuckDB `\s` on everything but the vertical tab, which RE2
+    * excludes; real corpora don't carry \x0B, and the difference is
+    * documented rather than silently split).
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace-robust word k-grams: tokens are maximal runs of
+    * NON-whitespace characters (empty tokens dropped — leading/trailing
+    * whitespace and separator runs contribute nothing), and grams are
+    * joined with a single normalized space. Equivalent to
+    * `filter(split(text, '\\s+'), t -> t <> '')` sliding windows of k
+    * joined by ' ' — what raw crawl text needs, where the single-space
+    * mode would produce empty tokens and whitespace-embedded grams.
+    */
+  private def wsGrams(str: String, k: Int, distinct: Boolean): ArrayData = {
+    val len = str.length
+    // token spans: starts(j) inclusive, ends(j) exclusive
+    var nTok = 0
+    var i = 0
+    var inTok = false
+    while (i < len) {
+      val w = isWs(str.charAt(i))
+      if (!w && !inTok) nTok += 1
+      inTok = !w
+      i += 1
+    }
+    val nGrams = nTok - k + 1
+    if (nGrams <= 0) return Empty
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    inTok = false
+    while (i < len) {
+      val w = isWs(str.charAt(i))
+      if (!w && !inTok) { starts(t) = i; t += 1 }
+      if (w && inTok) ends(t - 1) = i
+      inTok = !w
+      i += 1
+    }
+    if (inTok) ends(t - 1) = len
+    def gram(g: Int): String = {
+      val sb = new java.lang.StringBuilder(
+        ends(g + k - 1) - starts(g)) // upper bound on joined length
+      var j = g
+      while (j < g + k) {
+        if (j > g) sb.append(' ')
+        sb.append(str, starts(j), ends(j))
+        j += 1
+      }
+      sb.toString
+    }
+    if (!distinct) {
+      val out = new Array[Any](nGrams)
+      var g = 0
+      while (g < nGrams) { out(g) = UTF8String.fromString(gram(g)); g += 1 }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[String](nGrams * 2)
+      var g = 0
+      while (g < nGrams) { seen.add(gram(g)); g += 1 }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  def grams(s: UTF8String, k: Int, distinct: Boolean, ws: Boolean): ArrayData = {
     val str = s.toString
+    if (ws) return wsGrams(str, k, distinct)
     val len = str.length
     var nSpaces = 0
     var i = 0
@@ -73,19 +146,25 @@ object WordGramsUtil {
   * lambda dispatch.
   */
 object TextScoreUtil {
-  /** Count of space-separated tokens of `s` contained in `words` —
-    * equivalent to `size(filter(split(s, " "), w -> array_contains(words,
-    * w)))` (empty tokens from split-on-single-space semantics are never
-    * stopwords, so the one-pass scan needs no special-casing).
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Count of tokens of `s` contained in `words` — equivalent to
+    * `size(filter(split(s, " "), w -> array_contains(words, w)))` (empty
+    * tokens from split-on-single-space semantics are never stopwords, so
+    * the one-pass scan needs no special-casing). With `ws = true` the
+    * separator is any Java-regex-`\s` run instead of a single space —
+    * `size(filter(split(s, "\\s+"), ...))` semantics for raw crawl text.
     */
-  def hitCount(s: UTF8String, words: java.util.HashSet[String]): Int = {
+  def hitCount(s: UTF8String, words: java.util.HashSet[String],
+               ws: Boolean): Int = {
     val str = s.toString
     var hits = 0
     var start = 0
     var i = 0
     val len = str.length
     while (i <= len) {
-      if (i == len || str.charAt(i) == ' ') {
+      if (i == len || (if (ws) isWs(str.charAt(i)) else str.charAt(i) == ' ')) {
         if (i > start && words.contains(str.substring(start, i))) hits += 1
         start = i + 1
       }
@@ -138,7 +217,8 @@ object TextScoreUtil {
   * also disables subexpression elimination — the curation filter was
   * re-evaluating `split(lower(text))` ~20x per row because of it.
   */
-case class StopwordHits(child: Expression, words: Seq[String])
+case class StopwordHits(child: Expression, words: Seq[String],
+                        ws: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -158,13 +238,13 @@ case class StopwordHits(child: Expression, words: Seq[String])
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    TextScoreUtil.hitCount(input.asInstanceOf[UTF8String], wordSet)
+    TextScoreUtil.hitCount(input.asInstanceOf[UTF8String], wordSet, ws)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("stopwords", wordSet,
       classOf[java.util.HashSet[String]].getName)
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TextScoreUtil.hitCount($c, $setRef)")
+      s"graft.functions.TextScoreUtil.hitCount($c, $setRef, $ws)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHits =
@@ -218,9 +298,14 @@ case class CharGramFingerprint(child: Expression, n: Int)
   *
   * Oracle parity: grams equal DuckDB's
   * `array_to_string(string_split(text, ' ')[i:i+k-1], ' ')` — see
-  * [[graft.queries.LlmQueries]].
+  * [[graft.queries.LlmQueries]]. With `ws = true`, tokenization switches
+  * to whitespace-robust `split('\\s+')` semantics (empty tokens dropped,
+  * grams joined with a normalized single space) — the mode for raw crawl
+  * text, whose oracle mirror is
+  * `list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')`.
   */
-case class WordGrams(child: Expression, k: Int, distinct: Boolean)
+case class WordGrams(child: Expression, k: Int, distinct: Boolean,
+                     ws: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -234,11 +319,11 @@ case class WordGrams(child: Expression, k: Int, distinct: Boolean)
   override def prettyName: String = "graft_word_grams"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordGramsUtil.grams(input.asInstanceOf[UTF8String], k, distinct)
+    WordGramsUtil.grams(input.asInstanceOf[UTF8String], k, distinct, ws)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordGramsUtil.grams($c, $k, $distinct)")
+      s"graft.functions.WordGramsUtil.grams($c, $k, $distinct, $ws)")
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)

@@ -127,34 +127,39 @@ object GraftFunctions {
     * NullPointer/ClassCast deep in `eval()`.
     */
   private def checkArgs(name: String, exprs: Seq[Expression],
-                        arity: Int, usage: String): Unit = {
-    require(exprs.length == arity, s"$name expects $usage (got ${exprs.length} args)")
+                        arities: Seq[Int], usage: String): Unit = {
+    require(arities.contains(exprs.length),
+      s"$name expects $usage (got ${exprs.length} args)")
     require(exprs.tail.forall(_.foldable),
       s"$name expects $usage — all parameters after the first must be literals")
   }
 
   /** Builder for [[WordGrams]] from a `call_function` argument list:
-    * (text, k literal, distinct literal).
+    * (text, k literal, distinct literal[, ws literal]).
     */
   private[functions] def wordGramsBuilder(exprs: Seq[Expression]): Expression = {
-    checkArgs("graft_word_grams", exprs, 3, "(text, k literal, distinct literal)")
+    checkArgs("graft_word_grams", exprs, Seq(3, 4),
+      "(text, k literal, distinct literal[, ws literal])")
     WordGrams(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Boolean])
+      exprs(2).eval().asInstanceOf[Boolean],
+      if (exprs.length > 3) exprs(3).eval().asInstanceOf[Boolean] else false)
   }
 
-  /** Builder for [[StopwordHits]]: (text, array<string> literal). */
+  /** Builder for [[StopwordHits]]: (text, array<string> literal[, ws literal]). */
   private[functions] def stopwordHitsBuilder(exprs: Seq[Expression]): Expression = {
-    checkArgs("graft_stopword_hits", exprs, 2, "(text, array<string> literal)")
+    checkArgs("graft_stopword_hits", exprs, Seq(2, 3),
+      "(text, array<string> literal[, ws literal])")
     StopwordHits(exprs.head,
       exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toArray[org.apache.spark.unsafe.types.UTF8String](
-          org.apache.spark.sql.types.StringType).toSeq.map(_.toString))
+          org.apache.spark.sql.types.StringType).toSeq.map(_.toString),
+      if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean] else false)
   }
 
   /** Builder for [[CharGramFingerprint]]: (text, n literal). */
   private[functions] def charFpBuilder(exprs: Seq[Expression]): Expression = {
-    checkArgs("graft_char_fingerprint", exprs, 2, "(text, n literal)")
+    checkArgs("graft_char_fingerprint", exprs, Seq(2), "(text, n literal)")
     CharGramFingerprint(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())
   }

@@ -65,6 +65,26 @@ object TextAnalysis {
       size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("n_re_tokens"),
       length(col(textCol)).as("n_chars_calc"))
 
+  /** Whitespace-robust token statistics — the tokenizer mode raw crawl
+    * text needs. The single-space mode above is faithful to the fixtures
+    * (and the reference), but real web text carries tabs, newlines, and
+    * multi-space runs: there the native expressions' `ws` mode applies
+    * `split('\\s+')` semantics — empty tokens dropped, grams joined with
+    * a normalized single space. Emits the token count, English stopword
+    * hits, and distinct word-3-gram count, all map-only codegen.
+    */
+  def tokenCountsWs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lt = lower(col(textCol))
+    df.select(col(idCol),
+      size(call_function("graft_word_grams", lt, lit(1), lit(false), lit(true)))
+        .as("n_tokens"),
+      call_function("graft_stopword_hits", lt,
+        lit(Stopwords("en").toArray), lit(true)).as("n_stop_en"),
+      size(call_function("graft_word_grams", lt, lit(3), lit(true), lit(true)))
+        .as("n_distinct_grams3"))
+  }
+
   /** Language-ID heuristic: count stopword hits per language, predict the
     * argmax with deterministic priority en > de > fr > es on ties.
     */

@@ -392,6 +392,12 @@ object LlmQueries {
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")),
 
+    // the whitespace-robust tokenizer mode (split('\s+') semantics) — on
+    // the single-space fixture it must agree with the simple mode, and the
+    // parity suite exercises it on gnarly multi-whitespace text
+    "text_tokens_ws" -> ((s, dir) =>
+      TextAnalysis.tokenCountsWs(Tables.documents(s, dir), "doc_id", "text")),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -728,6 +734,20 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_re_tokens,
         |  CAST(length(text) AS INT) AS n_chars_calc
         |FROM documents""".stripMargin,
+
+    "text_tokens_ws" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |              x -> x <> '') AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(ws, w -> list_contains(${sqlList(StopEn)}, w)))
+         |    AS INT) AS n_stop_en,
+         |  CAST(len(list_distinct(list_transform(
+         |    range(1, greatest(len(ws)-2, 0)+1),
+         |    i -> array_to_string(ws[i:i+2], ' ')))) AS INT) AS n_distinct_grams3
+         |FROM t""".stripMargin,
 
     "text_langid" -> {
       val scoreCols = TextAnalysis.LangPriority.map { l =>

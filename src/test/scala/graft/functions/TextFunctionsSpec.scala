@@ -57,6 +57,63 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one.select(native("text", 3, false)).collect().head.isNullAt(0))
   }
 
+  // ---- whitespace-robust (ws) mode: split('\s+') semantics -------------
+
+  private def hofWsGrams(textCol: String, k: Int, distinct: Boolean) = {
+    val ws = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val raw = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => array_join(slice(ws, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    if (distinct) array_distinct(raw) else raw
+  }
+
+  private def nativeWs(textCol: String, k: Int, distinct: Boolean) = {
+    GraftFunctions.register(spark)
+    call_function("graft_word_grams", lower(col(textCol)), lit(k),
+      lit(distinct), lit(true))
+  }
+
+  private val wsEdge = Seq(
+    "", " \t ", "\n", "one", "one\ttwo\nthree",
+    "  leading and\ttrailing  ", "multi   space\t\truns here today",
+    "line\nbreaks\r\nand tabs\tmix freely", "rep rep\trep\nrep rep",
+    "ümlaut\tünïcode\ngrams über alles").toDF("text")
+
+  for (k <- Seq(1, 2, 3); distinct <- Seq(true, false)) {
+    test(s"ws-mode grams k=$k distinct=$distinct match split('\\\\s+') semantics") {
+      val diff = wsEdge.union(edge).select(
+        hofWsGrams("text", k, distinct).as("hof"),
+        nativeWs("text", k, distinct).as("ng"))
+        .filter(not(col("hof") === col("ng")))
+      assert(diff.count() == 0, diff.collect().mkString("\n"))
+    }
+  }
+
+  test("ws-mode grams match the simple mode on single-space fixture text") {
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+    val diff = docs.select(
+      native("text", 3, true).as("simple"),
+      nativeWs("text", 3, true).as("ws"))
+      .filter(not(col("simple") === col("ws")))
+    assert(diff.count() == 0)
+  }
+
+  test("ws-mode stopword hits match the regex-split formulation") {
+    GraftFunctions.register(spark)
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, SparkSpec.sf0001)
+      .select("text").union(wsEdge).union(edge)
+    val list = TextAnalysis.Stopwords("en")
+    val hof = size(filter(split(lower(col("text")), "\\s+"),
+      w => w =!= "" && array_contains(array(list.map(lit): _*), w)))
+    val ng = call_function("graft_stopword_hits",
+      lower(col("text")), lit(list.toArray), lit(true))
+    val diff = docs.select(hof.as("a"), ng.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0, diff.collect().take(5).mkString("\n"))
+  }
+
   test("stopword hits match the HOF formulation on fixture + edge cases") {
     GraftFunctions.register(spark)
     import graft.ops.TextAnalysis
