@@ -88,4 +88,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lambdafunction"),
       s"stopword scoring must not use interpreted HOFs:\n$p")
   }
+
+  test("ws tokenizer stats: map-only native expressions, no shuffle") {
+    val p = planOf("text_tokens_ws")
+    assert(p.contains("graft_word_grams") && p.contains("graft_stopword_hits"))
+    assert(!p.contains("Exchange"), "ws token stats must be map-only")
+    assert(!p.contains("lambdafunction"),
+      s"ws mode must stay native, not interpreted HOFs:\n$p")
+  }
+
+  test("guarded dedup composition: no cartesian, anti-join is broadcast") {
+    // the fuzzy phase runs inside (checkpointed); the final plan is the
+    // corpus anti-joined against the (tiny) dropped set — must broadcast
+    val p = planOf("dedup_guarded_kept")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dropped-set anti-join must be a broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
 }
