@@ -240,22 +240,67 @@ object Dedup {
     * construction and broadcast for the anti-join — `banded` itself is
     * never re-shuffled.
     */
+  /** Compute the hot-bucket key set of `counted` (buckets above `cap`) as
+    * a small local DataFrame, reporting drops loudly. The hot set is
+    * COLLECTED to the driver: it is tiny by the cap's own definition
+    * (each hot bucket holds > cap members, so there are at most
+    * corpus/cap of them, and in practice a handful of floods), one action
+    * replaces three lazy re-evaluations, and no cache-manager entry is
+    * left behind — the per-ingest callers must stay leak-free.
+    */
+  private def hotBucketKeys(counted: DataFrame, keys: Seq[String], cap: Int,
+                            what: String): Option[DataFrame] = {
+    val hotRows = counted.filter(col("__bsz") > cap).collect()
+    if (hotRows.isEmpty) None
+    else {
+      val dropped = hotRows.map(_.getAs[Long]("__bsz")).sum
+      System.err.println(s"[graft] $what: dropped ${hotRows.length} hot " +
+        s"bucket(s) (> $cap members, $dropped rows total) from the " +
+        s"candidate join; their documents skip near-dup detection — " +
+        s"collapse exact duplicates upstream to avoid this")
+      val spark = counted.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        keys.map(n => counted.schema(n)))
+      val rows = hotRows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(keys.indices.map(r.get)))
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema))
+    }
+  }
+
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
                                 cap: Int, what: String): DataFrame = {
     if (cap <= 0) banded
     else {
-      val hot = banded.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > cap)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nHot = hot.count()
-      if (nHot > 0) {
-        val dropped = hot.agg(sum(col("__bsz"))).head().getLong(0)
-        System.err.println(s"[graft] $what: dropped $nHot hot bucket(s) " +
-          s"(> $cap members, $dropped rows total) from the candidate " +
-          s"join; their documents skip near-dup detection — collapse " +
-          s"exact duplicates upstream to avoid this")
+      val kc = keys.map(col)
+      val counted = banded.groupBy(kc: _*).agg(count(lit(1)).as("__bsz"))
+      hotBucketKeys(counted, keys, cap, what) match {
+        case None => banded
+        case Some(hot) => banded.join(broadcast(hot), keys, "left_anti")
       }
-      banded.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+    }
+  }
+
+  /** [[capBuckets]] for a PAIR of band relations about to be joined
+    * against each other (the incremental batch-vs-index shape): hot
+    * buckets are judged on COMBINED membership — a per-side cap would
+    * miss a bucket that is cool on each side but hot in the union — and
+    * dropped from both sides.
+    */
+  private[graft] def capBucketsPaired(a: DataFrame, b: DataFrame,
+                                      keys: Seq[String], cap: Int,
+                                      what: String): (DataFrame, DataFrame) = {
+    if (cap <= 0) (a, b)
+    else {
+      val kc = keys.map(col)
+      val counted = a.select(kc: _*).unionAll(b.select(kc: _*))
+        .groupBy(kc: _*).agg(count(lit(1)).as("__bsz"))
+      hotBucketKeys(counted, keys, cap, what) match {
+        case None => (a, b)
+        case Some(hot) =>
+          val h = broadcast(hot)
+          (a.join(h, keys, "left_anti"), b.join(h, keys, "left_anti"))
+      }
     }
   }
 
@@ -300,18 +345,21 @@ object Dedup {
     */
   def incrementalLshCandidates(corpus: DataFrame, batch: DataFrame,
                                idCol: String, numHashes: Int, bands: Int,
-                               textCol: String = "text", k: Int = 3): DataFrame = {
+                               textCol: String = "text", k: Int = 3,
+                               maxBucketSize: Int = 0): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bOld = bandRelation(corpus, idCol, numHashes, bands, textCol, k).persist(sl)
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = bandRelation(batch, idCol, numHashes, bands, textCol, k).persist(sl)
     bNew.count()
+    val (pOld, pNew) = capBucketsPaired(bOld, bNew, Seq("band", "sig"),
+      maxBucketSize, "incrementalLshCandidates")
     val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-    val cross = bNew.as("a").join(bOld.as("b"),
+    val cross = pNew.as("a").join(pOld.as("b"),
       onBand && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-    val intra = bNew.as("a").join(bNew.as("b"),
+    val intra = pNew.as("a").join(pNew.as("b"),
       onBand && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     // Eagerly materialize the (small, candidate-sized) result with a
@@ -574,7 +622,8 @@ object Dedup {
     */
   def incrementalSimhashPairs(corpusSketches: DataFrame,
                               batchSketches: DataFrame,
-                              maxHamming: Int): DataFrame = {
+                              maxHamming: Int,
+                              maxBucketSize: Int = 0): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -582,15 +631,17 @@ object Dedup {
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = simhashBandIndex(batchSketches).persist(sl)
     bNew.count()
+    val (pOld, pNew) = capBucketsPaired(bOld, bNew, Seq("band", "v"),
+      maxBucketSize, "incrementalSimhashPairs")
     val onBand = col("a.band") === col("b.band") && col("a.v") === col("b.v")
     def pairCols = Seq(
       least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
       greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
       col("a.simhash_hi").as("ha"), col("a.simhash_lo").as("la"),
       col("b.simhash_hi").as("hb"), col("b.simhash_lo").as("lb"))
-    val cross = bNew.as("a").join(bOld.as("b"),
+    val cross = pNew.as("a").join(pOld.as("b"),
       onBand && col("a.doc_id") =!= col("b.doc_id")).select(pairCols: _*)
-    val intra = bNew.as("a").join(bNew.as("b"),
+    val intra = pNew.as("a").join(pNew.as("b"),
       onBand && col("a.doc_id") < col("b.doc_id")).select(pairCols: _*)
     val cand = cross.union(intra).distinct()
     val dist = bit_count(col("ha").bitwiseXOR(col("hb"))) +

@@ -175,12 +175,15 @@ object Similarity {
     */
   def incrementalSrpNearDup(corpus: DataFrame, batch: DataFrame,
                             planes: Int, dim: Int,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxBucketSize: Int = 0): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bOld = srpIndex(corpus, planes, dim).persist(sl)
-    bOld.count() // serial materialization — see Dedup.lshCandidatePairs
-    val bNew = srpIndex(batch, planes, dim).persist(sl)
-    bNew.count()
+    val bOld0 = srpIndex(corpus, planes, dim).persist(sl)
+    bOld0.count() // serial materialization — see Dedup.lshCandidatePairs
+    val bNew0 = srpIndex(batch, planes, dim).persist(sl)
+    bNew0.count()
+    val (bOld, bNew) = Dedup.capBucketsPaired(bOld0, bNew0, Seq("bucket"),
+      maxBucketSize, "incrementalSrpNearDup")
     def side(tag: String, d: DataFrame) = d.select(col("bucket"),
       col("vec_id").as(s"v$tag"), col("embedding").as(s"e$tag"),
       col("nrm").as(s"n$tag"))
@@ -195,8 +198,8 @@ object Similarity {
         greatest(col("va"), col("vb")).as("vec_b"),
         round(col("sim"), 6).as("cosine"))
       .localCheckpoint() // eager + cache release: the per-ingest path
-    bOld.unpersist()
-    bNew.unpersist()
+    bOld0.unpersist()
+    bNew0.unpersist()
     result
   }
 

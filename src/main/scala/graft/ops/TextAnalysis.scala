@@ -52,9 +52,10 @@ object TextAnalysis {
     * subexpression elimination for the whole operator, so multi-signal
     * filters re-evaluated `split(lower(text))` per reference.
     */
-  private def hits(loweredText: Column, lang: String): Column =
+  private def hits(loweredText: Column, lang: String,
+                   ws: Boolean = false): Column =
     call_function("graft_stopword_hits", loweredText,
-      lit(Stopwords(lang).toArray))
+      lit(Stopwords(lang).toArray), lit(ws))
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens
     * (`[a-z0-9]+` runs), plus the recomputed char length.
@@ -223,21 +224,30 @@ object TextAnalysis {
   def curationFilter(df: DataFrame, idCol: String, textCol: String,
                      minTokens: Int, maxTokens: Int, minQuality: Double,
                      maxRepetition: Double, keepLang: String,
-                     k: Int = 3): DataFrame = {
+                     k: Int = 3, wsTokens: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val lt = lower(col(textCol))
-    val ws = tokens(col(textCol))
-    val nTok = size(ws).cast("double")
-    val stopRatio = hits(lt, "en").cast("double") / nTok
+    // wsTokens = the whitespace-robust mode for raw crawl text: every
+    // signal (token count, stopword hits, k-grams) switches to
+    // split('\s+') semantics via the native expressions' ws flag; on
+    // single-space text the two modes agree (parity-spec'd)
+    val nTokI =
+      if (wsTokens)
+        size(call_function("graft_word_grams", lt, lit(1), lit(false), lit(true)))
+      else size(tokens(col(textCol)))
+    val nTok = nTokI.cast("double")
+    val stopRatio = hits(lt, "en", wsTokens).cast("double") / nTok
     val score = least(nTok / lit(100.0), lit(1.0)) *
       (lit(1.0) - abs(stopRatio - lit(0.4)))
-    val grams = call_function("graft_word_grams", lt, lit(k), lit(false))
-    val dgrams = call_function("graft_word_grams", lt, lit(k), lit(true))
+    val grams = call_function("graft_word_grams", lt, lit(k), lit(false),
+      lit(wsTokens))
+    val dgrams = call_function("graft_word_grams", lt, lit(k), lit(true),
+      lit(wsTokens))
     val rep = lit(1.0) - size(dgrams).cast("double") / size(grams).cast("double")
-    df.filter(size(ws) >= k)
+    df.filter(nTokI >= k)
       .select(col(idCol) +:
-        LangPriority.map(l => hits(lt, l).as(s"s_$l")) :+
-        size(ws).as("n_tokens") :+
+        LangPriority.map(l => hits(lt, l, wsTokens).as(s"s_$l")) :+
+        nTokI.as("n_tokens") :+
         round(score, 6).as("quality_score") :+
         round(rep, 6).as("rep_ratio"): _*)
       .withColumn("predicted_lang", argmaxLang(l => col(s"s_$l")))

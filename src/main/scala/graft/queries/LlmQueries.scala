@@ -216,13 +216,17 @@ object LlmQueries {
   /** Curation-filter CTE chain over an arbitrary base relation (mirrors
     * [[TextAnalysis.curationFilter]]); pair with [[CurationSelect]].
     */
-  private def curationCtes(base: String): String = {
+  private def curationCtes(base: String, wsMode: Boolean = false): String = {
     val en = sqlList(StopEn)
     val scoreCols = TextAnalysis.LangPriority.map { l =>
       s"CAST(len(list_filter(ws, w -> list_contains(" +
         s"${sqlList(TextAnalysis.Stopwords(l))}, w))) AS INT) AS s_$l"
     }.mkString(",\n  ")
-    s"""ct AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+    val tok =
+      if (wsMode)
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+      else "string_split(lower(text), ' ')"
+    s"""ct AS (SELECT doc_id, $tok AS ws
        |       FROM $base),
        |cx AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS nt,
        |        CAST(len(list_filter(ws, w -> list_contains($en, w))) AS DOUBLE) AS hits,
@@ -447,6 +451,25 @@ object LlmQueries {
       val kept = Dedup.fuzzyKeepFirst(docs,
         Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4, threshold = 0.5),
         "doc_id")
+      TextAnalysis.curationFilter(kept, "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en")
+    }),
+
+    // the curation filter in whitespace-robust mode — identical results on
+    // the single-space fixture (the point: mode-switching must not change
+    // semantics there), divergence on raw crawl text is parity-spec'd
+    "text_curation_ws" -> ((s, dir) =>
+      TextAnalysis.curationFilter(Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en", wsTokens = true)),
+
+    // the post-round-5 canonical composition: exact collapse -> fuzzy
+    // keep-first with the hot-bucket backstop armed -> curation — what a
+    // production ingest actually deploys after the flood-guard work
+    "llm_corpus_prep_guarded" -> ((s, dir) => {
+      val kept = Dedup.nearDupKeepFirst(Tables.documents(s, dir), "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
       TextAnalysis.curationFilter(kept, "doc_id", "text",
         minTokens = 20, maxTokens = 2000, minQuality = 0.1,
         maxRepetition = 0.2, keepLang = "en")
@@ -846,6 +869,25 @@ object LlmQueries {
     "llm_corpus_prep" ->
       s"""WITH RECURSIVE $ClusterCtes,
          |kept AS (SELECT * FROM documents
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |${curationCtes("kept")}
+         |$CurationSelect""".stripMargin,
+
+    "text_curation_ws" ->
+      s"""WITH ${curationCtes("documents", wsMode = true)}
+         |$CurationSelect""".stripMargin,
+
+    // exact collapse -> fuzzy cluster keep-first over the collapsed
+    // corpus -> curation (the guarded composition; the cap never fires on
+    // the fixture, so the oracle is the uncapped pipeline)
+    "llm_corpus_prep_guarded" ->
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
          |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
          |${curationCtes("kept")}
          |$CurationSelect""".stripMargin,

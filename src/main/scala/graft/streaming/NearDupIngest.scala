@@ -32,16 +32,21 @@ object NearDupIngest {
 
   /** Start the ingestion stream: `docs` must carry `idCol` + `textCol`.
     * Candidate pairs (doc_a, doc_b) are appended to `pairsDir`; the band
-    * index accumulates in `indexDir`.
+    * index accumulates in `indexDir`. `maxBucketSize` > 0 arms the
+    * combined-count hot-bucket backstop per ingest (the streaming face of
+    * the same hazard: a flood arriving over many micro-batches makes the
+    * INDEX side of the bucket hot) — capped documents still enter the
+    * index, they just skip candidate generation, loudly.
     */
   def start(docs: DataFrame, indexDir: String, pairsDir: String,
             checkpointDir: String, idCol: String = "doc_id",
             numHashes: Int = 16, bands: Int = 4,
-            textCol: String = "text", k: Int = 3): StreamingQuery =
+            textCol: String = "text", k: Int = 3,
+            maxBucketSize: Int = 0): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         ingestBatch(batch, indexDir, pairsDir, idCol, numHashes, bands,
-          textCol, k)
+          textCol, k, maxBucketSize)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -52,24 +57,32 @@ object NearDupIngest {
     */
   def ingestBatch(batch: DataFrame, indexDir: String, pairsDir: String,
                   idCol: String, numHashes: Int, bands: Int,
-                  textCol: String, k: Int): Unit = {
+                  textCol: String, k: Int, maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
     val bNew = Dedup.bandIndex(batch, idCol, numHashes, bands, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
     val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-    val intra = bNew.as("a").join(bNew.as("b"),
-      onBand && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val pairs =
       if (hasParquet(spark, indexDir)) {
-        val bOld = spark.read.parquet(indexDir)
-        val cross = bNew.as("a").join(bOld.as("b"),
+        val (pOld, pNew) = Dedup.capBucketsPaired(
+          spark.read.parquet(indexDir), bNew, Seq("band", "sig"),
+          maxBucketSize, "NearDupIngest")
+        val cross = pNew.as("a").join(pOld.as("b"),
           onBand && col("a.doc_id") =!= col("b.doc_id"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        val intra = pNew.as("a").join(pNew.as("b"),
+          onBand && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         cross.union(intra)
-      } else intra
+      } else {
+        val pNew = Dedup.capBuckets(bNew, Seq("band", "sig"),
+          maxBucketSize, "NearDupIngest")
+        pNew.as("a").join(pNew.as("b"),
+          onBand && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }
     pairs.distinct().write.mode("append").parquet(pairsDir)
     bNew.write.mode("append").parquet(indexDir)
     bNew.unpersist()

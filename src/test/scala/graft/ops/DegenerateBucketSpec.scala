@@ -72,6 +72,21 @@ class DegenerateBucketSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("paired cap judges COMBINED membership in the incremental shape") {
+    // flood split across corpus and batch: each side alone is under a
+    // generous cap of 200, together they exceed it — a per-side cap
+    // would miss this bucket entirely
+    val corpus = degenerate.filter(col("doc_id") <= 150 || col("doc_id") > 1000)
+    val batch = degenerate.filter(col("doc_id") > 150 && col("doc_id") <= 300)
+    val uncapped = Dedup.incrementalLshCandidates(corpus, batch, "doc_id",
+      numHashes = 16, bands = 4).count()
+    assert(uncapped >= 150L * 150) // every cross flood pair collides
+    val capped = Dedup.incrementalLshCandidates(corpus, batch, "doc_id",
+      numHashes = 16, bands = 4, maxBucketSize = 200).count()
+    assert(capped <= 10)
+    spark.catalog.clearCache()
+  }
+
   test("nearDupKeepFirst collapses the flood before sketching") {
     val kept = Dedup.nearDupKeepFirst(degenerate, "doc_id",
       numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 8)

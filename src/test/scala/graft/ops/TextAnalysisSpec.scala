@@ -108,4 +108,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._3 == out(2L)._3)
     assert(out(3L)._3 == 1) // < 8 chars: a single whole-text gram
   }
+
+  test("ws-mode curation: same results on single-space text, rescues crawl text") {
+    val fixture = graft.Tables.documents(spark, sf0001)
+    def run(ws: Boolean, df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.curationFilter(df, "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en", wsTokens = ws)
+        .collect().map(_.toSeq).toSet
+    // on the single-space fixture the two modes must agree exactly
+    assert(run(ws = false, fixture) == run(ws = true, fixture))
+    // crawl-style text: 30 distinct english-ish tokens separated by a mix
+    // of newlines, tabs, and spaces — ws mode sees 30 tokens and keeps
+    // the doc; single-space mode sees ~10 glued tokens and drops it
+    val words = Seq("the", "fox", "and", "dog", "of", "war", "is", "hill",
+      "a", "tree", "to", "lake", "in", "town", "on", "road", "for", "home",
+      "with", "barn", "cat", "bird", "horse", "goat", "sheep", "cow",
+      "duck", "hen", "pig", "mouse")
+    val gnarly = words.zipWithIndex.map { case (w, i) =>
+      w + (i % 3 match { case 0 => "\n"; case 1 => " "; case _ => "\t" })
+    }.mkString.trim
+    val crawl = Seq((1L, gnarly)).toDF("doc_id", "text")
+    val wsKept = run(ws = true, crawl)
+    assert(wsKept.size == 1 && wsKept.head(1) == 30) // n_tokens
+    assert(run(ws = false, crawl).isEmpty)
+  }
 }
