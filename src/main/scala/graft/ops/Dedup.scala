@@ -624,13 +624,31 @@ object Dedup {
                               batchSketches: DataFrame,
                               maxHamming: Int,
                               maxBucketSize: Int = 0): DataFrame = {
-    require(maxHamming <= 3,
-      s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bOld = simhashBandIndex(corpusSketches).persist(sl)
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = simhashBandIndex(batchSketches).persist(sl)
     bNew.count()
+    // eager candidate-sized materialization + cache release — the
+    // per-ingest path must not accumulate cached band relations
+    val result = incrementalSimhashPairsIndexed(bOld, bNew, maxHamming,
+      maxBucketSize).localCheckpoint()
+    bOld.unpersist()
+    bNew.unpersist()
+    result
+  }
+
+  /** [[incrementalSimhashPairs]] over PREBUILT band relations
+    * ([[simhashBandIndex]] rows — what a stored index actually is, so the
+    * streaming ingester joins the parquet index directly instead of
+    * re-banding it). Lazy: the caller owns materialization and cache
+    * lifecycle.
+    */
+  def incrementalSimhashPairsIndexed(bOld: DataFrame, bNew: DataFrame,
+                                     maxHamming: Int,
+                                     maxBucketSize: Int = 0): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     val (pOld, pNew) = capBucketsPaired(bOld, bNew, Seq("band", "v"),
       maxBucketSize, "incrementalSimhashPairs")
     val onBand = col("a.band") === col("b.band") && col("a.v") === col("b.v")
@@ -646,13 +664,7 @@ object Dedup {
     val cand = cross.union(intra).distinct()
     val dist = bit_count(col("ha").bitwiseXOR(col("hb"))) +
       bit_count(col("la").bitwiseXOR(col("lb")))
-    // eager candidate-sized materialization + cache release — the
-    // per-ingest path must not accumulate cached band relations
-    val result = cand.filter(dist <= maxHamming)
+    cand.filter(dist <= maxHamming)
       .select(col("doc_a"), col("doc_b"), dist.cast("int").as("hamming"))
-      .localCheckpoint()
-    bOld.unpersist()
-    bNew.unpersist()
-    result
   }
 }

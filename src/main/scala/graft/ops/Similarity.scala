@@ -178,29 +178,42 @@ object Similarity {
                             threshold: Double,
                             maxBucketSize: Int = 0): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bOld0 = srpIndex(corpus, planes, dim).persist(sl)
-    bOld0.count() // serial materialization — see Dedup.lshCandidatePairs
-    val bNew0 = srpIndex(batch, planes, dim).persist(sl)
-    bNew0.count()
-    val (bOld, bNew) = Dedup.capBucketsPaired(bOld0, bNew0, Seq("bucket"),
+    val bOld = srpIndex(corpus, planes, dim).persist(sl)
+    bOld.count() // serial materialization — see Dedup.lshCandidatePairs
+    val bNew = srpIndex(batch, planes, dim).persist(sl)
+    bNew.count()
+    val result = incrementalSrpNearDupIndexed(bOld, bNew, threshold,
+      maxBucketSize)
+      .localCheckpoint() // eager + cache release: the per-ingest path
+    bOld.unpersist()
+    bNew.unpersist()
+    result
+  }
+
+  /** [[incrementalSrpNearDup]] over PREBUILT index relations
+    * ([[srpIndex]] rows — what a stored index actually is; the index rows
+    * carry embedding + norm, so the join verifies cosine inline). Lazy:
+    * the caller owns materialization and cache lifecycle.
+    */
+  def incrementalSrpNearDupIndexed(bOld: DataFrame, bNew: DataFrame,
+                                   threshold: Double,
+                                   maxBucketSize: Int = 0): DataFrame = {
+    GraftFunctions.register(bNew.sparkSession)
+    val (pOld, pNew) = Dedup.capBucketsPaired(bOld, bNew, Seq("bucket"),
       maxBucketSize, "incrementalSrpNearDup")
     def side(tag: String, d: DataFrame) = d.select(col("bucket"),
       col("vec_id").as(s"v$tag"), col("embedding").as(s"e$tag"),
       col("nrm").as(s"n$tag"))
-    val cross = side("a", bNew).join(side("b", bOld), Seq("bucket"))
+    val cross = side("a", pNew).join(side("b", pOld), Seq("bucket"))
       .filter(col("va") =!= col("vb"))
-    val intra = side("a", bNew).join(side("b", bNew), Seq("bucket"))
+    val intra = side("a", pNew).join(side("b", pNew), Seq("bucket"))
       .filter(col("va") < col("vb"))
-    val result = cross.union(intra)
+    cross.union(intra)
       .withColumn("sim", fdot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"),
         round(col("sim"), 6).as("cosine"))
-      .localCheckpoint() // eager + cache release: the per-ingest path
-    bOld0.unpersist()
-    bNew0.unpersist()
-    result
   }
 
   /** Per-bucket centroid (element-wise mean embedding) via the custom

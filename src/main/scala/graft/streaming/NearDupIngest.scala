@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -94,5 +94,79 @@ object NearDupIngest {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  // ---- SimHash family ----------------------------------------------------
+
+  /** Streaming SimHash near-dup ingestion — same foreachBatch-vs-index
+    * shape as [[start]], for the Hamming sketch family. The persisted
+    * index rows ([[graft.ops.Dedup.simhashBandIndex]]) carry the full
+    * sketch halves, so the batch-vs-index join emits VERIFIED pairs
+    * (hamming <= maxHamming) directly, not just candidates.
+    */
+  def startSimhash(docs: DataFrame, indexDir: String, pairsDir: String,
+                   checkpointDir: String, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3,
+                   maxBucketSize: Int = 0): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        ingestSimhashBatch(batch, indexDir, pairsDir, idCol, textCol,
+          maxHamming, maxBucketSize)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  def ingestSimhashBatch(batch: DataFrame, indexDir: String, pairsDir: String,
+                         idCol: String, textCol: String, maxHamming: Int,
+                         maxBucketSize: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val bNew = Dedup.simhashBandIndex(Dedup.simhash(batch, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bNew.count() // serial materialization — see Dedup.lshCandidatePairs
+    val bOld =
+      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      else bNew.limit(0) // first batch: intra-only
+    val pairs = Dedup.incrementalSimhashPairsIndexed(bOld, bNew,
+      maxHamming, maxBucketSize)
+    pairs.write.mode("append").parquet(pairsDir)
+    bNew.write.mode("append").parquet(indexDir)
+    bNew.unpersist()
+  }
+
+  // ---- Embedding family --------------------------------------------------
+
+  /** Streaming embedding near-dup ingestion: each micro-batch of
+    * (vec_id, embedding) rows is SRP-bucketed, cosine-verified against
+    * the persisted [[graft.ops.Similarity.srpIndex]] (whose rows carry
+    * embedding + norm, so verification is inline), and appended to it.
+    */
+  def startEmbedding(vecs: DataFrame, indexDir: String, pairsDir: String,
+                     checkpointDir: String, planes: Int, dim: Int,
+                     threshold: Double,
+                     maxBucketSize: Int = 0): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        ingestEmbeddingBatch(batch, indexDir, pairsDir, planes, dim,
+          threshold, maxBucketSize)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  def ingestEmbeddingBatch(batch: DataFrame, indexDir: String,
+                           pairsDir: String, planes: Int, dim: Int,
+                           threshold: Double,
+                           maxBucketSize: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val bNew = Similarity.srpIndex(batch, planes, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bNew.count()
+    val bOld =
+      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      else bNew.limit(0) // first batch: intra-only
+    val pairs = Similarity.incrementalSrpNearDupIndexed(bOld, bNew,
+      threshold, maxBucketSize)
+    pairs.write.mode("append").parquet(pairsDir)
+    bNew.write.mode("append").parquet(indexDir)
+    bNew.unpersist()
   }
 }

@@ -46,4 +46,55 @@ class NearDupIngestSpec extends SparkSpec {
     assert(idx.count() == docs.size.toLong * 4)
     spark.catalog.clearCache()
   }
+
+  test("simhash ingestion equals batch hamming pairs on the corpus") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi_sh_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupIngest.startSimhash(
+      input.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", s"$tmp/pairs", s"$tmp/ckpt", maxHamming = 3)
+    try {
+      docs.grouped(math.max(docs.size / 3 + 1, 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/pairs").distinct()
+      .collect().map(_.toSeq).toSet
+    val batch = Dedup.simhashPairs(
+      Dedup.simhash(docs.toDF("doc_id", "text"), "doc_id", "text"),
+      maxHamming = 3).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    spark.catalog.clearCache()
+  }
+
+  test("embedding ingestion equals batch SRP near-dup pairs on the corpus") {
+    implicit val ctx = spark.sqlContext
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi_emb_").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = NearDupIngest.startEmbedding(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$tmp/index", s"$tmp/pairs", s"$tmp/ckpt",
+      planes = 4, dim = 64, threshold = 0.2)
+    try {
+      vecs.grouped(math.max(vecs.size / 3 + 1, 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/pairs").distinct()
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Similarity.srpNearDupPairs(
+      vecs.toDF("vec_id", "embedding"), planes = 4, dim = 64,
+      threshold = 0.2).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
