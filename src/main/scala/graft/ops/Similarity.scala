@@ -96,13 +96,24 @@ object Similarity {
     * expression accepts either).
     */
   def ivfTopKWith(embeddings: DataFrame, codebook: DataFrame, queryPred: Column,
-                  nprobe: Int, k: Int): DataFrame = {
-    val centroids = codebook
-    val assigned = ivfAssign(embeddings, centroids)
-    val q = withNorm(embeddings).filter(queryPred)
+                  nprobe: Int, k: Int): DataFrame =
+    ivfTopKIndexed(ivfAssign(embeddings, codebook), codebook,
+      embeddings.filter(queryPred), nprobe, k)
+
+  /** IVF search against a PREBUILT assignment index — the build-once /
+    * query-many production surface. `assigned` is [[ivfAssign]]'s output
+    * (original columns + `nrm` + `centroid_id`), which IS the stored ANN
+    * index: write it to partitioned storage (bucketed by `centroid_id`
+    * so a probe touches only its cells' files), read it back, and serve
+    * queries without ever rescoring the corpus against the codebook.
+    * `queries` is any (vec_id, embedding) relation.
+    */
+  def ivfTopKIndexed(assigned: DataFrame, codebook: DataFrame,
+                     queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val q = withNorm(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"))
-    val c = withNorm(centroids).select(col("vec_id").as("centroid_id"),
+    val c = withNorm(codebook).select(col("vec_id").as("centroid_id"),
       col("embedding").as("ce"), col("nrm").as("cnrm"))
     val probeRn = row_number().over(
       Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id")))

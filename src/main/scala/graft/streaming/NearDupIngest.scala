@@ -96,6 +96,69 @@ object NearDupIngest {
       .exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Verified streaming ingestion: like [[start]], but the pipeline also
+    * maintains a DOCUMENT store alongside the band index and
+    * exact-Jaccard-verifies every batch's candidates against it, so what
+    * lands in `verifiedDir` is (doc_a, doc_b, jaccard) at or above
+    * `threshold` — the full two-phase fuzzy-dedup contract at ingestion
+    * time, not just candidates. Verification cost per batch is
+    * O(batch candidates), corpus-independent (the store is semi-joined
+    * down to documents appearing in a candidate pair before shingling).
+    */
+  def startVerified(docs: DataFrame, indexDir: String, docsDir: String,
+                    verifiedDir: String, checkpointDir: String,
+                    threshold: Double, idCol: String = "doc_id",
+                    numHashes: Int = 16, bands: Int = 4,
+                    textCol: String = "text", k: Int = 3,
+                    maxBucketSize: Int = 0): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        ingestVerifiedBatch(batch, indexDir, docsDir, verifiedDir, threshold,
+          idCol, numHashes, bands, textCol, k, maxBucketSize)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  def ingestVerifiedBatch(batch: DataFrame, indexDir: String, docsDir: String,
+                          verifiedDir: String, threshold: Double,
+                          idCol: String, numHashes: Int, bands: Int,
+                          textCol: String, k: Int,
+                          maxBucketSize: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val batchDocs = batch.select(col(idCol), col(textCol))
+    val bNew = Dedup.bandIndex(batchDocs, idCol, numHashes, bands, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bNew.count() // serial materialization — see Dedup.lshCandidatePairs
+    val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+    val (pOld, pNew) =
+      if (hasParquet(spark, indexDir))
+        Dedup.capBucketsPaired(spark.read.parquet(indexDir), bNew,
+          Seq("band", "sig"), maxBucketSize, "NearDupIngest.verified")
+      else (bNew.limit(0), Dedup.capBuckets(bNew, Seq("band", "sig"),
+        maxBucketSize, "NearDupIngest.verified"))
+    val cross = pNew.as("a").join(pOld.as("b"),
+      onBand && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val intra = pNew.as("a").join(pNew.as("b"),
+      onBand && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = cross.union(intra).distinct()
+    // the verification corpus = stored docs + this batch (not yet written);
+    // jaccardVerify semi-joins it down to candidate members before the
+    // shingle explode, so this union is never scanned in full
+    val store =
+      if (hasParquet(spark, docsDir))
+        spark.read.parquet(docsDir).unionByName(batchDocs)
+      else batchDocs
+    Dedup.jaccardVerify(store, cand, idCol, k, threshold, textCol)
+      .write.mode("append").parquet(verifiedDir)
+    batchDocs.write.mode("append").parquet(docsDir)
+    bNew.write.mode("append").parquet(indexDir)
+    bNew.unpersist()
+    spark.catalog.clearCache() // release jaccardVerify's internal persists
+  }
+
   // ---- SimHash family ----------------------------------------------------
 
   /** Streaming SimHash near-dup ingestion — same foreachBatch-vs-index

@@ -55,6 +55,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=3 of ~10 cells
   }
 
+  test("IVF stored index round-trips: parquet-persisted assignments serve queries") {
+    val e = Tables.embeddings(spark, sf0001)
+    val codebook = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val pred = col("vec_id") % 100 === 0
+    val direct = Similarity.ivfTopKWith(e, codebook, pred, nprobe = 3, k = 10)
+      .collect().map(_.toSeq).toSet
+    // build once, store, reload, query — the production ANN serving shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    Similarity.ivfAssign(e, codebook).write.mode("overwrite").parquet(dir)
+    val served = Similarity.ivfTopKIndexed(
+      spark.read.parquet(dir), codebook, e.filter(pred), nprobe = 3, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct)
+  }
+
   test("kmeansTrain reaches a fixed point; learned IVF recall >= seed recall") {
     val e = Tables.embeddings(spark, sf0001)
     val seed = e.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding")

@@ -47,6 +47,32 @@ class NearDupIngestSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("verified ingestion equals the batch two-phase fuzzy pipeline") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi_v_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupIngest.startVerified(
+      input.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", s"$tmp/docs", s"$tmp/verified", s"$tmp/ckpt",
+      threshold = 0.5)
+    try {
+      docs.grouped(math.max(docs.size / 3 + 1, 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/verified").distinct()
+      .collect().map(_.toSeq).toSet
+    val batch = Dedup.fuzzy(docs.toDF("doc_id", "text"), "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // planted near-dup pairs survive verification
+    spark.catalog.clearCache()
+  }
+
   test("simhash ingestion equals batch hamming pairs on the corpus") {
     implicit val ctx = spark.sqlContext
     val docs = graft.Tables.documents(spark, sf0001)
