@@ -338,9 +338,14 @@ object LlmQueries {
       Similarity.blockedNearDupPairs(Tables.embeddings(s, dir), "label", 0.35)),
 
     // incremental ingest for the SimHash family: batch (20% hash split) vs
-    // the corpus band index + batch-internal, never corpus self-joined
+    // the corpus band index + batch-internal, never corpus self-joined.
+    // The sketch table is computed ONCE and split (persist) — the
+    // production shape, where sketches live alongside the corpus; without
+    // it both sides re-run the tokenize+64-column aggregation.
     "dedup_simhash_incremental" -> ((s, dir) => {
       val sk = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sk.count()
       Dedup.incrementalSimhashPairs(
         sk.filter(Dedup.hashBucket(col("doc_id")) >= 20),
         sk.filter(Dedup.hashBucket(col("doc_id")) < 20),
