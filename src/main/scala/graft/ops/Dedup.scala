@@ -352,6 +352,26 @@ object Dedup {
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = bandRelation(batch, idCol, numHashes, bands, textCol, k).persist(sl)
     bNew.count()
+    // Eagerly materialize the (small, candidate-sized) result with a
+    // lineage cut, then RELEASE the band-relation caches: this is the
+    // per-ingest production path, so leaving bOld/bNew pinned would
+    // accumulate cache-manager entries across every ingest of a session.
+    // Checkpointed blocks self-free via the ContextCleaner when the
+    // returned plan is collected — same rationale as resolveClusters.
+    val result = incrementalLshCandidatesIndexed(bOld, bNew, maxBucketSize)
+      .localCheckpoint()
+    bOld.unpersist()
+    bNew.unpersist()
+    result
+  }
+
+  /** [[incrementalLshCandidates]] over PREBUILT band relations
+    * ([[bandIndex]] rows — what a stored index actually is, so the
+    * streaming ingester joins the parquet index directly). Lazy: the
+    * caller owns materialization and cache lifecycle.
+    */
+  def incrementalLshCandidatesIndexed(bOld: DataFrame, bNew: DataFrame,
+                                      maxBucketSize: Int = 0): DataFrame = {
     val (pOld, pNew) = capBucketsPaired(bOld, bNew, Seq("band", "sig"),
       maxBucketSize, "incrementalLshCandidates")
     val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
@@ -362,16 +382,7 @@ object Dedup {
     val intra = pNew.as("a").join(pNew.as("b"),
       onBand && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Eagerly materialize the (small, candidate-sized) result with a
-    // lineage cut, then RELEASE the band-relation caches: this is the
-    // per-ingest production path, so leaving bOld/bNew pinned would
-    // accumulate cache-manager entries across every ingest of a session.
-    // Checkpointed blocks self-free via the ContextCleaner when the
-    // returned plan is collected — same rationale as resolveClusters.
-    val result = cross.union(intra).distinct().localCheckpoint()
-    bOld.unpersist()
-    bNew.unpersist()
-    result
+    cross.union(intra).distinct()
   }
 
   /** Exact n-gram Jaccard over a candidate-pair set: the corpus is first

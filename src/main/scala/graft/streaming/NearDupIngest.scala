@@ -62,28 +62,11 @@ object NearDupIngest {
     val bNew = Dedup.bandIndex(batch, idCol, numHashes, bands, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
-    val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-    val pairs =
-      if (hasParquet(spark, indexDir)) {
-        val (pOld, pNew) = Dedup.capBucketsPaired(
-          spark.read.parquet(indexDir), bNew, Seq("band", "sig"),
-          maxBucketSize, "NearDupIngest")
-        val cross = pNew.as("a").join(pOld.as("b"),
-          onBand && col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-        val intra = pNew.as("a").join(pNew.as("b"),
-          onBand && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        cross.union(intra)
-      } else {
-        val pNew = Dedup.capBuckets(bNew, Seq("band", "sig"),
-          maxBucketSize, "NearDupIngest")
-        pNew.as("a").join(pNew.as("b"),
-          onBand && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      }
-    pairs.distinct().write.mode("append").parquet(pairsDir)
+    val bOld =
+      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      else bNew.limit(0) // first batch: intra-only
+    Dedup.incrementalLshCandidatesIndexed(bOld, bNew, maxBucketSize)
+      .write.mode("append").parquet(pairsDir)
     bNew.write.mode("append").parquet(indexDir)
     bNew.unpersist()
   }
@@ -129,21 +112,10 @@ object NearDupIngest {
     val bNew = Dedup.bandIndex(batchDocs, idCol, numHashes, bands, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
-    val onBand = col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-    val (pOld, pNew) =
-      if (hasParquet(spark, indexDir))
-        Dedup.capBucketsPaired(spark.read.parquet(indexDir), bNew,
-          Seq("band", "sig"), maxBucketSize, "NearDupIngest.verified")
-      else (bNew.limit(0), Dedup.capBuckets(bNew, Seq("band", "sig"),
-        maxBucketSize, "NearDupIngest.verified"))
-    val cross = pNew.as("a").join(pOld.as("b"),
-      onBand && col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-    val intra = pNew.as("a").join(pNew.as("b"),
-      onBand && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cand = cross.union(intra).distinct()
+    val bOld =
+      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      else bNew.limit(0) // first batch: intra-only
+    val cand = Dedup.incrementalLshCandidatesIndexed(bOld, bNew, maxBucketSize)
     // the verification corpus = stored docs + this batch (not yet written);
     // jaccardVerify semi-joins it down to candidate members before the
     // shingle explode, so this union is never scanned in full

@@ -21,6 +21,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs shuffle scratch — shared-host /tmp disk stalls produced
+      // 5-30 s spikes on individual probes (same fix as Bench)
+      .config("spark.local.dir", graft.Bench.scratchDir())
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -45,6 +48,32 @@ object ScaleProbe {
     t("fuzzy")(Dedup.fuzzy(docs, "doc_id", 16, 4, 0.5))
     t("simhash_pairs")(
       Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 3))
+
+    // per-ingest serving cost: a FIXED batch (replica 0, n0 docs) joined
+    // against a PRE-BUILT index over the rest — what a production ingest
+    // pays per batch once the index exists (index build excluded from the
+    // timer; it is amortized across the corpus lifetime). Should stay
+    // ~flat as k grows: the join is bucket-density-bound, not
+    // corpus-bound.
+    if (k >= 2) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val batch0 = docs.filter(col("doc_id") < 10000000L)
+      val corpusRest = docs.filter(col("doc_id") >= 10000000L)
+      val idx = Dedup.bandIndex(corpusRest, "doc_id", 16, 4).persist(sl)
+      idx.count()
+      val bNew = Dedup.bandIndex(batch0, "doc_id", 16, 4).persist(sl)
+      bNew.count()
+      t("incr_ingest_join")(
+        Dedup.incrementalLshCandidatesIndexed(idx, bNew))
+      idx.unpersist(); bNew.unpersist()
+    }
+
+    // the guarded production composition end-to-end (exact collapse +
+    // capped fuzzy + cluster resolution + keep-first) — the replica
+    // corpus is ~100% NEAR-dups (worst case for resolution: one giant
+    // pair set, nothing exact-collapsible)
+    t("guarded_keepfirst")(
+      Dedup.nearDupKeepFirst(docs, "doc_id", 16, 4, 0.5, maxBucketSize = 1000))
 
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = (0 until k).map { r =>

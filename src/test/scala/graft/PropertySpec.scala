@@ -95,4 +95,43 @@ class PropertySpec extends SparkSpec {
       s1 == s2
     }, samples = 3)
   }
+
+  // reference model for the ws tokenizer: Java regex split, empties dropped
+  private def refWsGrams(s: String, k: Int, distinct: Boolean): Seq[String] = {
+    val toks = s.split("\\s+", -1).filter(_.nonEmpty).toSeq
+    val grams =
+      if (toks.length < k) Seq.empty
+      else toks.sliding(k).map(_.mkString(" ")).toSeq
+    if (distinct) grams.distinct else grams
+  }
+
+  private val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+  private val wsText: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar, 2 -> Gen.oneOf(wsChars),
+    1 -> Gen.oneOf('ü', 'ß', '.', '-'))).map(_.mkString)
+
+  test("ws-mode WordGrams equals the regex-split reference model (pure fn)") {
+    // direct expression-runtime check, no Spark job per sample
+    import org.apache.spark.unsafe.types.UTF8String
+    check(Prop.forAll(wsText, Gen.choose(1, 4), Gen.oneOf(true, false)) {
+      (s, k, distinct) =>
+        val got = graft.functions.WordGramsUtil
+          .grams(UTF8String.fromString(s), k, distinct, ws = true)
+          .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        got == refWsGrams(s, k, distinct)
+    }, samples = 300)
+  }
+
+  test("ws-mode StopwordHits equals the regex-split reference model (pure fn)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = new java.util.HashSet[String]()
+    Seq("the", "a", "of", "and", "to").foreach(words.add)
+    check(Prop.forAll(wsText) { s =>
+      val got = graft.functions.TextScoreUtil
+        .hitCount(UTF8String.fromString(s), words, ws = true)
+      val want = s.split("\\s+", -1).count(t => t.nonEmpty && words.contains(t))
+      got == want
+    }, samples = 300)
+  }
 }
