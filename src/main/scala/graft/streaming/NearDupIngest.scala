@@ -71,6 +71,40 @@ object NearDupIngest {
     bNew.unpersist()
   }
 
+  /** Compact an append-grown table (band index, pairs, or document
+    * store): every micro-batch appends its own small file set, so a
+    * long-running ingest accumulates thousands of tiny files and each
+    * batch's index read pays the listing + open cost. This rewrites the
+    * table into `numFiles` files behind [[graft.pipeline.Pipeline]]'s
+    * atomic swap (write to a dot-prefixed temp sibling — invisible to
+    * readers — then rename), so a crash mid-compaction never surfaces a
+    * half table. Returns (parquet files before, after).
+    *
+    * Concurrency contract: rows appended between the read and the swap
+    * would be lost — run this from the ingest's own thread between
+    * micro-batches (foreachBatch is serial per query) or in a
+    * maintenance window, exactly like any non-transactional table
+    * format. A table format with snapshot isolation removes the caveat
+    * without changing the call.
+    */
+  def compactTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   numFiles: Int): (Int, Int) = {
+    def nFiles = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val before = nFiles
+    if (before > 0) {
+      // the source files stay in place while the temp sibling is written,
+      // so the read plan underneath the overwrite stays valid
+      graft.pipeline.Pipeline.atomicOverwrite(spark,
+        spark.read.parquet(dir).repartition(numFiles), dir)
+    }
+    (before, nFiles)
+  }
+
   private def hasParquet(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)

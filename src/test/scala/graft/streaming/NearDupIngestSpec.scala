@@ -47,6 +47,44 @@ class NearDupIngestSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("index compaction preserves content, reduces files, ingest continues") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi_c_").toString
+    val (indexDir, pairsDir, ckpt) = (s"$tmp/index", s"$tmp/pairs", s"$tmp/ckpt")
+    // ingest most of the corpus in three batches, hold back the tail
+    val (head, tail) = docs.splitAt(docs.size * 3 / 4)
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupIngest.start(input.toDF().toDF("doc_id", "text"),
+      indexDir, pairsDir, ckpt)
+    try {
+      head.grouped(math.max(head.size / 3 + 1, 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val preCompact = spark.read.parquet(indexDir)
+        .collect().map(_.toSeq).toSet
+      val (before, after) = NearDupIngest.compactTable(spark, indexDir, 2)
+      assert(before > 2 && after <= 2, s"files $before -> $after")
+      val postCompact = spark.read.parquet(indexDir)
+        .collect().map(_.toSeq).toSet
+      assert(postCompact == preCompact)
+      // ingest the held-back tail against the compacted index: the
+      // accumulated candidate set must still equal the batch self-join
+      NearDupIngest.ingestBatch(tail.toDF("doc_id", "text"),
+        indexDir, pairsDir, "doc_id", 16, 4, "text", 3)
+      val streamed = spark.read.parquet(pairsDir).distinct()
+        .collect().map(_.toSeq).toSet
+      val batch = Dedup.lshCandidatePairs(docs.toDF("doc_id", "text"),
+        "doc_id", numHashes = 16, bands = 4)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally if (q.isActive) q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("verified ingestion equals the batch two-phase fuzzy pipeline") {
     implicit val ctx = spark.sqlContext
     val docs = graft.Tables.documents(spark, sf0001)
