@@ -85,6 +85,23 @@ object Dedup {
       .filter(col("__rk") <= nPer).drop("__rk")
   }
 
+  /** Deterministic per-group weighted sampling — the domain-mixture
+    * primitive for training-data composition (e.g. upsample curated
+    * sources, downsample raw crawl): keep a row when its md5 bucket falls
+    * below the group's percentage; groups absent from `pctByGroup` get
+    * rate 0. Same reproducibility contract as [[hashSample]] (stable
+    * across engines, runs, and partitionings — re-running a mixture
+    * yields the identical corpus), and map-only: the rate lookup is a
+    * CASE chain, no join, no shuffle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     pctByGroup: Map[String, Int]): DataFrame = {
+    val rate = pctByGroup.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (acc, (g, pct)) => when(col(groupCol) === g, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens OR
     * the text is NULL — the NULL-text coalesce keeps the historical

@@ -307,6 +307,79 @@ object TextAnalysis {
         min(col(numCol)).as("min_len"),
         max(col(numCol)).as("max_len"))
 
+  /** Per-document top-k TF-IDF terms — the keyword/topic-feature
+    * extraction a curation pipeline runs to profile domains and build
+    * mixture weights. Smoothed idf = ln((N+1)/(df+1)) + 1, score =
+    * tf * idf rounded to 6 places BEFORE ranking (so the ordering is
+    * engine-reproducible), ties broken by term ascending.
+    *
+    * Scale posture: only the (doc, term, tf) sketch relation ever
+    * shuffles — once by term (document frequency via window count, no
+    * vocab collect, no join back), once by doc for the top-k window,
+    * which Spark plans as WindowGroupLimit (per-partition partial top-k
+    * before the exchange). The corpus text is read exactly once; N is a
+    * one-row broadcast.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val proj = df.select(col(idCol), col(textCol))
+    val tf = Par.fanOut(proj)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // N is counted on the UNSHUFFLED projection: partial counts map-side,
+    // one row crosses the wire per partition (fanning out first would
+    // round-robin every id through an exchange just to count them)
+    val nDocs = proj.agg(count(lit(1)).as("n_docs"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.crossJoin(broadcast(nDocs))
+      .withColumn("doc_freq", count(lit(1)).over(wTerm))
+      .withColumn("score", round(col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + 1) /
+          (col("doc_freq").cast("double") + 1)) + 1), 6))
+      .withColumn("rnk", row_number().over(wDoc))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("doc_freq"),
+        col("score"), col("rnk"))
+  }
+
+  /** Benchmark-contamination report: corpus documents sharing at least one
+    * word n-gram with the benchmark/eval set, with the count of distinct
+    * overlapping grams (the evidence a decontamination audit records).
+    *
+    * Scale posture: the benchmark gram set is broadcast — eval suites are
+    * MB-scale by definition while the corpus is the 100 TB side, so the
+    * corpus is read once, grams stream map-side through the broadcast
+    * hash join, and only matching (doc, gram) rows reach the aggregate.
+    * No corpus shuffle at all until the (small) hit set.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = broadcast(
+      Dedup.shingleRows(benchmark, idCol, textCol, n).select(col("s")).distinct())
+    Dedup.shingleRows(Par.fanOut(corpus.select(col(idCol), col(textCol))),
+        idCol, textCol, n)
+      .join(benchGrams, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Benchmark decontamination: drop every corpus document sharing a word
+    * n-gram with the benchmark set (the training-data hygiene step run
+    * before any eval-aware release). The flagged-id set is contamination-
+    * sized — tiny relative to the corpus — so the removal is a broadcast
+    * anti-join; the corpus streams through unshuffled.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val flagged = contaminationReport(corpus, benchmark, idCol, textCol, n)
+      .select(col("doc_id"))
+    corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
+      "left_anti")
+  }
+
   /** Document fingerprint: rolling char 8-gram hashes, summarized as the
     * minimum md5 (a bottom-1 sketch — equal fingerprints are a strong
     * near-dup signal) plus the distinct-gram cardinality. For texts

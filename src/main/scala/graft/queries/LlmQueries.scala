@@ -252,6 +252,26 @@ object LlmQueries {
       |WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.1
       |  AND rep_ratio <= 0.2 AND predicted_lang = 'en'""".stripMargin
 
+  /** (doc_id, gram `s`) rows over `base` — DISTINCT word n-grams per
+    * document, mirroring [[Dedup.shingleRows]] (gram = n tokens joined by
+    * a single space; documents shorter than n tokens produce none).
+    */
+  private def ngramRowsSql(base: String, n: Int): String =
+    s"""SELECT DISTINCT doc_id, array_to_string(ws[i:i+${n - 1}], ' ') AS s
+       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $base),
+       |     unnest(range(1, greatest(len(ws)-${n - 1}, 0)+1)) t(i)""".stripMargin
+
+  /** Source-domain mixture rates for the weighted-sampling query — ONE
+    * definition feeding both the Spark operator call and the oracle's
+    * CASE chain so the two engines can never drift.
+    */
+  private[queries] val MixWeights: Seq[(String, Int)] =
+    (0 to 9).map(i => (s"src$i", ((i % 5) + 1) * 10))
+
+  private val MixRateSql: String =
+    MixWeights.map { case (g, p) => s"WHEN '$g' THEN $p" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+
   val queries: Map[String, Query] = Map(
 
     // ---- Deduplication ------------------------------------------------
@@ -269,6 +289,12 @@ object LlmQueries {
     // deterministic per-language quota (corpus-balancing primitive)
     "sample_stratified" -> ((s, dir) =>
       Dedup.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 50)),
+
+    // per-source weighted mixture (domain-composition primitive:
+    // up/downsample sources at fixed reproducible rates, map-only)
+    "sample_weighted_mix" -> ((s, dir) =>
+      Dedup.weightedSample(Tables.documents(s, dir), "doc_id", "source",
+        MixWeights.toMap)),
 
     // incremental ingest: LSH candidates for a 20% "new batch" against the
     // other 80% "already-ingested corpus" (hash-bucket split), computed
@@ -480,6 +506,45 @@ object LlmQueries {
         maxRepetition = 0.2, keepLang = "en")
     }),
 
+    // per-document top-3 TF-IDF terms (keyword/topic profiling for domain
+    // mixture decisions) — smoothed idf, rounded-then-ranked for
+    // engine-reproducible ordering
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    // decontamination audit: corpus docs (src9 = the held-out benchmark)
+    // sharing any word 8-gram with the benchmark, with overlap counts
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contaminationReport(
+        docs.filter(col("source") =!= "src9"),
+        docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+    }),
+
+    // the decontaminated corpus itself: benchmark-overlapping docs removed
+    // via broadcast anti-join (the flagged set is contamination-sized)
+    "text_decontaminated" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.decontaminate(
+        docs.filter(col("source") =!= "src9"),
+        docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+    }),
+
+    // the full training-data release chain: exact collapse -> guarded
+    // fuzzy keep-first -> benchmark decontamination (src9 = the eval set,
+    // so its own docs and anything overlapping them drop) -> curation,
+    // composed as ONE lazy plan
+    "llm_corpus_prep_decon" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
+      val clean = TextAnalysis.decontaminate(kept,
+        docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+      TextAnalysis.curationFilter(clean, "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en")
+    }),
+
     // one Lloyd iteration from the deterministic seed codebook (exploded
     // for scalar-row oracle comparison)
     "vec_kmeans_iter" -> ((s, dir) => {
@@ -576,6 +641,10 @@ object LlmQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 50""".stripMargin,
+
+    "sample_weighted_mix" ->
+      s"""SELECT * FROM documents
+         |WHERE $HashBucketSql < $MixRateSql""".stripMargin,
 
     // the incremental operator's result set is, by construction, the full
     // candidate set restricted to pairs touching the new batch
@@ -895,6 +964,66 @@ object LlmQueries {
          |kept AS (SELECT * FROM x0
          |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
          |${curationCtes("kept")}
+         |$CurationSelect""".stripMargin,
+
+    // smoothed tf-idf, rounded to 6 places BEFORE ranking (both engines
+    // rank the identical rounded doubles; ties break by term)
+    "text_tfidf_topk" ->
+      """WITH tf AS (SELECT doc_id, w AS term, count(*) AS tf
+        |            FROM (SELECT doc_id,
+        |                    unnest(string_split(lower(text), ' ')) AS w
+        |                  FROM documents) GROUP BY 1, 2),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf,
+        |         count(*) OVER (PARTITION BY term) AS doc_freq FROM tf),
+        |r AS (SELECT doc_id, term, tf, doc_freq,
+        |        round(CAST(tf AS DOUBLE) *
+        |          (ln((CAST(n_docs AS DOUBLE) + 1) /
+        |              (CAST(doc_freq AS DOUBLE) + 1)) + 1), 6) AS score
+        |      FROM sc, nd),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, term) AS rnk FROM r)
+        |SELECT doc_id, term, tf, doc_freq, score, CAST(rnk AS INT) AS rnk
+        |FROM rk WHERE rnk <= 3""".stripMargin,
+
+    // corpus (non-src9) docs sharing any word 8-gram with the src9
+    // benchmark slice, with distinct-overlap counts
+    "text_contamination" ->
+      s"""WITH g AS (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source <> 'src9')", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)}))
+         |SELECT g.doc_id, count(*) AS n_overlap
+         |FROM g JOIN bg USING (s) GROUP BY 1""".stripMargin,
+
+    "text_decontaminated" ->
+      s"""WITH g AS (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source <> 'src9')", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
+         |fl AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (s))
+         |SELECT * FROM documents
+         |WHERE source <> 'src9'
+         |  AND doc_id NOT IN (SELECT doc_id FROM fl)""".stripMargin,
+
+    // exact collapse -> fuzzy keep-first -> decontaminate vs the src9
+    // benchmark (src9's own docs flag themselves and drop) -> curation
+    "llm_corpus_prep_decon" ->
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |dg AS (${ngramRowsSql("kept", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
+         |fl AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (s)),
+         |decon AS (SELECT * FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+         |${curationCtes("decon")}
          |$CurationSelect""".stripMargin,
 
     "text_pack_bins" ->

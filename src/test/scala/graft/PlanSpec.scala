@@ -72,6 +72,28 @@ class PlanSpec extends SparkSpec {
     assert(iPartial >= 0)
   }
 
+  test("tfidf top-k: pre-shuffle rank limit, only sketch relations shuffle") {
+    val p = planOf("text_tfidf_topk")
+    // the top-k window must plan as WindowGroupLimit (partial per-partition
+    // top-k before the doc_id exchange)
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // shuffles carry only (doc, term) sketch rows: tf agg + term window +
+    // doc window — never the corpus text
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3)
+  }
+
+  test("weighted mixture sample: map-only, zero exchanges") {
+    val p = planOf("sample_weighted_mix")
+    assert(!p.contains("Exchange"), s"weighted sampling must not shuffle:\n$p")
+  }
+
+  test("decontamination: benchmark grams broadcast, corpus never sort-merged") {
+    val p = planOf("text_decontaminated")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("curation filter: fully codegen single-scan projection+filter") {
     val p = planOf("text_curation")
     // native expressions keep the whole operator inside codegen (the HOF

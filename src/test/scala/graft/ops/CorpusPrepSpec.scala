@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 corpus-prep operators: TF-IDF keyword extraction, benchmark
+  * decontamination, and weighted domain mixing.
+  */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- tfidfTopK -----------------------------------------------------
+
+  private def tfidfDocs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry date")
+  ).toDF("doc_id", "text")
+
+  test("tfidf: smoothed scores, rounded-then-ranked, term tie-break") {
+    val out = TextAnalysis.tfidfTopK(tfidfDocs, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // N=3; df(apple)=1, df(banana)=2, df(cherry)=2, df(date)=1
+    val idf1 = math.log(4.0 / 2) + 1 // df=1
+    val idf2 = math.log(4.0 / 3) + 1 // df=2
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out((1L, "apple"))._5 == r6(2 * idf1))
+    assert(out((1L, "apple"))._6 == 1)
+    assert(out((1L, "banana"))._5 == r6(idf2))
+    // d2: banana and cherry tie exactly -> term ascending breaks it
+    assert(out((2L, "banana"))._6 == 1 && out((2L, "cherry"))._6 == 2)
+    // d3: cherry (tf=2) outranks date despite date's higher idf
+    assert(out((3L, "cherry"))._6 == 1 && out((3L, "date"))._6 == 2)
+  }
+
+  test("tfidf: k bounds the per-document rows") {
+    val out = TextAnalysis.tfidfTopK(tfidfDocs, "doc_id", "text", 1)
+    val byDoc = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc.values.forall(_ == 1L) && byDoc.size == 3)
+  }
+
+  // ---- decontamination -----------------------------------------------
+
+  private def corpus = Seq(
+    (1L, "one two three four five six seven eight nine"),
+    (2L, "alpha beta gamma delta"),
+    (3L, "x1 x2 x3 x4 x5 x6 x7 x8")
+  ).toDF("doc_id", "text")
+
+  private def bench = Seq(
+    (100L, "zero one two three four five six seven eight")
+  ).toDF("doc_id", "text")
+
+  test("contamination report: only docs sharing an 8-gram, distinct counts") {
+    val rep = TextAnalysis.contaminationReport(corpus, bench, "doc_id", "text", 8)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares exactly one 8-gram ("one ... eight"); docs 2 (too
+    // short) and 3 (disjoint vocabulary) share none
+    assert(rep == Map(1L -> 1L))
+  }
+
+  test("decontaminate drops flagged docs, keeps the rest intact") {
+    val kept = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", 8)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // rows pass through unmodified (same schema, same text)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+  }
+
+  test("decontaminate is a broadcast pipeline: no sort-merge join, no cartesian") {
+    val p = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side must stream through broadcast joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  // ---- weightedSample ------------------------------------------------
+
+  private def mixDocs = spark.range(0, 400)
+    .select(col("id").as("doc_id"),
+      concat(lit("grp"), (col("id") % 4).cast("string")).as("source"))
+
+  test("weighted sample: per-group rates, absent groups dropped") {
+    val rates = Map("grp0" -> 100, "grp1" -> 50, "grp2" -> 0)
+    val out = Dedup.weightedSample(mixDocs, "doc_id", "source", rates)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val byGroup = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGroup.getOrElse("grp0", 0) == 100) // rate 100 keeps all
+    assert(!byGroup.contains("grp2"))           // explicit 0
+    assert(!byGroup.contains("grp3"))           // absent from the map
+    // rate-50 group: exactly the rows whose bucket is below 50
+    val expected = mixDocs.filter(col("source") === "grp1" &&
+      Dedup.hashBucket(col("doc_id")) < 50).count()
+    assert(byGroup.getOrElse("grp1", 0).toLong == expected && expected > 0)
+  }
+
+  test("weighted sample: deterministic and monotone in the rate") {
+    def ids(pct: Int) = Dedup.weightedSample(mixDocs, "doc_id", "source",
+      Map("grp0" -> pct)).select("doc_id").as[Long].collect().toSet
+    val at20 = ids(20)
+    assert(at20 == ids(20))        // reproducible
+    assert(at20.subsetOf(ids(60))) // raising a rate only adds rows
+  }
+}
