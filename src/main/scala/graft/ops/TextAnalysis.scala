@@ -356,15 +356,27 @@ object TextAnalysis {
     * No corpus shuffle at all until the (small) hit set.
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
-                          idCol: String, textCol: String, n: Int): DataFrame = {
-    val benchGrams = broadcast(
-      Dedup.shingleRows(benchmark, idCol, textCol, n).select(col("s")).distinct())
+                          idCol: String, textCol: String, n: Int): DataFrame =
+    contaminationReportIndexed(corpus,
+      Dedup.shingleRows(benchmark, idCol, textCol, n).select(col("s")).distinct(),
+      idCol, textCol, n)
+
+  /** [[contaminationReport]] against a PRE-BUILT benchmark gram relation
+    * (single column `s`) — the per-ingest face: a stored gram index is
+    * read once and joined directly instead of re-shingling the benchmark
+    * every batch (mirrors `incrementalLshCandidatesIndexed`). The index
+    * may carry duplicate grams (append-grown tables do under
+    * at-least-once delivery); they are collapsed here so overlap counts
+    * stay exact.
+    */
+  def contaminationReportIndexed(corpus: DataFrame, benchGrams: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int): DataFrame =
     Dedup.shingleRows(Par.fanOut(corpus.select(col(idCol), col(textCol))),
         idCol, textCol, n)
-      .join(benchGrams, "s")
+      .join(broadcast(benchGrams.select(col("s")).distinct()), "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
-  }
 
   /** Benchmark decontamination: drop every corpus document sharing a word
     * n-gram with the benchmark set (the training-data hygiene step run
@@ -373,7 +385,16 @@ object TextAnalysis {
     * anti-join; the corpus streams through unshuffled.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                    idCol: String, textCol: String, n: Int): DataFrame = {
+                    idCol: String, textCol: String, n: Int): DataFrame =
+    decontaminateIndexed(corpus,
+      Dedup.shingleRows(benchmark, idCol, textCol, n).select(col("s")).distinct(),
+      idCol, textCol, n)
+
+  /** [[decontaminate]] against a pre-built benchmark gram relation — the
+    * per-ingest / streaming face.
+    */
+  def decontaminateIndexed(corpus: DataFrame, benchGrams: DataFrame,
+                           idCol: String, textCol: String, n: Int): DataFrame = {
     // The flagged set is materialized EAGERLY (it is contamination-sized,
     // i.e. tiny) before the anti-join broadcasts it. Leaving it lazy nests
     // the report's broadcast join inside the anti-join's broadcast build —
@@ -381,7 +402,8 @@ object TextAnalysis {
     // same nested-broadcast pathology the fuzzy pipeline's eager sketch
     // materialization kills), which turned a two-scan operator superlinear
     // on the scale probe (37 s -> 11 s at 50 k docs, 192 s -> 19 s at 100 k).
-    val flagged = contaminationReport(corpus, benchmark, idCol, textCol, n)
+    val flagged = contaminationReportIndexed(corpus, benchGrams, idCol,
+        textCol, n)
       .select(col("doc_id")).localCheckpoint(true)
     corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
       "left_anti")

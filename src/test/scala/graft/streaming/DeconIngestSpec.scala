@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Stream-vs-batch parity for streaming decontamination: feeding the
+  * corpus through [[DeconIngest]] in several micro-batches must release
+  * exactly the rows the batch operator keeps and flag exactly the docs
+  * the batch report flags, with identical overlap counts.
+  */
+class DeconIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batched decontamination equals the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001)
+    val benchmark = docs.filter(col("source") === "src9")
+      .select("doc_id", "text")
+    // corpus = the non-benchmark slice, plus one PLANTED contaminated doc
+    // (a verbatim benchmark text under a fresh id) so the flagged side is
+    // provably non-empty at this scale factor
+    val planted = benchmark.limit(1)
+      .select(lit(999999L).as("doc_id"), col("text"))
+    val corpus = docs.filter(col("source") =!= "src9")
+      .select("doc_id", "text").unionByName(planted)
+      .as[(Long, String)].collect().toSeq
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_di_").toString
+    val (idxDir, cleanDir, flagDir, ckpt) =
+      (s"$tmp/idx", s"$tmp/clean", s"$tmp/flag", s"$tmp/ckpt")
+    DeconIngest.writeBenchIndex(benchmark, idxDir)
+
+    val input = MemoryStream[(Long, String)]
+    val q = DeconIngest.start(input.toDF().toDF("doc_id", "text"),
+      idxDir, cleanDir, flagDir, ckpt)
+    try {
+      corpus.grouped(math.max(corpus.size / 3 + 1, 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val streamedClean = spark.read.parquet(cleanDir).distinct()
+      .collect().map(_.toSeq).toSet
+    val batchClean = TextAnalysis.decontaminate(
+        corpusDf, benchmark, "doc_id", "text", 8)
+      .collect().map(_.toSeq).toSet
+    assert(streamedClean == batchClean)
+
+    val streamedFlags = spark.read.parquet(flagDir).distinct()
+      .collect().map(_.toSeq).toSet
+    val batchFlags = TextAnalysis.contaminationReport(
+        corpusDf, benchmark, "doc_id", "text", 8)
+      .collect().map(_.toSeq).toSet
+    assert(streamedFlags == batchFlags)
+    // the planted copy is flagged, never released
+    assert(streamedFlags.exists(_.head == 999999L))
+    assert(!streamedClean.exists(_.head == 999999L))
+    spark.catalog.clearCache()
+  }
+
+  test("re-registering a benchmark and compacting the index changes nothing") {
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf0001)
+    val benchmark = docs.filter(col("source") === "src9")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("source") =!= "src9")
+      .select("doc_id", "text")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_di_c_").toString
+    val idxDir = s"$tmp/idx"
+    DeconIngest.writeBenchIndex(benchmark, idxDir)
+    DeconIngest.writeBenchIndex(benchmark, idxDir) // duplicate registration
+    val before = TextAnalysis.contaminationReportIndexed(corpus,
+        spark.read.parquet(idxDir), "doc_id", "text", 8)
+      .collect().map(_.toSeq).toSet
+    // duplicate grams in the append-grown index must not double counts
+    val direct = TextAnalysis.contaminationReport(corpus, benchmark,
+        "doc_id", "text", 8)
+      .collect().map(_.toSeq).toSet
+    assert(before == direct)
+
+    DeconIngest.compactBenchIndex(spark, idxDir, 1)
+    val after = TextAnalysis.contaminationReportIndexed(corpus,
+        spark.read.parquet(idxDir), "doc_id", "text", 8)
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+    spark.catalog.clearCache()
+  }
+}
