@@ -409,6 +409,51 @@ object TextAnalysis {
       "left_anti")
   }
 
+  /** Corpus mixture accounting — the "data card" aggregate a training-
+    * data release publishes: per-domain document and token counts with
+    * their shares of the corpus. One partial-aggregated pass over the
+    * corpus; the share window runs on the POST-aggregate relation, which
+    * is domain-count-sized (tens of rows), so the single-partition window
+    * is a non-issue at any corpus scale.
+    */
+  def mixtureStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select(col(groupCol), size(tokens(col(textCol))).as("n_tok"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6))
+  }
+
+  /** Quality-quartile tiers — the curriculum/mixture bucketing primitive:
+    * each document labeled 1-4 by which quartile of the corpus quality
+    * distribution its score falls in. Cutoffs are EXACT percentiles
+    * (engine-reproducible, unlike the approximate sketch) rounded to the
+    * same 6-place grid as the scores, so tier boundaries can never drift
+    * between engines. Two passes: the cutoff aggregate (state is bounded
+    * by the distinct-score grid, ~1e6 entries worst case) broadcast as
+    * one row into a map-only tier assignment.
+    */
+  def qualityTiers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = quality(df, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    val cuts = scored.agg(
+      round(call_function("percentile", col("quality_score"), lit(0.25)), 6).as("t1"),
+      round(call_function("percentile", col("quality_score"), lit(0.5)), 6).as("t2"),
+      round(call_function("percentile", col("quality_score"), lit(0.75)), 6).as("t3"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("quality_score"),
+        when(col("quality_score") <= col("t1"), 1)
+          .when(col("quality_score") <= col("t2"), 2)
+          .when(col("quality_score") <= col("t3"), 3)
+          .otherwise(4).as("tier"))
+  }
+
   /** Document fingerprint: rolling char 8-gram hashes, summarized as the
     * minimum md5 (a bottom-1 sketch — equal fingerprints are a strong
     * near-dup signal) plus the distinct-gram cardinality. For texts

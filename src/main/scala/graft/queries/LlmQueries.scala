@@ -442,6 +442,16 @@ object LlmQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")),
 
+    // per-source doc/token counts and corpus shares (the release "data
+    // card" aggregate)
+    "text_mixture_stats" -> ((s, dir) =>
+      TextAnalysis.mixtureStats(Tables.documents(s, dir), "source", "text")),
+
+    // quality-quartile curriculum tiers (exact percentile cutoffs,
+    // 6-place grid, broadcast into a map-only assignment)
+    "text_quality_tiers" -> ((s, dir) =>
+      TextAnalysis.qualityTiers(Tables.documents(s, dir), "doc_id", "text")),
+
     "text_length_stats" -> ((s, dir) =>
       TextAnalysis.lengthStats(Tables.documents(s, dir), "lang", "n_chars")),
 
@@ -645,6 +655,40 @@ object LlmQueries {
     "sample_weighted_mix" ->
       s"""SELECT * FROM documents
          |WHERE $HashBucketSql < $MixRateSql""".stripMargin,
+
+    "text_mixture_stats" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |               AS n_tokens
+        |           FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |    AS token_share
+        |FROM a""".stripMargin,
+
+    "text_quality_tiers" -> {
+      val en = sqlList(StopEn)
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |x AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nt,
+         |        CAST(len(list_filter(ws, w -> list_contains($en, w)))
+         |          AS DOUBLE) AS hits
+         |      FROM t),
+         |s AS (SELECT doc_id,
+         |        round(least(nt / 100, CAST(1 AS DOUBLE)) *
+         |              (1 - abs(hits / nt - 0.4)), 6) AS quality_score
+         |      FROM x),
+         |c AS (SELECT round(quantile_cont(quality_score, 0.25), 6) AS t1,
+         |             round(quantile_cont(quality_score, 0.5), 6) AS t2,
+         |             round(quantile_cont(quality_score, 0.75), 6) AS t3
+         |      FROM s)
+         |SELECT doc_id, quality_score,
+         |  CAST(CASE WHEN quality_score <= t1 THEN 1
+         |            WHEN quality_score <= t2 THEN 2
+         |            WHEN quality_score <= t3 THEN 3 ELSE 4 END AS INT) AS tier
+         |FROM s, c""".stripMargin
+    },
 
     // the incremental operator's result set is, by construction, the full
     // candidate set restricted to pairs touching the new batch

@@ -75,6 +75,35 @@ class CorpusPrepSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  // ---- mixtureStats / qualityTiers -----------------------------------
+
+  test("mixture stats: counts, token sums, shares summing to 1") {
+    val d = Seq(
+      (1L, "a b c", "web"), (2L, "d e", "web"), (3L, "f g h i j", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.mixtureStats(d, "source", "text")
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("web")._2 == 2 && out("web")._3 == 5)
+    assert(out("books")._2 == 1 && out("books")._3 == 5)
+    assert(math.abs(out("web")._4 - 0.666667) < 1e-9)  // 2/3 rounded
+    assert(out("web")._5 == 0.5 && out("books")._5 == 0.5)
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-5)
+  }
+
+  test("quality tiers: monotone in score, all four tiers populated") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = TextAnalysis.qualityTiers(docs, "doc_id", "text")
+      .as[(Long, Double, Int)].collect()
+    assert(out.map(_._3).toSet == Set(1, 2, 3, 4))
+    // sorting by score must never see a tier decrease
+    val tiersByScore = out.sortBy(_._2).map(_._3)
+    assert(tiersByScore.zip(tiersByScore.tail).forall { case (a, b) => a <= b })
+    // quartile cutoffs put ~a quarter in each tier (exact percentiles on
+    // a 50-doc fixture allow some slack for tied scores)
+    val counts = out.groupBy(_._3).view.mapValues(_.length)
+    assert(counts.values.forall(c => c >= out.length / 8))
+  }
+
   // ---- weightedSample ------------------------------------------------
 
   private def mixDocs = spark.range(0, 400)
