@@ -102,6 +102,20 @@ object Dedup {
     df.filter(hashBucket(col(idCol)) < rate)
   }
 
+  /** [[weightedSample]] with the rates as a RELATION instead of a CASE
+    * chain — the shape for mixtures over many groups (the chain is
+    * O(groups) per row and bloats the plan past a few hundred arms,
+    * where a broadcast hash lookup is O(1)). `rates` carries
+    * (`groupCol`, `pct`); groups absent from it get rate 0 (inner join +
+    * coalesce-free filter). Result is row-identical to the CASE face for
+    * the same rate table (parity-spec'd).
+    */
+  def weightedSampleJoined(df: DataFrame, idCol: String, groupCol: String,
+                           rates: DataFrame): DataFrame =
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashBucket(col(idCol)) < col("pct"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens OR
     * the text is NULL — the NULL-text coalesce keeps the historical

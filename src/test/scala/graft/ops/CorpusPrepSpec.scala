@@ -124,6 +124,17 @@ class CorpusPrepSpec extends SparkSpec {
     assert(byGroup.getOrElse("grp1", 0).toLong == expected && expected > 0)
   }
 
+  test("weighted sample: join face equals the CASE face") {
+    val rates = Map("grp0" -> 30, "grp1" -> 70, "grp3" -> 100)
+    val caseFace = Dedup.weightedSample(mixDocs, "doc_id", "source", rates)
+      .collect().map(_.toSeq).toSet
+    val ratesDf = rates.toSeq.toDF("source", "pct")
+    val joinFace = Dedup.weightedSampleJoined(mixDocs, "doc_id", "source", ratesDf)
+    assert(joinFace.columns.toSeq == mixDocs.columns.toSeq)
+    assert(joinFace.collect().map(_.toSeq).toSet == caseFace)
+    assert(caseFace.nonEmpty)
+  }
+
   test("weighted sample: deterministic and monotone in the rate") {
     def ids(pct: Int) = Dedup.weightedSample(mixDocs, "doc_id", "source",
       Map("grp0" -> pct)).select("doc_id").as[Long].collect().toSet
