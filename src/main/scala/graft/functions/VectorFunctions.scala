@@ -100,6 +100,195 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** int8 scalar-quantization scale for one vector: 127 / max|x| (0 for the
+  * all-zero vector, so its quantized form is all-zero and any guarded
+  * score is 0). Pure IEEE arithmetic — abs, compare, one division — so
+  * the value is BIT-identical to the DuckDB oracle's replay, and scores
+  * derived from it can be ranked unrounded.
+  */
+case class Q8Scale(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_q8_scale expects array<float>|array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_q8_scale"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var m = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      if (!x.isNullAt(i)) {
+        val v = math.abs(if (isFloat) x.getFloat(i).toDouble else x.getDouble(i))
+        if (v > m) m = v
+      }
+      i += 1
+    }
+    if (m == 0.0) 0.0 else 127.0 / m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("q8sM")
+      val i = ctx.freshName("q8sI")
+      val v = ctx.freshName("q8sV")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = java.lang.Math.abs($get);
+         |    if ($v > $m) $m = $v;
+         |  }
+         |}
+         |${ev.value} = ($m == 0.0) ? 0.0 : 127.0 / $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Q8Scale =
+    copy(child = c)
+}
+
+/** int8 scalar quantization: q_i = clamp(floor(x_i * scale + 0.5), -127,
+  * 127) as `array<tinyint>` — explicit floor(+0.5) instead of round() so
+  * both engines share one half-up rule (round() semantics differ across
+  * engines on exact halves). Null elements quantize to 0 (dense-embedding
+  * contract, as [[FloatDotProduct]]). The whole computation is exact
+  * integer/IEEE, giving bit-identical sketches everywhere — the 4x
+  * memory-footprint path for ANN indexes at corpus scale.
+  */
+case class Q8Quantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_q8 expects (array<float>|array<double>, double), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "graft_q8"
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, s: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val out = new Array[Byte](x.numElements())
+    var i = 0
+    while (i < out.length) {
+      val v = if (x.isNullAt(i)) 0.0
+        else if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      var r = math.floor(v * scale + 0.5)
+      if (r > 127) r = 127 else if (r < -127) r = -127
+      out(i) = r.toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val n = ctx.freshName("q8N")
+      val tmp = ctx.freshName("q8Tmp")
+      val i = ctx.freshName("q8I")
+      val v = ctx.freshName("q8V")
+      val r = ctx.freshName("q8R")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $tmp = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.isNullAt($i) ? 0.0 : $get;
+         |  double $r = java.lang.Math.floor($v * $s + 0.5);
+         |  $r = $r > 127.0 ? 127.0 : ($r < -127.0 ? -127.0 : $r);
+         |  $tmp[$i] = (byte) $r;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($tmp);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Q8Quantize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot product over two `array<tinyint>` quantized vectors — a
+  * tight primitive loop in whole-stage codegen, exact (long accumulate,
+  * no float drift, order-independent). The pair-scoring hot path of the
+  * quantized ANN serving plan.
+  */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_i8dot expects array<tinyint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_i8dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getByte(i).toLong * y.getByte(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("i8N")
+      val acc = ctx.freshName("i8Acc")
+      val i = ctx.freshName("i8I")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ((long) $a.getByte($i)) * $b.getByte($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the graft native functions — either imperatively
   * ([[GraftFunctions.register]], idempotent, used by the operators
   * themselves) or declaratively via `spark.sql.extensions=
@@ -120,6 +309,15 @@ object GraftFunctions {
 
   val charFpInfo = new ExpressionInfo(
     classOf[CharGramFingerprint].getName, "graft_char_fingerprint")
+
+  val q8ScaleInfo = new ExpressionInfo(
+    classOf[Q8Scale].getName, "graft_q8_scale")
+
+  val q8Info = new ExpressionInfo(
+    classOf[Q8Quantize].getName, "graft_q8")
+
+  val i8dotInfo = new ExpressionInfo(
+    classOf[Int8DotProduct].getName, "graft_i8dot")
 
   /** Clear analysis-time error for builder misuse: the parameter slots of
     * the graft functions are plan-time constants, so anything non-foldable
@@ -176,6 +374,12 @@ object GraftFunctions {
       "graft_stopword_hits", stopwordHitsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_char_fingerprint", charFpBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_q8_scale", exprs => Q8Scale(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_q8", exprs => Q8Quantize(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_i8dot", exprs => Int8DotProduct(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -196,5 +400,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_char_fingerprint"),
       GraftFunctions.charFpInfo,
       GraftFunctions.charFpBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_q8_scale"),
+      GraftFunctions.q8ScaleInfo,
+      exprs => Q8Scale(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_q8"),
+      GraftFunctions.q8Info,
+      exprs => Q8Quantize(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_i8dot"),
+      GraftFunctions.i8dotInfo,
+      exprs => Int8DotProduct(exprs.head, exprs(1))))
   }
 }

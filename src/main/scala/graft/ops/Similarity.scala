@@ -61,6 +61,49 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
   }
 
+  /** int8 scalar quantization of the embedding column: appends `q_scale`
+    * (127 / max|x|) and `q8` (`array<tinyint>`, half-up rounded, clamped)
+    * via the native codegen [[graft.functions.Q8Scale]]/[[graft.functions.Q8Quantize]]
+    * expressions — one map-only pass. The quantized index is 4x smaller
+    * than float32 (the difference between an ANN index that fits executor
+    * memory at corpus scale and one that spills), and scoring it is
+    * integer arithmetic. All quantization math is exact IEEE / integer,
+    * so sketches are bit-identical across engines and runs.
+    */
+  def quantize(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings
+      .withColumn("q_scale", call_function("graft_q8_scale", col(vecCol)))
+      .withColumn("q8", call_function("graft_q8", col(vecCol), col("q_scale")))
+  }
+
+  /** Brute-force top-k over the QUANTIZED index: per pair one integer dot
+    * ([[graft.functions.Int8DotProduct]], long accumulate — exact and
+    * order-independent), descaled by the two scales into an approximate
+    * raw dot product (== cosine on unit-norm embeddings). Because every
+    * score is (exact integer) / (bit-identical IEEE product), ranking
+    * needs no rounding guard — both engines order identical doubles.
+    * Same broadcast-queries / WindowGroupLimit plan as [[bruteForceTopK]];
+    * the recall cost of int8 is measured in `CorpusPrepSpec` (quantized
+    * vs exact top-k overlap on the fixture).
+    */
+  def bruteForceTopKQ8(embeddings: DataFrame, queryPred: Column,
+                       k: Int): DataFrame = {
+    val e = quantize(embeddings)
+      .select(col("vec_id"), col("q8"), col("q_scale"))
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("q8").as("qq8"), col("q_scale").as("qq_scale"))
+    val dq = call_function("graft_i8dot", col("qq8"), col("q8")).cast("double")
+    val denom = col("qq_scale") * col("q_scale")
+    val pairs = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .withColumn("score", when(denom === 0.0, 0.0).otherwise(dq / denom))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id")))
+    pairs.withColumn("rn", rn).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("score"), 6).as("q8_score"))
+  }
+
   /** Assign every vector to its nearest centroid (deterministic ties on
     * centroid id). Centroids are broadcast; assignment is a map-side
     * cross-score + per-vector argmax — the corpus is scanned once.

@@ -190,6 +190,24 @@ object LlmQueries {
     s"CAST($terms AS BIGINT) % 100"
   }
 
+  /** Shared int8-quantization CTE prefix (mirrors [[Similarity.quantize]]:
+    * scale = 127/max|x| with the zero-vector guard, elements half-up
+    * rounded via explicit floor(+0.5) — one shared rule, since round()
+    * semantics differ across engines on exact halves — and clamped to
+    * [-127, 127]).
+    */
+  private val Q8Ctes: String =
+    """qs AS (SELECT vec_id, embedding,
+      |         CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS sc
+      |       FROM (SELECT vec_id, embedding,
+      |               list_aggregate(list_transform(embedding,
+      |                 x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+      |             FROM embeddings)),
+      |qv AS (SELECT vec_id, sc, list_transform(embedding,
+      |         x -> CAST(least(greatest(floor(CAST(x AS DOUBLE) * sc + 0.5),
+      |                                  -127), 127) AS BIGINT)) AS q
+      |       FROM qs)""".stripMargin
+
   /** [[SimhashCtes]] extended to the pigeonhole-banded candidate pairs and
     * the hamming-verified pair set `spairs` (mirrors
     * [[Dedup.simhashPairs]]) — shared by the pair and cluster oracles.
@@ -412,6 +430,22 @@ object LlmQueries {
     // hyperplanes are md5-derived so the oracle replays them exactly).
     "sim_srp_buckets" -> ((s, dir) =>
       Similarity.srpBuckets(Tables.embeddings(s, dir), planes = 8, dim = 64)),
+
+    // the int8-quantized index itself (4x smaller than float32), exploded
+    // for scalar oracle comparison — quantization is exact IEEE/integer
+    // math, so sketches are bit-identical across engines
+    "vec_q8" -> ((s, dir) =>
+      Similarity.quantize(Tables.embeddings(s, dir))
+        .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+          posexplode(col("q8")).as(Seq("i", "qv")))
+        .select(col("vec_id"), col("q_scale"), (col("i") + 1).as("dim"),
+          col("qv").cast("long").as("q"))),
+
+    // quantized ANN serving: integer dot products over the int8 index,
+    // descaled — the memory-footprint scale path for brute-force scoring
+    "sim_topk_q8" -> ((s, dir) =>
+      Similarity.bruteForceTopKQ8(Tables.embeddings(s, dir),
+        col("vec_id") % 100 === 0, k = 10)),
 
     // IVF centroid training step: element-wise mean embedding per bucket
     // via the custom TypedImperativeAggregate (exploded for scalar
@@ -781,6 +815,30 @@ object LlmQueries {
          |       ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, round(sim, 6) AS cosine FROM pr
          |WHERE sim >= 0.25 AND (vec_a % 5 = 0 OR vec_b % 5 = 0)""".stripMargin,
+
+    "vec_q8" ->
+      s"""WITH $Q8Ctes
+         |SELECT vec_id, round(sc, 6) AS q_scale, i AS dim, q[i] AS q
+         |FROM qv, unnest(range(1, len(q)+1)) t(i)""".stripMargin,
+
+    // integer dots are exact and the descale product is bit-identical
+    // IEEE on both engines, so the ranking needs no rounding guard
+    "sim_topk_q8" ->
+      s"""WITH $Q8Ctes,
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |        CAST(list_aggregate(list_transform(range(1, len(a.q)+1),
+         |          i -> a.q[i] * b.q[i]), 'sum') AS DOUBLE) AS dq,
+         |        a.sc AS sa, b.sc AS sb
+         |      FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+         |      WHERE a.vec_id % 100 = 0),
+         |r AS (SELECT query_id, vec_id,
+         |        CASE WHEN sa * sb = 0 THEN 0.0
+         |             ELSE dq / (sa * sb) END AS score
+         |      FROM p),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score DESC, vec_id) AS rn FROM r)
+         |SELECT query_id, vec_id, round(score, 6) AS q8_score
+         |FROM rk WHERE rn <= 10""".stripMargin,
 
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
