@@ -88,9 +88,21 @@ object Similarity {
     * vs exact top-k overlap on the fixture).
     */
   def bruteForceTopKQ8(embeddings: DataFrame, queryPred: Column,
-                       k: Int): DataFrame = {
-    val e = quantize(embeddings)
-      .select(col("vec_id"), col("q8"), col("q_scale"))
+                       k: Int): DataFrame =
+    bruteForceTopKQ8Indexed(
+      quantize(embeddings).select(col("vec_id"), col("q8"), col("q_scale")),
+      queryPred, k)
+
+  /** [[bruteForceTopKQ8]] over a PREBUILT quantized index (vec_id, q8,
+    * q_scale) — the build-once/serve-many shape. The inline variant pays
+    * the quantization pass inside the serving query (fine for one-shot
+    * jobs, measured ~+17% at 100 k vectors on the scale probe); a stored
+    * index pays it once at build and every serve reads a quarter of the
+    * bytes.
+    */
+  def bruteForceTopKQ8Indexed(e: DataFrame, queryPred: Column,
+                              k: Int): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
     val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
       col("q8").as("qq8"), col("q_scale").as("qq_scale"))
     val dq = call_function("graft_i8dot", col("qq8"), col("q8")).cast("double")
@@ -102,6 +114,57 @@ object Similarity {
     pairs.withColumn("rn", rn).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"),
         round(col("score"), 6).as("q8_score"))
+  }
+
+  /** The quantized ANN index: IVF cell assignment + int8 sketch, keeping
+    * ONLY (vec_id, centroid_id, q8, q_scale) — the float embeddings are
+    * dropped, so the stored index is ~4x smaller than [[ivfTopKIndexed]]'s
+    * and a probed cell reads a quarter of the bytes.
+    */
+  def quantizedIvfIndex(embeddings: DataFrame, codebook: DataFrame): DataFrame =
+    quantize(ivfAssign(embeddings, codebook))
+      .select(col("vec_id"), col("centroid_id"), col("q8"), col("q_scale"))
+
+  /** IVF search over the QUANTIZED index: probe selection still scores
+    * float query x float centroid (the codebook is driver-sized — it
+    * stays float), but the per-candidate scoring inside probed cells is
+    * the exact integer dot over int8 sketches. Only the corpus side is
+    * quantized — exactly where the bytes are at 100 TB.
+    */
+  def ivfTopKIndexedQ8(assignedQ8: DataFrame, codebook: DataFrame,
+                       queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val q = withNorm(quantize(queries))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"), col("q8").as("qq8"),
+        col("q_scale").as("qq_scale"))
+    val c = withNorm(codebook).select(col("vec_id").as("centroid_id"),
+      col("embedding").as("ce"), col("nrm").as("cnrm"))
+    val probeRn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id")))
+    val probed = broadcast(q).join(broadcast(c))
+      .withColumn("psim", fdot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prn", probeRn).filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qq8"), col("qq_scale"), col("centroid_id"))
+    val denom = col("qq_scale") * col("q_scale")
+    val cand = probed.join(assignedQ8, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", when(denom === 0.0, 0.0).otherwise(
+        call_function("graft_i8dot", col("qq8"), col("q8")).cast("double") / denom))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id")))
+    cand.withColumn("rn", rn).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("score"), 6).as("q8_score"))
+  }
+
+  /** One-call quantized IVF (codebook = the deterministic corpus subset,
+    * as [[ivfTopK]]): build the quantized index, serve the queries.
+    */
+  def ivfTopKQ8(embeddings: DataFrame, queryPred: Column, centroidMod: Int,
+                nprobe: Int, k: Int): DataFrame = {
+    val cb = embeddings.filter(col("vec_id") % centroidMod === 0)
+    ivfTopKIndexedQ8(quantizedIvfIndex(embeddings, cb), cb,
+      embeddings.filter(queryPred), nprobe, k)
   }
 
   /** Assign every vector to its nearest centroid (deterministic ties on

@@ -447,6 +447,12 @@ object LlmQueries {
       Similarity.bruteForceTopKQ8(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, k = 10)),
 
+    // the production ANN shape: IVF cells bound the candidates, int8
+    // sketches bound the bytes — float embeddings never stored or read
+    "sim_ivf_topk_q8" -> ((s, dir) =>
+      Similarity.ivfTopKQ8(Tables.embeddings(s, dir),
+        col("vec_id") % 100 === 0, centroidMod = 50, nprobe = 3, k = 10)),
+
     // IVF centroid training step: element-wise mean embedding per bucket
     // via the custom TypedImperativeAggregate (exploded for scalar
     // row-level oracle comparison; 1-based dim to match SQL indexing).
@@ -879,6 +885,43 @@ object LlmQueries {
          |                           ORDER BY sim DESC, vec_id) AS rn
          |      FROM cand)
          |SELECT query_id, vec_id, round(sim, 6) AS cosine
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    // same cells and probes as sim_ivf_topk; candidate scoring swapped to
+    // the exact-integer quantized dot, descaled
+    "sim_ivf_topk_q8" ->
+      s"""WITH $Q8Ctes,
+         |c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |          SELECT e.vec_id, c.centroid_id,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.ce")} DESC,
+         |                       c.centroid_id) AS rn
+         |          FROM embeddings e, c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |probe AS (SELECT query_id, centroid_id FROM (
+         |            SELECT q.query_id, c.centroid_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+         |                         c.centroid_id) AS rn
+         |            FROM q, c) WHERE rn <= 3),
+         |cand AS (SELECT p.query_id, v.vec_id,
+         |           CASE WHEN qq.sc * v.sc = 0 THEN 0.0
+         |                ELSE CAST(list_aggregate(list_transform(
+         |                       range(1, len(qq.q)+1), i -> qq.q[i] * v.q[i]),
+         |                       'sum') AS DOUBLE) / (qq.sc * v.sc) END AS score
+         |         FROM probe p
+         |         JOIN asg a ON p.centroid_id = a.centroid_id
+         |         JOIN qv v ON v.vec_id = a.vec_id
+         |         JOIN qv qq ON qq.vec_id = p.query_id
+         |         WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, vec_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, vec_id) AS rn
+         |      FROM cand)
+         |SELECT query_id, vec_id, round(score, 6) AS q8_score
          |FROM r WHERE rn <= 10""".stripMargin,
 
     "sim_ivf_topk_learned" ->

@@ -102,6 +102,21 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     t("srp_neardup")(Similarity.srpNearDupPairs(emb, 8, 64, 0.35))
     t("brute_topk")(Similarity.bruteForceTopK(emb, col("vec_id") % 1000 === 0, 10))
+    // int8 path over the same corpus/queries — inline quantization, i.e.
+    // index-build cost included in the timer
+    t("brute_topk_q8")(
+      Similarity.bruteForceTopKQ8(emb, col("vec_id") % 1000 === 0, 10))
+    // the production shape: serve from a PREBUILT quantized index (build
+    // outside the timer, amortized across the index lifetime)
+    if (only.forall(_.contains("brute_topk_q8_indexed"))) {
+      val qidx = Similarity.quantize(emb)
+        .select(col("vec_id"), col("q8"), col("q_scale"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qidx.count()
+      t("brute_topk_q8_indexed")(
+        Similarity.bruteForceTopKQ8Indexed(qidx, col("vec_id") % 1000 === 0, 10))
+      qidx.unpersist()
+    }
     spark.stop()
   }
 }

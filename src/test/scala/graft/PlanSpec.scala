@@ -94,6 +94,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("quantized top-k: same broadcast + pre-shuffle rank plan, native i8dot") {
+    val p = planOf("sim_topk_q8")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("graft_i8dot"))
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
   test("curation filter: fully codegen single-scan projection+filter") {
     val p = planOf("text_curation")
     // native expressions keep the whole operator inside codegen (the HOF

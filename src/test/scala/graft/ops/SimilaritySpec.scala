@@ -190,6 +190,17 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("quantized IVF: recall tracks the float IVF path on the fixture") {
+    val e = Tables.embeddings(spark, sf0001)
+    val float = Similarity.ivfTopK(e, col("vec_id") % 100 === 0, 50, 3, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val q8 = Similarity.ivfTopKQ8(e, col("vec_id") % 100 === 0, 50, 3, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(q8.size == float.size)
+    val overlap = (float & q8).size.toDouble / float.size
+    assert(overlap >= 0.8, s"overlap $overlap")
+  }
+
   test("blocked near-dup pairs stay within a bucket and above the threshold") {
     val out = Similarity.blockedNearDupPairs(vecs, "label", threshold = 0.9)
       .as[(Long, Long, Double)].collect()
