@@ -111,10 +111,16 @@ object Dedup {
     * the same rate table (parity-spec'd).
     */
   def weightedSampleJoined(df: DataFrame, idCol: String, groupCol: String,
-                           rates: DataFrame): DataFrame =
-    df.join(broadcast(rates), Seq(groupCol))
+                           rates: DataFrame): DataFrame = {
+    // collapse duplicate group rows (max wins, deterministically) — an
+    // inner join against a rate table with repeated groups would
+    // silently DUPLICATE corpus rows, the worst failure mode for a
+    // sampling operator; the aggregate is rate-table-sized
+    val r = rates.groupBy(col(groupCol)).agg(max(col("pct")).as("pct"))
+    df.join(broadcast(r), Seq(groupCol))
       .filter(hashBucket(col(idCol)) < col("pct"))
       .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens OR

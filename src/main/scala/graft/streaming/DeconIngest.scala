@@ -49,7 +49,14 @@ object DeconIngest {
   def start(docs: DataFrame, benchIndexDir: String, cleanDir: String,
             flaggedDir: String, checkpointDir: String,
             idCol: String = "doc_id", textCol: String = "text",
-            n: Int = 8): StreamingQuery =
+            n: Int = 8): StreamingQuery = {
+    // fail BEFORE the stream starts, not lazily inside the first batch's
+    // foreachBatch thread where the error surfaces as an opaque query
+    // termination
+    require(hasParquet(docs.sparkSession, benchIndexDir),
+      s"benchmark gram index not found at $benchIndexDir — build it with " +
+        "DeconIngest.writeBenchIndex before starting the stream " +
+        "(decontamination without a benchmark would silently release everything)")
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         ingestBatch(batch, benchIndexDir, cleanDir, flaggedDir, idCol,
@@ -57,6 +64,14 @@ object DeconIngest {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
+
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+  }
 
   /** One decontamination step (also directly usable from a batch
     * scheduler): flag the batch against the stored gram index, append

@@ -135,6 +135,17 @@ class CorpusPrepSpec extends SparkSpec {
     assert(caseFace.nonEmpty)
   }
 
+  test("weighted sample: duplicate rate rows never duplicate corpus rows") {
+    val dupRates = Seq(("grp0", 20), ("grp0", 50)).toDF("source", "pct")
+    val out = Dedup.weightedSampleJoined(mixDocs, "doc_id", "source", dupRates)
+      .select("doc_id").as[Long].collect()
+    assert(out.length == out.distinct.length)
+    // max wins deterministically
+    val at50 = Dedup.weightedSample(mixDocs, "doc_id", "source",
+      Map("grp0" -> 50)).select("doc_id").as[Long].collect().toSet
+    assert(out.toSet == at50)
+  }
+
   test("weighted sample: deterministic and monotone in the rate") {
     def ids(pct: Int) = Dedup.weightedSample(mixDocs, "doc_id", "source",
       Map("grp0" -> pct)).select("doc_id").as[Long].collect().toSet

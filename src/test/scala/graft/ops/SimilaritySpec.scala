@@ -201,6 +201,19 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, s"overlap $overlap")
   }
 
+  test("quantized IVF index round-trips through parquet and serves identically") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cb = e.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q8idx_").toString
+    Similarity.quantizedIvfIndex(e, cb).write.mode("overwrite").parquet(dir)
+    val served = Similarity.ivfTopKIndexedQ8(spark.read.parquet(dir), cb,
+        e.filter(col("vec_id") % 100 === 0), nprobe = 3, k = 10)
+      .collect().map(_.toSeq).toSet
+    val direct = Similarity.ivfTopKQ8(e, col("vec_id") % 100 === 0, 50, 3, 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct && served.nonEmpty)
+  }
+
   test("blocked near-dup pairs stay within a bucket and above the threshold") {
     val out = Similarity.blockedNearDupPairs(vecs, "label", threshold = 0.9)
       .as[(Long, Long, Double)].collect()

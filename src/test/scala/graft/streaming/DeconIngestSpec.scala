@@ -62,6 +62,17 @@ class DeconIngestSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("starting without a benchmark index fails fast with a clear message") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_di_e_").toString
+    val e = intercept[IllegalArgumentException] {
+      DeconIngest.start(input.toDF().toDF("doc_id", "text"),
+        s"$tmp/missing_idx", s"$tmp/clean", s"$tmp/flag", s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("writeBenchIndex"))
+  }
+
   test("re-registering a benchmark and compacting the index changes nothing") {
     implicit val ctx = spark.sqlContext
     val docs = graft.Tables.documents(spark, sf0001)
