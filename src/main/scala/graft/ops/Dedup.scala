@@ -85,6 +85,18 @@ object Dedup {
       .filter(col("__rk") <= nPer).drop("__rk")
   }
 
+  /** Cluster-size histogram over a resolved near-dup labeling (the audit
+    * a dedup run publishes: how many clusters of each size, i.e. how much
+    * of the corpus is duplicated how heavily). Input is
+    * [[resolveClusters]]'s (node, label) output; two tiny aggregations
+    * over the candidate-sized relation.
+    */
+  def clusterStats(resolved: DataFrame): DataFrame =
+    resolved.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Deterministic per-group weighted sampling — the domain-mixture
     * primitive for training-data composition (e.g. upsample curated
     * sources, downsample raw crawl): keep a row when its md5 bucket falls

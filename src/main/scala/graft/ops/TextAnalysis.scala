@@ -409,6 +409,36 @@ object TextAnalysis {
       "left_anti")
   }
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * add-one-smoothed unigram LM — the distributed mechanism behind
+    * perplexity filtering (production swaps the corpus-derived table for
+    * a KenLM-style external model; the plumbing — a broadcast-or-shuffled
+    * term table joined to the token stream — is unchanged). Low scores
+    * flag gibberish/outlier documents, high scores flag boilerplate.
+    *
+    * Scale posture: the LM table is vocabulary-sized and built with one
+    * partial-aggregated pass; the token stream joins it on the term key
+    * and re-aggregates per document — only (doc, term, tf) sketch rows
+    * shuffle, the text is read once. The two model scalars (total tokens,
+    * vocab size) ride a one-row broadcast.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val totals = lm.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    val logp = log((col("cnt").cast("double") + 1) /
+      (col("n_total").cast("double") + col("n_vocab").cast("double")))
+    tf.join(lm, "term").crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf").cast("double") * logp) / sum(col("tf")), 6)
+        .as("mean_logprob"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
   /** Corpus mixture accounting — the "data card" aggregate a training-
     * data release publishes: per-domain document and token counts with
     * their shares of the corpus. One partial-aggregated pass over the

@@ -359,6 +359,13 @@ object LlmQueries {
       Dedup.nearDupKeepFirst(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)),
 
+    // the dedup audit: cluster-size histogram over the resolved labeling
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterStats(Dedup.resolveClusters(
+        Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4, threshold = 0.5)))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -561,6 +568,11 @@ object LlmQueries {
     // engine-reproducible ordering
     "text_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    // perplexity-filter stand-in: mean unigram logprob under the corpus's
+    // own smoothed LM (the broadcast/join plumbing of a real LM scorer)
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
     // decontamination audit: corpus docs (src9 = the held-out benchmark)
     // sharing any word 8-gram with the benchmark, with overlap counts
@@ -767,6 +779,12 @@ object LlmQueries {
          |${clusterWalkCtes("ver")}
          |SELECT * FROM x0
          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |sizes AS (SELECT keeper, count(*) AS cluster_size FROM cc GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $SimhashCtes
@@ -1130,6 +1148,22 @@ object LlmQueries {
         |         ORDER BY score DESC, term) AS rnk FROM r)
         |SELECT doc_id, term, tf, doc_freq, score, CAST(rnk AS INT) AS rnk
         |FROM rk WHERE rnk <= 3""".stripMargin,
+
+    "text_unigram_logprob" ->
+      """WITH tf AS (SELECT doc_id, w AS term, count(*) AS tf
+        |            FROM (SELECT doc_id,
+        |                    unnest(string_split(lower(text), ' ')) AS w
+        |                  FROM documents) GROUP BY 1, 2),
+        |lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+        |               CAST(count(*) AS DOUBLE) AS n_vocab FROM lm)
+        |SELECT doc_id,
+        |  round(sum(CAST(tf AS DOUBLE) *
+        |            ln((CAST(cnt AS DOUBLE) + 1) / (n_total + n_vocab))) /
+        |        sum(tf), 6) AS mean_logprob,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens
+        |FROM tf JOIN lm USING (term), tot
+        |GROUP BY 1""".stripMargin,
 
     // corpus (non-src9) docs sharing any word 8-gram with the src9
     // benchmark slice, with distinct-overlap counts

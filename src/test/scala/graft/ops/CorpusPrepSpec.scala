@@ -104,6 +104,28 @@ class CorpusPrepSpec extends SparkSpec {
     assert(counts.values.forall(c => c >= out.length / 8))
   }
 
+  // ---- unigramLogProb / clusterStats ---------------------------------
+
+  test("unigram logprob: hand-computed smoothed LM scores") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // counts a:2 b:2 c:1, total 5, vocab 3 -> p(a)=p(b)=3/8, p(c)=2/8
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L)._2 == r6(math.log(3.0 / 8)))          // all tokens p=3/8
+    assert(out(1L)._3 == 3)
+    assert(out(2L)._2 == r6((math.log(3.0 / 8) + math.log(2.0 / 8)) / 2))
+    assert(out(2L)._3 == 2)
+  }
+
+  test("cluster stats: size histogram over a resolved labeling") {
+    val resolved = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "label")
+    val out = Dedup.clusterStats(resolved)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 1L, 2L -> 1L))
+  }
+
   // ---- weightedSample ------------------------------------------------
 
   private def mixDocs = spark.range(0, 400)
