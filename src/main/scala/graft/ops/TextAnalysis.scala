@@ -390,6 +390,20 @@ object TextAnalysis {
       Dedup.shingleRows(benchmark, idCol, textCol, n).select(col("s")).distinct(),
       idCol, textCol, n)
 
+  /** Remove a precomputed flagged-id set from a corpus (broadcast
+    * anti-join). The composition face: when the corpus relation is itself
+    * an expensive pipeline (e.g. a deduplicated keep-set), compute the
+    * flags from the RAW corpus instead — flags are dedup-independent
+    * (a doc shares a gram with the benchmark or it doesn't), the
+    * anti-join intersects them with whatever subset `corpus` is, and the
+    * expensive subtree is never executed inside the flag pass.
+    */
+  def removeFlagged(corpus: DataFrame, flagged: DataFrame,
+                    idCol: String): DataFrame = {
+    val f = flagged.select(col("doc_id")).localCheckpoint(true)
+    corpus.join(broadcast(f), corpus(idCol) === f("doc_id"), "left_anti")
+  }
+
   /** [[decontaminate]] against a pre-built benchmark gram relation — the
     * per-ingest / streaming face.
     */
@@ -416,25 +430,28 @@ object TextAnalysis {
     * term table joined to the token stream — is unchanged). Low scores
     * flag gibberish/outlier documents, high scores flag boilerplate.
     *
-    * Scale posture: the LM table is vocabulary-sized and built with one
-    * partial-aggregated pass; the token stream joins it on the term key
-    * and re-aggregates per document — only (doc, term, tf) sketch rows
-    * shuffle, the text is read once. The two model scalars (total tokens,
-    * vocab size) ride a one-row broadcast.
+    * Scale posture: corpus term counts come from a window over the
+    * (doc, term, tf) sketch relation — no separate LM relation to join
+    * back, no vocab collect (the same shape as [[tfidfTopK]]'s document
+    * frequency); only sketch rows ever shuffle. The two model scalars
+    * (total tokens, vocab size) are the one unavoidable second pass over
+    * the token stream, riding a one-row broadcast — persisting the
+    * sketch to skip that pass is the caller's call at a given scale.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = Par.fanOut(df.select(col(idCol), col(textCol)))
+    def tf = Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val lm = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-    val totals = lm.agg(sum(col("cnt")).as("n_total"),
-      count(lit(1)).as("n_vocab"))
-    val logp = log((col("cnt").cast("double") + 1) /
+    val totals = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("n_vocab"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val logp = log((sum(col("tf")).over(wTerm).cast("double") + 1) /
       (col("n_total").cast("double") + col("n_vocab").cast("double")))
-    tf.join(lm, "term").crossJoin(broadcast(totals))
+    tf.crossJoin(broadcast(totals))
+      .withColumn("logp", logp)
       .groupBy(col(idCol))
-      .agg(round(sum(col("tf").cast("double") * logp) / sum(col("tf")), 6)
+      .agg(round(sum(col("tf").cast("double") * col("logp")) / sum(col("tf")), 6)
         .as("mean_logprob"),
         sum(col("tf")).as("n_tokens"))
   }

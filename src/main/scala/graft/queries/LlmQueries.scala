@@ -594,14 +594,17 @@ object LlmQueries {
 
     // the full training-data release chain: exact collapse -> guarded
     // fuzzy keep-first -> benchmark decontamination (src9 = the eval set,
-    // so its own docs and anything overlapping them drop) -> curation,
-    // composed as ONE lazy plan
+    // so its own docs and anything overlapping them drop) -> curation.
+    // Flags are computed from the RAW corpus (dedup-independent; the
+    // anti-join intersects them with the kept set) so the dedup subtree
+    // never re-executes inside the eager flag pass
     "llm_corpus_prep_decon" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
-      val clean = TextAnalysis.decontaminate(kept,
+      val flagged = TextAnalysis.contaminationReport(docs,
         docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+      val clean = TextAnalysis.removeFlagged(kept, flagged, "doc_id")
       TextAnalysis.curationFilter(clean, "doc_id", "text",
         minTokens = 20, maxTokens = 2000, minQuality = 0.1,
         maxRepetition = 0.2, keepLang = "en")
