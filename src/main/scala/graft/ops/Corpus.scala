@@ -5,83 +5,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-/** Corpus-level curation and layout operators for training-data prep —
-  * the steps that come AFTER per-document analysis ([[TextAnalysis]]) and
-  * deduplication ([[Dedup]]) in a real pretraining pipeline:
+/** Corpus-level layout operators for training-data prep — the steps that
+  * come AFTER per-document analysis ([[TextAnalysis]]) and deduplication
+  * ([[Dedup]]) in a real pretraining pipeline:
   *
-  *  - benchmark decontamination (drop training documents sharing word
-  *    k-grams with an evaluation set — the GPT-3/Llama published rule),
-  *  - per-source caps (domain balancing: at most N documents per source,
-  *    selected by deterministic hash so reruns agree),
   *  - deterministic shuffle-sharding (the final training-data layout:
   *    a reproducible global permutation bucketed into shards),
   *  - whitespace/control-char text normalization,
   *  - corpus vocabulary (token totals + document frequency, Expand-free).
   *
-  * All operators are engine-reproducible (md5-derived ordering/hashes,
-  * no RNG) so the DuckDB oracles replay them exactly.
+  * Benchmark decontamination lives in [[TextAnalysis.decontaminate]] (with
+  * its indexed/streaming faces); per-source caps are
+  * [[Dedup.stratifiedSample]]. All operators here are engine-reproducible
+  * (md5-derived ordering/hashes, no RNG) so the DuckDB oracles replay them
+  * exactly.
   */
 object Corpus {
-
-  // ---- Benchmark decontamination -----------------------------------
-
-  /** Distinct word k-grams of the evaluation set — the contamination
-    * probe relation. Eval sets are small by definition (benchmarks are
-    * human-curated), so downstream joins broadcast this.
-    */
-  def evalGrams(evalDf: DataFrame, idCol: String, textCol: String,
-                k: Int): DataFrame =
-    Dedup.shingleRows(evalDf, idCol, textCol, k).select("s").distinct()
-
-  /** Contaminated documents: corpus documents sharing at least one word
-    * k-gram with the evaluation set, with the count of shared distinct
-    * grams (the audit artifact a decontamination run reports).
-    *
-    * Scale shape: the corpus side is a map-only gram explode (native
-    * codegen, per-doc distinct); the eval gram set is BROADCAST — the
-    * corpus never shuffles. At 100 TB this runs at scan speed; the only
-    * aggregation state is one row per contaminated (doc, ~nothing)
-    * group, bounded by the eval set's reach.
-    */
-  def contaminated(corpus: DataFrame, evalDf: DataFrame, idCol: String,
-                   textCol: String, k: Int): DataFrame =
-    Dedup.shingleRows(Par.fanOut(corpus.select(col(idCol), col(textCol))),
-        idCol, textCol, k)
-      .join(broadcast(evalGrams(evalDf, idCol, textCol, k)), "s")
-      .groupBy(col("doc_id").as(idCol))
-      .agg(count(lit(1)).cast("int").as("n_shared_grams"))
-
-  /** The decontaminated corpus: drop every contaminated document
-    * (any-overlap rule, the published standard). The anti-join's right
-    * side is the contaminated id set — eval-reach-sized, broadcastable.
-    */
-  def decontaminate(corpus: DataFrame, evalDf: DataFrame, idCol: String,
-                    textCol: String, k: Int): DataFrame =
-    corpus.join(
-      broadcast(contaminated(corpus, evalDf, idCol, textCol, k)
-        .select(idCol)),
-      Seq(idCol), "left_anti")
-
-  // ---- Per-source caps (domain balancing) --------------------------
-
-  /** Cap each source at `maxPerSource` documents, selected by
-    * deterministic md5 order (id tie-break) — the common-crawl
-    * domain-balancing step. Emits the kept rows with their within-source
-    * rank.
-    *
-    * Scale shape: `row_number` bounded by a constant plans as
-    * WindowGroupLimit — a PARTIAL top-n runs map-side before the
-    * exchange, so the shuffle carries at most `maxPerSource` rows per
-    * (source, input partition), never the whole corpus.
-    */
-  def sourceCap(df: DataFrame, sourceCol: String, idCol: String,
-                maxPerSource: Int): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
-    df.select(col(sourceCol), col(idCol))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= maxPerSource)
-  }
 
   // ---- Deterministic shuffle-sharding ------------------------------
 

@@ -134,6 +134,41 @@ object Dedup {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic token-budget sample: take documents in a fixed
+    * pseudo-random global order — (md5 bucket, md5(id), id) — until the
+    * cumulative length of the PRECEDING documents reaches `budget` (so
+    * the kept set is a reproducible prefix of a reproducible permutation;
+    * the document that crosses the budget line is the last one kept).
+    * The "sample exactly N tokens for this ablation" primitive.
+    *
+    * Scale posture: a global running sum is a single-partition window,
+    * so it is computed as a distributed prefix-sum instead — per-bucket
+    * totals (one partial-aggregated pass, 100 rows out) feed a
+    * bucket-count-sized offset window, and the offsets broadcast back
+    * into 100 INDEPENDENT per-bucket windows. No corpus-sized state ever
+    * sits on one task; the result is row-identical to the naive global
+    * window (the oracle states it that way).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, lenCol: String,
+                        budget: Long): DataFrame = {
+    val withB = df.select(col(idCol), col(lenCol))
+      .withColumn("__b", hashBucket(col(idCol)))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col("__b"))
+      .agg(sum(col(lenCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withB.join(broadcast(offsets), "__b")
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col(lenCol)).over(wIn), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col(lenCol), col("cum_before"))
+  }
+
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens OR
     * the text is NULL — the NULL-text coalesce keeps the historical

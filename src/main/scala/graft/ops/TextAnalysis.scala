@@ -345,6 +345,77 @@ object TextAnalysis {
         col("score"), col("rnk"))
   }
 
+  /** BM25 retrieval: score every document against a fixed query-term set
+    * (Robertson/Lucene BM25 with the +1-smoothed, always-positive idf)
+    * and return the global top-k, rank included. The lexical-retrieval
+    * primitive for building SFT/RAG candidate pools over a corpus.
+    *
+    * Scale posture: the corpus is read once; document length is computed
+    * map-side on the un-exploded row, and only QUERY-TERM occurrences
+    * survive the explode into the (doc, term) aggregate — the shuffle is
+    * hit-sized, not token-stream-sized. Document frequency is a window
+    * over the hit relation (query terms only — no vocabulary pass); the
+    * two corpus scalars (N, total length for avgdl) ride a one-row
+    * broadcast. The final top-k filter plans as WindowGroupLimit: each
+    * partition forwards at most k rows to the rank exchange.
+    *
+    * Scores are rounded to the 6-place grid BEFORE ranking so both
+    * engines rank identical doubles; ties break by document id.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val proj = df.select(col(idCol), col(textCol))
+    val ws = tokens(col(textCol))
+    // avgdl from exact integer sums (bit-identical across engines) —
+    // never avg() over doubles, whose summation order is engine-defined
+    val stats = proj.agg(count(lit(1)).as("n_docs"),
+      sum(size(ws).cast("long")).as("len_total"))
+    val hits = Par.fanOut(proj)
+      .select(col(idCol), size(ws).as("doc_len"), explode(ws).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("doc_len")).as("doc_len"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val avgdl = col("len_total").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("doc_freq") + 0.5) /
+      (col("doc_freq") + 0.5) + 1)
+    val tfNorm = col("tf").cast("double") * (k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("doc_len").cast("double") / avgdl))
+    val scored = hits
+      .withColumn("doc_freq", count(lit(1)).over(wTerm).cast("double"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(idf * tfNorm), 6).as("bm25"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Per-group PII exposure report — the audit a release publishes
+    * alongside [[redactPii]]: for each group (source/domain), document
+    * count, documents carrying any PII-shaped substring, and total match
+    * counts per pattern family ([[PiiPatterns]]: email, phone, URL).
+    * One map-only projection (three codegen'd regexp_counts over the
+    * lowered text) into one partial-aggregated rollup — the corpus never
+    * shuffles, only the per-group count rows do.
+    */
+  def piiStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val lt = lower(col(textCol))
+    val Seq(em, ph, ur) = PiiPatterns.map { case (pat, _) =>
+      coalesce(regexp_count(lt, lit(pat)), lit(0)) }
+    df.select(col(groupCol), em.as("e"), ph.as("p"), ur.as("u"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("p") + col("u") > 0, 1).otherwise(0))
+          .as("n_pii_docs"),
+        sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(col("u")).as("n_urls"))
+  }
+
   /** Benchmark-contamination report: corpus documents sharing at least one
     * word n-gram with the benchmark/eval set, with the count of distinct
     * overlapping grams (the evidence a decontamination audit records).

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, EventOps, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, EventOps, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.{Breweries, Pipeline}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   private val StopEn = TextAnalysis.Stopwords("en")
+
+  /** Fixed query-term set for the BM25 retrieval query (common fixture
+    * vocabulary, so tf/df vary across documents). One list drives both
+    * the Spark `isin` and the oracle's `IN`.
+    */
+  private val Bm25Query: Seq[String] = Seq("spark", "join", "vector")
 
   /** DuckDB list literal for a stopword list. */
   private def sqlList(ws: Seq[String]): String =
@@ -573,6 +579,41 @@ object LlmQueries {
     // own smoothed LM (the broadcast/join plumbing of a real LM scorer)
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
+    // BM25 retrieval: top-10 documents for a fixed query-term set (the
+    // lexical candidate-pool primitive; only query-term hits shuffle)
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Query, k = 10)),
+
+    // per-country PII exposure audit over the brewery bronze fixture
+    // (names carry digit runs -> phones; website_url carries scheme'd
+    // URLs -> the map-only regexp_count rollup has nonzero signal)
+    "text_pii_stats" -> ((s, dir) =>
+      TextAnalysis.piiStats(
+        Breweries.bronze(s, dir).withColumn("blob",
+          concat_ws(" ", col("name"), col("website_url"))),
+        "country", "blob")),
+
+    // deterministic token-budget prefix sample (distributed prefix-sum:
+    // per-bucket windows + broadcast offsets, row-identical to the naive
+    // global running sum the oracle states)
+    "sample_token_budget" -> ((s, dir) =>
+      Dedup.tokenBudgetSample(Tables.documents(s, dir), "doc_id",
+        "n_chars", budget = 75000L)),
+
+    // reproducible global shuffle + sharding (the final training-data
+    // layout; per-shard windows, no global sort)
+    "corpus_shuffle_shards" -> ((s, dir) =>
+      Corpus.shuffleShards(Tables.documents(s, dir), "doc_id", nShards = 10)),
+
+    // whitespace/control-run normalization (raw-crawl text hygiene)
+    "corpus_normalize" -> ((s, dir) =>
+      Corpus.normalize(Tables.documents(s, dir), "doc_id", "text")),
+
+    // top-20 corpus vocabulary (token totals + doc frequency, Expand-free)
+    "corpus_vocab" -> ((s, dir) =>
+      Corpus.vocab(Tables.documents(s, dir), "doc_id", "text", topN = 20)),
 
     // decontamination audit: corpus docs (src9 = the held-out benchmark)
     // sharing any word 8-gram with the benchmark, with overlap counts
@@ -1167,6 +1208,102 @@ object LlmQueries {
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM tf JOIN lm USING (term), tot
         |GROUP BY 1""".stripMargin,
+
+    // BM25: same expression tree as the Spark side — avgdl from exact
+    // integer sums, constants written as the arithmetic the Scala code
+    // performs ((1.2 + 1), (1 - 0.75 + ...)) so both engines round the
+    // identical IEEE doubles to the 6-place grid before ranking
+    "text_bm25_topk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              CAST(sum(len(ws)) AS DOUBLE) AS len_total FROM d),
+         |tok AS (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM d),
+         |hits AS (SELECT doc_id, term, count(*) AS tf, max(doc_len) AS doc_len
+         |         FROM tok WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, term, tf, doc_len,
+         |         CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS doc_freq
+         |       FROM hits),
+         |agg AS (SELECT doc_id,
+         |          round(sum(
+         |            ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1) *
+         |            (CAST(tf AS DOUBLE) * (1.2 + 1) /
+         |             (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 *
+         |              CAST(doc_len AS DOUBLE) / (len_total / n_docs))))), 6)
+         |            AS bm25
+         |        FROM sc, st GROUP BY 1),
+         |rk AS (SELECT doc_id, bm25,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         |       FROM agg)
+         |SELECT doc_id, bm25, CAST(rnk AS INT) AS rnk FROM rk
+         |WHERE rnk <= 10""".stripMargin,
+
+    // per-country PII match counts over the bronze name+url blob; the
+    // patterns are the SAME strings the Spark side compiles (RE2-safe)
+    "text_pii_stats" -> {
+      val Seq(em, ph, ur) = TextAnalysis.PiiPatterns.map {
+        case (pat, _) => pat.replace("'", "''") }
+      s"""WITH bronze AS (${Breweries.BronzeSql}),
+         |b AS (SELECT country,
+         |        lower(concat_ws(' ', name, website_url)) AS lt FROM bronze),
+         |c AS (SELECT country,
+         |        len(regexp_extract_all(lt, '$em')) AS e,
+         |        len(regexp_extract_all(lt, '$ph')) AS p,
+         |        len(regexp_extract_all(lt, '$ur')) AS u
+         |      FROM b)
+         |SELECT country, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN e + p + u > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pii_docs,
+         |  CAST(sum(e) AS BIGINT) AS n_emails,
+         |  CAST(sum(p) AS BIGINT) AS n_phones,
+         |  CAST(sum(u) AS BIGINT) AS n_urls
+         |FROM c GROUP BY 1""".stripMargin
+    },
+
+    // the naive global running sum the distributed prefix-sum equals:
+    // order by (md5 bucket, md5(id), id), keep while the PRECEDING mass
+    // is under budget
+    "sample_token_budget" ->
+      s"""SELECT doc_id, n_chars, cum_before FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(coalesce(sum(n_chars) OVER (
+         |      ORDER BY $HashBucketSql, md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM documents)
+         |WHERE cum_before < 75000""".stripMargin,
+
+    "corpus_shuffle_shards" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  CAST(${hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)}
+         |    AS BIGINT) AS shuffle_key
+         |  FROM documents),
+         |s AS (SELECT doc_id, shuffle_key,
+         |        CAST(shuffle_key % 10 AS INT) AS shard FROM k)
+         |SELECT doc_id, shuffle_key, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+         |FROM s""".stripMargin,
+
+    "corpus_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[\x00-\x20]+', ' ', 'g'))
+        |    AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS INT) AS n_chars_norm
+        |FROM n""".stripMargin,
+
+    "corpus_vocab" ->
+      """WITH t AS (SELECT doc_id,
+        |             unnest(string_split(lower(text), ' ')) AS token
+        |           FROM documents),
+        |dt AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT token, CAST(sum(c) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS INT) AS n_docs
+        |FROM dt GROUP BY 1
+        |ORDER BY n_total DESC, token LIMIT 20""".stripMargin,
 
     // corpus (non-src9) docs sharing any word 8-gram with the src9
     // benchmark slice, with distinct-overlap counts

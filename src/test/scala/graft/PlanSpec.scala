@@ -136,4 +136,52 @@ class PlanSpec extends SparkSpec {
       s"dropped-set anti-join must be a broadcast:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("bm25: pre-shuffle top-k limit, hit-sized shuffles, pruned scan") {
+    val p = planOf("text_bm25_topk")
+    // the global top-k must bound what reaches the rank: Spark plans the
+    // rounded-score ordering as TakeOrderedAndProject (per-partition heap
+    // + driver-side merge of k-sized heaps — even cheaper than a
+    // WindowGroupLimit exchange); accept either form
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // shuffles: hits aggregate + term window + per-doc score aggregate —
+    // all carry (doc, query-term) hit rows only; the top-k never exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3)
+  }
+
+  test("token-budget sample: offsets broadcast back, per-bucket windows") {
+    val p = planOf("sample_token_budget")
+    // the corpus-sized side must join the 100-row offset relation via
+    // broadcast, and its own window must be bucket-partitioned (the only
+    // single-partition window is over the 100-row offset relation)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 1)
+  }
+
+  test("shuffle-sharding: per-shard windows only, no global sort") {
+    val p = planOf("corpus_shuffle_shards")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"shard layout must never funnel through one partition:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("normalize: map-only codegen projection") {
+    val p = planOf("corpus_normalize")
+    assert(!p.contains("Exchange"), "normalize must be map-only")
+  }
+
+  test("vocab: top-N via TakeOrderedAndProject, no global sort") {
+    val p = planOf("corpus_vocab")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("pii stats: map-only scan into one partial-aggregated rollup") {
+    val p = planOf("text_pii_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
 }

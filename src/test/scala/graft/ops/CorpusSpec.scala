@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shuffleShards: reproducible permutation, dense per-shard positions") {
+    val df = (1L to 200L).toDF("doc_id")
+    val out = Corpus.shuffleShards(df, "doc_id", nShards = 10)
+      .select("doc_id", "shuffle_key", "shard", "pos")
+      .as[(Long, Long, Int, Int)].collect()
+
+    // complete permutation: every input id appears exactly once
+    assert(out.map(_._1).sorted.toSeq == (1L to 200L))
+    // shard derived from the key, in range
+    out.foreach { case (_, key, shard, _) =>
+      assert(shard == (key % 10).toInt && shard >= 0 && shard < 10)
+    }
+    // positions are dense 1..n within every shard, ordered by (key, id)
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == (1 to rows.length))
+      assert(byPos.map(r => (r._2, r._1)).toSeq ==
+        byPos.map(r => (r._2, r._1)).sortBy(identity).toSeq)
+    }
+    // deterministic: a second run yields the identical layout
+    val again = Corpus.shuffleShards(df, "doc_id", nShards = 10)
+      .select("doc_id", "shuffle_key", "shard", "pos")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("normalize collapses whitespace/control runs and trims") {
+    val df = Seq(
+      (1L, "  Hello\t\tWorld  "),
+      (2L, "a\r\nbc"),
+      (3L, "already clean"),
+      (4L, "\n\n\n")).toDF("doc_id", "text")
+    val out = Corpus.normalize(df, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "hello world" && out(1L)._3 == 11)
+    // the \x01 control byte collapses to a separator too (NUL..US range)
+    assert(out(2L)._2 == "a b c")
+    assert(out(3L)._2 == "already clean")
+    assert(out(4L)._2 == "" && out(4L)._3 == 0)
+  }
+
+  test("vocab: totals + doc frequency without Expand, deterministic cutoff") {
+    val df = Seq(
+      (1L, "a a b c"),
+      (2L, "a b b"),
+      (3L, "c")).toDF("doc_id", "text")
+    val all = Corpus.vocab(df, "doc_id", "text", topN = 10)
+      .as[(String, Long, Int)].collect()
+    assert(all.toSeq == Seq(("a", 3L, 2), ("b", 3L, 2), ("c", 2L, 2)))
+    // topN cuts on the (total desc, token) order — 'c' drops first
+    val top2 = Corpus.vocab(df, "doc_id", "text", topN = 2)
+      .as[(String, Long, Int)].collect()
+    assert(top2.map(_._1).toSeq == Seq("a", "b"))
+  }
+}

@@ -161,4 +161,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     pairs.foreach(p => assert(p._3 <= 3))
   }
+
+  test("token-budget sample equals the naive global running sum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StringType
+    val df = (1L to 500L).map(i => (i, (i * 37 % 91 + 10).toInt))
+      .toDF("doc_id", "n_chars")
+    val budget = 8000L
+    val got = Dedup.tokenBudgetSample(df, "doc_id", "n_chars", budget)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+
+    // naive single-window reference over the same deterministic order
+    val wAll = Window
+      .orderBy(Dedup.hashBucket(col("doc_id")),
+        md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("cum_before",
+        coalesce(sum(col("n_chars")).over(wAll), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty && got.length < 500)
+    // the crossing document is KEPT: kept mass may exceed the budget, but
+    // removing its last element must bring it back under
+    val keptMass = got.map(_._2.toLong).sum
+    val lastLen = got.maxBy(_._3)._2
+    assert(keptMass >= budget && keptMass - lastLen < budget)
+    // degenerate budgets: zero keeps nothing, huge keeps everything
+    assert(Dedup.tokenBudgetSample(df, "doc_id", "n_chars", 0L).isEmpty)
+    assert(Dedup.tokenBudgetSample(df, "doc_id", "n_chars", 1L << 40)
+      .count() == 500)
+  }
 }

@@ -133,4 +133,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wsKept.size == 1 && wsKept.head(1) == 30) // n_tokens
     assert(run(ws = false, crawl).isEmpty)
   }
+
+  test("bm25 top-k: scores match an independent scalar re-implementation") {
+    val d = Seq(
+      (1L, "apple banana apple pear"),
+      (2L, "banana kiwi"),
+      (3L, "apple cherry plum grape melon lime fig date"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val query = Seq("apple", "banana")
+    val out = TextAnalysis.bm25TopK(d, "doc_id", "text", query, k = 3)
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+
+    // scalar reference (plain Scala, same constants)
+    val texts = Map(1L -> "apple banana apple pear", 2L -> "banana kiwi",
+      3L -> "apple cherry plum grape melon lime fig date",
+      4L -> "nothing relevant here")
+    val lens = texts.view.mapValues(_.split(" ").length).toMap
+    val n = texts.size.toDouble
+    val avgdl = lens.values.sum.toDouble / n
+    val df = query.map(t =>
+      t -> texts.values.count(_.split(" ").contains(t)).toDouble).toMap
+    def score(id: Long): Double = {
+      val toks = texts(id).split(" ")
+      val s = query.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1) *
+          (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * lens(id) / avgdl)))
+      }.sum
+      math.rint(s * 1e6) / 1e6
+    }
+    // doc 4 has no query term: absent; 3 docs remain, ranked by score
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    out.foreach { case (id, bm25, _) =>
+      assert(math.abs(bm25 - score(id)) < 1e-9, s"doc $id") }
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+    // k cuts: top-1 keeps only the best-scored doc
+    val top1 = TextAnalysis.bm25TopK(d, "doc_id", "text", query, k = 1)
+      .as[(Long, Double, Int)].collect()
+    assert(top1.length == 1 && top1.head._1 == out.head._1)
+  }
+
+  test("piiStats: per-group doc and match counts across all three families") {
+    val d = Seq(
+      ("g1", "mail me at a.b@example.com or ring +1 555-123-4567 today"),
+      ("g1", "see https://example.com/x and http://other.example too"),
+      ("g1", "totally clean row"),
+      ("g2", "no pii in this group either")).toDF("src", "text")
+    val out = TextAnalysis.piiStats(d, "src", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // g1: 3 docs, 2 carry PII; 1 email, 1 phone, 2 urls
+    assert(out("g1") == (("g1", 3L, 2L, 1L, 1L, 2L)))
+    assert(out("g2") == (("g2", 1L, 0L, 0L, 0L, 0L)))
+  }
 }
