@@ -527,6 +527,42 @@ object TextAnalysis {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Line-level deduplication across documents (the C4/RefinedWeb
+    * boilerplate-removal rule, distinct from document-level dedup): drop
+    * every line that occurs in at least `minDocs` DISTINCT documents
+    * (navigation chrome, cookie banners, signatures), then reassemble
+    * each document from its surviving lines in original order. Documents
+    * whose every line is boilerplate disappear entirely.
+    *
+    * Scale posture: document frequency is computed from lines
+    * deduplicated PER DOCUMENT map-side (`array_distinct` before the
+    * explode, the [[commonNgrams]] trick), so the frequency pass
+    * shuffles each (doc, line) once, partially aggregated — no separate
+    * distinct exchange. The frequent set is output-small but NOT
+    * guaranteed broadcastable at 100 TB, so removal stays a shuffled
+    * anti-join (skew from a mega-frequent line lands on the aggregate's
+    * partial side, not the join). Reassembly carries (doc, pos, line)
+    * back through one doc-keyed aggregate; order is restored by sorting
+    * the collected (pos, line) structs — deterministic regardless of
+    * partitioning.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Long): DataFrame = {
+    val lines = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val frequent = Par.fanOut(df.select(col(textCol)))
+      .select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
+    lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Corpus mixture accounting — the "data card" aggregate a training-
     * data release publishes: per-domain document and token counts with
     * their shares of the corpus. One partial-aggregated pass over the

@@ -615,6 +615,17 @@ object LlmQueries {
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocab(Tables.documents(s, dir), "doc_id", "text", topN = 20)),
 
+    // line-level dedup across documents (C4/RefinedWeb boilerplate rule):
+    // a per-source footer line is planted on every document, so each
+    // source's footer crosses the frequency threshold and is stripped
+    // while the (unique) body lines survive
+    "text_line_dedup" -> ((s, dir) => {
+      val two = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("source: "), col("source"))).as("text"))
+      TextAnalysis.lineDedup(two, "doc_id", "text", minDocs = 10)
+    }),
+
     // decontamination audit: corpus docs (src9 = the held-out benchmark)
     // sharing any word 8-gram with the benchmark, with overlap counts
     "text_contamination" -> ((s, dir) => {
@@ -1304,6 +1315,21 @@ object LlmQueries {
         |  CAST(count(*) AS INT) AS n_docs
         |FROM dt GROUP BY 1
         |ORDER BY n_total DESC, token LIMIT 20""".stripMargin,
+
+    // line-level dedup: per-doc-distinct line frequency, frequent lines
+    // stripped, documents reassembled in original line order
+    "text_line_dedup" ->
+      """WITH two AS (SELECT doc_id,
+        |               text || chr(10) || 'source: ' || source AS text
+        |             FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM two),
+        |ln AS (SELECT doc_id, i AS pos, l[i] AS line
+        |       FROM ls, unnest(range(1, len(l)+1)) t(i)),
+        |fq AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ln)
+        |       GROUP BY line HAVING count(*) >= 10)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |FROM ln WHERE line NOT IN (SELECT line FROM fq)
+        |GROUP BY 1""".stripMargin,
 
     // corpus (non-src9) docs sharing any word 8-gram with the src9
     // benchmark slice, with distinct-overlap counts

@@ -95,6 +95,26 @@ object ScaleProbe {
     t("decontaminate")(
       graft.ops.TextAnalysis.decontaminate(docs, bench, "doc_id", "text", 8))
 
+    // line-level dedup with 50 planted frequent footer lines: the line
+    // aggregate and anti-join both grow with the line stream, linearly
+    t("line_dedup")(
+      graft.ops.TextAnalysis.lineDedup(
+        docs.select(col("doc_id"), concat_ws("\n", col("text"),
+          concat(lit("footer "), col("doc_id") % 50)).as("text")),
+        "doc_id", "text", minDocs = 10))
+
+    // BM25 over the k-fold corpus: hit volume grows linearly with the
+    // corpus; the top-k stays k-sized (TakeOrderedAndProject)
+    t("bm25_topk")(
+      graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join", "vector"), 10))
+
+    // token-budget sample: the distributed prefix-sum's per-bucket
+    // windows grow linearly; the offset relation stays 100 rows
+    t("token_budget")(
+      Dedup.tokenBudgetSample(docs.withColumn("n_chars", length(col("text"))),
+        "doc_id", "n_chars", budget = 75000L * k))
+
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = (0 until k).map { r =>
       emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),

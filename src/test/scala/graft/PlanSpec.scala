@@ -184,4 +184,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
+
+  test("line dedup: shuffled anti-join on line, no nested loop anywhere") {
+    val p = planOf("text_line_dedup")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), s"frequent-line removal must anti-join:\n$p")
+    // per-doc-distinct line frequency aggregates partially map-side
+    assert(p.contains("partial_count"))
+  }
 }

@@ -32,6 +32,28 @@ class CorpusSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("shuffleShards physical layout: range+sort write round-trips") {
+    // the documented write path: repartitionByRange on shard, sorted
+    // within partitions, one directory per shard — read back intact
+    val df = (1L to 120L).toDF("doc_id")
+    val laid = Corpus.shuffleShards(df, "doc_id", nShards = 4)
+    val tmp = graft.Scratch.dir(sys.props("java.io.tmpdir"),
+      "graft_scratch") + "/corpus_shards"
+    laid.repartitionByRange(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+      .select("doc_id", "shuffle_key", "shard", "pos")
+      .as[(Long, Long, Int, Int)].collect().sortBy(r => (r._3, r._4))
+    val want = laid.as[(Long, Long, Int, Int)].collect()
+      .sortBy(r => (r._3, r._4))
+    assert(back.toSeq == want.toSeq)
+    // partition discovery sees one directory per shard
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length == 4)
+  }
+
   test("normalize collapses whitespace/control runs and trims") {
     val df = Seq(
       (1L, "  Hello\t\tWorld  "),

@@ -175,6 +175,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1.length == 1 && top1.head._1 == out.head._1)
   }
 
+  test("lineDedup strips frequent lines, keeps order, drops all-boilerplate docs") {
+    val d = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
+      (2L, "COOKIE BANNER\nunique gamma"),
+      (3L, "unique delta\nCOOKIE BANNER"),
+      (4L, "COOKIE BANNER")).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(d, "doc_id", "text", minDocs = 3)
+      .as[(Long, String)].collect().map(r => r._1 -> r._2).toMap
+    // the banner appears in 4 docs >= 3: stripped everywhere
+    assert(out(1L) == "unique alpha\nunique beta") // order preserved
+    assert(out(2L) == "unique gamma")
+    assert(out(3L) == "unique delta")
+    // doc 4 was pure boilerplate: gone entirely
+    assert(!out.contains(4L) && out.size == 3)
+    // below the threshold nothing is stripped
+    val loose = TextAnalysis.lineDedup(d, "doc_id", "text", minDocs = 5)
+      .as[(Long, String)].collect().map(r => r._1 -> r._2).toMap
+    assert(loose(1L) == "unique alpha\nCOOKIE BANNER\nunique beta")
+    assert(loose.size == 4)
+  }
+
   test("piiStats: per-group doc and match counts across all three families") {
     val d = Seq(
       ("g1", "mail me at a.b@example.com or ring +1 555-123-4567 today"),
