@@ -292,6 +292,32 @@ object TextAnalysis {
         floor(col("cum_before") / capacity).cast("long")))
   }
 
+  /** Materialized sequence packing — [[packBinsSharded]] carried through
+    * to the artifact a pretraining-prep job actually writes: per bin, the
+    * member documents concatenated in deterministic order with an
+    * end-of-sequence separator, plus the bin's document count and total
+    * length. The window is partitioned by shard (independent parallel
+    * runs); the per-bin collect is bounded by `capacity`, so no group
+    * ever exceeds one sequence worth of text.
+    */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+                    textCol: String, lenCol: String, capacity: Long,
+                    eos: String = " <eos> "): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol), col(textCol), col(lenCol))
+      .withColumn("bin", concat_ws(":", col(shardCol),
+        floor(coalesce(sum(col(lenCol)).over(w), lit(0L)) / capacity)
+          .cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(lenCol)).as("bin_len"),
+        array_join(
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            x => x.getField(textCol)), eos).as("packed_text"))
+  }
+
   /** Grouped distribution profile of a numeric column (here: document
     * lengths per language): exact percentiles (linear interpolation —
     * Spark `percentile`, not the approximate sketch, so results are
@@ -392,6 +418,35 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
+  }
+
+  /** Reciprocal-rank fusion of ranked lists (the standard hybrid-
+    * retrieval combiner: rrf = sum over lists of 1/(kRrf + rank)) —
+    * merges heterogeneous rankers (BM25, embedding top-k, quality
+    * re-ranking) without score calibration. Each input carries
+    * (`idCol`, `rnkCol`); fused scores are rounded to the 6-place grid
+    * BEFORE re-ranking, ties by id.
+    *
+    * Scale posture: a union + one aggregate over the candidate lists
+    * (k-sized each, never corpus-sized) — the fusion itself is
+    * candidate-bound no matter the corpus; the final top-k is a k-row
+    * TakeOrderedAndProject. With two lists the fused sum is a single
+    * IEEE addition (commutative), so cross-engine determinism needs no
+    * association argument.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rnkCol: String,
+              kRrf: Int, topK: Int): DataFrame = {
+    val scored = rankings
+      .map(_.select(col(idCol), col(rnkCol).cast("double").as("__r")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("__r"))), 6)
+        .as("rrf"),
+        count(lit(1)).cast("int").as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
   }
 
   /** Per-group PII exposure report — the audit a release publishes

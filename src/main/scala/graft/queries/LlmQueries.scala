@@ -615,6 +615,30 @@ object LlmQueries {
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocab(Tables.documents(s, dir), "doc_id", "text", topN = 20)),
 
+    // materialized sequence packing: per (shard-namespaced) bin, the
+    // member documents concatenated in deterministic order with an EOS
+    // separator — the artifact a pretraining-prep job writes
+    "text_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), "source",
+        "doc_id", "text", "n_chars", capacity = 4096)),
+
+    // hybrid-retrieval rank fusion: BM25 top-50 fused with a top-50
+    // quality re-ranking via reciprocal-rank fusion (k=60), top-20 out
+    "text_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text", Bm25Query,
+        k = 50).select(col("doc_id"), col("rnk"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val qual = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 50)
+        .select(col("doc_id"), col("rnk"))
+      TextAnalysis.rrfFuse(Seq(lex, qual), "doc_id", "rnk",
+        kRrf = 60, topK = 20)
+    }),
+
     // line-level dedup across documents (C4/RefinedWeb boilerplate rule):
     // a per-source footer line is planted on every document, so each
     // source's footer crosses the frequency threshold and is stripped
@@ -1315,6 +1339,70 @@ object LlmQueries {
         |  CAST(count(*) AS INT) AS n_docs
         |FROM dt GROUP BY 1
         |ORDER BY n_total DESC, token LIMIT 20""".stripMargin,
+
+    // packed sequences: the pack_bins window carried through to the
+    // concatenated per-bin text (string_agg in doc_id order = the
+    // sorted-struct array_join)
+    "text_pack_sequences" ->
+      """WITH b AS (SELECT source, doc_id, text, n_chars,
+        |  source || ':' || CAST(floor(coalesce(sum(n_chars) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0)
+        |    AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bin_len,
+        |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // reciprocal-rank fusion of the BM25 top-50 and the quality top-50;
+    // fused scores rounded before the final re-rank, ties by doc_id
+    "text_rrf_fusion" -> {
+      val en = sqlList(StopEn)
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              CAST(sum(len(ws)) AS DOUBLE) AS len_total FROM d),
+         |tok AS (SELECT doc_id, len(ws) AS doc_len, unnest(ws) AS term FROM d),
+         |hits AS (SELECT doc_id, term, count(*) AS tf, max(doc_len) AS doc_len
+         |         FROM tok WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, term, tf, doc_len,
+         |         CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS doc_freq
+         |       FROM hits),
+         |agg AS (SELECT doc_id,
+         |          round(sum(
+         |            ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1) *
+         |            (CAST(tf AS DOUBLE) * (1.2 + 1) /
+         |             (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 *
+         |              CAST(doc_len AS DOUBLE) / (len_total / n_docs))))), 6)
+         |            AS bm25
+         |        FROM sc, st GROUP BY 1),
+         |lex AS (SELECT doc_id, rnk FROM (
+         |          SELECT doc_id,
+         |            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+         |          FROM agg) WHERE rnk <= 50),
+         |q AS (SELECT doc_id,
+         |        round(least(CAST(len(ws) AS DOUBLE) / 100, CAST(1 AS DOUBLE)) *
+         |          (1 - abs(CAST(len(list_filter(ws, w ->
+         |             list_contains($en, w))) AS DOUBLE) /
+         |             CAST(len(ws) AS DOUBLE) - 0.4)), 6) AS quality_score
+         |      FROM d),
+         |qual AS (SELECT doc_id, rnk FROM (
+         |           SELECT doc_id, row_number() OVER (
+         |             ORDER BY quality_score DESC, doc_id) AS rnk
+         |           FROM q) WHERE rnk <= 50),
+         |u AS (SELECT doc_id, rnk FROM lex
+         |      UNION ALL SELECT doc_id, rnk FROM qual),
+         |f AS (SELECT doc_id,
+         |        round(sum(1.0 / (60.0 + CAST(rnk AS DOUBLE))), 6) AS rrf,
+         |        CAST(count(*) AS INT) AS n_lists
+         |      FROM u GROUP BY 1)
+         |SELECT doc_id, rrf, n_lists,
+         |  CAST(rn AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM f) WHERE rn <= 20""".stripMargin
+    },
 
     // line-level dedup: per-doc-distinct line frequency, frequent lines
     // stripped, documents reassembled in original line order

@@ -192,4 +192,19 @@ class PlanSpec extends SparkSpec {
     // per-doc-distinct line frequency aggregates partially map-side
     assert(p.contains("partial_count"))
   }
+
+  test("pack sequences: per-shard windows, one aggregate, no global sort") {
+    val p = planOf("text_pack_sequences")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must stay shard-parallel:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("rrf fusion: candidate-bound union+aggregate, no corpus join") {
+    val p = planOf("text_rrf_fusion")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Union"))
+    // both ranker top-50s bound their inputs before the fusion aggregate
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"))
+  }
 }

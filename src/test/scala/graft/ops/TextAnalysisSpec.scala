@@ -175,6 +175,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1.length == 1 && top1.head._1 == out.head._1)
   }
 
+  test("packSequences materializes bins: ordered concat, capacity respected") {
+    val d = Seq(
+      ("s1", 1L, "aaaa", 4L), ("s1", 2L, "bbbb", 4L), ("s1", 3L, "cccc", 4L),
+      ("s2", 4L, "dddd", 4L)).toDF("src", "doc_id", "text", "len")
+    val out = TextAnalysis.packSequences(d, "src", "doc_id", "text", "len",
+      capacity = 8).as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // s1: docs 1,2 fill bin 0 (cum_before 0,4); doc 3 starts bin 1
+    assert(out("s1:0") == (("s1:0", 2L, 8L, "aaaa <eos> bbbb")))
+    assert(out("s1:1") == (("s1:1", 1L, 4L, "cccc")))
+    assert(out("s2:0") == (("s2:0", 1L, 4L, "dddd")))
+  }
+
+  test("rrfFuse: hand-computed fusion of two overlapping ranked lists") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rnk")
+    val qual = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rnk")
+    val out = TextAnalysis.rrfFuse(Seq(lex, qual), "doc_id", "rnk",
+      kRrf = 60, topK = 10).as[(Long, Double, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 20 appears in both lists: 1/62 + 1/61
+    assert(out(20L) == ((20L, r6(1.0 / 62 + 1.0 / 61), 2, 1)))
+    assert(out(10L) == ((10L, r6(1.0 / 61), 1, 2)))
+    assert(out(40L)._3 == 1 && out(30L)._3 == 1)
+    // 1/62 > 1/63: doc 40 (rank 2) beats doc 30 (rank 3)
+    assert(out(40L)._4 == 3 && out(30L)._4 == 4)
+    // topK cuts
+    assert(TextAnalysis.rrfFuse(Seq(lex, qual), "doc_id", "rnk", 60, 2)
+      .count() == 2)
+  }
+
   test("lineDedup strips frequent lines, keeps order, drops all-boilerplate docs") {
     val d = Seq(
       (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
