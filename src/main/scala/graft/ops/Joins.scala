@@ -40,7 +40,7 @@ object Joins {
     unioned
       .withColumn(rightTsOut, last(col("__rts"), ignoreNulls = true).over(w))
       .filter(col("__is_right") === 0)
-      .select(leftCols.map(col) :+ col(rightTsOut): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(rightTsOut): _*)
   }
 
   /** Range join: pair every left row whose `tsCol` falls in a right-side

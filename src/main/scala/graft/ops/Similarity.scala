@@ -181,7 +181,8 @@ object Similarity {
       Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id")))
     // carry every original column (schema-agnostic) + norm + assignment
     scored.withColumn("rn", rn).filter(col("rn") === 1)
-      .select(embeddings.columns.map(col) :+ col("nrm") :+ col("centroid_id"): _*)
+      .select(embeddings.columns.toIndexedSeq.map(col) :+
+        col("nrm") :+ col("centroid_id"): _*)
   }
 
   /** IVF search: centroids = vectors with `vec_id % centroidMod == 0`
