@@ -134,4 +134,48 @@ class PropertySpec extends SparkSpec {
       got == want
     }, samples = 300)
   }
+
+  test("token-budget sample is a monotone prefix: growing budgets nest") {
+    // one corpus, several budgets: each larger budget's kept set must be
+    // a superset, and every kept set is a PREFIX of the same global order
+    val corpus = (1L to 300L).map(i => (i, (i * 53 % 97 + 5).toInt))
+    val df = corpus.toDF("doc_id", "n_chars")
+    val budgets = Seq(0L, 500L, 3000L, 9000L, 1L << 30)
+    val kept = budgets.map { b =>
+      b -> Dedup.tokenBudgetSample(df, "doc_id", "n_chars", b)
+        .as[(Long, Int, Long)].collect().map(_._1).toSet
+    }
+    kept.sliding(2).foreach { case Seq((b1, s1), (b2, s2)) =>
+      assert(s1.subsetOf(s2), s"budget $b1 set must nest in $b2") }
+    assert(kept.head._2.isEmpty && kept.last._2.size == 300)
+    // budget respected: preceding mass of every kept doc is under budget
+    budgets.filter(b => b > 0 && b < (1L << 30)).foreach { b =>
+      val rows = Dedup.tokenBudgetSample(df, "doc_id", "n_chars", b)
+        .as[(Long, Int, Long)].collect()
+      rows.foreach { case (_, _, cum) => assert(cum < b) }
+    }
+  }
+
+  test("rrfFuse ranks by fused score with deterministic id tie-breaks") {
+    val listGen = Gen.listOfN(20, Gen.choose(1L, 40L)).map(_.distinct)
+    import org.scalacheck.Prop.propBoolean
+    check(Prop.forAll(listGen, listGen) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val la = a.zipWithIndex.map { case (d, i) => (d, i + 1) }
+          .toDF("doc_id", "rnk")
+        val lb = b.zipWithIndex.map { case (d, i) => (d, i + 1) }
+          .toDF("doc_id", "rnk")
+        val out = graft.ops.TextAnalysis
+          .rrfFuse(Seq(la, lb), "doc_id", "rnk", kRrf = 60, topK = 100)
+          .as[(Long, Double, Int, Int)].collect().sortBy(_._4)
+        // scalar reference
+        val want = (a.zipWithIndex.map { case (d, i) => d -> (i + 1) } ++
+          b.zipWithIndex.map { case (d, i) => d -> (i + 1) })
+          .groupBy(_._1).view
+          .mapValues(rs => math.rint(rs.map(r => 1.0 / (60 + r._2)).sum * 1e6) / 1e6)
+          .toSeq.sortBy { case (d, s) => (-s, d) }
+        out.map(r => (r._1, r._2)).toSeq == want
+      }
+    }, samples = 8)
+  }
 }
