@@ -45,4 +45,15 @@ class AggregationsSpec extends SparkSpec {
     assert(valid.count() + quarantine.count() == bronze.count())
     bronze.unpersist()
   }
+
+  test("A4 scale path: approxDistinct lands within the HLL error band") {
+    val df = graft.Tables.lineitem(spark, sf0001)
+    val exact = Aggregations.distinctCount(df, "l_orderkey")
+    val approx = Aggregations.approxDistinct(df, "l_orderkey", rsd = 0.01)
+      .as[Long].head()
+    // HLL++ at rsd=0.01: allow a generous 5% band (error is probabilistic)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+    assert(Aggregations.rowCount(df) == df.count())
+  }
 }
