@@ -49,6 +49,28 @@ object Dedup {
     df.join(keepers, col(idCol) === col("keeper_id"), "left_semi")
   }
 
+  /** Incremental exact dedup — the batch-vs-index face for the EXACT
+    * family (mirroring [[incrementalLshCandidates]] for the sketch
+    * families): drop batch rows whose content hash already exists in the
+    * ingested corpus, then keep-first within the batch itself. What a
+    * per-ingest pipeline runs before any fuzzy pass.
+    *
+    * Scale posture: the corpus side reduces to DISTINCT 16-byte content
+    * hashes — corpus-sized, so NOT broadcast; the anti-join shuffles
+    * both sides by hash (the correct shape: fixed-width keys, never the
+    * text). In production the hash relation is a stored index appended
+    * per ingest, exactly like the band indexes in
+    * [[graft.streaming.NearDupIngest]].
+    */
+  def exactIncremental(batch: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val seen = corpus.select(md5(lower(col(textCol))).as("__h")).distinct()
+    val fresh = batch.withColumn("__h", md5(lower(col(textCol))))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+    exactKeepFirst(fresh, idCol, textCol)
+  }
+
   /** Deterministic hash-based sampling: keep rows whose md5-derived bucket
     * (0-99) falls below `pct`. Unlike `sample()`/`sampleBy()` this is
     * reproducible across engines, runs, and partitionings — the

@@ -320,6 +320,17 @@ object LlmQueries {
       Dedup.weightedSample(Tables.documents(s, dir), "doc_id", "source",
         MixWeights.toMap)),
 
+    // incremental exact dedup: the 20% "new batch" with rows already in
+    // the 80% "ingested corpus" dropped (content-hash anti-join), then
+    // keep-first within the batch — the per-ingest exact face
+    "dedup_exact_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactIncremental(
+        docs.filter(Dedup.hashBucket(col("doc_id")) < 20),
+        docs.filter(Dedup.hashBucket(col("doc_id")) >= 20),
+        "doc_id", "text")
+    }),
+
     // incremental ingest: LSH candidates for a 20% "new batch" against the
     // other 80% "already-ingested corpus" (hash-bucket split), computed
     // batch-vs-index — the old corpus is never self-joined
@@ -771,6 +782,18 @@ object LlmQueries {
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents
         |                 GROUP BY md5(lower(text)))""".stripMargin,
+
+    // batch rows not already ingested (hash anti-join), keep-first within
+    // the batch
+    "dedup_exact_incremental" ->
+      s"""WITH b AS (SELECT * FROM documents WHERE $HashBucketSql < 20),
+         |c AS (SELECT DISTINCT md5(lower(text)) AS h FROM documents
+         |      WHERE $HashBucketSql >= 20),
+         |fresh AS (SELECT * FROM b
+         |          WHERE md5(lower(text)) NOT IN (SELECT h FROM c))
+         |SELECT * FROM fresh
+         |WHERE doc_id IN (SELECT min(doc_id) FROM fresh
+         |                 GROUP BY md5(lower(text)))""".stripMargin,
 
     "sample_hash_20pct" ->
       s"""SELECT * FROM documents

@@ -200,6 +200,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("incremental exact dedup: hash anti-join, text never joined") {
+    val p = planOf("dedup_exact_incremental")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"))
+    // both join inputs are md5 hashes (fixed-width), never raw text
+    assert(p.contains("md5"))
+  }
+
   test("rrf fusion: candidate-bound union+aggregate, no corpus join") {
     val p = planOf("text_rrf_fusion")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))

@@ -162,6 +162,23 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 <= 3))
   }
 
+  test("exactIncremental drops already-ingested content, keeps first in batch") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // already in corpus: dropped
+      (11L, "brand new"),
+      (12L, "brand new"),     // batch-internal dup of 11: dropped
+      (13L, "another new")).toDF("doc_id", "text")
+    val kept = Dedup.exactIncremental(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+    // an empty corpus reduces to plain exact keep-first over the batch
+    val cold = Dedup.exactIncremental(batch,
+      corpus.filter(lit(false)), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(cold == Seq(10L, 11L, 13L))
+  }
+
   test("token-budget sample equals the naive global running sum") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StringType
