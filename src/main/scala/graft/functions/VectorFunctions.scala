@@ -319,6 +319,9 @@ object GraftFunctions {
   val i8dotInfo = new ExpressionInfo(
     classOf[Int8DotProduct].getName, "graft_i8dot")
 
+  val bpeTokensInfo = new ExpressionInfo(
+    classOf[BpeTokenCount].getName, "graft_bpe_tokens")
+
   /** Clear analysis-time error for builder misuse: the parameter slots of
     * the graft functions are plan-time constants, so anything non-foldable
     * (or a wrong arity) must fail with a message, not an opaque
@@ -355,6 +358,21 @@ object GraftFunctions {
       if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean] else false)
   }
 
+  /** Builder for [[BpeTokenCount]]: (text[, flattened merges
+    * array<string> literal]) — omitted merges = [[BpeUtil.DefaultMerges]].
+    */
+  private[functions] def bpeTokensBuilder(exprs: Seq[Expression]): Expression = {
+    checkArgs("graft_bpe_tokens", exprs, Seq(1, 2),
+      "(text[, flattened merges array<string> literal])")
+    val merges =
+      if (exprs.length > 1)
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+      else BpeUtil.DefaultMerges.flatMap { case (x, y) => Seq(x, y) }
+    BpeTokenCount(exprs.head, merges)
+  }
+
   /** Builder for [[CharGramFingerprint]]: (text, n literal). */
   private[functions] def charFpBuilder(exprs: Seq[Expression]): Expression = {
     checkArgs("graft_char_fingerprint", exprs, Seq(2), "(text, n literal)")
@@ -380,6 +398,8 @@ object GraftFunctions {
       "graft_q8", exprs => Q8Quantize(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_i8dot", exprs => Int8DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_tokens", bpeTokensBuilder, "built-in")
   }
 }
 
@@ -409,5 +429,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_i8dot"),
       GraftFunctions.i8dotInfo,
       exprs => Int8DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_tokens"),
+      GraftFunctions.bpeTokensInfo,
+      GraftFunctions.bpeTokensBuilder))
   }
 }

@@ -67,8 +67,13 @@ object Dedup {
     val seen = corpus.select(md5(lower(col(textCol))).as("__h")).distinct()
     val fresh = batch.withColumn("__h", md5(lower(col(textCol))))
       .join(seen, Seq("__h"), "left_anti")
+    // keep-first groups on the hash CARRIED through the anti-join instead
+    // of calling exactKeepFirst (which would re-hash the batch text a
+    // second time per plan reference)
+    val keepers = fresh.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("keeper_id")).select(col("keeper_id"))
+    fresh.join(keepers, col(idCol) === col("keeper_id"), "left_semi")
       .drop("__h")
-    exactKeepFirst(fresh, idCol, textCol)
   }
 
   /** Deterministic hash-based sampling: keep rows whose md5-derived bucket

@@ -66,6 +66,24 @@ object TextAnalysis {
       size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("n_re_tokens"),
       length(col(textCol)).as("n_chars_calc"))
 
+  /** Subword (BPE) token count as an appended column — the accounting
+    * basis real training-data budgets are stated in. Deterministic fixed
+    * merge table (default [[graft.functions.BpeUtil.DefaultMerges]],
+    * pluggable for a published merges file); semantics and oracle
+    * mirroring documented on [[graft.functions.BpeUtil]]. Map-only
+    * codegen — the corpus text is read once, nothing shuffles.
+    */
+  def withBpeTokens(df: DataFrame, textCol: String,
+                    outCol: String = "n_bpe_tokens",
+                    merges: Seq[(String, String)] =
+                      graft.functions.BpeUtil.DefaultMerges): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val flat = merges.flatMap { case (x, y) => Seq(x, y) }
+    df.withColumn(outCol,
+      call_function("graft_bpe_tokens", lower(col(textCol)),
+        typedLit(flat)))
+  }
+
   /** Whitespace-robust token statistics — the tokenizer mode raw crawl
     * text needs. The single-space mode above is faithful to the fixtures
     * (and the reference), but real web text carries tabs, newlines, and
@@ -297,8 +315,12 @@ object TextAnalysis {
     * member documents concatenated in deterministic order with an
     * end-of-sequence separator, plus the bin's document count and total
     * length. The window is partitioned by shard (independent parallel
-    * runs); the per-bin collect is bounded by `capacity`, so no group
-    * ever exceeds one sequence worth of text.
+    * runs); the per-bin collect is bounded by `capacity` PLUS one
+    * document (binning is by preceding cumulative length, so the
+    * document that crosses the bin line lands in that bin — a single
+    * document longer than `capacity` overflows its bin by its own
+    * length). Pre-split oversized documents before packing if a hard
+    * per-bin bound is required.
     */
   def packSequences(df: DataFrame, shardCol: String, idCol: String,
                     textCol: String, lenCol: String, capacity: Long,
@@ -582,6 +604,58 @@ object TextAnalysis {
         sum(col("tf")).as("n_tokens"))
   }
 
+  /** Corpus-derived add-one unigram LM AS DATA: the `(term, logp)`
+    * relation plus the one-row OOV floor `ln(1 / (n_total + n_vocab))`
+    * — exactly the smoothed probabilities [[unigramLogProb]] computes
+    * inline. Materialize these once (e.g. per corpus snapshot) and feed
+    * them to [[unigramLogProbWith]]; or substitute any externally
+    * trained `(term, logp)` table (a KenLM-style unigram dump) with its
+    * own floor — the scoring path cannot tell the difference.
+    */
+  def unigramLm(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val tf = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val totals = counts
+      .agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("n_vocab"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        log((col("cnt").cast("double") + 1) /
+          (col("n_total").cast("double") + col("n_vocab").cast("double")))
+          .as("logp"))
+    val oov = totals.select(
+      log(lit(1.0) / (col("n_total").cast("double") +
+        col("n_vocab").cast("double"))).as("oov_logp"))
+    (lm, oov)
+  }
+
+  /** [[unigramLogProb]]'s EXTERNAL-MODEL face: score `df` under a
+    * prebuilt `(term, logp)` table + one-row OOV floor instead of the
+    * corpus's own counts — the production perplexity-filter shape, where
+    * the LM is trained once (or shipped from outside) and corpora are
+    * scored against it. Mechanically: the (doc, term, tf) sketch joins
+    * the LM term-keyed — broadcast when the LM fits (AQE decides),
+    * shuffled otherwise — and unseen terms fall back to the floor.
+    * Fed [[unigramLm]]'s own output it reproduces [[unigramLogProb]]
+    * bit-for-bit on the 6-place grid (spec-pinned).
+    */
+  def unigramLogProbWith(df: DataFrame, idCol: String, textCol: String,
+                         lm: DataFrame, oov: DataFrame): DataFrame = {
+    val tf = Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(lm, Seq("term"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("lp", coalesce(col("logp"), col("oov_logp")))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf").cast("double") * col("lp")) / sum(col("tf")), 6)
+        .as("mean_logprob"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
   /** Line-level deduplication across documents (the C4/RefinedWeb
     * boilerplate-removal rule, distinct from document-level dedup): drop
     * every line that occurs in at least `minDocs` DISTINCT documents
@@ -625,12 +699,20 @@ object TextAnalysis {
     * is domain-count-sized (tens of rows), so the single-partition window
     * is a non-issue at any corpus scale.
     */
-  def mixtureStats(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+  def mixtureStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    mixtureStatsWith(df, groupCol, size(tokens(col(textCol))))
+
+  /** [[mixtureStats]] with a PLUGGABLE token-counter column — the
+    * accounting basis (whitespace words, chars, BPE subwords via
+    * [[withBpeTokens]]' output column) is the caller's one-line choice;
+    * the aggregate shape is identical.
+    */
+  def mixtureStatsWith(df: DataFrame, groupCol: String, tokCol: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    df.select(col(groupCol), size(tokens(col(textCol))).as("n_tok"))
+    df.select(col(groupCol), tokCol.as("n_tok"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("doc_share",

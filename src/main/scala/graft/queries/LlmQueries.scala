@@ -158,6 +158,51 @@ object LlmQueries {
     s"($terms)"
   }
 
+  /** Shared per-document BPE token-count CTE chain (terminal relation
+    * `docbpe(doc_id, n_bpe_tokens)`), mirroring
+    * [[graft.functions.BpeTokenCount]] exactly: the merge table is
+    * GENERATED from the same Scala constant the expression compiles in
+    * ([[graft.functions.BpeUtil.mergesValuesSql]]), and one recursion
+    * step applies one `replace()` pass of the current-rank merge —
+    * DuckDB's literal left-to-right non-overlapping `replace` is the
+    * same operation as Java's `String.replace`, so the fixpoint-per-rank
+    * walk lands on identical symbol counts. Tokenization runs over
+    * DISTINCT words (vocabulary-sized recursion) and joins back to word
+    * instances. Caller must open with `WITH RECURSIVE`.
+    */
+  private def bpeDocTokensCte: String = {
+    val k = graft.functions.BpeUtil.DefaultMerges.size
+    s"""merges(rank, pat, rep) AS (VALUES ${graft.functions.BpeUtil.mergesValuesSql()}),
+       |words AS (SELECT DISTINCT w FROM (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents) q),
+       |enc0 AS (SELECT w, ';' || regexp_replace(w, '(.)', '\\1;', 'g') AS e
+       |         FROM words),
+       |rec AS (
+       |  SELECT w, e, 1 AS r FROM enc0
+       |  UNION ALL
+       |  SELECT w, CASE WHEN rp <> e THEN rp ELSE e END AS e,
+       |         CASE WHEN rp <> e THEN r ELSE r + 1 END AS r
+       |  FROM (SELECT rec.w AS w, rec.e AS e, rec.r AS r,
+       |               replace(rec.e, m.pat, m.rep) AS rp
+       |        FROM rec JOIN merges m ON m.rank = rec.r) s),
+       |wtok AS (SELECT w, CAST(length(e) - length(replace(e, ';', '')) - 1
+       |                   AS INT) AS n_sub
+       |         FROM rec WHERE r = ${k + 1}),
+       |docw AS (SELECT doc_id,
+       |           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |         FROM documents),
+       |wsum AS (SELECT d.doc_id, sum(t.n_sub) AS n_word_sub
+       |         FROM docw d JOIN wtok t ON d.w = t.w GROUP BY d.doc_id),
+       |docbpe AS (SELECT dd.doc_id,
+       |             CAST(coalesce(ws.n_word_sub, 0) +
+       |               length(regexp_replace(lower(dd.text),
+       |                 '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS INT)
+       |               AS n_bpe_tokens
+       |           FROM documents dd
+       |           LEFT JOIN wsum ws ON dd.doc_id = ws.doc_id)""".stripMargin
+  }
+
   /** Shared SimHash CTE prefix (64-bit tf-weighted, two 32-bit halves).
     * Mirrors [[Dedup.simhash]]'s single-parse bit extraction: the md5 hex
     * is folded ONCE per token into two 32-bit integers (`hh`, `hl`); bit i
@@ -511,6 +556,30 @@ object LlmQueries {
     "text_mixture_stats" -> ((s, dir) =>
       TextAnalysis.mixtureStats(Tables.documents(s, dir), "source", "text")),
 
+    // subword (BPE) token accounting: deterministic fixed merge table,
+    // map-only codegen counter — the accounting basis token budgets are
+    // actually stated in
+    // the perplexity filter's production shape: LM trained ONCE (here on
+    // the hash-bucket<50 half), corpus scored against the stored table;
+    // terms unseen in training fall back to the add-one OOV floor
+    "text_unigram_logprob_ext" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (lm, oov) = TextAnalysis.unigramLm(
+        Dedup.hashSample(docs, "doc_id", 50), "doc_id", "text")
+      TextAnalysis.unigramLogProbWith(docs, "doc_id", "text", lm, oov)
+    }),
+
+    "text_tokens_bpe" -> ((s, dir) =>
+      TextAnalysis.withBpeTokens(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_bpe_tokens"))),
+
+    // mixture accounting in SUBWORD tokens (same aggregate, pluggable
+    // token-counter column)
+    "text_mixture_stats_bpe" -> ((s, dir) =>
+      TextAnalysis.mixtureStatsWith(
+        TextAnalysis.withBpeTokens(Tables.documents(s, dir), "text"),
+        "source", col("n_bpe_tokens"))),
+
     // quality-quartile curriculum tiers (exact percentile cutoffs,
     // 6-place grid, broadcast into a map-only assignment)
     "text_quality_tiers" -> ((s, dir) =>
@@ -612,6 +681,13 @@ object LlmQueries {
     "sample_token_budget" -> ((s, dir) =>
       Dedup.tokenBudgetSample(Tables.documents(s, dir), "doc_id",
         "n_chars", budget = 75000L)),
+
+    // the same budget operator with the SUBWORD counter plugged in —
+    // "sample exactly 20k BPE tokens", the form ablation budgets take
+    "sample_token_budget_bpe" -> ((s, dir) =>
+      Dedup.tokenBudgetSample(
+        TextAnalysis.withBpeTokens(Tables.documents(s, dir), "text"),
+        "doc_id", "n_bpe_tokens", budget = 20000L)),
 
     // reproducible global shuffle + sharding (the final training-data
     // layout; per-shard windows, no global sort)
@@ -789,8 +865,9 @@ object LlmQueries {
       s"""WITH b AS (SELECT * FROM documents WHERE $HashBucketSql < 20),
          |c AS (SELECT DISTINCT md5(lower(text)) AS h FROM documents
          |      WHERE $HashBucketSql >= 20),
-         |fresh AS (SELECT * FROM b
-         |          WHERE md5(lower(text)) NOT IN (SELECT h FROM c))
+         |fresh AS (SELECT b.* FROM b
+         |          WHERE NOT EXISTS (SELECT 1 FROM c
+         |                            WHERE c.h = md5(lower(b.text))))
          |SELECT * FROM fresh
          |WHERE doc_id IN (SELECT min(doc_id) FROM fresh
          |                 GROUP BY md5(lower(text)))""".stripMargin,
@@ -820,6 +897,48 @@ object LlmQueries {
         |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
         |    AS token_share
         |FROM a""".stripMargin,
+
+    "text_unigram_logprob_ext" ->
+      s"""WITH train AS (SELECT * FROM documents WHERE $HashBucketSql < 50),
+         |ttf AS (SELECT doc_id, w AS term, count(*) AS tf
+         |        FROM (SELECT doc_id,
+         |                unnest(string_split(lower(text), ' ')) AS w
+         |              FROM train) GROUP BY 1, 2),
+         |lmc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+         |        FROM ttf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         |               CAST(count(*) AS DOUBLE) AS n_vocab FROM lmc),
+         |lm AS (SELECT term,
+         |         ln((CAST(cnt AS DOUBLE) + 1) / (n_total + n_vocab)) AS logp
+         |       FROM lmc, tot),
+         |tf AS (SELECT doc_id, w AS term, count(*) AS tf
+         |       FROM (SELECT doc_id,
+         |               unnest(string_split(lower(text), ' ')) AS w
+         |             FROM documents) GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  round(sum(CAST(tf AS DOUBLE) *
+         |            coalesce(lm.logp, ln(1.0 / (tot.n_total + tot.n_vocab)))) /
+         |        sum(tf), 6) AS mean_logprob,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens
+         |FROM tf LEFT JOIN lm USING (term), tot
+         |GROUP BY 1""".stripMargin,
+
+    "text_tokens_bpe" ->
+      s"""WITH RECURSIVE $bpeDocTokensCte
+         |SELECT doc_id, n_bpe_tokens FROM docbpe""".stripMargin,
+
+    "text_mixture_stats_bpe" ->
+      s"""WITH RECURSIVE $bpeDocTokensCte,
+         |j AS (SELECT d.source, b.n_bpe_tokens FROM documents d
+         |      JOIN docbpe b ON d.doc_id = b.doc_id),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens
+         |      FROM j GROUP BY 1)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+         |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+         |    AS token_share
+         |FROM a""".stripMargin,
 
     "text_quality_tiers" -> {
       val en = sqlList(StopEn)
@@ -1332,6 +1451,17 @@ object LlmQueries {
          |  FROM documents)
          |WHERE cum_before < 75000""".stripMargin,
 
+    "sample_token_budget_bpe" ->
+      s"""WITH RECURSIVE $bpeDocTokensCte
+         |SELECT doc_id, n_bpe_tokens, cum_before FROM (
+         |  SELECT doc_id, n_bpe_tokens,
+         |    CAST(coalesce(sum(n_bpe_tokens) OVER (
+         |      ORDER BY $HashBucketSql, md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM docbpe) z
+         |WHERE cum_before < 20000""".stripMargin,
+
     "corpus_shuffle_shards" ->
       s"""WITH k AS (SELECT doc_id,
          |  CAST(${hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)}
@@ -1431,7 +1561,7 @@ object LlmQueries {
     // stripped, documents reassembled in original line order
     "text_line_dedup" ->
       """WITH two AS (SELECT doc_id,
-        |               text || chr(10) || 'source: ' || source AS text
+        |               concat_ws(chr(10), text, 'source: ' || source) AS text
         |             FROM documents),
         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM two),
         |ln AS (SELECT doc_id, i AS pos, l[i] AS line

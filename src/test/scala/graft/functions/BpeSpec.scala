@@ -1,0 +1,107 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE token-counter semantics that the DuckDB oracle mirrors
+  * literally: greedy left-to-right non-overlapping replace, repeated to
+  * fixpoint, per merge in rank order (the subword-nmt convention).
+  * The doc/word fixtures here were cross-checked against the recursive-
+  * CTE formulation in DuckDB before being pinned.
+  */
+class BpeSpec extends SparkSpec {
+  import BpeUtil.{encodeSpec, wordTokensSpec, DefaultMerges}
+
+  test("default-merge encodings match the oracle-verified fixtures") {
+    assert(encodeSpec("the", DefaultMerges) === ";the;")
+    assert(encodeSpec("theme", DefaultMerges) === ";the;me;")
+    assert(encodeSpec("distribution", DefaultMerges) === ";d;is;t;ri;b;u;tion;")
+    assert(wordTokensSpec("sequencing", DefaultMerges) === 6)
+    assert(wordTokensSpec("and", DefaultMerges) === 1)
+    assert(wordTokensSpec("ting", DefaultMerges) === 2)
+    assert(wordTokensSpec("aaa", DefaultMerges) === 3) // no (a,a) merge
+  }
+
+  test("greedy left-to-right overlap: (a,a) on runs of a") {
+    val m = Seq(("a", "a"))
+    assert(encodeSpec("aaa", m) === ";aa;a;")   // leftmost pair wins
+    assert(encodeSpec("aaaa", m) === ";aa;aa;") // fixpoint catches pair 2
+    assert(wordTokensSpec("aaaaa", m) === 3)    // aa aa a
+  }
+
+  test("multi-char symbol boundaries are protected") {
+    // after (a,b)->ab, (b,c) must not fire against the b INSIDE ab
+    val m = Seq(("a", "b"), ("b", "c"))
+    assert(encodeSpec("abc", m) === ";ab;c;")
+    // but a real b symbol still merges
+    assert(encodeSpec("bcabc", m) === ";bc;ab;c;")
+  }
+
+  test("later merges consume earlier symbols (ti + on -> tion)") {
+    assert(encodeSpec("tion", DefaultMerges) === ";tion;")
+  }
+
+  test("BpeTable fast path equals the spec implementation") {
+    val flat = DefaultMerges.flatMap { case (x, y) => Seq(x, y) }.toArray
+    val table = new BpeTable(flat)
+    val words = Seq("the", "theme", "aaa", "and", "ting", "sequencing",
+      "distribution", "a", "z9", "xxxxxxxx", "antidisestablishmentarianism",
+      "tionontionon", "thethethe", "0123456789")
+    words.foreach { w =>
+      assert(table.wordTokens(w) === wordTokensSpec(w, DefaultMerges), s"word $w")
+      // memoized second call agrees
+      assert(table.wordTokens(w) === wordTokensSpec(w, DefaultMerges), s"memo $w")
+    }
+  }
+
+  test("document counter: word runs + punctuation chars, NULL-in/NULL-out") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1, "The theme aaa and, ting!"),     // 1+2+3+1+2 subwords + 2 punct = 11
+      (2, "sequencing distribution"),      // 6+7 = 13
+      (3, "a\tb\nc  d"),                   // whitespace never counts: 4
+      (4, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withBpeTokens(df, "text")
+      .select($"doc_id", $"n_bpe_tokens").collect().map(r =>
+        r.getInt(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out(1) === 11)
+    assert(out(2) === 13)
+    assert(out(3) === 4)
+    assert(out(4) === null)
+  }
+
+  test("merge table is pluggable at the call site") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "aaaa bb")).toDF("doc_id", "text")
+    val out = TextAnalysis.withBpeTokens(df, "text",
+        merges = Seq(("a", "a")))
+      .select($"n_bpe_tokens").head()
+    assert(out === Row(4)) // aaaa -> [aa,aa]=2, bb -> 2
+    val outDefault = TextAnalysis.withBpeTokens(df, "text")
+      .select($"n_bpe_tokens").head()
+    assert(outDefault === Row(6)) // no (a,a)/(b,b) in the default table
+  }
+
+  test("uppercase input is lowered by the op before counting") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "THE THEME")).toDF("doc_id", "text")
+    val out = TextAnalysis.withBpeTokens(df, "text")
+      .select($"n_bpe_tokens").head()
+    assert(out === Row(3)) // the=1, theme=2 — not 9 punct chars
+  }
+
+  test("ws-mode consumers are untouched by the added column (pluggability)") {
+    val s = spark
+    val docs = graft.Tables.documents(s, SparkSpec.sf0001)
+    val base = graft.ops.Dedup.tokenBudgetSample(docs, "doc_id", "n_chars", 75000L)
+    val viaBpeDf = graft.ops.Dedup.tokenBudgetSample(
+      TextAnalysis.withBpeTokens(docs, "text"), "doc_id", "n_chars", 75000L)
+    assert(base.collect().toSet === viaBpeDf.collect().toSet)
+  }
+}

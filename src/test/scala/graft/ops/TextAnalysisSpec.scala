@@ -227,6 +227,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(loose.size == 4)
   }
 
+  test("unigramLogProbWith fed the corpus's own LM reproduces unigramLogProb") {
+    val docs = graft.Tables.documents(spark, graft.SparkSpec.sf0001)
+    val inline = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val (lm, oov) = TextAnalysis.unigramLm(docs, "doc_id", "text")
+    val ext = TextAnalysis.unigramLogProbWith(docs, "doc_id", "text", lm, oov)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(ext === inline) // drop-in on the 6-place grid
+  }
+
+  test("unigramLogProbWith: OOV terms score at the add-one floor") {
+    val train = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
+    val score = Seq((10L, "aa zz")).toDF("doc_id", "text")
+    val (lm, oov) = TextAnalysis.unigramLm(train, "doc_id", "text")
+    // n_total=3, n_vocab=2 -> p(aa)=(2+1)/5, p(zz unseen)=1/5
+    val out = TextAnalysis.unigramLogProbWith(score, "doc_id", "text", lm, oov)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = BigDecimal((math.log(3.0 / 5) + math.log(1.0 / 5)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq((10L, expected, 2L)))
+  }
+
   test("piiStats: per-group doc and match counts across all three families") {
     val d = Seq(
       ("g1", "mail me at a.b@example.com or ring +1 555-123-4567 today"),
