@@ -115,6 +115,36 @@ object ScaleProbe {
       Dedup.tokenBudgetSample(docs.withColumn("n_chars", length(col("text"))),
         "doc_id", "n_chars", budget = 75000L * k))
 
+    // materialized sequence packing: per-shard windows (10 shards via a
+    // deterministic doc_id bucket) + capacity-bounded per-bin collects —
+    // bins grow linearly with the corpus, bin SIZE stays fixed
+    t("pack_sequences")(
+      graft.ops.TextAnalysis.packSequences(
+        docs.withColumn("shard", (col("doc_id") % 10).cast("string"))
+          .withColumn("n_chars", length(col("text"))),
+        "shard", "doc_id", "text", "n_chars", capacity = 4096))
+
+    // rank fusion: two candidate lists (BM25 top-50 and a quality top-50)
+    // fused by RRF — candidate-bound (2 x 50 rows) regardless of corpus
+    // size; only the upstream rankers see the full corpus
+    t("rrf_fusion") {
+      val lex = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "join", "vector"), 50).select(col("doc_id"), col("rnk"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").desc, col("doc_id"))
+      val qual = docs.select(col("doc_id"),
+          (length(col("text")) % 97).as("q"))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= 50)
+        .select(col("doc_id"), col("rnk"))
+      graft.ops.TextAnalysis.rrfFuse(Seq(lex, qual), "doc_id", "rnk", 60, 20)
+    }
+
+    // subword token counting: map-only codegen scan — must track the
+    // corpus size linearly with no exchange in the plan
+    t("bpe_tokens")(
+      graft.ops.TextAnalysis.withBpeTokens(docs, "text")
+        .select(col("doc_id"), col("n_bpe_tokens")))
+
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = (0 until k).map { r =>
       emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),

@@ -112,6 +112,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("bpe token counting: map-only native expression, no shuffle") {
+    val p = planOf("text_tokens_bpe")
+    assert(p.contains("graft_bpe_tokens"))
+    assert(!p.contains("Exchange"), s"bpe counting must be map-only:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"bpe counting must not use interpreted HOFs:\n$p")
+  }
+
   test("langid scoring: codegen native hits, no interpreted lambda filter") {
     val p = planOf("text_langid")
     assert(p.contains("graft_stopword_hits"))
