@@ -104,6 +104,24 @@ object BpeUtil {
     n - 1
   }
 
+  /** One greedy left-to-right merge pass over a symbol array. A single
+    * scan IS the fixpoint of the string-replace formulation: merging
+    * (x, y) into `xy` can never create a NEW (x, y) adjacency (the merged
+    * symbol differs from x because y is non-empty, and from y because x
+    * is), so no second pass can fire — [[graft.functions.BpeSpec]] pins
+    * the equality against [[encodeSpec]].
+    */
+  def mergeArrayPass(syms: Array[String], x: String, y: String): Array[String] = {
+    val out = new java.util.ArrayList[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+        out.add(x + y); i += 2
+      } else { out.add(syms(i)); i += 1 }
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
   @inline private[functions] def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
@@ -183,6 +201,53 @@ final class BpeTable(merges: Array[String]) extends Serializable {
       i += 1
     }
     total
+  }
+}
+
+/** Native codegen single-merge application over a symbol array:
+  * `graft_bpe_merge(syms, x, y)` — the per-round re-encoding step of
+  * distributed BPE TRAINING ([[graft.ops.TextAnalysis.trainBpeMerges]]).
+  * NULL-in/NULL-out; one greedy left-to-right pass (= the fixpoint, see
+  * [[BpeUtil.mergeArrayPass]]).
+  */
+case class BpeMergeApply(child: Expression, x: String, y: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_: StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_merge expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_merge"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeMergeApply.applyData(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], x, y)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xRef = ctx.addReferenceObj("bpeMergeX", x, "java.lang.String")
+    val yRef = ctx.addReferenceObj("bpeMergeY", y, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeMergeApply.applyData($c, $xRef, $yRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeApply =
+    copy(child = newChild)
+}
+
+object BpeMergeApply {
+  /** Codegen entry point: ArrayData in, ArrayData out. */
+  def applyData(input: org.apache.spark.sql.catalyst.util.ArrayData,
+                x: String, y: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = input.toArray[UTF8String](StringType).map(_.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BpeUtil.mergeArrayPass(arr, x, y)
+        .map(s => UTF8String.fromString(s).asInstanceOf[Any]))
   }
 }
 

@@ -322,6 +322,17 @@ object GraftFunctions {
   val bpeTokensInfo = new ExpressionInfo(
     classOf[BpeTokenCount].getName, "graft_bpe_tokens")
 
+  val bpeMergeInfo = new ExpressionInfo(
+    classOf[BpeMergeApply].getName, "graft_bpe_merge")
+
+  /** Builder for [[BpeMergeApply]]: (syms, x literal, y literal). */
+  private[functions] def bpeMergeBuilder(exprs: Seq[Expression]): Expression = {
+    checkArgs("graft_bpe_merge", exprs, Seq(3), "(syms, x literal, y literal)")
+    BpeMergeApply(exprs.head,
+      exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      exprs(2).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+  }
+
   /** Clear analysis-time error for builder misuse: the parameter slots of
     * the graft functions are plan-time constants, so anything non-foldable
     * (or a wrong arity) must fail with a message, not an opaque
@@ -400,6 +411,8 @@ object GraftFunctions {
       "graft_i8dot", exprs => Int8DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe_tokens", bpeTokensBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_merge", bpeMergeBuilder, "built-in")
   }
 }
 
@@ -432,5 +445,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_bpe_tokens"),
       GraftFunctions.bpeTokensInfo,
       GraftFunctions.bpeTokensBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_merge"),
+      GraftFunctions.bpeMergeInfo,
+      GraftFunctions.bpeMergeBuilder))
   }
 }

@@ -84,6 +84,70 @@ object TextAnalysis {
         typedLit(flat)))
   }
 
+  /** Deterministic corpus-trained BPE merges — the "merges derived
+    * reproducibly from the corpus" half of subword accounting (the fixed
+    * public table is the other half; both feed [[withBpeTokens]]'s
+    * `merges` parameter unchanged). Standard BPE training, distributed:
+    *
+    *   1. vocabulary = `[a-z0-9]+` word runs with corpus frequencies
+    *      (ONE corpus-sized shuffle, then everything is vocab-sized);
+    *   2. per round: adjacent symbol pairs exploded from the encoded
+    *      vocabulary, frequency-weighted, counted; the winner under the
+    *      TOTAL order (count desc, left asc, right asc — deterministic
+    *      across partitionings and engines) becomes the next merge;
+    *   3. the vocabulary re-encodes through the native
+    *      `graft_bpe_merge` pass and the loop continues.
+    *
+    * Per round: one vocab-sized job + a ONE-ROW collect (driver-sized by
+    * definition). Lineage is cut every 8 rounds (localCheckpoint), the
+    * working vocab is persisted and swapped per round. `k` rounds = `k`
+    * jobs — at 100 TB the corpus is touched ONCE; training iterates on
+    * the vocabulary relation only.
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var vocab = Par.fanOut(df.select(col(textCol)))
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // split BETWEEN chars only: Spark split keeps trailing empties
+      // (limit -1), so the plain (?!^) would append a phantom "" symbol
+      .select(col("freq"), split(col("w"), "(?!^)(?!$)").as("syms"))
+      .persist(sl)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < k) {
+      val top = vocab
+        .withColumn("l", expr("slice(syms, 1, size(syms) - 1)"))
+        .withColumn("r", expr("slice(syms, 2, size(syms) - 1)"))
+        .select(col("freq"), explode(arrays_zip(col("l"), col("r"))).as("p"))
+        .groupBy(col("p.l").as("x"), col("p.r").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect() // one row: driver-sized by definition
+      if (top.isEmpty) { round = k }
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += ((x, y))
+        val reEnc = vocab.withColumn("syms",
+          call_function("graft_bpe_merge", col("syms"), lit(x), lit(y)))
+        // localCheckpoint every 8 rounds cuts the k-deep lineage (it
+        // materializes eagerly and stores the blocks itself — no extra
+        // persist); other rounds persist + materialize explicitly
+        val next =
+          if ((round + 1) % 8 == 0) reEnc.localCheckpoint(true)
+          else { val p = reEnc.persist(sl); p.count(); p }
+        vocab.unpersist()
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
   /** Whitespace-robust token statistics — the tokenizer mode raw crawl
     * text needs. The single-space mode above is faithful to the fixtures
     * (and the reference), but real web text carries tabs, newlines, and

@@ -96,6 +96,50 @@ class BpeSpec extends SparkSpec {
     assert(out === Row(3)) // the=1, theme=2 — not 9 punct chars
   }
 
+  test("mergeArrayPass single scan equals the string-replace fixpoint") {
+    val cases = Seq(
+      (Array("a", "a", "a"), "a", "a"),
+      (Array("a", "b", "a", "b"), "a", "b"),
+      (Array("ab", "c"), "b", "c"),        // boundary: no partial match
+      (Array("a", "aa", "a", "aa"), "a", "aa"),
+      (Array("x"), "x", "x"))
+    cases.foreach { case (syms, x, y) =>
+      val viaArray = BpeUtil.mergeArrayPass(syms, x, y).toSeq
+      // reference: run the string formulation on a synthetic "word" whose
+      // chars are the symbols (only valid when symbols are single chars)
+      if (syms.forall(_.length == 1) && x.length == 1 && y.length == 1) {
+        val enc = BpeUtil.encodeSpec(syms.mkString, Seq((x, y)))
+        assert(viaArray === enc.split(";").filter(_.nonEmpty).toSeq,
+          s"${syms.toSeq} ($x,$y)")
+      }
+      // and the invariant: no adjacent (x, y) pair survives
+      viaArray.sliding(2).foreach { w =>
+        if (w.length == 2) assert(!(w(0) == x && w(1) == y))
+      }
+    }
+  }
+
+  test("trainBpeMerges: deterministic greedy training on a known corpus") {
+    val s = spark
+    import s.implicits._
+    // word freqs: the=3, cat=1 -> pairs (t,h)=3, (h,e)=3, (c,a)=1, (a,t)=1
+    // tie at 3 broken by left-symbol order: (h,e) before (t,h)
+    val df = Seq((1, "the the cat"), (2, "the")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", k = 3)
+    assert(merges === Seq(("h", "e"), ("t", "he"), ("a", "t")))
+    // trained merges drop into the counter unchanged
+    assert(BpeUtil.wordTokensSpec("the", merges) === 1)
+    assert(BpeUtil.wordTokensSpec("cat", merges) === 2) // c + at
+  }
+
+  test("trainBpeMerges: terminates early when nothing is left to merge") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, "a b c")).toDF("doc_id", "text")
+    // single-char words have no adjacent pairs at all
+    assert(TextAnalysis.trainBpeMerges(df, "text", k = 5) === Seq.empty)
+  }
+
   test("ws-mode consumers are untouched by the added column (pluggability)") {
     val s = spark
     val docs = graft.Tables.documents(s, SparkSpec.sf0001)
