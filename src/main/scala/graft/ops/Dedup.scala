@@ -196,6 +196,44 @@ object Dedup {
       .select(col(idCol), col(lenCol), col("cum_before"))
   }
 
+  /** Per-GROUP token-budget sampling — "take exactly N tokens from each
+    * domain", the mixture-targeted form of [[tokenBudgetSample]]: every
+    * group gets its own reproducible prefix of its own reproducible
+    * permutation, cut at that group's budget. `budgets` carries
+    * (`groupCol`, `budget`); duplicate group rows collapse (max wins,
+    * deterministically — same contract as [[weightedSampleJoined]]);
+    * groups absent from the table are dropped (inner join).
+    *
+    * Scale posture: the same distributed prefix-sum as the global face,
+    * one level down — per-(group, bucket) totals feed a PER-GROUP offset
+    * window (rows = groups x 100, domain-scale, broadcast back), and the
+    * running sums run in groups x 100 INDEPENDENT windows. No group ever
+    * sits on one task regardless of its size.
+    */
+  def tokenBudgetSampleBy(df: DataFrame, idCol: String, lenCol: String,
+                          groupCol: String, budgets: DataFrame): DataFrame = {
+    val b = budgets.groupBy(col(groupCol)).agg(max(col("budget")).as("budget"))
+    val withB = df.select(col(groupCol), col(idCol), col(lenCol))
+      .withColumn("__b", hashBucket(col(idCol)))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col(lenCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__b"))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withB.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col(lenCol)).over(wIn), lit(0L)))
+      .join(broadcast(b), Seq(groupCol))
+      .filter(col("cum_before") < col("budget"))
+      .select(col(groupCol), col(idCol), col(lenCol), col("cum_before"))
+  }
+
   /** Distinct word k-gram shingles as an array column `shingles`
     * (map-only; empty array when the document has fewer than k tokens OR
     * the text is NULL — the NULL-text coalesce keeps the historical

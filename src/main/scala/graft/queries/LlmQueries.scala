@@ -689,6 +689,17 @@ object LlmQueries {
         TextAnalysis.withBpeTokens(Tables.documents(s, dir), "text"),
         "doc_id", "n_bpe_tokens", budget = 20000L)),
 
+    // per-DOMAIN token budgets ("5k chars from the head sources, 2k from
+    // the rest") — the mixture-targeted sampling a data recipe specifies
+    "sample_token_budget_by" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget",
+          when(col("source").isin("src0", "src1", "src2"), lit(5000L))
+            .otherwise(lit(2000L)))
+      Dedup.tokenBudgetSampleBy(docs, "doc_id", "n_chars", "source", budgets)
+    }),
+
     // reproducible global shuffle + sharding (the final training-data
     // layout; per-shard windows, no global sort)
     "corpus_shuffle_shards" -> ((s, dir) =>
@@ -708,6 +719,13 @@ object LlmQueries {
     "text_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir), "source",
         "doc_id", "text", "n_chars", capacity = 4096)),
+
+    // the same packer binning by SUBWORD capacity (1024 BPE tokens per
+    // sequence) — the third consumer of the pluggable counter column
+    "text_pack_sequences_bpe" -> ((s, dir) =>
+      TextAnalysis.packSequences(
+        TextAnalysis.withBpeTokens(Tables.documents(s, dir), "text"),
+        "source", "doc_id", "text", "n_bpe_tokens", capacity = 1024)),
 
     // hybrid-retrieval rank fusion: BM25 top-50 fused with a top-50
     // quality re-ranking via reciprocal-rank fusion (k=60), top-20 out
@@ -1462,6 +1480,18 @@ object LlmQueries {
          |  FROM docbpe) z
          |WHERE cum_before < 20000""".stripMargin,
 
+    "sample_token_budget_by" ->
+      s"""SELECT source, doc_id, n_chars, cum_before FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(coalesce(sum(n_chars) OVER (
+         |      PARTITION BY source
+         |      ORDER BY $HashBucketSql, md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM documents) z
+         |WHERE cum_before < CASE WHEN source IN ('src0', 'src1', 'src2')
+         |                        THEN 5000 ELSE 2000 END""".stripMargin,
+
     "corpus_shuffle_shards" ->
       s"""WITH k AS (SELECT doc_id,
          |  CAST(${hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)}
@@ -1507,6 +1537,19 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS bin_len,
         |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
         |FROM b GROUP BY 1""".stripMargin,
+
+    "text_pack_sequences_bpe" ->
+      s"""WITH RECURSIVE $bpeDocTokensCte,
+         |b AS (SELECT d.source, d.doc_id, d.text, bb.n_bpe_tokens,
+         |  d.source || ':' || CAST(floor(coalesce(sum(bb.n_bpe_tokens) OVER (
+         |    PARTITION BY d.source ORDER BY d.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1024.0)
+         |    AS BIGINT) AS bin
+         |  FROM documents d JOIN docbpe bb ON d.doc_id = bb.doc_id)
+         |SELECT bin, count(*) AS n_docs,
+         |  CAST(sum(n_bpe_tokens) AS BIGINT) AS bin_len,
+         |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+         |FROM b GROUP BY 1""".stripMargin,
 
     // reciprocal-rank fusion of the BM25 top-50 and the quality top-50;
     // fused scores rounded before the final re-rank, ties by doc_id

@@ -210,4 +210,40 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.tokenBudgetSample(df, "doc_id", "n_chars", 1L << 40)
       .count() == 500)
   }
+
+  test("per-group token budget equals the naive per-group window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StringType
+    val df = (1L to 400L)
+      .map(i => (s"g${i % 5}", i, (i * 41 % 83 + 10).toInt))
+      .toDF("grp", "doc_id", "n_chars")
+    val budgets = Seq(("g0", 3000L), ("g1", 1000L), ("g2", 0L),
+      ("g3", 1L << 40), ("g4", 2000L)).toDF("grp", "budget")
+    val got = Dedup.tokenBudgetSampleBy(df, "doc_id", "n_chars", "grp", budgets)
+      .as[(String, Long, Int, Long)].collect().sortBy(_._2)
+
+    val wAll = Window.partitionBy(col("grp"))
+      .orderBy(Dedup.hashBucket(col("doc_id")),
+        md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmap = Map("g0" -> 3000L, "g1" -> 1000L, "g2" -> 0L,
+      "g3" -> (1L << 40), "g4" -> 2000L)
+    val want = df
+      .withColumn("cum_before",
+        coalesce(sum(col("n_chars")).over(wAll), lit(0L)))
+      .as[(String, Long, Int, Long)].collect()
+      .filter { case (g, _, _, cum) => cum < bmap(g) }.sortBy(_._2)
+    assert(got.toSeq == want.toSeq)
+    // per-group contracts: zero-budget group empty, unlimited group full
+    val byGrp = got.groupBy(_._1)
+    assert(!byGrp.contains("g2"))
+    assert(byGrp("g3").length == 80)
+    // every kept row is under ITS group's budget
+    got.foreach { case (g, _, _, cum) => assert(cum < bmap(g)) }
+    // duplicate budget rows collapse deterministically (max wins)
+    val dup = budgets.union(Seq(("g1", 500L)).toDF("grp", "budget"))
+    val gotDup = Dedup.tokenBudgetSampleBy(df, "doc_id", "n_chars", "grp", dup)
+      .as[(String, Long, Int, Long)].collect().sortBy(_._2)
+    assert(gotDup.toSeq == got.toSeq)
+  }
 }
