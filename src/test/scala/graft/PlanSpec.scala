@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("per-group token budget: offsets and budgets broadcast, one corpus exchange") {
+    val p = planOf("sample_token_budget_by")
+    // the corpus-sized relation shuffles ONCE (per-(group,bucket) windows);
+    // every other exchange is over the domain-x-100-row offset relation
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"offsets + budgets must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"))
+  }
+
   test("bpe token counting: map-only native expression, no shuffle") {
     val p = planOf("text_tokens_bpe")
     assert(p.contains("graft_bpe_tokens"))
