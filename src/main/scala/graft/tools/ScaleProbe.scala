@@ -145,6 +145,17 @@ object ScaleProbe {
       graft.ops.TextAnalysis.withBpeTokens(docs, "text")
         .select(col("doc_id"), col("n_bpe_tokens")))
 
+    // per-group budgets over 20 synthetic domains: the per-(group,
+    // bucket) windows grow linearly; the broadcast offset relation stays
+    // groups x 100 rows at any corpus size
+    t("token_budget_by") {
+      val g = docs.withColumn("grp", (col("doc_id") % 20).cast("string"))
+        .withColumn("n_chars", length(col("text")))
+      val budgets = g.select(col("grp")).distinct()
+        .withColumn("budget", lit(7500L) * k)
+      Dedup.tokenBudgetSampleBy(g, "doc_id", "n_chars", "grp", budgets)
+    }
+
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = (0 until k).map { r =>
       emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
