@@ -30,6 +30,13 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Locale-pinned 3-decimal seconds: the default-locale `f"%.3f"` emits
+    * a comma decimal separator under e.g. de_DE, which would corrupt the
+    * one-line JSON contract.
+    */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(v))
+
   def main(args: Array[String]): Unit = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,7 +80,7 @@ object Bench {
         }
         val median = samples.sorted.apply(samples.size / 2)
         times += name -> median
-        System.err.println(f"[bench] $name%-28s median=$median%8.3f s  (${samples.map(s => f"$s%.3f").mkString(", ")})")
+        System.err.println(s"[bench] $name median=${f3(median)} s  (${samples.map(f3).mkString(", ")})")
       } catch {
         case e: Throwable =>
           errors += name -> e.toString.take(200)
@@ -97,7 +104,7 @@ object Bench {
     // compact variant (3-decimal seconds): the driver's bench artifact
     // keeps only the last ~2000 chars of output, so every byte of the
     // printed line costs visible per-query entries in the record
-    val qsCompact = times.map { case (k, v) => f"${jstr(k)}:$v%.3f" }
+    val qsCompact = times.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
@@ -112,8 +119,10 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_FULL_LATEST.json: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}""")
     // trailing summary line: short enough to ALWAYS fit the tail window,
-    // carries the coverage count and the pointer to the full map
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
+    // carries the coverage count and the pointer to the full map. Metric
+    // name is DISTINCT from the per-query line's "total" so a consumer
+    // summing metric lines can never double-count the suite time.
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -104,22 +104,43 @@ object BpeUtil {
     n - 1
   }
 
-  /** One greedy left-to-right merge pass over a symbol array. A single
-    * scan IS the fixpoint of the string-replace formulation: merging
-    * (x, y) into `xy` can never create a NEW (x, y) adjacency (the merged
-    * symbol differs from x because y is non-empty, and from y because x
-    * is), so no second pass can fire — [[graft.functions.BpeSpec]] pins
-    * the equality against [[encodeSpec]].
+  /** Apply one merge to a symbol array — the EXACT fixpoint of the
+    * string-replace formulation ([[encodeSpec]] / the DuckDB oracle).
+    *
+    * `String.replace` scans left to right over NON-OVERLAPPING literal
+    * occurrences of `;x;y;`: a match consumes the `;` after `y`, which is
+    * also the leading `;` of the NEXT symbol — so within one replace pass
+    * the symbol immediately after a merge can never START a match. For
+    * x != y that quirk is invisible (adjacent (x, y) pairs cannot overlap,
+    * and merging never creates new ones, so the fixpoint merges them all
+    * regardless of scan order). For x == y it is load-bearing: on a run
+    * `aaaaa` the replace fixpoint yields `[aa, a, aa]`, NOT the plain
+    * greedy `[aa, aa, a]` — and a follow-on merge like (a, aa) then
+    * produces different token counts for the two shapes. We therefore
+    * mirror replace exactly: single passes with the resume-after-match
+    * skip, repeated until nothing changes (matching the per-merge
+    * `while (changed)` loop in [[encodeSpec]] and [[BpeTable.wordTokens]]).
+    * [[graft.functions.BpeSpec]] pins the equality against [[encodeSpec]],
+    * including odd x == y runs >= 5.
     */
   def mergeArrayPass(syms: Array[String], x: String, y: String): Array[String] = {
-    val out = new java.util.ArrayList[String](syms.length)
-    var i = 0
-    while (i < syms.length) {
-      if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
-        out.add(x + y); i += 2
-      } else { out.add(syms(i)); i += 1 }
+    var cur = syms
+    var changed = true
+    while (changed) {
+      changed = false
+      val out = new java.util.ArrayList[String](cur.length)
+      var i = 0
+      while (i < cur.length) {
+        if (i + 1 < cur.length && cur(i) == x && cur(i + 1) == y) {
+          out.add(x + y); i += 2; changed = true
+          // the trailing ';' of the match was consumed, so the next
+          // symbol cannot start a match in THIS pass: copy it verbatim
+          if (i < cur.length) { out.add(cur(i)); i += 1 }
+        } else { out.add(cur(i)); i += 1 }
+      }
+      cur = out.toArray(new Array[String](out.size))
     }
-    out.toArray(new Array[String](out.size))
+    cur
   }
 
   @inline private[functions] def isWordChar(c: Char): Boolean =
@@ -180,10 +201,13 @@ final class BpeTable(merges: Array[String]) extends Serializable {
     n
   }
 
-  /** Document token count: word-run symbols + 1 per other non-ws char.
-    * Counting is per Java char (UTF-16 unit) — identical to DuckDB's
-    * per-codepoint counting on BMP text, which is what the fixtures and
-    * any [a-z0-9]-alphabet merge table exercise.
+  /** Document token count: word-run symbols + 1 per other non-ws
+    * CODEPOINT. Non-word characters are counted per Unicode codepoint
+    * (a surrogate pair is ONE token), matching DuckDB's per-codepoint
+    * counting — real crawl text routinely carries non-BMP characters
+    * (emoji, rare CJK), and budgets must not drift off the oracle there.
+    * Word runs and whitespace are `[a-z0-9]` / `\s` — BMP by definition,
+    * so only the punctuation branch needs the surrogate step.
     */
   def countTokens(text: UTF8String): Int = {
     val s = text.toString
@@ -197,7 +221,13 @@ final class BpeTable(merges: Array[String]) extends Serializable {
         total += wordTokens(s.substring(runStart, i))
         runStart = -1
       }
-      if (!wordChar && i < s.length && !BpeUtil.isWs(s.charAt(i))) total += 1
+      if (!wordChar && i < s.length) {
+        val c = s.charAt(i)
+        if (!BpeUtil.isWs(c)) total += 1
+        // a surrogate pair is one codepoint: skip its low half
+        if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+            Character.isLowSurrogate(s.charAt(i + 1))) i += 1
+      }
       i += 1
     }
     total
@@ -207,8 +237,9 @@ final class BpeTable(merges: Array[String]) extends Serializable {
 /** Native codegen single-merge application over a symbol array:
   * `graft_bpe_merge(syms, x, y)` — the per-round re-encoding step of
   * distributed BPE TRAINING ([[graft.ops.TextAnalysis.trainBpeMerges]]).
-  * NULL-in/NULL-out; one greedy left-to-right pass (= the fixpoint, see
-  * [[BpeUtil.mergeArrayPass]]).
+  * NULL-in/NULL-out; the string-replace fixpoint (see
+  * [[BpeUtil.mergeArrayPass]]), so trained merge tables imply exactly
+  * the encodings the counter and the oracle produce.
   */
 case class BpeMergeApply(child: Expression, x: String, y: String)
     extends UnaryExpression {

@@ -96,13 +96,22 @@ class BpeSpec extends SparkSpec {
     assert(out === Row(3)) // the=1, theme=2 — not 9 punct chars
   }
 
-  test("mergeArrayPass single scan equals the string-replace fixpoint") {
+  test("mergeArrayPass equals the string-replace fixpoint (incl. x == y runs)") {
     val cases = Seq(
       (Array("a", "a", "a"), "a", "a"),
       (Array("a", "b", "a", "b"), "a", "b"),
       (Array("ab", "c"), "b", "c"),        // boundary: no partial match
       (Array("a", "aa", "a", "aa"), "a", "aa"),
-      (Array("x"), "x", "x"))
+      (Array("x"), "x", "x")) ++
+      // x == y runs: replace's resume-after-match skips the symbol after
+      // each merge, so runs >= 5 are where plain greedy pairing diverges
+      // (run of 5 -> [aa, a, aa], run of 6 -> [aa, a, aa, a], run of 7
+      // needs a SECOND pass to reach the fixpoint [aa, a, aa, aa])
+      (3 to 12).map(n => (Array.fill(n)("a"), "a", "a")) ++
+      // interleaved runs and multi-merge adjacency material
+      Seq((Array("b", "a", "a", "a", "a", "a", "b"), "a", "a"),
+          (Array("a", "b", "b", "b", "b", "b", "a"), "b", "b"),
+          (Array("x", "y", "x", "y", "x", "y", "x"), "x", "y"))
     cases.foreach { case (syms, x, y) =>
       val viaArray = BpeUtil.mergeArrayPass(syms, x, y).toSeq
       // reference: run the string formulation on a synthetic "word" whose
@@ -117,6 +126,42 @@ class BpeSpec extends SparkSpec {
         if (w.length == 2) assert(!(w(0) == x && w(1) == y))
       }
     }
+    // pinned shapes for the documented divergence cases
+    assert(BpeUtil.mergeArrayPass(Array.fill(5)("a"), "a", "a").toSeq ===
+      Seq("aa", "a", "aa"))
+    assert(BpeUtil.mergeArrayPass(Array.fill(6)("a"), "a", "a").toSeq ===
+      Seq("aa", "a", "aa", "a"))
+    assert(BpeUtil.mergeArrayPass(Array.fill(7)("a"), "a", "a").toSeq ===
+      Seq("aa", "a", "aa", "aa"))
+  }
+
+  test("x == y merge with a follow-on consumer: counts agree across paths") {
+    // (a,a) then (a,aa): on 'aaaaa' the replace fixpoint is [aa,a,aa] ->
+    // [aa,aaa] = 2 tokens; plain greedy pairing would have produced
+    // [aa,aa,a] -> 3. Both the array path (training re-encoding) and the
+    // string path (counter + oracle) must say 2.
+    val m = Seq(("a", "a"), ("a", "aa"))
+    assert(wordTokensSpec("aaaaa", m) === 2)
+    var syms = Array.fill(5)("a")
+    m.foreach { case (x, y) => syms = BpeUtil.mergeArrayPass(syms, x, y) }
+    assert(syms.toSeq === Seq("aa", "aaa"))
+    // and with the DefaultMerges-style (l,l) + a trained (l,ll) consumer
+    val ml = Seq(("l", "l"), ("l", "ll"))
+    assert(wordTokensSpec("lllll", ml) === 2)
+  }
+
+  test("non-BMP punctuation counts one token per codepoint") {
+    val flat = DefaultMerges.flatMap { case (x, y) => Seq(x, y) }.toArray
+    val table = new BpeTable(flat)
+    def n(s: String) = table.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // U+1F600 is a surrogate pair in UTF-16: one token, not two
+    assert(n("😀") === 1)
+    assert(n("a 😀 b") === 3)
+    // mixed: word run + BMP punct + two non-BMP codepoints
+    assert(n("the!😀😁") === 4) // the=1, !=1, 2 emoji
+    // non-BMP between word runs still terminates the run correctly
+    assert(n("the😀the") === 3)
   }
 
   test("trainBpeMerges: deterministic greedy training on a known corpus") {
