@@ -161,6 +161,42 @@ object Dedup {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Temperature-scaled mixture rates — the multilingual-LM sampling
+    * rule (sample domain g with share proportional to n_g^alpha, alpha in
+    * (0, 1]): flattens the domain distribution so head domains stop
+    * drowning the tail. Given per-group token masses n_g (sum of
+    * `lenCol`) and a total token `budget`, the target kept mass is
+    * budget * n_g^alpha / sum(n^alpha), and the emitted integer rate is
+    *
+    *   pct_g = least(100, floor(100 * budget * share_g / (tot * n_g)))
+    *
+    * with share_g = round(n_g^alpha, 6) and the quotient rounded to 6
+    * places BEFORE the floor — both engines compute pow/sum in the last
+    * float bits differently, and the 1e-6 grid (house convention) absorbs
+    * that drift so the integer rates can never disagree. Feed the result
+    * straight into [[weightedSampleJoined]] for the sampled corpus.
+    *
+    * Scale posture: ONE partial-aggregated corpus pass (group -> mass);
+    * everything after is domain-count-sized (the share window runs on
+    * tens of rows). No corpus-sized state, no second scan.
+    */
+  def temperatureMixRates(df: DataFrame, groupCol: String, lenCol: Column,
+                          alpha: Double, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select(col(groupCol), lenCol.as("n_tok"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_tok")).cast("double").as("mass"))
+      .withColumn("share", round(pow(col("mass"), lit(alpha)), 6))
+      .withColumn("pct", least(lit(100), floor(round(
+        lit(100.0) * lit(budget.toDouble) * col("share") /
+          (sum(col("share")).over(w) * col("mass")), 6))).cast("int"))
+      .select(col(groupCol), col("mass").cast("long").as("n_tokens"),
+        col("pct"))
+  }
+
   /** Deterministic token-budget sample: take documents in a fixed
     * pseudo-random global order — (md5 bucket, md5(id), id) — until the
     * cumulative length of the PRECEDING documents reaches `budget` (so

@@ -401,6 +401,44 @@ object Similarity {
     cb.toDF("vec_id", "embedding")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with a LEARNED k-means codebook ([[kmeansTrain]] from `seed`,
+    * `maxIters` Lloyd steps), then compare pairs only WITHIN a cluster
+    * cell — the embedding-space analogue of banded-LSH candidate
+    * generation, with the quantizer cells as the blocking key. Captures
+    * paraphrase/translation-level duplicates that token-overlap families
+    * (MinHash/SimHash) structurally miss.
+    *
+    * Scale posture (100 TB): training touches the corpus `maxIters`
+    * times (broadcast-assign scans); the pair join is cell-bounded —
+    * k cells of |corpus|/k average membership, never an all-pairs join —
+    * with [[graft.ops.Dedup.capBuckets]] available as the loud backstop
+    * for a collapsed cell (`maxBucketSize`). Pairs emit in canonical
+    * (min, max) id order with their exact cosine.
+    */
+  def semanticDedupPairs(embeddings: DataFrame, seed: DataFrame,
+                         maxIters: Int, threshold: Double,
+                         maxBucketSize: Int = 0): DataFrame = {
+    val cb = kmeansTrain(embeddings, seed, maxIters)
+    blockedNearDupPairs(ivfAssign(embeddings, cb), "centroid_id",
+      threshold, maxBucketSize)
+  }
+
+  /** The semantically deduplicated corpus: resolve
+    * [[semanticDedupPairs]] into clusters (min-id keeper, the shared
+    * [[graft.ops.Dedup.resolveClusters]] pointer-jumping resolution) and
+    * drop every non-keeper — SemDeDup's keep-one-per-cluster policy.
+    * Anti-join is dropped-set-sized; the corpus is scanned once.
+    */
+  def semanticKeepFirst(embeddings: DataFrame, idCol: String,
+                        seed: DataFrame, maxIters: Int, threshold: Double,
+                        maxBucketSize: Int = 0): DataFrame = {
+    val pairs = semanticDedupPairs(embeddings, seed, maxIters, threshold,
+        maxBucketSize)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.fuzzyKeepFirst(embeddings, pairs, idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket
     * (`bucketCol`): only same-bucket pairs are compared. With a learned
     * quantizer as the bucketer this is IVF near-dup at 100 TB; here the

@@ -256,6 +256,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-document duplicate n-gram coverage — the document-level
+    * diagnostic on top of [[commonNgrams]]' corpus-level one (the
+    * RefinedWeb/Dolma "dup fraction" audit, the practical stand-in for
+    * suffix-array substring dedup): for each document, the share of its
+    * DISTINCT word k-grams that occur in at least `minDocs` documents
+    * corpus-wide. Near-1 coverage means the document is assembled from
+    * text that exists elsewhere (template floods, mirrored articles)
+    * even when no single whole-document near-dup pair fires.
+    *
+    * Shuffle shape: per-document-distinct grams only (each (doc, gram)
+    * emitted once map-side); document frequency is one partial+final
+    * aggregate over them; the duplicated-gram set joins back by gram
+    * hash — shuffled, NOT assumed broadcastable (at 100 TB the
+    * cross-doc-duplicated gram set is itself corpus-scale, same posture
+    * as [[lineDedup]]'s frequent-line anti-join). Documents with < k
+    * words have no grams and drop out (same contract as
+    * [[repetitionRatio]]).
+    */
+  def dupGramCoverage(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, minDocs: Long): DataFrame = {
+    val grams = Dedup.shingleRows(
+      Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, k)
+    val dup = grams.groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("s"), lit(1).as("is_dup"))
+    grams.join(dup, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup_grams"))
+      .withColumn("dup_frac", round(
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** PII redaction: replace email-/phone-/URL-shaped substrings with typed
     * tags (map-only regex scrubbing; patterns kept RE2-compatible so the
     * DuckDB oracle replays them — production swaps in its full pattern

@@ -365,6 +365,22 @@ object LlmQueries {
       Dedup.weightedSample(Tables.documents(s, dir), "doc_id", "source",
         MixWeights.toMap)),
 
+    // temperature-scaled mixture rates (n^0.5 flattening to a 60k-token
+    // budget): the rate table a multilingual/multi-domain recipe derives
+    // from corpus masses instead of hand-picking
+    "sample_temperature_rates" -> ((s, dir) =>
+      Dedup.temperatureMixRates(Tables.documents(s, dir), "source",
+        col("n_chars"), alpha = 0.5, budget = 60000L)),
+
+    // the sampled corpus under those rates — temperatureMixRates feeding
+    // weightedSampleJoined (rate-table join, not a CASE chain)
+    "sample_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.weightedSampleJoined(docs, "doc_id", "source",
+        Dedup.temperatureMixRates(docs, "source", col("n_chars"),
+          alpha = 0.5, budget = 60000L))
+    }),
+
     // incremental exact dedup: the 20% "new batch" with rows already in
     // the 80% "ingested corpus" dropped (content-hash anti-join), then
     // keep-first within the batch — the per-ingest exact face
@@ -473,6 +489,24 @@ object LlmQueries {
         e.filter(col("vec_id") % 5 =!= 0),
         e.filter(col("vec_id") % 5 === 0),
         planes = 4, dim = 64, threshold = 0.25)
+    }),
+
+    // SemDeDup: LEARNED k-means cells (2 Lloyd steps from the %50 seed,
+    // same trajectory as sim_ivf_topk_learned) block the pair search —
+    // paraphrase-level duplicates that token-overlap families miss
+    "dedup_semantic_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.semanticDedupPairs(e, e.filter(col("vec_id") % 50 === 0),
+        maxIters = 2, threshold = 0.35)
+    }),
+
+    // the semantically deduplicated corpus: keep one member per resolved
+    // cluster (scalar projection — float arrays don't hash-compare)
+    "dedup_semantic_kept" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.semanticKeepFirst(e, "vec_id",
+          e.filter(col("vec_id") % 50 === 0), maxIters = 2, threshold = 0.35)
+        .select(col("vec_id"), col("label"))
     }),
 
     // ---- Similarity search -------------------------------------------
@@ -609,6 +643,13 @@ object LlmQueries {
     "text_common_ngrams" -> ((s, dir) =>
       TextAnalysis.commonNgrams(Tables.documents(s, dir), "doc_id", "text",
         k = 5, minDocs = 2)),
+
+    // per-document duplicate 5-gram coverage — the document-level "dup
+    // fraction" audit on top of the corpus-level common-ngrams view (the
+    // practical stand-in for suffix-array substring dedup)
+    "text_dup_gram_coverage" -> ((s, dir) =>
+      TextAnalysis.dupGramCoverage(Tables.documents(s, dir), "doc_id",
+        "text", k = 5, minDocs = 2)),
 
     // one-pass curation filter: english, 20-2000 tokens, quality >= 0.1,
     // repetition <= 0.2 — the composed keep-set with its signals
@@ -905,6 +946,29 @@ object LlmQueries {
       s"""SELECT * FROM documents
          |WHERE $HashBucketSql < $MixRateSql""".stripMargin,
 
+    // temperature mixture: share = round(mass^alpha, 6); quotient rounded
+    // to the 6-place grid BEFORE the floor so pow/sum last-bit drift can
+    // never flip an integer rate between engines
+    "sample_temperature_rates" ->
+      s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+         |           FROM documents GROUP BY 1),
+         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share FROM m)
+         |SELECT source, CAST(mass AS BIGINT) AS n_tokens,
+         |       CAST(least(100, floor(round(100.0 * 60000 * share /
+         |         ((SELECT sum(share) FROM s) * mass), 6))) AS INT) AS pct
+         |FROM s""".stripMargin,
+
+    "sample_temperature_mix" ->
+      s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+         |           FROM documents GROUP BY 1),
+         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share FROM m),
+         |r AS (SELECT source,
+         |        CAST(least(100, floor(round(100.0 * 60000 * share /
+         |          ((SELECT sum(share) FROM s) * mass), 6))) AS INT) AS pct
+         |      FROM s)
+         |SELECT d.* FROM documents d JOIN r USING (source)
+         |WHERE $HashBucketSql < r.pct""".stripMargin,
+
     "text_mixture_stats" ->
       """WITH a AS (SELECT source, count(*) AS n_docs,
         |             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
@@ -1047,6 +1111,41 @@ object LlmQueries {
          |  FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.35""".stripMargin,
+
+    // SemDeDup pairs: the sim_ivf_topk_learned k-means trajectory (two
+    // rounded Lloyd steps) blocks the pair search by learned cell
+    "dedup_semantic_pairs" ->
+      s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |            FROM embeddings WHERE vec_id % 50 = 0),
+         |asg1 AS (${asgSql("c0")}),
+         |c1 AS (${cMeanSql("asg1")}),
+         |asg2 AS (${asgSql("c1")}),
+         |c2 AS (${cMeanSql("asg2")}),
+         |asg3 AS (${asgSql("c2")})
+         |SELECT vec_a, vec_b, round(sim, 6) AS cosine FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         ${cosSql("x.embedding", "y.embedding")} AS sim
+         |  FROM asg3 x JOIN asg3 y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+         |WHERE sim >= 0.35""".stripMargin,
+
+    "dedup_semantic_kept" ->
+      s"""WITH RECURSIVE c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |            FROM embeddings WHERE vec_id % 50 = 0),
+         |asg1 AS (${asgSql("c0")}),
+         |c1 AS (${cMeanSql("asg1")}),
+         |asg2 AS (${asgSql("c1")}),
+         |c2 AS (${cMeanSql("asg2")}),
+         |asg3 AS (${asgSql("c2")}),
+         |pr AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         ${cosSql("x.embedding", "y.embedding")} AS sim
+         |  FROM asg3 x JOIN asg3 y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+         |  WHERE sim >= 0.35),
+         |${clusterWalkCtes("pr")}
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
 
     // restriction of the full simhash pair set to pairs touching the batch
     "dedup_simhash_incremental" ->
@@ -1683,6 +1782,20 @@ object LlmQueries {
         |       FROM w, unnest(range(1, greatest(len(ws)-4, 0)+1)) t(i))
         |SELECT s AS ngram, count(*) AS n_docs
         |FROM sh GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "text_dup_gram_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+        |       FROM w, unnest(range(1, greatest(len(ws)-4, 0)+1)) t(i)),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2)
+        |SELECT sh.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dup_grams,
+        |       round(CAST(sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM sh LEFT JOIN dup d ON sh.s = d.s
+        |GROUP BY 1""".stripMargin,
 
     "vec_kmeans_iter" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
