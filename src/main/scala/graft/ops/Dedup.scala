@@ -176,6 +176,12 @@ object Dedup {
     * that drift so the integer rates can never disagree. Feed the result
     * straight into [[weightedSampleJoined]] for the sampled corpus.
     *
+    * Zero-mass groups (all-empty or all-NULL lengths) are EXCLUDED before
+    * the rate arithmetic: 0^alpha / 0 is 0/0, and the engines disagree on
+    * what floor(NaN) casts to (Spark emits 0, ANSI SQL errors) — a group
+    * with no token mass has nothing to sample anyway, so dropping it is
+    * the only answer both engines can agree on.
+    *
     * Scale posture: ONE partial-aggregated corpus pass (group -> mass);
     * everything after is domain-count-sized (the share window runs on
     * tens of rows). No corpus-sized state, no second scan.
@@ -189,6 +195,7 @@ object Dedup {
     df.select(col(groupCol), lenCol.as("n_tok"))
       .groupBy(col(groupCol))
       .agg(sum(col("n_tok")).cast("double").as("mass"))
+      .filter(col("mass") > 0)
       .withColumn("share", round(pow(col("mass"), lit(alpha)), 6))
       .withColumn("pct", least(lit(100), floor(round(
         lit(100.0) * lit(budget.toDouble) * col("share") /

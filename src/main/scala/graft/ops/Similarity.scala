@@ -418,10 +418,61 @@ object Similarity {
     */
   def semanticDedupPairs(embeddings: DataFrame, seed: DataFrame,
                          maxIters: Int, threshold: Double,
-                         maxBucketSize: Int = 0): DataFrame = {
-    val cb = kmeansTrain(embeddings, seed, maxIters)
-    blockedNearDupPairs(ivfAssign(embeddings, cb), "centroid_id",
+                         maxBucketSize: Int = 0): DataFrame =
+    semanticDedupPairsWith(embeddings,
+      kmeansTrain(embeddings, seed, maxIters), threshold, maxBucketSize)
+
+  /** [[semanticDedupPairs]] against an EXPLICIT (already-trained) codebook
+    * — the frozen-quantizer face that the incremental/streaming paths
+    * share with the batch one: train once ([[kmeansTrain]]), then every
+    * consumer blocks on the same cells.
+    */
+  def semanticDedupPairsWith(embeddings: DataFrame, codebook: DataFrame,
+                             threshold: Double,
+                             maxBucketSize: Int = 0): DataFrame =
+    blockedNearDupPairs(ivfAssign(embeddings, codebook), "centroid_id",
       threshold, maxBucketSize)
+
+  /** Semantic near-dup index relation (vec_id, embedding, nrm, bucket =
+    * k-means cell under a FROZEN codebook) — what an ingestion pipeline
+    * persists alongside the corpus so each new batch pays only
+    * batch-vs-index work ([[incrementalSemanticPairs]]). The learned-cell
+    * counterpart of [[srpIndex]]: same row shape, data-dependent
+    * bucketer. The codebook must be the stored one the index was built
+    * with — re-training on corpus+batch would silently re-cell the
+    * already-indexed corpus (periodic re-trains rebuild the index, the
+    * standard IVF maintenance trade).
+    */
+  def semanticIndex(embeddings: DataFrame, codebook: DataFrame): DataFrame =
+    ivfAssign(embeddings, codebook)
+      .withColumnRenamed("centroid_id", "bucket")
+
+  /** Incremental-ingestion SemDeDup: semantic near-dup pairs for a NEW
+    * batch of vectors against an already-ingested corpus, plus within the
+    * batch — the corpus is never self-joined (the learned-cell
+    * counterpart of [[incrementalSrpNearDup]]). `codebook` is the frozen
+    * quantizer the corpus index was built with (train on the corpus via
+    * [[kmeansTrain]]; assignment is deterministic per row given the
+    * codebook, so batch cells need no knowledge of corpus membership).
+    * The corpus side is the persisted [[semanticIndex]] in production;
+    * here it is recomputed from `corpus`. Equals
+    * `semanticDedupPairsWith(corpus union batch, codebook)` restricted to
+    * pairs touching the batch, in canonical (min, max) id order.
+    */
+  def incrementalSemanticPairs(corpus: DataFrame, batch: DataFrame,
+                               codebook: DataFrame, threshold: Double,
+                               maxBucketSize: Int = 0): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val iOld = semanticIndex(corpus, codebook).persist(sl)
+    iOld.count() // serial materialization — see Dedup.lshCandidatePairs
+    val iNew = semanticIndex(batch, codebook).persist(sl)
+    iNew.count()
+    val result = incrementalSrpNearDupIndexed(iOld, iNew, threshold,
+      maxBucketSize)
+      .localCheckpoint() // eager + cache release: the per-ingest path
+    iOld.unpersist()
+    iNew.unpersist()
+    result
   }
 
   /** The semantically deduplicated corpus: resolve

@@ -265,26 +265,28 @@ object TextAnalysis {
     * text that exists elsewhere (template floods, mirrored articles)
     * even when no single whole-document near-dup pair fires.
     *
-    * Shuffle shape: per-document-distinct grams only (each (doc, gram)
-    * emitted once map-side); document frequency is one partial+final
-    * aggregate over them; the duplicated-gram set joins back by gram
-    * hash — shuffled, NOT assumed broadcastable (at 100 TB the
-    * cross-doc-duplicated gram set is itself corpus-scale, same posture
-    * as [[lineDedup]]'s frequent-line anti-join). Documents with < k
-    * words have no grams and drop out (same contract as
+    * Shuffle shape: the corpus is scanned and shingled ONCE. Per-document-
+    * distinct grams (each (doc, gram) emitted once map-side) shuffle by
+    * gram; document frequency is a `count() over (partition by gram)`
+    * window on that one shuffle — the same exchange that groups a gram's
+    * occurrences serves both the frequency count and the per-occurrence
+    * dup flag, so there is no second scan and no join back (the earlier
+    * aggregate-then-join formulation re-read and re-shingled the corpus
+    * on both sides of the join). The duplicated-gram set is never
+    * collected or broadcast (at 100 TB it is itself corpus-scale, same
+    * posture as [[lineDedup]]'s frequent-line anti-join). Documents with
+    * < k words have no grams and drop out (same contract as
     * [[repetitionRatio]]).
     */
   def dupGramCoverage(df: DataFrame, idCol: String, textCol: String,
                       k: Int, minDocs: Long): DataFrame = {
     val grams = Dedup.shingleRows(
       Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, k)
-    val dup = grams.groupBy(col("s")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("s"), lit(1).as("is_dup"))
-    grams.join(dup, Seq("s"), "left")
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    grams.withColumn("n_docs", count(lit(1)).over(byGram))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("is_dup"), lit(0))).as("n_dup_grams"))
+        sum(when(col("n_docs") >= minDocs, 1).otherwise(0)).as("n_dup_grams"))
       .withColumn("dup_frac", round(
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 6))
       .withColumnRenamed("doc_id", idCol)

@@ -55,15 +55,16 @@ object LlmQueries {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Nearest-centroid assignment CTE body (mirrors [[Similarity.ivfAssign]]:
-    * argmax cosine, ties on centroid id) against centroid CTE `cCte`.
+    * argmax cosine, ties on centroid id) against centroid CTE `cCte`,
+    * assigning the rows of `base` (default: the full embeddings table).
     */
-  private def asgSql(cCte: String): String =
+  private def asgSql(cCte: String, base: String = "embeddings"): String =
     s"""SELECT vec_id, embedding, centroid_id FROM (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC,
        |               c.centroid_id) AS rn
-       |  FROM embeddings e, $cCte c) WHERE rn = 1""".stripMargin
+       |  FROM $base e, $cCte c) WHERE rn = 1""".stripMargin
 
   /** Centroid-recompute CTE body (mirrors one [[Similarity.kmeansTrain]]
     * step: per-dim mean rounded to 6 places, reassembled as a list).
@@ -509,6 +510,20 @@ object LlmQueries {
         .select(col("vec_id"), col("label"))
     }),
 
+    // incremental SemDeDup: semantic pairs for the "new batch" (vec_id
+    // % 7 == 0) against the already-ingested corpus under the FROZEN
+    // corpus-trained codebook — batch-vs-index, the old corpus is never
+    // self-joined and the quantizer never re-trained mid-ingest
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") % 7 =!= 0)
+      val batch = e.filter(col("vec_id") % 7 === 0)
+      val cb = Similarity.kmeansTrain(corpus,
+        corpus.filter(col("vec_id") % 50 === 0), maxIters = 2)
+      Similarity.incrementalSemanticPairs(corpus, batch, cb,
+        threshold = 0.35)
+    }),
+
     // ---- Similarity search -------------------------------------------
 
     "sim_topk" -> ((s, dir) =>
@@ -952,7 +967,8 @@ object LlmQueries {
     "sample_temperature_rates" ->
       s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
          |           FROM documents GROUP BY 1),
-         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share FROM m)
+         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share
+         |      FROM m WHERE mass > 0)
          |SELECT source, CAST(mass AS BIGINT) AS n_tokens,
          |       CAST(least(100, floor(round(100.0 * 60000 * share /
          |         ((SELECT sum(share) FROM s) * mass), 6))) AS INT) AS pct
@@ -961,7 +977,8 @@ object LlmQueries {
     "sample_temperature_mix" ->
       s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
          |           FROM documents GROUP BY 1),
-         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share FROM m),
+         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share
+         |      FROM m WHERE mass > 0),
          |r AS (SELECT source,
          |        CAST(least(100, floor(round(100.0 * 60000 * share /
          |          ((SELECT sum(share) FROM s) * mass), 6))) AS INT) AS pct
@@ -1144,8 +1161,38 @@ object LlmQueries {
          |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
          |  WHERE sim >= 0.35),
          |${clusterWalkCtes("pr")}
-         |SELECT vec_id, label FROM embeddings
-         |WHERE vec_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
+         |SELECT vec_id, label FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM cc
+         |                  WHERE node <> keeper AND node = e.vec_id)""".stripMargin,
+
+    // codebook trained on the corpus side only (2 Lloyd steps from the
+    // corpus %50 seed), frozen; batch and corpus both assigned under it;
+    // pairs = batch-vs-corpus (cross) + batch-vs-batch (intra)
+    "dedup_semantic_incremental" ->
+      s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id % 7 <> 0),
+         |bat AS (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id % 7 = 0),
+         |c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |       FROM corp WHERE vec_id % 50 = 0),
+         |asg1 AS (${asgSql("c0", "corp")}),
+         |c1 AS (${cMeanSql("asg1")}),
+         |asg2 AS (${asgSql("c1", "corp")}),
+         |c2 AS (${cMeanSql("asg2")}),
+         |ac AS (${asgSql("c2", "corp")}),
+         |ab AS (${asgSql("c2", "bat")}),
+         |pr AS (
+         |  SELECT x.vec_id AS va, y.vec_id AS vb,
+         |         ${cosSql("x.embedding", "y.embedding")} AS sim
+         |  FROM ab x JOIN ac y ON x.centroid_id = y.centroid_id
+         |  UNION ALL
+         |  SELECT x.vec_id, y.vec_id,
+         |         ${cosSql("x.embedding", "y.embedding")} AS sim
+         |  FROM ab x JOIN ab y
+         |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+         |SELECT least(va, vb) AS vec_a, greatest(va, vb) AS vec_b,
+         |       round(sim, 6) AS cosine
+         |FROM pr WHERE sim >= 0.35""".stripMargin,
 
     // restriction of the full simhash pair set to pairs touching the batch
     "dedup_simhash_incremental" ->

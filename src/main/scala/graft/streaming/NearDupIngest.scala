@@ -238,4 +238,50 @@ object NearDupIngest {
     bNew.write.mode("append").parquet(indexDir)
     bNew.unpersist()
   }
+
+  // ---- Semantic (SemDeDup) family ------------------------------------
+
+  /** Streaming SemDeDup ingestion: each micro-batch of
+    * (vec_id, embedding) rows is assigned to its k-means cell under the
+    * FROZEN `codebook` (the one the persisted
+    * [[graft.ops.Similarity.semanticIndex]] was built with —
+    * [[graft.ops.Similarity.kmeansTrain]] on the seed corpus, stored
+    * alongside the index), cosine-verified against the index within its
+    * cell, and appended to it. Same foreachBatch-vs-index shape as
+    * [[startEmbedding]], with a learned data-dependent bucketer instead
+    * of SRP hyperplanes: cell assignment is deterministic per row GIVEN
+    * the codebook, which is why the codebook must stay frozen across
+    * batches (re-training mid-stream would re-cell the already-indexed
+    * corpus; periodic re-trains rebuild the index offline, standard IVF
+    * maintenance).
+    */
+  def startSemantic(vecs: DataFrame, indexDir: String, pairsDir: String,
+                    checkpointDir: String, codebook: DataFrame,
+                    threshold: Double,
+                    maxBucketSize: Int = 0): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        ingestSemanticBatch(batch, indexDir, pairsDir, codebook, threshold,
+          maxBucketSize)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  def ingestSemanticBatch(batch: DataFrame, indexDir: String,
+                          pairsDir: String, codebook: DataFrame,
+                          threshold: Double,
+                          maxBucketSize: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val bNew = Similarity.semanticIndex(batch, codebook)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bNew.count()
+    val bOld =
+      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      else bNew.limit(0) // first batch: intra-only
+    val pairs = Similarity.incrementalSrpNearDupIndexed(bOld, bNew,
+      threshold, maxBucketSize)
+    pairs.write.mode("append").parquet(pairsDir)
+    bNew.write.mode("append").parquet(indexDir)
+    bNew.unpersist()
+  }
 }

@@ -233,4 +233,19 @@ class PlanSpec extends SparkSpec {
     // both ranker top-50s bound their inputs before the fusion aggregate
     assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"))
   }
+
+  test("dup-gram coverage: the corpus is scanned and shingled exactly once") {
+    val p = planOf("text_dup_gram_coverage")
+    // one corpus scan and one shingle explode in the whole physical
+    // plan — the window formulation computes document frequency on the
+    // gram shuffle itself (the aggregate-then-join shape re-read and
+    // re-shingled the corpus on each side of the join). The extra
+    // graft_word_grams occurrence inside the scan's pushed row filter is
+    // InferFiltersFromGenerate's size>0 guard, not a second generator.
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"expected a single corpus scan:\n$p")
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"expected a single shingle explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

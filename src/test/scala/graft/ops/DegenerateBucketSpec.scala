@@ -72,6 +72,24 @@ class DegenerateBucketSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic cell cap bounds a collapsed k-means cell") {
+    // 200 identical embeddings collapse into ONE learned cell no matter
+    // how the codebook trains (an embedding flood / degenerate quantizer
+    // — SemDeDup's version of the LSH flood); 4 identical orthogonal
+    // vectors form a small healthy cell
+    val vecs = ((1 to 200).map(i => (i.toLong, Array(1.0f, 0.0f))) ++
+      (201 to 204).map(i => (i.toLong, Array(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val seed = vecs.filter(col("vec_id").isin(1L, 201L))
+    val uncapped = Similarity.semanticDedupPairs(vecs, seed,
+      maxIters = 2, threshold = 0.9).count()
+    assert(uncapped >= 199L * 200 / 2) // the hazard exists: quadratic cell
+    val capped = Similarity.semanticDedupPairs(vecs, seed,
+      maxIters = 2, threshold = 0.9, maxBucketSize = 16).count()
+    assert(capped == 6) // flood cell dropped loudly; C(4,2) survives
+    spark.catalog.clearCache()
+  }
+
   test("paired cap judges COMBINED membership in the incremental shape") {
     // flood split across corpus and batch: each side alone is under a
     // generous cap of 200, together they exceed it — a per-side cap

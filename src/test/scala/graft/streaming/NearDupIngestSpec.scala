@@ -161,4 +161,36 @@ class NearDupIngestSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("semantic ingestion equals batch cell-blocked pairs (frozen codebook)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val all = vecs.toDF("vec_id", "embedding")
+    // the frozen quantizer: trained once on the full fixture corpus —
+    // every micro-batch and the batch reference assign under the SAME
+    // cells, which is the invariant the parity assertion exercises
+    val cb = graft.ops.Similarity.kmeansTrain(all,
+      all.filter(col("vec_id") % 50 === 0), maxIters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi_sem_").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = NearDupIngest.startSemantic(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$tmp/index", s"$tmp/pairs", s"$tmp/ckpt", cb, threshold = 0.2)
+    try {
+      vecs.grouped(math.max(vecs.size / 3 + 1, 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/pairs").distinct()
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Similarity.semanticDedupPairsWith(all, cb,
+      threshold = 0.2).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
