@@ -145,6 +145,59 @@ object ScaleProbe {
       graft.ops.TextAnalysis.withBpeTokens(docs, "text")
         .select(col("doc_id"), col("n_bpe_tokens")))
 
+    // per-doc duplicate-gram coverage: one scan, one gram shuffle (the
+    // window formulation); on the replica corpus most grams appear in k
+    // documents, so the dup flag fires almost everywhere — worst case
+    // for the window partition sizes
+    t("dup_gram_coverage")(
+      graft.ops.TextAnalysis.dupGramCoverage(docs, "doc_id", "text", 5, 2))
+
+    // temperature-scaled mixture sampling end-to-end over 20 synthetic
+    // domains: rates are one partial-aggregated corpus pass into a
+    // domain-sized table; the sampler is a broadcast join + map-side
+    // filter (budget scaled with k so the kept fraction stays constant)
+    t("temperature_mix") {
+      val d = docs.withColumn("grp", (col("doc_id") % 20).cast("string"))
+        .withColumn("n_chars", length(col("text")))
+      Dedup.weightedSampleJoined(d, "doc_id", "grp",
+        Dedup.temperatureMixRates(d, "grp", col("n_chars"),
+          alpha = 0.5, budget = 75000L * k))
+    }
+
+    // BPE training at vocab scale (opt-in: name it in the probe filter;
+    // SPARK_GRAFT_BPE_MERGES sets the merge count, default 256). After
+    // the single corpus-sized word count, every round is a vocab-sized
+    // job + a 1-row collect — per-round cost must be ~corpus-independent
+    if (only.exists(_.contains("bpe_train"))) {
+      val nMerges = sys.env.get("SPARK_GRAFT_BPE_MERGES")
+        .map(_.toInt).getOrElse(256)
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val m = graft.ops.TextAnalysis.trainBpeMerges(docs, "text", nMerges)
+      println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d bpe_train/$nMerges%-14s " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  (${m.size} merges)")
+    }
+
+    // BPE training against a vocabulary that GROWS with k (each replica
+    // suffixes every word, so distinct words ~= 31 * k): the fixture's
+    // 31-word vocabulary hits its merge fixpoint at ~110-290 merges, so
+    // probing the 1k-merge regime needs this salted corpus. Isolates the
+    // per-round vocab-sized job cost from corpus size (opt-in)
+    if (only.exists(_.contains("bpe_train_salted"))) {
+      val nMerges = sys.env.get("SPARK_GRAFT_BPE_MERGES")
+        .map(_.toInt).getOrElse(256)
+      val salted = (0 until k).map { r =>
+        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          regexp_replace(lower(col("text")), "([a-z0-9]+)", s"$$1x$r")
+            .as("text"))
+      }.reduce(_ unionByName _)
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val m = graft.ops.TextAnalysis.trainBpeMerges(salted, "text", nMerges)
+      println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d bpe_train_salted/$nMerges%-7s " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  (${m.size} merges)")
+    }
+
     // per-group budgets over 20 synthetic domains: the per-(group,
     // bucket) windows grow linearly; the broadcast offset relation stays
     // groups x 100 rows at any corpus size
@@ -162,6 +215,27 @@ object ScaleProbe {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _)
     t("srp_neardup")(Similarity.srpNearDupPairs(emb, 8, 64, 0.35))
+
+    // SemDeDup end-to-end (train + cell-blocked pairs + resolution +
+    // keep-first) on a NEAR-dup replica corpus: each replica bumps one
+    // dimension by 0.05 so copies are distinct but semantically
+    // near-identical (identical copies would collapse the learned
+    // codebook to the 10 distinct seed vectors and flood 10 cells). The
+    // seed grows with the corpus (10 per replica), mirroring an IVF
+    // codebook that scales with the collection; true pair volume grows
+    // ~k^2 by construction (every replica family is one dense cluster —
+    // resolution's worst case)
+    t("semantic_keepfirst") {
+      val embS = (0 until k).map { r =>
+        emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (v, i) =>
+            (v + when(i === lit(r % 64), lit(0.05f)).otherwise(lit(0.0f)))
+              .cast("float")).as("embedding"))
+      }.reduce(_ unionByName _)
+      Similarity.semanticKeepFirst(embS, "vec_id",
+        embS.filter(col("vec_id") % 50 === 0), maxIters = 2,
+        threshold = 0.35)
+    }
     t("brute_topk")(Similarity.bruteForceTopK(emb, col("vec_id") % 1000 === 0, 10))
     // int8 path over the same corpus/queries — inline quantization, i.e.
     // index-build cost included in the timer
