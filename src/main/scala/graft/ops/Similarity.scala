@@ -490,6 +490,100 @@ object Similarity {
     Dedup.fuzzyKeepFirst(embeddings, pairs, idCol)
   }
 
+  // ---- Product quantization (IVF-PQ's storage half) -------------------
+
+  /** PQ codebook from deterministic seeds: subspace `j` of `m` gets the
+    * seed vectors' (`vec_id % centroidMod == 0`) j-th subvectors as its
+    * centroids — the PQ counterpart of [[ivfTopK]]'s deterministic
+    * stand-in codebook (swap in per-subspace [[kmeansTrain]] output for a
+    * learned one; the relation shape `(sub, code, ce)` is the contract).
+    * Size: m x (n/centroidMod) x (dim/m) floats — driver/broadcast-sized
+    * by construction, like every quantizer in this file.
+    */
+  def pqCodebook(embeddings: DataFrame, m: Int, dim: Int,
+                 centroidMod: Int): DataFrame = {
+    val sub = dim / m
+    val seeds = embeddings.filter(col("vec_id") % centroidMod === 0)
+    (0 until m).map { j =>
+      seeds.select(lit(j).as("sub"), col("vec_id").as("code"),
+        slice(col("embedding"), j * sub + 1, sub).as("ce"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ encoding: each vector becomes `m` sub-codes, code `j` = the
+    * codebook-`j` centroid minimizing squared L2 distance to the j-th
+    * subvector (ties on the lower code id). The stored PQ index is
+    * (vec_id, sub, code) — m SMALL INTS per vector instead of `dim`
+    * floats, the 100 TB ANN memory story (int8 is 4x smaller than
+    * float32; PQ at m=4/dim=64 is ~60x).
+    *
+    * Distance decomposes through [[graft.functions.FloatDotProduct]]'s
+    * sequential double accumulation (`x.x - 2 x.c + c.c`) so the DuckDB
+    * oracle replays it bit-identically; the 6-decimal round before the
+    * argmin absorbs any residual drift (house convention). The argmin is
+    * a partial-aggregated `min(struct(d2, code))` — candidates combine
+    * map-side; no per-(vector, sub) window shuffle.
+    */
+  def pqCodes(embeddings: DataFrame, codebook: DataFrame, m: Int,
+              dim: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val sub = dim / m
+    val xs = embeddings.select(col("vec_id"), explode(array(
+      (0 until m).map(j => struct(lit(j).as("sub"),
+        slice(col("embedding"), j * sub + 1, sub).as("xe"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.xe").as("xe"))
+    val d2 = round(
+      fdot(col("xe"), col("xe")) - lit(2.0) * fdot(col("xe"), col("ce")) +
+        fdot(col("ce"), col("ce")), 6)
+    xs.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PREBUILT PQ index: the query
+    * stays float, and its dot with a stored vector is approximated by
+    * the sum over subspaces of query-subvector x assigned-centroid dots.
+    * The scoring join touches only the m-rows-per-vector code relation
+    * and a lookup table of |Q| x m x k_sub PARTIAL dots (each computed
+    * once per query, never per candidate — the classical PQ LUT,
+    * broadcast-sized), and the per-candidate sum partial-aggregates
+    * map-side. Self-matches excluded, rank ties on vec_id.
+    */
+  def pqAdcTopKIndexed(codes: DataFrame, codebook: DataFrame,
+                       queries: DataFrame, m: Int, dim: Int,
+                       k: Int): DataFrame = {
+    GraftFunctions.register(codes.sparkSession)
+    val sub = dim / m
+    val qs = queries.select(col("vec_id").as("query_id"), explode(array(
+      (0 until m).map(j => struct(lit(j).as("sub"),
+        slice(col("embedding"), j * sub + 1, sub).as("qe"))): _*)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.qe").as("qe"))
+    val lut = qs.join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(fdot(col("qe"), col("ce")), 6).as("pdot"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pdot")), 6).as("adc_score"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_score").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_score"))
+  }
+
+  /** [[pqAdcTopKIndexed]] with the index built inline from the
+    * deterministic [[pqCodebook]] — the one-shot face (production builds
+    * [[pqCodes]] once and serves many).
+    */
+  def pqAdcTopK(embeddings: DataFrame, queryPred: Column, m: Int, dim: Int,
+                centroidMod: Int, k: Int): DataFrame = {
+    val cb = pqCodebook(embeddings, m, dim, centroidMod)
+    pqAdcTopKIndexed(pqCodes(embeddings, cb, m, dim), cb,
+      embeddings.filter(queryPred), m, dim, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket
     * (`bucketCol`): only same-bucket pairs are compared. With a learned
     * quantizer as the bucketer this is IVF near-dup at 100 TB; here the

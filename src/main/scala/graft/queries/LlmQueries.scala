@@ -544,6 +544,23 @@ object LlmQueries {
       Similarity.ivfTopKWith(e, cb, col("vec_id") % 100 === 0, nprobe = 3, k = 10)
     }),
 
+    // PQ encoding: 4 subspaces x 16 dims, codes = argmin-L2 sub-centroid
+    // from the deterministic %50 seed codebook — the stored PQ index is
+    // m small ints per vector (~60x smaller than float32)
+    "vec_pq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqCodes(e,
+        Similarity.pqCodebook(e, m = 4, dim = 64, centroidMod = 50),
+        m = 4, dim = 64)
+    }),
+
+    // asymmetric-distance (ADC) top-k over the PQ index: per-query LUT of
+    // subspace partial dots, score = sum over the vector's 4 codes
+    "sim_pq_topk" -> ((s, dir) =>
+      Similarity.pqAdcTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 100 === 0, m = 4, dim = 64, centroidMod = 50,
+        k = 10)),
+
     // SRP-LSH bucket assignment (data-independent cosine bucketing; the
     // hyperplanes are md5-derived so the oracle replays them exactly).
     "sim_srp_buckets" -> ((s, dir) =>
@@ -1353,6 +1370,64 @@ object LlmQueries {
          |      FROM cand)
          |SELECT query_id, vec_id, round(sim, 6) AS cosine
          |FROM r WHERE rn <= 10""".stripMargin,
+
+    // PQ CTE block shared by the two PQ oracles: codebook = seed
+    // subvectors (4 subspaces x 16 dims), codes = argmin of the SAME
+    // x.x - 2 x.c + c.c double composition Spark evaluates, rounded to
+    // 6 places before the argmin (ties on code id)
+    "vec_pq_codes" ->
+      s"""WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         |cb AS (SELECT s.sub, e.vec_id AS code,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS ce
+         |       FROM embeddings e, subs s WHERE e.vec_id % 50 = 0),
+         |xs AS (SELECT e.vec_id, s.sub,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
+         |       FROM embeddings e, subs s),
+         |d AS (SELECT x.vec_id, x.sub, c.code,
+         |             round(${dotSql("x.xe", "x.xe")}
+         |               - 2.0 * ${dotSql("x.xe", "c.ce")}
+         |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
+         |      FROM xs x JOIN cb c ON x.sub = c.sub)
+         |SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |         row_number() OVER (PARTITION BY vec_id, sub
+         |                            ORDER BY d2, code) AS rn FROM d)
+         |WHERE rn = 1""".stripMargin,
+
+    "sim_pq_topk" ->
+      s"""WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         |cb AS (SELECT s.sub, e.vec_id AS code,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS ce
+         |       FROM embeddings e, subs s WHERE e.vec_id % 50 = 0),
+         |xs AS (SELECT e.vec_id, s.sub,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
+         |       FROM embeddings e, subs s),
+         |d AS (SELECT x.vec_id, x.sub, c.code,
+         |             round(${dotSql("x.xe", "x.xe")}
+         |               - 2.0 * ${dotSql("x.xe", "c.ce")}
+         |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
+         |      FROM xs x JOIN cb c ON x.sub = c.sub),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |         row_number() OVER (PARTITION BY vec_id, sub
+         |                            ORDER BY d2, code) AS rn FROM d)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, sub, xe AS qe
+         |      FROM xs WHERE vec_id % 100 = 0),
+         |lut AS (SELECT q.query_id, c.sub, c.code,
+         |               round(${dotSql("q.qe", "c.ce")}, 6) AS pdot
+         |        FROM q JOIN cb c ON q.sub = c.sub),
+         |sc AS (SELECT l.query_id, k.vec_id,
+         |              round(sum(l.pdot), 6) AS adc_score
+         |       FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+         |       WHERE k.vec_id <> l.query_id
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id, adc_score FROM (
+         |  SELECT query_id, vec_id, adc_score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_score DESC, vec_id) AS rn
+         |  FROM sc)
+         |WHERE rn <= 10""".stripMargin,
 
     "sim_srp_buckets" ->
       """WITH hp AS (SELECT p, i,
