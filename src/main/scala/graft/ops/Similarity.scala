@@ -525,21 +525,32 @@ object Similarity {
     * map-side; no per-(vector, sub) window shuffle.
     */
   def pqCodes(embeddings: DataFrame, codebook: DataFrame, m: Int,
-              dim: Int): DataFrame = {
-    GraftFunctions.register(embeddings.sparkSession)
+              dim: Int): DataFrame =
+    pqEncode(embeddings, Nil, codebook, m, dim)
+
+  /** The shared PQ encoder: emit (vec_id, carry..., sub, code) for the
+    * argmin-L2 sub-centroid of every subvector. `carry` columns (e.g. the
+    * IVF cell id, already functionally dependent on vec_id) ride through
+    * the groupBy so the composed IVF-PQ index never needs a corpus-sized
+    * self-join to reunite cell and codes.
+    */
+  private def pqEncode(df: DataFrame, carry: Seq[String],
+                       codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val sub = dim / m
-    val xs = embeddings.select(col("vec_id"), explode(array(
+    val keep = col("vec_id") +: carry.map(col)
+    val xs = df.select(keep :+ explode(array(
       (0 until m).map(j => struct(lit(j).as("sub"),
-        slice(col("embedding"), j * sub + 1, sub).as("xe"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.sub").as("sub"), col("s.xe").as("xe"))
+        slice(col("embedding"), j * sub + 1, sub).as("xe"))): _*)).as("s"): _*)
+      .select(keep :+ col("s.sub").as("sub") :+ col("s.xe").as("xe"): _*)
     val d2 = round(
       fdot(col("xe"), col("xe")) - lit(2.0) * fdot(col("xe"), col("ce")) +
         fdot(col("ce"), col("ce")), 6)
     xs.join(broadcast(codebook), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("code"), d2.as("d2"))
-      .groupBy(col("vec_id"), col("sub"))
+      .select(keep :+ col("sub") :+ col("code") :+ d2.as("d2"): _*)
+      .groupBy(keep :+ col("sub"): _*)
       .agg(min(struct(col("d2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+      .select(keep :+ col("sub") :+ col("best.code").as("code"): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over a PREBUILT PQ index: the query
@@ -582,6 +593,75 @@ object Similarity {
     val cb = pqCodebook(embeddings, m, dim, centroidMod)
     pqAdcTopKIndexed(pqCodes(embeddings, cb, m, dim), cb,
       embeddings.filter(queryPred), m, dim, k)
+  }
+
+  /** The composed IVF-PQ index — the classical trillion-scale ANN memory
+    * layout: (vec_id, centroid_id, sub, code), m small ints + a cell id
+    * per vector, NO floats at all. Cell assignment and PQ encoding share
+    * one corpus scan (the cell id rides through the encoder's groupBy).
+    * Store bucketed by `centroid_id` so a probe touches only its cells'
+    * files.
+    */
+  def ivfPqIndex(embeddings: DataFrame, ivfCodebook: DataFrame,
+                 pqCb: DataFrame, m: Int, dim: Int): DataFrame =
+    pqEncode(
+      ivfAssign(embeddings, ivfCodebook)
+        .select(col("vec_id"), col("centroid_id"), col("embedding")),
+      Seq("centroid_id"), pqCb, m, dim)
+
+  /** IVF-PQ serving: probe the `nprobe` nearest cells with the float
+    * coarse codebook (driver-sized, stays float), then ADC-score ONLY the
+    * vectors inside probed cells from their PQ codes — candidate volume
+    * is cell-bounded AND each candidate costs m LUT lookups instead of a
+    * `dim`-float dot. The probe-pair and LUT relations are both
+    * query-count-sized broadcasts; the only corpus-scale relation touched
+    * is the code index restricted to probed cells.
+    */
+  def ivfPqTopKIndexed(index: DataFrame, ivfCodebook: DataFrame,
+                       pqCb: DataFrame, queries: DataFrame, m: Int,
+                       dim: Int, nprobe: Int, k: Int): DataFrame = {
+    GraftFunctions.register(index.sparkSession)
+    val sub = dim / m
+    val q = withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val c = withNorm(ivfCodebook).select(col("vec_id").as("centroid_id"),
+      col("embedding").as("ce"), col("nrm").as("cnrm"))
+    val probeRn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id")))
+    val probed = broadcast(q).join(broadcast(c))
+      .withColumn("psim", fdot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
+      .withColumn("prn", probeRn).filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val qs = q.select(col("query_id"), explode(array(
+      (0 until m).map(j => struct(lit(j).as("sub"),
+        slice(col("qe"), j * sub + 1, sub).as("qsub"))): _*)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.qsub").as("qsub"))
+    val lut = qs.join(pqCb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(fdot(col("qsub"), col("ce")), 6).as("pdot"))
+    index.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pdot")), 6).as("adc_score"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_score").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_score"))
+  }
+
+  /** One-call IVF-PQ with both codebooks drawn from the deterministic
+    * `vec_id % centroidMod == 0` seed set (coarse cells float, PQ cells
+    * per-subspace) — swap [[kmeansTrain]] output in for learned ones.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, m: Int, dim: Int,
+                centroidMod: Int, nprobe: Int, k: Int): DataFrame = {
+    val ivfCb = embeddings.filter(col("vec_id") % centroidMod === 0)
+      .select("vec_id", "embedding")
+    val pqCb = pqCodebook(embeddings, m, dim, centroidMod)
+    ivfPqTopKIndexed(ivfPqIndex(embeddings, ivfCb, pqCb, m, dim), ivfCb,
+      pqCb, embeddings.filter(queryPred), m, dim, nprobe, k)
   }
 
   /** Embedding-cosine near-duplicate pairs within a coarse bucket

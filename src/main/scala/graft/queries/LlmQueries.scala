@@ -561,6 +561,14 @@ object LlmQueries {
         col("vec_id") % 100 === 0, m = 4, dim = 64, centroidMod = 50,
         k = 10)),
 
+    // the composed IVF-PQ: probe 3 coarse cells, ADC-score only their
+    // members from the all-integer (cell, codes) index — the classical
+    // trillion-scale ANN serving shape
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 100 === 0, m = 4, dim = 64, centroidMod = 50,
+        nprobe = 3, k = 10)),
+
     // SRP-LSH bucket assignment (data-independent cosine bucketing; the
     // hyperplanes are md5-derived so the oracle replays them exactly).
     "sim_srp_buckets" -> ((s, dir) =>
@@ -1421,6 +1429,60 @@ object LlmQueries {
          |              round(sum(l.pdot), 6) AS adc_score
          |       FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
          |       WHERE k.vec_id <> l.query_id
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id, adc_score FROM (
+         |  SELECT query_id, vec_id, adc_score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_score DESC, vec_id) AS rn
+         |  FROM sc)
+         |WHERE rn <= 10""".stripMargin,
+
+    // IVF-PQ: cosine cell assignment + probe selection against the %50
+    // coarse codebook (same asg machinery as sim_ivf_topk), candidates
+    // restricted to probed cells, ADC scoring from the PQ CTE block
+    "sim_ivfpq_topk" ->
+      s"""WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         |cb AS (SELECT s.sub, e.vec_id AS code,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS ce
+         |       FROM embeddings e, subs s WHERE e.vec_id % 50 = 0),
+         |xs AS (SELECT e.vec_id, s.sub,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
+         |       FROM embeddings e, subs s),
+         |d AS (SELECT x.vec_id, x.sub, c.code,
+         |             round(${dotSql("x.xe", "x.xe")}
+         |               - 2.0 * ${dotSql("x.xe", "c.ce")}
+         |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
+         |      FROM xs x JOIN cb c ON x.sub = c.sub),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |         row_number() OVER (PARTITION BY vec_id, sub
+         |                            ORDER BY d2, code) AS rn FROM d)
+         |  WHERE rn = 1),
+         |c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |       FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (${asgSql("c0")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |probe AS (SELECT query_id, centroid_id FROM (
+         |            SELECT q.query_id, c.centroid_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+         |                         c.centroid_id) AS rn
+         |            FROM q, c0 c) WHERE rn <= 3),
+         |qs AS (SELECT vec_id AS query_id, sub, xe AS qsub
+         |       FROM xs WHERE vec_id % 100 = 0),
+         |lut AS (SELECT qs.query_id, c.sub, c.code,
+         |               round(${dotSql("qs.qsub", "c.ce")}, 6) AS pdot
+         |        FROM qs JOIN cb c ON qs.sub = c.sub),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |         FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
+         |         WHERE a.vec_id <> p.query_id),
+         |sc AS (SELECT cd.query_id, cd.vec_id,
+         |              round(sum(l.pdot), 6) AS adc_score
+         |       FROM cand cd
+         |       JOIN codes k ON k.vec_id = cd.vec_id
+         |       JOIN lut l ON l.query_id = cd.query_id
+         |                 AND l.sub = k.sub AND l.code = k.code
          |       GROUP BY 1, 2)
          |SELECT query_id, vec_id, adc_score FROM (
          |  SELECT query_id, vec_id, adc_score,

@@ -255,4 +255,33 @@ class SimilaritySpec extends SparkSpec {
     // and m/centroidMod are the caller's recall-vs-bytes dial
     assert(recall >= 0.15, s"PQ ADC recall $recall")
   }
+
+  test("IVF-PQ: hits come only from probed cells, never self, k-bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf0001)
+    val out = Similarity.ivfPqTopK(e, col("vec_id") % 100 === 0,
+        m = 4, dim = 64, centroidMod = 50, nprobe = 3, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty && !out.exists(t => t._1 == t._2))
+    assert(out.groupBy(_._1).values.forall(_.length <= 10))
+    // recompute cell assignment + the 3-cell probe set per query: every
+    // returned hit must live in a cell its query probed
+    val ivfCb = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(e, ivfCb)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    val probed = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(ivfCb.select(col("vec_id").as("centroid_id"),
+        col("embedding").as("ce")))
+      .withColumn("cs", Similarity.cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cs").desc, col("centroid_id"))))
+      .filter(col("rn") <= 3)
+      .select("query_id", "centroid_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (qid, vid, _) =>
+      assert(probed(qid).contains(cells(vid)),
+        s"hit $vid for query $qid is outside its probed cells") }
+  }
 }
