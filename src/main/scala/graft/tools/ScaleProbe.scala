@@ -216,25 +216,52 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
     t("srp_neardup")(Similarity.srpNearDupPairs(emb, 8, 64, 0.35))
 
+    // perturbed replicas for the learned-quantizer probes: one dimension
+    // bumped 0.05 per replica so copies are distinct but near-identical
+    // (identical copies would collapse any learned codebook to the 10
+    // distinct seed vectors)
+    val embP = (0 until k).map { r =>
+      emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          (v + when(i === lit(r % 64), lit(0.05f)).otherwise(lit(0.0f)))
+            .cast("float")).as("embedding"))
+    }.reduce(_ unionByName _)
+
     // SemDeDup end-to-end (train + cell-blocked pairs + resolution +
-    // keep-first) on a NEAR-dup replica corpus: each replica bumps one
-    // dimension by 0.05 so copies are distinct but semantically
-    // near-identical (identical copies would collapse the learned
-    // codebook to the 10 distinct seed vectors and flood 10 cells). The
-    // seed grows with the corpus (10 per replica), mirroring an IVF
-    // codebook that scales with the collection; true pair volume grows
-    // ~k^2 by construction (every replica family is one dense cluster —
-    // resolution's worst case)
-    t("semantic_keepfirst") {
-      val embS = (0 until k).map { r =>
-        emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
-          transform(col("embedding"), (v, i) =>
-            (v + when(i === lit(r % 64), lit(0.05f)).otherwise(lit(0.0f)))
-              .cast("float")).as("embedding"))
-      }.reduce(_ unionByName _)
-      Similarity.semanticKeepFirst(embS, "vec_id",
-        embS.filter(col("vec_id") % 50 === 0), maxIters = 2,
-        threshold = 0.35)
+    // keep-first) on the near-dup replica corpus. The seed grows with
+    // the corpus (10 per replica), mirroring an IVF codebook that scales
+    // with the collection; true pair volume grows ~k^2 by construction
+    // (every replica family is one dense cluster — resolution's worst
+    // case)
+    t("semantic_keepfirst")(
+      Similarity.semanticKeepFirst(embP, "vec_id",
+        embP.filter(col("vec_id") % 50 === 0), maxIters = 2,
+        threshold = 0.35))
+
+    // IVF-PQ build + serve inline (coarse cells AND PQ codebooks grow
+    // with the corpus: 10 x k centroids each): index build is the
+    // broadcast cell-assign + PQ encode over one scan; serving touches
+    // only probed cells' code rows through broadcast LUTs
+    t("ivfpq_topk")(
+      Similarity.ivfPqTopK(embP, col("vec_id") % 1000 === 0,
+        m = 4, dim = 64, centroidMod = 50, nprobe = 3, k = 10))
+
+    // the production IVF-PQ shape: serve from a PREBUILT all-integer
+    // index (build outside the timer, amortized across the index
+    // lifetime) — per-query cost must stay probed-cell-bounded
+    if (only.forall(_.contains("ivfpq_topk_indexed"))) {
+      val ivfCb = embP.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      val pqCb = Similarity.pqCodebook(embP, m = 4, dim = 64,
+        centroidMod = 50)
+      val idx = Similarity.ivfPqIndex(embP, ivfCb, pqCb, m = 4, dim = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count()
+      t("ivfpq_topk_indexed")(
+        Similarity.ivfPqTopKIndexed(idx, ivfCb, pqCb,
+          embP.filter(col("vec_id") % 1000 === 0), m = 4, dim = 64,
+          nprobe = 3, k = 10))
+      idx.unpersist()
     }
     t("brute_topk")(Similarity.bruteForceTopK(emb, col("vec_id") % 1000 === 0, 10))
     // int8 path over the same corpus/queries — inline quantization, i.e.
