@@ -187,7 +187,30 @@ object Dedup {
     * tens of rows). No corpus-sized state, no second scan.
     */
   def temperatureMixRates(df: DataFrame, groupCol: String, lenCol: Column,
-                          alpha: Double, budget: Long): DataFrame = {
+                          alpha: Double, budget: Long): DataFrame =
+    mixRates(df, groupCol, lenCol, alpha, budget, capPct = 100)
+
+  /** [[temperatureMixRates]] WITHOUT the single-epoch ceiling: a tail
+    * domain whose temperature-target mass exceeds its actual mass gets
+    * `pct > 100` — i.e. the mixture REPEATS it for multiple training
+    * epochs, the standard multilingual/data-constrained recipe (tail
+    * languages are up-sampled severalfold, head domains subsampled).
+    * `maxEpochs` bounds the repeat (the "no more than N epochs"
+    * guidance: past a few repeats, additional epochs of the same data
+    * stop helping), so `pct` lands in [0, 100 * maxEpochs]. Feed the
+    * result into [[weightedSampleWithEpochs]] to materialize the
+    * repeated corpus.
+    *
+    * Scale posture: identical to [[temperatureMixRates]] — one
+    * partial-aggregated corpus pass, then domain-count-sized arithmetic.
+    */
+  def temperatureMixEpochRates(df: DataFrame, groupCol: String,
+                               lenCol: Column, alpha: Double, budget: Long,
+                               maxEpochs: Int = 4): DataFrame =
+    mixRates(df, groupCol, lenCol, alpha, budget, capPct = 100 * maxEpochs)
+
+  private def mixRates(df: DataFrame, groupCol: String, lenCol: Column,
+                       alpha: Double, budget: Long, capPct: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -197,11 +220,37 @@ object Dedup {
       .agg(sum(col("n_tok")).cast("double").as("mass"))
       .filter(col("mass") > 0)
       .withColumn("share", round(pow(col("mass"), lit(alpha)), 6))
-      .withColumn("pct", least(lit(100), floor(round(
+      .withColumn("pct", least(lit(capPct), floor(round(
         lit(100.0) * lit(budget.toDouble) * col("share") /
           (sum(col("share")).over(w) * col("mass")), 6))).cast("int"))
       .select(col(groupCol), col("mass").cast("long").as("n_tokens"),
         col("pct"))
+  }
+
+  /** Materialize a mixture whose rates may exceed 100: every document
+    * keeps `floor(pct / 100)` full copies, plus one more iff its md5
+    * bucket falls under `pct % 100` — the deterministic fractional
+    * epoch (the same [[hashBucket]] rule as [[weightedSampleJoined]],
+    * so a 1.3-epoch domain repeats ALL its documents once and a
+    * reproducible 30% of them twice). Emits an `epoch` column (0-based
+    * copy index) so downstream shard shuffling / sequence packing can
+    * spread the copies instead of training them back-to-back.
+    *
+    * Scale posture: broadcast rate-table join + map-side
+    * `explode(sequence)` — output grows only by the epoch factor; no
+    * shuffle, no corpus-sized state. Duplicate rate rows collapse (max
+    * wins) exactly as in [[weightedSampleJoined]].
+    */
+  def weightedSampleWithEpochs(df: DataFrame, idCol: String,
+                               groupCol: String, rates: DataFrame): DataFrame = {
+    val r = rates.groupBy(col(groupCol)).agg(max(col("pct")).as("pct"))
+    df.join(broadcast(r), Seq(groupCol))
+      .withColumn("n_copies",
+        floor(col("pct") / 100).cast("int") +
+          when(hashBucket(col(idCol)) < col("pct") % 100, 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(df.columns.map(col).toIndexedSeq :+
+        explode(sequence(lit(0), col("n_copies") - 1)).as("epoch"): _*)
   }
 
   /** Deterministic token-budget sample: take documents in a fixed

@@ -382,6 +382,23 @@ object LlmQueries {
           alpha = 0.5, budget = 60000L))
     }),
 
+    // epoch-aware rates (no single-epoch ceiling, capped at 3 epochs):
+    // the budget exceeds the corpus so tail sources land above 100% —
+    // i.e. the mixture REPEATS them, the multilingual up-sampling recipe
+    "sample_epoch_rates" -> ((s, dir) =>
+      Dedup.temperatureMixEpochRates(Tables.documents(s, dir), "source",
+        col("n_chars"), alpha = 0.5, budget = 450000L, maxEpochs = 3)),
+
+    // the materialized repeated corpus: floor(pct/100) full copies per
+    // document plus a deterministic fractional epoch, each tagged with
+    // its 0-based `epoch` copy index
+    "sample_epoch_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.weightedSampleWithEpochs(docs, "doc_id", "source",
+        Dedup.temperatureMixEpochRates(docs, "source", col("n_chars"),
+          alpha = 0.5, budget = 450000L, maxEpochs = 3))
+    }),
+
     // incremental exact dedup: the 20% "new batch" with rows already in
     // the 80% "ingested corpus" dropped (content-hash anti-join), then
     // keep-first within the batch — the per-ingest exact face
@@ -1010,6 +1027,37 @@ object LlmQueries {
          |      FROM s)
          |SELECT d.* FROM documents d JOIN r USING (source)
          |WHERE $HashBucketSql < r.pct""".stripMargin,
+
+    // epoch rates: same grid-rounded arithmetic, ceiling at 300 (3 epochs)
+    "sample_epoch_rates" ->
+      s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+         |           FROM documents GROUP BY 1),
+         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share
+         |      FROM m WHERE mass > 0)
+         |SELECT source, CAST(mass AS BIGINT) AS n_tokens,
+         |       CAST(least(300, floor(round(100.0 * 450000 * share /
+         |         ((SELECT sum(share) FROM s) * mass), 6))) AS INT) AS pct
+         |FROM s""".stripMargin,
+
+    // repeated corpus: full copies via unnest(range(0, n)) — half-open,
+    // same index set as Spark sequence(0, n-1) — fractional epoch via
+    // the md5 bucket
+    "sample_epoch_mix" ->
+      s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+         |           FROM documents GROUP BY 1),
+         |s AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share
+         |      FROM m WHERE mass > 0),
+         |r AS (SELECT source,
+         |        CAST(least(300, floor(round(100.0 * 450000 * share /
+         |          ((SELECT sum(share) FROM s) * mass), 6))) AS INT) AS pct
+         |      FROM s),
+         |j AS (SELECT d.*, CAST(floor(r.pct / 100) AS INT) +
+         |        (CASE WHEN $HashBucketSql < r.pct % 100 THEN 1 ELSE 0 END)
+         |          AS n_copies
+         |      FROM documents d JOIN r USING (source))
+         |SELECT j.* EXCLUDE (n_copies),
+         |       CAST(unnest(range(0, j.n_copies)) AS INT) AS epoch
+         |FROM j WHERE j.n_copies > 0""".stripMargin,
 
     "text_mixture_stats" ->
       """WITH a AS (SELECT source, count(*) AS n_docs,

@@ -175,4 +175,55 @@ class CorpusPrepSpec extends SparkSpec {
     assert(at20 == ids(20))        // reproducible
     assert(at20.subsetOf(ids(60))) // raising a rate only adds rows
   }
+
+  // ---- epoch-aware mixing -------------------------------------------
+
+  test("epoch rates: uncapped past 100, ceiling at 100 * maxEpochs") {
+    val d = mixDocs.withColumn("n_chars", col("doc_id") % 7 + 1)
+    // budget far above the corpus: every group's target exceeds its mass
+    val r = Dedup.temperatureMixEpochRates(d, "source", col("n_chars"),
+      alpha = 0.5, budget = 10000000L, maxEpochs = 3)
+      .select("source", "pct").as[(String, Int)].collect().toMap
+    assert(r.values.forall(_ == 300)) // all pinned to the 3-epoch ceiling
+    // a single-epoch ceiling reproduces temperatureMixRates exactly
+    val one = Dedup.temperatureMixEpochRates(d, "source", col("n_chars"),
+      alpha = 0.5, budget = 700L, maxEpochs = 1).collect().map(_.toSeq).toSet
+    val base = Dedup.temperatureMixRates(d, "source", col("n_chars"),
+      alpha = 0.5, budget = 700L).collect().map(_.toSeq).toSet
+    assert(one == base && base.nonEmpty)
+  }
+
+  test("epoch sample: floor(pct/100) full copies + fractional epoch") {
+    val rates = Seq(("grp0", 250), ("grp1", 100), ("grp2", 0))
+      .toDF("source", "pct")
+    val out = Dedup.weightedSampleWithEpochs(mixDocs, "doc_id", "source", rates)
+    assert(out.columns.toSeq == mixDocs.columns.toSeq :+ "epoch")
+    val copies = out.groupBy("doc_id", "source").count()
+      .as[(Long, String, Long)].collect()
+    val byGroup = copies.groupBy(_._2)
+    // pct=250: every doc at least twice; bucket<50 docs exactly 3 times
+    assert(byGroup("grp0").forall(_._3 >= 2))
+    val thrice = mixDocs.filter(col("source") === "grp0" &&
+      Dedup.hashBucket(col("doc_id")) < 50).select("doc_id")
+      .as[Long].collect().toSet
+    assert(byGroup("grp0").forall(c => c._3 == (if (thrice(c._1)) 3 else 2)))
+    // pct=100: exactly one copy each, epoch 0
+    assert(byGroup("grp1").forall(_._3 == 1))
+    assert(!byGroup.contains("grp2")) // rate 0 drops the group
+    // epoch indices are a dense 0-based prefix per copy set
+    val epochs = out.filter(col("source") === "grp0")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("epoch"))).as("e"))
+      .as[(Long, Seq[Int])].collect()
+    assert(epochs.forall(x => x._2 == (0 until x._2.length)))
+  }
+
+  test("epoch sample: pct <= 100 reduces to the joined face + epoch 0") {
+    val rates = Seq(("grp0", 30), ("grp1", 70)).toDF("source", "pct")
+    val flat = Dedup.weightedSampleJoined(mixDocs, "doc_id", "source", rates)
+      .collect().map(_.toSeq).toSet
+    val ep = Dedup.weightedSampleWithEpochs(mixDocs, "doc_id", "source", rates)
+    assert(ep.select("epoch").distinct().as[Int].collect().toSeq == Seq(0))
+    assert(ep.drop("epoch").collect().map(_.toSeq).toSet == flat)
+    assert(flat.nonEmpty)
+  }
 }
