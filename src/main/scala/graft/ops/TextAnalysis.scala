@@ -209,6 +209,72 @@ object TextAnalysis {
       round(score, 6).as("quality_score"))
   }
 
+  /** The eight English "natural document" indicator words of the
+    * Gopher rule set (a document passing the rule contains at least two
+    * of them) — a public heuristic, deliberately tiny.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based quality gate: the classical pre-training
+    * heuristics (word-count window, mean-word-length window, symbol-to-
+    * word ratio, bullet/ellipsis line fractions, alphabetic-word
+    * fraction, indicator-stopword count), each emitted as a signal
+    * column plus a 0/1 per-rule flag, with `pass` = conjunction. Keeps
+    * documents that look like prose and drops listings, symbol soup,
+    * and truncation artifacts — the cheap first gate before model-based
+    * quality scoring ([[unigramLogProb]], [[quality]]).
+    *
+    * One map-only scan, no shuffle. The three line/word HOF fractions
+    * are interpreted (CodegenFallback) — acceptable for a signals
+    * operator; a native Expression is the upgrade path if this ever
+    * sits in a hot loop. Thresholds are the published Gopher defaults;
+    * flags are INT 0/1 (house convention for cross-engine hashing).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lt = lower(col(textCol))
+    val ws = tokens(col(textCol))
+    val nW = size(ws)
+    val meanLen = length(replace(lt, lit(" "), lit("")))
+      .cast("double") / nW.cast("double")
+    def charCount(c: String) =
+      length(lt) - length(replace(lt, lit(c), lit("")))
+    val symRatio = (charCount("#") + charCount("…")).cast("double") /
+      nW.cast("double")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      startswith(l, lit("- ")) || startswith(l, lit("* ")) ||
+        startswith(l, lit("• ")))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l =>
+      endswith(l, lit("...")) || endswith(l, lit("…"))))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+      .cast("double") / nW.cast("double")
+    val nStop = GopherStopWords.map(sw =>
+      when(array_contains(ws, sw), 1).otherwise(0)).reduce(_ + _)
+    def flag(c: Column) = when(c, 1).otherwise(0).cast("int")
+    val rules = Seq(
+      "r_word_count" -> (nW >= 50 && nW <= 100000),
+      "r_mean_word_len" -> (round(meanLen, 6) >= 3.0 &&
+        round(meanLen, 6) <= 10.0),
+      "r_symbol_ratio" -> (round(symRatio, 6) <= 0.1),
+      "r_bullet_lines" -> (round(bulletFrac, 6) <= 0.9),
+      "r_ellipsis_lines" -> (round(ellipsisFrac, 6) <= 0.3),
+      "r_alpha_words" -> (round(alphaFrac, 6) >= 0.8),
+      "r_stop_words" -> (nStop >= 2))
+    df.select(Seq(col(idCol),
+      nW.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      nStop.cast("int").as("n_stop_words")) ++
+      rules.map { case (n, c) => flag(c).as(n) } :+
+      flag(rules.map(_._2).reduce(_ && _)).as("pass"): _*)
+  }
+
   /** Characteristic character trigrams per language for the char-n-gram
     * language-ID variant (tiny profiles; production swaps in learned
     * top-k profiles — the scoring mechanism is unchanged).
@@ -671,6 +737,84 @@ object TextAnalysis {
       "left_anti")
   }
 
+  /** FUZZY benchmark contamination: corpus documents that are NEAR-
+    * duplicates of a benchmark document — banded-MinHash LSH candidates
+    * verified by exact shingle Jaccard — catching the leakage exact
+    * n-gram overlap misses (reformatted, lightly paraphrased, or
+    * whitespace-mangled eval items). Returns one row per verified
+    * (doc_id, bench_id, jaccard) pair at or above `threshold`; benchmark
+    * members present in the corpus flag themselves (jaccard 1.0), the
+    * same self-flagging contract as [[contaminationReport]].
+    *
+    * Scale posture: the batch-vs-index LSH shape — the benchmark band
+    * relation is benchmark-sized (broadcast), the corpus band relation
+    * is sketch-sized, and the corpus is NEVER self-joined; verification
+    * shingles only documents that appear in a candidate pair, so its
+    * cost is O(candidates) regardless of corpus size. `maxBucketSize`
+    * > 0 arms the paired hot-bucket cap ([[Dedup.capBucketsPaired]]).
+    */
+  def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5, k: Int = 3,
+                         maxBucketSize: Int = 0): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bC = Dedup.bandIndex(corpus, idCol, numHashes, bands, textCol, k)
+      .persist(sl)
+    bC.count() // serial materialization — see Dedup.lshCandidatePairs
+    val bB = Dedup.bandIndex(benchmark, idCol, numHashes, bands, textCol, k)
+      .persist(sl)
+    bB.count()
+    val (pC, pB) = Dedup.capBucketsPaired(bC, bB, Seq("band", "sig"),
+      maxBucketSize, "fuzzyContamination")
+    // candidate-sized; lineage cut releases the band caches afterwards
+    val cand = pC.as("a").join(broadcast(pB.as("b")),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+      .distinct().localCheckpoint(true)
+    bC.unpersist(); bB.unpersist()
+
+    // cross-relation Jaccard verification: corpus shingles restricted to
+    // candidate docs; benchmark shingles are benchmark-sized (broadcast)
+    val needC = corpus.join(cand.select(col("doc_id")).distinct(),
+      corpus(idCol) === cand("doc_id"), "left_semi")
+    val shC = Dedup.shingleRows(needC, idCol, textCol, k).persist(sl)
+    shC.count()
+    val shB = Dedup.shingleRows(benchmark, idCol, textCol, k)
+      .select(col("doc_id").as("bench_id"), col("s")).persist(sl)
+    shB.count()
+    val szC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("ca"))
+    val szB = shB.groupBy(col("bench_id")).agg(count(lit(1)).as("cb"))
+    val inter = cand.join(shC, Seq("doc_id"))
+      .join(shB, Seq("bench_id", "s"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("ca") + col("cb") - col("inter")).cast("double")
+    inter.join(szC, Seq("doc_id")).join(broadcast(szB), Seq("bench_id"))
+      .filter(jac >= threshold)
+      .select(col("doc_id"), col("bench_id"), round(jac, 6).as("jaccard"))
+  }
+
+  /** [[decontaminate]]'s fuzzy counterpart: drop every corpus document
+    * near-duplicating a benchmark item (including benchmark members
+    * themselves — they self-flag at jaccard 1.0, mirroring the exact
+    * face, whose members share their own grams). Flagged set is
+    * contamination-sized → broadcast anti-join; corpus streams through
+    * unshuffled.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5, k: Int = 3,
+                         maxBucketSize: Int = 0): DataFrame = {
+    val flagged = fuzzyContamination(corpus, benchmark, idCol, textCol,
+        numHashes, bands, threshold, k, maxBucketSize)
+      .select(col("doc_id")).distinct().localCheckpoint(true)
+    corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
+      "left_anti")
+  }
+
   /** Per-document mean unigram log-probability under the corpus's own
     * add-one-smoothed unigram LM — the distributed mechanism behind
     * perplexity filtering (production swaps the corpus-derived table for
@@ -702,6 +846,70 @@ object TextAnalysis {
       .agg(round(sum(col("tf").cast("double") * col("logp")) / sum(col("tf")), 6)
         .as("mean_logprob"),
         sum(col("tf")).as("n_tokens"))
+  }
+
+  /** Per-document mean INTERPOLATED-BIGRAM log-probability under the
+    * corpus's own counts — the next LM rung above [[unigramLogProb]]
+    * for perplexity filtering (catches word salad whose unigram
+    * distribution looks natural but whose transitions don't):
+    *
+    *   lp(w_{i-1}, w_i) = ln( lambda * c(w_{i-1} w_i) / c(w_{i-1} ·)
+    *                        + (1 - lambda) * (c(w_i) + 1) / (N + V) )
+    *
+    * i.e. MLE bigram interpolated with the add-one unigram (exactly
+    * [[unigramLm]]'s smoothing), averaged over a document's n-1
+    * transitions. Documents with fewer than two tokens drop out. The
+    * context count c(w_{i-1} ·) counts bigram OCCURRENCES with that
+    * context (a document-final token never serves as context), so the
+    * bigram term is a proper conditional. Self-trained here; an
+    * external-table face would join a prebuilt (prev, cur, logp)
+    * relation exactly like [[unigramLogProbWith]].
+    *
+    * Scale posture: the (doc, prev, cur, ptf) transition sketch is
+    * token-stream-sized and partial-aggregated map-side; bigram and
+    * context totals ride windows over that sketch (no join-back), the
+    * unigram table joins term-keyed (AQE broadcasts when it fits), and
+    * the one-row (N, V) totals broadcast. No corpus-sized state beyond
+    * the sketch shuffles.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val in = Par.fanOut(df.select(col(idCol), col(textCol)))
+    val ws = tokens(col(textCol))
+    val n = size(ws)
+    // consecutive (prev, cur) transitions, map-only; sequence() would
+    // run DESCENDING for single-token docs (start > stop), hence the guard
+    val pairStructs = when(n >= 2,
+      transform(sequence(lit(1), n - 1), i =>
+        struct(element_at(ws, i).as("prev"),
+          element_at(ws, i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val pairs = in.select(col(idCol), explode(pairStructs).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("ptf"))
+    val wBi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prev"), col("cur"))
+    val wPv = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
+    val uc = Par.fanOut(df.select(col(textCol)))
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = uc.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    val pBi = sum(col("ptf")).over(wBi).cast("double") /
+      sum(col("ptf")).over(wPv).cast("double")
+    val pUni = (col("cnt") + 1).cast("double") /
+      (col("n_total").cast("double") + col("n_vocab").cast("double"))
+    pairs
+      .withColumn("pbi", pBi)
+      .join(uc.withColumnRenamed("term", "cur"), Seq("cur"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log(lit(lambda) * col("pbi") +
+        lit(1 - lambda) * pUni))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("ptf").cast("double") * col("lp")) /
+        sum(col("ptf")), 6).as("mean_logprob"),
+        sum(col("ptf")).as("n_bigrams"))
   }
 
   /** Corpus-derived add-one unigram LM AS DATA: the `(term, logp)`

@@ -639,6 +639,11 @@ object LlmQueries {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Gopher-style rule gate: the published heuristic thresholds, each
+    // rule a 0/1 flag plus its underlying signal, pass = conjunction
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")),
+
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -758,6 +763,13 @@ object LlmQueries {
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // one LM rung up: mean interpolated-bigram logprob (MLE transitions
+    // interpolated with the add-one unigram) — flags word salad whose
+    // unigram profile looks natural but whose transitions don't
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text",
+        lambda = 0.7)),
+
     // BM25 retrieval: top-10 documents for a fixed query-term set (the
     // lexical candidate-pool primitive; only query-term hits shuffle)
     "text_bm25_topk" -> ((s, dir) =>
@@ -869,6 +881,26 @@ object LlmQueries {
       TextAnalysis.decontaminate(
         docs.filter(col("source") =!= "src9"),
         docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+    }),
+
+    // FUZZY decontamination: near-duplicates of benchmark items (banded
+    // MinHash candidates, Jaccard-verified at 0.5) — catches reformatted
+    // eval leakage the exact 8-gram overlap misses; three sources play
+    // the benchmark so cross near-dup families exist at every SF
+    "text_fuzzy_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.fuzzyContamination(
+        docs.filter(!col("source").isin("src10", "src7", "src9")),
+        docs.filter(col("source").isin("src10", "src7", "src9")),
+        "doc_id", "text")
+    }),
+
+    "text_fuzzy_decontaminated" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.fuzzyDecontaminate(
+        docs.filter(!col("source").isin("src10", "src7", "src9")),
+        docs.filter(col("source").isin("src10", "src7", "src9")),
+        "doc_id", "text")
     }),
 
     // the full training-data release chain: exact collapse -> guarded
@@ -1594,6 +1626,59 @@ object LlmQueries {
          |FROM s""".stripMargin
     },
 
+    "text_gopher_rules" -> {
+      val stopSum = graft.ops.TextAnalysis.GopherStopWords
+        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" +\n          ")
+      s"""WITH t AS (SELECT doc_id, lower(text) AS lt,
+         |             string_split(lower(text), ' ') AS ws,
+         |             string_split(text, chr(10)) AS ls
+         |           FROM documents),
+         |x AS (SELECT doc_id,
+         |        CAST(len(ws) AS INT) AS n_words,
+         |        round(CAST(len(replace(lt, ' ', '')) AS DOUBLE)
+         |          / len(ws), 6) AS mean_word_len,
+         |        round(CAST((len(lt) - len(replace(lt, '#', ''))) +
+         |              (len(lt) - len(replace(lt, '…', ''))) AS DOUBLE)
+         |          / len(ws), 6) AS symbol_ratio,
+         |        round(CAST(len(list_filter(ls, l ->
+         |            starts_with(l, '- ') OR starts_with(l, '* ') OR
+         |            starts_with(l, '• '))) AS DOUBLE) / len(ls), 6)
+         |          AS bullet_line_frac,
+         |        round(CAST(len(list_filter(ls, l ->
+         |            ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+         |          / len(ls), 6) AS ellipsis_line_frac,
+         |        round(CAST(len(list_filter(ws, w ->
+         |            regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws), 6)
+         |          AS alpha_word_frac,
+         |        CAST($stopSum AS INT) AS n_stop_words
+         |      FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+         |  n_stop_words,
+         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |       THEN 1 ELSE 0 END AS INT) AS r_word_count,
+         |  CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |       THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+         |  CAST(CASE WHEN symbol_ratio <= 0.1
+         |       THEN 1 ELSE 0 END AS INT) AS r_symbol_ratio,
+         |  CAST(CASE WHEN bullet_line_frac <= 0.9
+         |       THEN 1 ELSE 0 END AS INT) AS r_bullet_lines,
+         |  CAST(CASE WHEN ellipsis_line_frac <= 0.3
+         |       THEN 1 ELSE 0 END AS INT) AS r_ellipsis_lines,
+         |  CAST(CASE WHEN alpha_word_frac >= 0.8
+         |       THEN 1 ELSE 0 END AS INT) AS r_alpha_words,
+         |  CAST(CASE WHEN n_stop_words >= 2
+         |       THEN 1 ELSE 0 END AS INT) AS r_stop_words,
+         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+         |        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+         |        AND n_stop_words >= 2
+         |       THEN 1 ELSE 0 END AS INT) AS pass
+         |FROM x""".stripMargin
+    },
+
     "text_quality" -> {
       val en = sqlList(StopEn)
       s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
@@ -1734,6 +1819,33 @@ object LlmQueries {
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM tf JOIN lm USING (term), tot
         |GROUP BY 1""".stripMargin,
+
+    // interpolated bigram LM: lambda spliced as the exact doubles the
+    // Scala arithmetic produces (1 - 0.7 = 0.30000000000000004) so both
+    // engines interpolate with bit-identical constants
+    "text_bigram_logprob" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |uc AS (SELECT w AS term, count(*) AS cnt
+         |       FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         |               CAST(count(*) AS DOUBLE) AS n_vocab FROM uc),
+         |bp AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+         |       FROM w, unnest(range(1, len(ws))) t(i)),
+         |pb AS (SELECT doc_id, prev, cur, count(*) AS ptf
+         |       FROM bp GROUP BY 1, 2, 3),
+         |wn AS (SELECT doc_id, prev, cur, ptf,
+         |         CAST(sum(ptf) OVER (PARTITION BY prev, cur) AS DOUBLE) AS cb,
+         |         CAST(sum(ptf) OVER (PARTITION BY prev) AS DOUBLE) AS cp
+         |       FROM pb),
+         |sc AS (SELECT wn.doc_id, wn.ptf,
+         |         ln(${0.7} * (cb / cp) + ${1 - 0.7} *
+         |            (CAST(uc.cnt + 1 AS DOUBLE) / (n_total + n_vocab))) AS lp
+         |       FROM wn JOIN uc ON uc.term = wn.cur, tot)
+         |SELECT doc_id,
+         |  round(sum(CAST(ptf AS DOUBLE) * lp) / sum(ptf), 6) AS mean_logprob,
+         |  CAST(sum(ptf) AS BIGINT) AS n_bigrams
+         |FROM sc GROUP BY 1""".stripMargin,
 
     // BM25: same expression tree as the Spark side — avgdl from exact
     // integer sums, constants written as the arithmetic the Scala code
@@ -1965,6 +2077,55 @@ object LlmQueries {
          |SELECT * FROM documents
          |WHERE source <> 'src9'
          |  AND doc_id NOT IN (SELECT doc_id FROM fl)""".stripMargin,
+
+    // fuzzy contamination: bands over the whole table (per-doc, so
+    // restricting to corpus x benchmark afterwards equals per-side
+    // computation), candidates = cross band-sig matches, then exact
+    // shingle Jaccard at the 0.5 threshold
+    "text_fuzzy_contamination" ->
+      s"""WITH $MinhashCtes,
+         |bn AS (SELECT doc_id FROM documents
+         |       WHERE source IN ('src10', 'src7', 'src9')),
+         |cp AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+         |       FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.sig = b.sig
+         |       JOIN bn ON b.doc_id = bn.doc_id
+         |       WHERE NOT EXISTS (SELECT 1 FROM bn x
+         |                         WHERE x.doc_id = a.doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT c.doc_id, c.bench_id, count(*) AS inter
+         |       FROM cp c JOIN sh x ON x.doc_id = c.doc_id
+         |                 JOIN sh y ON y.doc_id = c.bench_id AND x.s = y.s
+         |       GROUP BY 1, 2),
+         |fver AS (SELECT iv.doc_id, iv.bench_id,
+         |           CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac
+         |         FROM iv JOIN sz sa ON iv.doc_id = sa.doc_id
+         |                 JOIN sz sb ON iv.bench_id = sb.doc_id
+         |         WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5)
+         |SELECT doc_id, bench_id, round(jac, 6) AS jaccard FROM fver""".stripMargin,
+
+    "text_fuzzy_decontaminated" ->
+      s"""WITH $MinhashCtes,
+         |bn AS (SELECT doc_id FROM documents
+         |       WHERE source IN ('src10', 'src7', 'src9')),
+         |cp AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+         |       FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.sig = b.sig
+         |       JOIN bn ON b.doc_id = bn.doc_id
+         |       WHERE NOT EXISTS (SELECT 1 FROM bn x
+         |                         WHERE x.doc_id = a.doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT c.doc_id, c.bench_id, count(*) AS inter
+         |       FROM cp c JOIN sh x ON x.doc_id = c.doc_id
+         |                 JOIN sh y ON y.doc_id = c.bench_id AND x.s = y.s
+         |       GROUP BY 1, 2),
+         |fver AS (SELECT iv.doc_id
+         |         FROM iv JOIN sz sa ON iv.doc_id = sa.doc_id
+         |                 JOIN sz sb ON iv.bench_id = sb.doc_id
+         |         WHERE CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) >= 0.5)
+         |SELECT d.* FROM documents d
+         |WHERE d.source NOT IN ('src10', 'src7', 'src9')
+         |  AND NOT EXISTS (SELECT 1 FROM fver v WHERE v.doc_id = d.doc_id)""".stripMargin,
 
     // exact collapse -> fuzzy keep-first -> decontaminate vs the src9
     // benchmark (src9's own docs flag themselves and drop) -> curation

@@ -176,6 +176,34 @@ class CorpusPrepSpec extends SparkSpec {
     assert(at20.subsetOf(ids(60))) // raising a rate only adds rows
   }
 
+  // ---- fuzzy decontamination ----------------------------------------
+
+  private def fcorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "completely different words about spark clusters and shuffle partitions"),
+    (3L, "another unrelated document mentioning parquet files and broadcast joins")
+  ).toDF("doc_id", "text")
+  private def fbench = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog near the river bank")
+  ).toDF("doc_id", "text")
+
+  test("fuzzy contamination: verbatim copy flagged at jaccard 1, others clean") {
+    val out = TextAnalysis.fuzzyContamination(fcorpus, fbench, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 100L, 1.0)))
+  }
+
+  test("fuzzy decontaminate: drops near-dups; bench members self-flag") {
+    val kept = TextAnalysis.fuzzyDecontaminate(fcorpus, fbench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // a benchmark member inside the corpus flags itself at jaccard 1.0
+    val self = TextAnalysis.fuzzyContamination(
+      fcorpus.unionByName(fbench), fbench, "doc_id", "text")
+    assert(self.filter(col("doc_id") === 100L && col("bench_id") === 100L)
+      .count() == 1)
+  }
+
   // ---- epoch-aware mixing -------------------------------------------
 
   test("epoch rates: uncapped past 100, ceiling at 100 * maxEpochs") {

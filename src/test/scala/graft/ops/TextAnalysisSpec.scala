@@ -249,6 +249,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, expected, 2L)))
   }
 
+  test("bigramLogProb: hand-computed interpolated scores; short docs drop") {
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // unigram LM over ALL tokens (incl. the transition-less doc 3):
+    // uc a=3 b=1 c=1 solo=1, N=6 V=4; bigram contexts: a. = 3
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAA = math.log(0.7 * (1.0 / 3) + (1 - 0.7) * (4.0 / 10))
+    val lpAB = math.log(0.7 * (1.0 / 3) + (1 - 0.7) * (2.0 / 10))
+    val lpAC = lpAB // same counts as (a, b)
+    assert(out(1L) == ((r6((lpAA + lpAB) / 2), 2L)))
+    assert(out(2L) == ((r6(lpAC), 1L)))
+    assert(!out.contains(3L)) // no transitions
+  }
+
+  test("gopherRules: prose passes, listings and symbol soup fail their rules") {
+    val prose = (1 to 6).map(_ =>
+      "the cat sat with the dog and they have gone to look at that bird")
+      .mkString(" ") // 90 words, all rules satisfied
+    val bullets = "- one\n- two\n- three\n- four"
+    val symbols = "the of ## and ## with ## that ## have ## c# f# g# a# b# d#"
+    val d = Seq((1L, prose), (2L, bullets), (3L, symbols))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d, "doc_id", "text")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      out.columns.zip(r.toSeq).toMap).toMap
+    assert(rows(1L)("pass") == 1)
+    assert(rows(1L)("r_word_count") == 1 && rows(1L)("n_words") == 90)
+    // all four lines are bullets -> fraction 1.0 > 0.9, and too few words
+    assert(rows(2L)("r_bullet_lines") == 0 && rows(2L)("bullet_line_frac") == 1.0)
+    assert(rows(2L)("r_word_count") == 0 && rows(2L)("pass") == 0)
+    // 16 '#' over 17 words -> ratio ~0.94 > 0.1; stopwords still present
+    assert(rows(3L)("r_symbol_ratio") == 0 && rows(3L)("r_stop_words") == 1)
+    assert(rows(3L)("pass") == 0)
+  }
+
+  test("gopherRules: ellipsis line fraction and alpha-word fraction") {
+    val d = Seq(
+      (1L, "first line...\nsecond line…\nthird stays\nfourth stays"),
+      (2L, "1 2 3 4 5 6 7 8 9 10")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 2 of 4 lines end in an ellipsis -> 0.5 > 0.3
+    assert(out(1L).getAs[Double]("ellipsis_line_frac") == 0.5)
+    assert(out(1L).getAs[Int]("r_ellipsis_lines") == 0)
+    // no alphabetic words at all
+    assert(out(2L).getAs[Double]("alpha_word_frac") == 0.0)
+    assert(out(2L).getAs[Int]("r_alpha_words") == 0)
+  }
+
   test("piiStats: per-group doc and match counts across all three families") {
     val d = Seq(
       ("g1", "mail me at a.b@example.com or ring +1 555-123-4567 today"),
