@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Corpus, Dedup, EventOps, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, EventOps, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
 import graft.pipeline.{Breweries, Pipeline}
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,48 @@ object LlmQueries {
   }
 
   private val MinhashCtes: String = minhashCtes("documents")
+
+  /** Unrolled fixed-iteration GD for the hashed logistic-regression
+    * quality classifier ([[graft.ops.QualityModel.trainHashedLogReg]]):
+    * every per-iteration quantity rounds to the 6-place grid exactly as
+    * the Spark side does, so weights land bit-identical. dim = 64,
+    * lr = 0.5, positives = the curated source set.
+    */
+  private def qclfCtes(iters: Int): String = {
+    val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
+    val base =
+      s"""sk AS (SELECT doc_id, y, feature, count(*) AS tf FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+         |         THEN 1 ELSE 0 END AS y,
+         |    $feat AS feature
+         |  FROM (SELECT doc_id, source,
+         |          unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents))
+         |GROUP BY 1, 2, 3),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM sk),
+         |g1 AS (SELECT feature,
+         |         round(sum((0.5 - y) * tf) / (SELECT n FROM nd), 6) AS g
+         |       FROM sk GROUP BY 1),
+         |w1 AS (SELECT feature, round(0.0 - 0.5 * g, 6) AS w FROM g1)""".stripMargin
+    val rest = (2 to iters).map { i =>
+      s""",
+         |d$i AS (SELECT sk.doc_id, sk.y,
+         |         round(sum(coalesce(w${i - 1}.w, 0.0) * sk.tf), 6) AS dot
+         |       FROM sk LEFT JOIN w${i - 1} USING (feature) GROUP BY 1, 2),
+         |p$i AS (SELECT doc_id, round(1.0 / (1.0 + exp(-dot)), 6) AS p
+         |       FROM d$i),
+         |g$i AS (SELECT sk.feature,
+         |         round(sum((p$i.p - sk.y) * sk.tf) / (SELECT n FROM nd), 6)
+         |           AS g
+         |       FROM sk JOIN p$i USING (doc_id) GROUP BY 1),
+         |w$i AS (SELECT feature,
+         |         round(coalesce(w${i - 1}.w, 0.0) -
+         |               0.5 * coalesce(g$i.g, 0.0), 6) AS w
+         |       FROM w${i - 1} FULL OUTER JOIN g$i USING (feature))""".stripMargin
+    }.mkString
+    base + rest
+  }
 
   /** [[minhashCtes]] extended with exact-Jaccard verification (`ver` =
     * pairs at or above the 0.5 threshold, raw jaccard in `jac`) — shared
@@ -769,6 +811,25 @@ object LlmQueries {
     "text_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text",
         lambda = 0.7)),
+
+    // model-based quality filter TRAINED IN-ENGINE: hashed bag-of-words
+    // logistic regression, curated sources as the positive class, 3
+    // full-batch GD steps on the 6-place grid (oracle unrolls the same)
+    "text_qclf_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      QualityModel.trainHashedLogReg(docs, "doc_id", "text",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+          .otherwise(0), dim = 64, lr = 0.5, iters = 3)
+    }),
+
+    // the corpus scored under those weights (train + serve composed)
+    "text_qclf_scores" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = QualityModel.trainHashedLogReg(docs, "doc_id", "text",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+          .otherwise(0), dim = 64, lr = 0.5, iters = 3)
+      QualityModel.scoreHashedLogReg(docs, "doc_id", "text", w, dim = 64)
+    }),
 
     // BM25 retrieval: top-10 documents for a fixed query-term set (the
     // lexical candidate-pool primitive; only query-term hits shuffle)
@@ -1819,6 +1880,28 @@ object LlmQueries {
         |  CAST(sum(tf) AS BIGINT) AS n_tokens
         |FROM tf JOIN lm USING (term), tot
         |GROUP BY 1""".stripMargin,
+
+    "text_qclf_weights" ->
+      s"""WITH ${qclfCtes(3)}
+         |SELECT CAST(feature AS INT) AS feature, w FROM w3""".stripMargin,
+
+    "text_qclf_scores" -> {
+      val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
+      s"""WITH ${qclfCtes(3)},
+         |sc0 AS (SELECT doc_id, feature, count(*) AS tf FROM (
+         |          SELECT doc_id, $feat AS feature
+         |          FROM (SELECT doc_id,
+         |                  unnest(string_split(lower(text), ' ')) AS w
+         |                FROM documents))
+         |        GROUP BY 1, 2),
+         |scd AS (SELECT sc0.doc_id,
+         |          round(sum(coalesce(w3.w, 0.0) * sc0.tf), 6) AS dot
+         |        FROM sc0 LEFT JOIN w3 USING (feature) GROUP BY 1)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-dot)), 6) AS score,
+         |  CAST(CASE WHEN round(1.0 / (1.0 + exp(-dot)), 6) >= 0.5
+         |       THEN 1 ELSE 0 END AS INT) AS pred
+         |FROM scd""".stripMargin
+    },
 
     // interpolated bigram LM: lambda spliced as the exact doubles the
     // Scala arithmetic produces (1 - 0.7 = 0.30000000000000004) so both
