@@ -664,6 +664,23 @@ object Similarity {
       pqCb, embeddings.filter(queryPred), m, dim, nprobe, k)
   }
 
+  /** Recall@k of an APPROXIMATE top-k result against the exact one —
+    * the eval primitive that decides whether an IVF / PQ configuration
+    * (cells, nprobe, m) is allowed to serve: per query, the fraction of
+    * the exact top-k the approximate list recovered. Both inputs are
+    * (query_id, vec_id, ...) top-k relations (e.g. [[ivfPqTopKIndexed]]
+    * vs [[bruteForceTopK]] over the same queries). Query-count-sized
+    * join — evaluation cost is independent of the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    exact.select(col("query_id"), col("vec_id"))
+      .join(approx.select(col("query_id"), col("vec_id"))
+        .withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6))
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket
     * (`bucketCol`): only same-bucket pairs are compared. With a learned
     * quantizer as the bucketer this is IVF near-dup at 100 TB; here the

@@ -593,6 +593,17 @@ object LlmQueries {
       Similarity.ivfTopK(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, centroidMod = 50, nprobe = 3, k = 10)),
 
+    // recall@10 of the IVF configuration against exact brute force over
+    // the same queries — the eval gate an ANN config must pass to serve
+    "sim_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(e, col("vec_id") % 100 === 0,
+          centroidMod = 50, nprobe = 3, k = 10),
+        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
+        k = 10)
+    }),
+
     // IVF with a LEARNED codebook: two Lloyd iterations from the
     // deterministic seed (fixed budget so the oracle can replay the exact
     // trajectory), then the same probe/rank pipeline
@@ -1427,6 +1438,51 @@ object LlmQueries {
          |      FROM p)
          |SELECT query_id, vec_id, round(sim, 6) AS cosine
          |FROM r WHERE rn <= 10""".stripMargin,
+
+    // recall eval: the exact and IVF lists are the two oracles above,
+    // left-joined per query — mirror of Similarity.recallAtK
+    "sim_ivf_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |br AS (SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |       FROM bp),
+         |ex AS (SELECT query_id, vec_id FROM br WHERE rn <= 10),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, embedding, centroid_id FROM (
+         |          SELECT e.vec_id, e.embedding, c.centroid_id,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.ce")} DESC,
+         |                       c.centroid_id) AS rn
+         |          FROM embeddings e, c) WHERE rn = 1),
+         |probe AS (SELECT query_id, qe, centroid_id FROM (
+         |            SELECT q.query_id, q.qe, c.centroid_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+         |                         c.centroid_id) AS rn
+         |            FROM q, c) WHERE rn <= 3),
+         |icand AS (SELECT p.query_id, a.vec_id,
+         |            ${cosSql("p.qe", "a.embedding")} AS sim
+         |          FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
+         |          WHERE a.vec_id <> p.query_id),
+         |ir AS (SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |       FROM icand),
+         |ap AS (SELECT query_id, vec_id FROM ir WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "sim_ivf_topk" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce

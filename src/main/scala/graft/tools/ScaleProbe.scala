@@ -168,6 +168,41 @@ object ScaleProbe {
           alpha = 0.5, budget = 75000L * k))
     }
 
+    // epoch-aware mixture end-to-end: same shape as temperature_mix but
+    // the budget exceeds the corpus (~2.7 epochs), so the sampler also
+    // pays the explode — output grows by the epoch factor, still
+    // broadcast-join + map-side
+    t("epoch_mix") {
+      val d = docs.withColumn("grp", (col("doc_id") % 20).cast("string"))
+        .withColumn("n_chars", length(col("text")))
+      Dedup.weightedSampleWithEpochs(d, "doc_id", "grp",
+        Dedup.temperatureMixEpochRates(d, "grp", col("n_chars"),
+          alpha = 0.5, budget = 400000L * k, maxEpochs = 3))
+    }
+
+    // fuzzy decontamination vs the FIXED src9 benchmark: benchmark bands
+    // broadcast; every replica of a benchmark doc is a verified near-dup,
+    // so the flagged set grows linearly with k — candidate volume must
+    // track that, not corpus^2
+    t("fuzzy_decon")(
+      graft.ops.TextAnalysis.fuzzyDecontaminate(docs, bench,
+        "doc_id", "text"))
+
+    // interpolated bigram LM: the transition sketch shuffles twice (the
+    // (prev, cur) and (prev) windows) plus the term join — all sketch-
+    // sized, must stay linear
+    t("bigram_logprob")(
+      graft.ops.TextAnalysis.bigramLogProb(docs, "doc_id", "text"))
+
+    // in-engine classifier training: 3 fixed GD iterations over the
+    // persisted hashed-feature sketch; per-iteration cost is one
+    // broadcast weight join + two partial aggregates — linear, model
+    // state never exceeds 64 rows
+    t("qclf_train")(
+      graft.ops.QualityModel.trainHashedLogReg(docs, "doc_id", "text",
+        when(Dedup.hashBucket(col("doc_id")) < 25, 1).otherwise(0),
+        dim = 64, lr = 0.5, iters = 3))
+
     // BPE training at vocab scale (opt-in: name it in the probe filter;
     // SPARK_GRAFT_BPE_MERGES sets the merge count, default 256). After
     // the single corpus-sized word count, every round is a vocab-sized

@@ -284,4 +284,18 @@ class SimilaritySpec extends SparkSpec {
       assert(probed(qid).contains(cells(vid)),
         s"hit $vid for query $qid is outside its probed cells") }
   }
+
+  test("recallAtK: identical, disjoint, and partial lists") {
+    def topk(rows: (Long, Long)*) = rows.toSeq.toDF("query_id", "vec_id")
+    val exact = topk((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+    // identical lists: recall 1 everywhere
+    val full = Similarity.recallAtK(exact, exact, 2)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(full == Set((1L, 2, 1.0), (2L, 2, 1.0)))
+    // query 1 recovers one of two; query 2 recovers none
+    val part = Similarity.recallAtK(
+      topk((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L)), exact, 2)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(part == Set((1L, 1, 0.5), (2L, 0, 0.0)))
+  }
 }
