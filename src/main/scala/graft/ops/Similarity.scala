@@ -228,7 +228,10 @@ object Similarity {
       .withColumn("psim", fdot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
       .withColumn("prn", probeRn).filter(col("prn") <= nprobe)
       .select(col("query_id"), col("qe"), col("qnrm"), col("centroid_id"))
-    val cand = probed.join(assigned, Seq("centroid_id"))
+    // the probe relation is |Q| x nprobe rows — broadcast by
+    // construction, so the cell-restricted candidate join never
+    // shuffles the stored index
+    val cand = broadcast(probed).join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", fdot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")))
     val rn = row_number().over(
@@ -674,8 +677,10 @@ object Similarity {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
     exact.select(col("query_id"), col("vec_id"))
-      .join(approx.select(col("query_id"), col("vec_id"))
-        .withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      // both sides are top-k lists (k x |Q| rows) — broadcast is safe by
+      // construction and keeps the static plan merge-free
+      .join(broadcast(approx.select(col("query_id"), col("vec_id"))
+        .withColumn("hit", lit(1))), Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
       .withColumn("recall",

@@ -248,4 +248,36 @@ class PlanSpec extends SparkSpec {
       s"expected a single shingle explode:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("gopher rules: single map-only scan, no exchange") {
+    val p = planOf("text_gopher_rules")
+    assert(!p.contains("Exchange"), s"gopher gate must not shuffle:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("epoch sampler: broadcast rate join, map-side explode, one agg exchange") {
+    val p = planOf("sample_epoch_mix")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the only exchange feeds the domain-sized rate aggregate, never the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"corpus rows must not shuffle:\n$p")
+  }
+
+  test("fuzzy decontamination: no cartesian, flagged set broadcast anti-joined") {
+    val p = planOf("text_fuzzy_decontaminated")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("bigram logprob: transitions partial-aggregated before the windows") {
+    val p = planOf("text_bigram_logprob")
+    assert(p.contains("partial_count"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("recall eval: query-count-sized broadcast join, no corpus-side merge") {
+    val p = planOf("sim_ivf_recall")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
