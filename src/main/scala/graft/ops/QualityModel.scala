@@ -35,17 +35,37 @@ object QualityModel {
     (conv(substring(md5(term.cast(StringType)), 1, 8), 16, 10)
       .cast("long") % dim).cast("int")
 
-  /** The persisted training sketch: (doc_id, y, feature, tf) — hashed
-    * unigram counts plus the per-document binary label. One corpus scan.
+  /** 1e-6 grid snap as floor(x * 1e6 + 0.5) / 1e6 — pure IEEE ops, so
+    * both engines produce the identical double. The usual round(x, 6)
+    * goes through each engine's DECIMAL rendering, and GD arithmetic is
+    * rational with small denominators (n_docs, lr), so intermediate
+    * values land EXACTLY on .5 decimal half-points where Spark
+    * (HALF_UP on the shortest decimal) and DuckDB (round on the binary)
+    * disagree by one ulp-of-grid — observed on the fixture.
+    */
+  private[ops] def grid6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** The persisted training sketch: (doc_id, y, feature) — BINARY
+    * presence of each hashed unigram bucket, plus an always-on BIAS
+    * feature (id -1) per document so the model calibrates to the class
+    * prior (without it, every weight chases the prior and the scores
+    * collapse toward 0 — observed on the fixture). One corpus scan;
+    * presence (not tf) keeps dots in sigmoid's linear range.
     */
   private[ops] def featureSketch(df: DataFrame, idCol: String,
                                  textCol: String, labelCol: Column,
-                                 dim: Int): DataFrame =
-    Par.fanOut(df.select(col(idCol), col(textCol), labelCol.as("y")))
+                                 dim: Int): DataFrame = {
+    val tok = Par.fanOut(df.select(col(idCol), col(textCol), labelCol.as("y")))
       .select(col(idCol), col("y"),
         explode(split(lower(col(textCol)), " ")).as("term"))
-      .groupBy(col(idCol), col("y"), featureBucket(col("term"), dim).as("feature"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col("y"),
+        featureBucket(col("term"), dim).as("feature"))
+      .distinct()
+    tok.unionByName(
+      tok.select(col(idCol), col("y")).distinct()
+        .withColumn("feature", lit(-1).cast("int")))
+  }
 
   /** Train `iters` full-batch GD steps from w = 0 and return the weight
     * relation (feature, w). With zero init the first iteration's
@@ -55,9 +75,9 @@ object QualityModel {
     * teacher (e.g. membership in curated sources). Features absent from
     * the corpus simply never appear (implicit weight 0).
     *
-    *   p_i   = round(sigmoid(round(sum_f w_f tf_if, 6)), 6)
-    *   g_f   = round(sum_i (p_i - y_i) tf_if / n_docs, 6)
-    *   w_f  <- round(w_f - lr * g_f, 6)
+    *   p_i   = grid6(sigmoid(grid6(sum_{f in doc i} w_f)))
+    *   g_f   = grid6(sum_{i : f in doc i} (p_i - y_i) / n_docs)
+    *   w_f  <- grid6(w_f - lr * g_f)
     */
   def trainHashedLogReg(df: DataFrame, idCol: String, textCol: String,
                         labelCol: Column, dim: Int = 64, lr: Double = 0.5,
@@ -78,43 +98,64 @@ object QualityModel {
         else
           sk.join(broadcast(w), Seq("feature"), "left")
             .groupBy(col(idCol), col("y"))
-            .agg(round(sum(coalesce(col("w"), lit(0.0)) * col("tf")), 6)
-              .as("dot"))
+            .agg(grid6(sum(coalesce(col("w"), lit(0.0)))).as("dot"))
             .withColumn("p",
-              round(lit(1.0) / (lit(1.0) + exp(-col("dot"))), 6))
+              grid6(lit(1.0) / (lit(1.0) + exp(-col("dot")))))
       val grad = sk.join(p.select(col(idCol), col("p")), Seq(idCol))
         .groupBy(col("feature"))
-        .agg(round(sum((col("p") - col("y")) * col("tf")) / nDocs, 6)
-          .as("g"))
+        .agg(grid6(sum(col("p") - col("y")) / nDocs).as("g"))
       val prev = if (w == null) grad.select(col("feature"),
         lit(0.0).as("w")) else w
       w = prev.join(grad, Seq("feature"), "outer")
         .select(col("feature"),
-          round(coalesce(col("w"), lit(0.0)) -
-            lit(lr) * coalesce(col("g"), lit(0.0)), 6).as("w"))
+          grid6(coalesce(col("w"), lit(0.0)) -
+            lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
         .localCheckpoint(true) // cut the per-iteration lineage stack
     }
     sk.unpersist()
     w
   }
 
-  /** Score documents under a trained (feature, w) relation: the rounded
-    * sigmoid of the rounded dot product, plus the 0/1 prediction at the
-    * 0.5 boundary. The broadcast weight join + one doc-keyed aggregate —
-    * the corpus streams through once, the filter face is a WHERE on the
-    * returned score.
+  /** Deploy face of the classifier as a KEPT-FRACTION filter: keep
+    * documents scoring at or above the exact `quantile` cut of the
+    * corpus's own score distribution. Model-based quality filters
+    * deploy with a kept-fraction target ("top half by classifier
+    * score"), not an absolute probability — the absolute scale shifts
+    * with the class prior. Cut = 6-rounded interpolated percentile
+    * (the [[TextAnalysis.qualityTiers]] convention), one-row broadcast;
+    * the kept-id semi-join is corpus-sized and therefore SHUFFLED, like
+    * every keep-set join in the dedup family.
+    */
+  def keepTopScored(df: DataFrame, idCol: String, textCol: String,
+                    weights: DataFrame, dim: Int = 64,
+                    quantile: Double = 0.5): DataFrame = {
+    val scored = scoreHashedLogReg(df, idCol, textCol, weights, dim)
+    val cut = scored.agg(grid6(
+      call_function("percentile", col("score"), lit(quantile))).as("c"))
+    val keptIds = scored.crossJoin(broadcast(cut))
+      .filter(col("score") >= col("c")).select(col(idCol))
+    df.join(keptIds, Seq(idCol), "left_semi")
+  }
+
+  /** Score documents under a trained (feature, w) relation: the gridded
+    * sigmoid of the gridded dot product, plus the 0/1 prediction at the
+    * 0.5 boundary. Broadcast weight join + one doc-keyed aggregate — the
+    * corpus streams through once; the filter face is [[keepTopScored]].
     */
   def scoreHashedLogReg(df: DataFrame, idCol: String, textCol: String,
-                        weights: DataFrame, dim: Int = 64): DataFrame =
-    Par.fanOut(df.select(col(idCol), col(textCol)))
+                        weights: DataFrame, dim: Int = 64): DataFrame = {
+    val tok = Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
-      .groupBy(col(idCol), featureBucket(col("term"), dim).as("feature"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol), featureBucket(col("term"), dim).as("feature"))
+      .distinct()
+    tok.unionByName(tok.select(col(idCol)).distinct()
+        .withColumn("feature", lit(-1).cast("int")))
       .join(broadcast(weights), Seq("feature"), "left")
       .groupBy(col(idCol))
-      .agg(round(sum(coalesce(col("w"), lit(0.0)) * col("tf")), 6).as("dot"))
+      .agg(grid6(sum(coalesce(col("w"), lit(0.0)))).as("dot"))
       .select(col(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-col("dot"))), 6).as("score"))
+        grid6(lit(1.0) / (lit(1.0) + exp(-col("dot")))).as("score"))
       .withColumn("pred",
         when(col("score") >= 0.5, 1).otherwise(0).cast("int"))
+  }
 }

@@ -231,7 +231,13 @@ object TextAnalysis {
     * sits in a hot loop. Thresholds are the published Gopher defaults;
     * flags are INT 0/1 (house convention for cross-engine hashing).
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The Gopher signals and rule predicates over `textCol` (shared by
+    * the report and filter faces): (signal name -> value, rule name ->
+    * condition). Conditions compare the 6-rounded signal values so both
+    * engines gate on identical grid points.
+    */
+  private def gopherSignals(textCol: String)
+      : (Seq[(String, Column)], Seq[(String, Column)]) = {
     val lt = lower(col(textCol))
     val ws = tokens(col(textCol))
     val nW = size(ws)
@@ -253,7 +259,14 @@ object TextAnalysis {
       .cast("double") / nW.cast("double")
     val nStop = GopherStopWords.map(sw =>
       when(array_contains(ws, sw), 1).otherwise(0)).reduce(_ + _)
-    def flag(c: Column) = when(c, 1).otherwise(0).cast("int")
+    val signals = Seq(
+      "n_words" -> nW,
+      "mean_word_len" -> round(meanLen, 6),
+      "symbol_ratio" -> round(symRatio, 6),
+      "bullet_line_frac" -> round(bulletFrac, 6),
+      "ellipsis_line_frac" -> round(ellipsisFrac, 6),
+      "alpha_word_frac" -> round(alphaFrac, 6),
+      "n_stop_words" -> nStop.cast("int"))
     val rules = Seq(
       "r_word_count" -> (nW >= 50 && nW <= 100000),
       "r_mean_word_len" -> (round(meanLen, 6) >= 3.0 &&
@@ -263,16 +276,31 @@ object TextAnalysis {
       "r_ellipsis_lines" -> (round(ellipsisFrac, 6) <= 0.3),
       "r_alpha_words" -> (round(alphaFrac, 6) >= 0.8),
       "r_stop_words" -> (nStop >= 2))
-    df.select(Seq(col(idCol),
-      nW.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(symRatio, 6).as("symbol_ratio"),
-      round(bulletFrac, 6).as("bullet_line_frac"),
-      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
-      round(alphaFrac, 6).as("alpha_word_frac"),
-      nStop.cast("int").as("n_stop_words")) ++
+    (signals, rules)
+  }
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (signals, rules) = gopherSignals(textCol)
+    def flag(c: Column) = when(c, 1).otherwise(0).cast("int")
+    df.select(col(idCol) +:
+      signals.map { case (n, c) => c.as(n) } ++:
       rules.map { case (n, c) => flag(c).as(n) } :+
       flag(rules.map(_._2).reduce(_ && _)).as("pass"): _*)
+  }
+
+  /** The FILTER face of [[gopherRules]]: keep documents passing the rule
+    * conjunction, original columns intact — one map-only predicate, no
+    * join, composable into release chains. `requireStopWords = false`
+    * drops the English indicator-word rule (synthetic or non-English
+    * corpora, where it would reject everything).
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   requireStopWords: Boolean = true): DataFrame = {
+    val (_, rules) = gopherSignals(textCol)
+    val used =
+      if (requireStopWords) rules
+      else rules.filterNot(_._1 == "r_stop_words")
+    df.filter(used.map(_._2).reduce(_ && _))
   }
 
   /** Characteristic character trigrams per language for the char-n-gram

@@ -115,37 +115,45 @@ object LlmQueries {
     * the Spark side does, so weights land bit-identical. dim = 64,
     * lr = 0.5, positives = the curated source set.
     */
+  /** SQL twin of [[graft.ops.QualityModel.grid6]]: floor(x*1e6+0.5)/1e6
+    * — pure IEEE, bit-identical across engines (round(x, 6) goes through
+    * decimal rendering and disagrees on the exact .5 half-points GD's
+    * rational arithmetic produces).
+    */
+  private def grid6Sql(x: String): String =
+    s"(floor(($x) * 1000000.0 + 0.5) / 1000000.0)"
+
   private def qclfCtes(iters: Int): String = {
     val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
     val base =
-      s"""sk AS (SELECT doc_id, y, feature, count(*) AS tf FROM (
-         |  SELECT doc_id,
+      s"""sk0 AS (SELECT DISTINCT doc_id,
          |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
          |         THEN 1 ELSE 0 END AS y,
          |    $feat AS feature
          |  FROM (SELECT doc_id, source,
          |          unnest(string_split(lower(text), ' ')) AS w
-         |        FROM documents))
-         |GROUP BY 1, 2, 3),
+         |        FROM documents)),
+         |sk AS (SELECT * FROM sk0
+         |       UNION ALL
+         |       SELECT DISTINCT doc_id, y, -1 AS feature FROM sk0),
          |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM sk),
          |g1 AS (SELECT feature,
-         |         round(sum((0.5 - y) * tf) / (SELECT n FROM nd), 6) AS g
+         |         ${grid6Sql("sum(0.5 - y) / (SELECT n FROM nd)")} AS g
          |       FROM sk GROUP BY 1),
-         |w1 AS (SELECT feature, round(0.0 - 0.5 * g, 6) AS w FROM g1)""".stripMargin
+         |w1 AS (SELECT feature, ${grid6Sql("0.0 - 0.5 * g")} AS w FROM g1)""".stripMargin
     val rest = (2 to iters).map { i =>
       s""",
          |d$i AS (SELECT sk.doc_id, sk.y,
-         |         round(sum(coalesce(w${i - 1}.w, 0.0) * sk.tf), 6) AS dot
+         |         ${grid6Sql(s"sum(coalesce(w${i - 1}.w, 0.0))")} AS dot
          |       FROM sk LEFT JOIN w${i - 1} USING (feature) GROUP BY 1, 2),
-         |p$i AS (SELECT doc_id, round(1.0 / (1.0 + exp(-dot)), 6) AS p
+         |p$i AS (SELECT doc_id, ${grid6Sql("1.0 / (1.0 + exp(-dot))")} AS p
          |       FROM d$i),
          |g$i AS (SELECT sk.feature,
-         |         round(sum((p$i.p - sk.y) * sk.tf) / (SELECT n FROM nd), 6)
-         |           AS g
+         |         ${grid6Sql(s"sum(p$i.p - sk.y) / (SELECT n FROM nd)")} AS g
          |       FROM sk JOIN p$i USING (doc_id) GROUP BY 1),
          |w$i AS (SELECT feature,
-         |         round(coalesce(w${i - 1}.w, 0.0) -
-         |               0.5 * coalesce(g$i.g, 0.0), 6) AS w
+         |         ${grid6Sql(s"coalesce(w${i - 1}.w, 0.0) - 0.5 * coalesce(g$i.g, 0.0)")}
+         |           AS w
          |       FROM w${i - 1} FULL OUTER JOIN g$i USING (feature))""".stripMargin
     }.mkString
     base + rest
@@ -188,6 +196,35 @@ object LlmQueries {
   private val ClusterCtes: String =
     s"""$FuzzyCtes,
        |${clusterWalkCtes("ver")}""".stripMargin
+
+  /** Subquery applying the six content-agnostic Gopher rules (stopword
+    * rule excluded) to `base` — the SQL face of
+    * [[graft.ops.TextAnalysis.gopherFilter]](requireStopWords = false),
+    * same 6-rounded comparisons as the `text_gopher_rules` oracle.
+    */
+  private def gopherGateSql(base: String): String =
+    s"""(SELECT * EXCLUDE (__lt, __ws, __ls) FROM (
+       |   SELECT b.*, lower(text) AS __lt,
+       |          string_split(lower(text), ' ') AS __ws,
+       |          string_split(text, chr(10)) AS __ls
+       |   FROM $base b)
+       | WHERE len(__ws) >= 50 AND len(__ws) <= 100000
+       |   AND round(CAST(len(replace(__lt, ' ', '')) AS DOUBLE)
+       |         / len(__ws), 6) >= 3.0
+       |   AND round(CAST(len(replace(__lt, ' ', '')) AS DOUBLE)
+       |         / len(__ws), 6) <= 10.0
+       |   AND round(CAST((len(__lt) - len(replace(__lt, '#', ''))) +
+       |         (len(__lt) - len(replace(__lt, '…', ''))) AS DOUBLE)
+       |         / len(__ws), 6) <= 0.1
+       |   AND round(CAST(len(list_filter(__ls, l ->
+       |         starts_with(l, '- ') OR starts_with(l, '* ') OR
+       |         starts_with(l, '• '))) AS DOUBLE) / len(__ls), 6) <= 0.9
+       |   AND round(CAST(len(list_filter(__ls, l ->
+       |         ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+       |         / len(__ls), 6) <= 0.3
+       |   AND round(CAST(len(list_filter(__ws, w ->
+       |         regexp_matches(w, '[a-z]'))) AS DOUBLE)
+       |         / len(__ws), 6) >= 0.8)""".stripMargin
 
   /** 32-bit integer from `n` hex digits of `hexExpr` starting at 1-based
     * `start` — the per-digit strpos polynomial (DuckDB has no hex->int
@@ -989,6 +1026,30 @@ object LlmQueries {
         docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
       val clean = TextAnalysis.removeFlagged(kept, flagged, "doc_id")
       TextAnalysis.curationFilter(clean, "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en")
+    }),
+
+    // the COMPLETE 2024-era release chain as one lazy plan: exact
+    // collapse -> guarded fuzzy keep-first -> benchmark decontamination
+    // -> Gopher format gate (stopword rule off: synthetic fixture text
+    // has no natural English) -> classifier top-half gate (kept-fraction
+    // deploy) -> curation
+    "llm_corpus_prep_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
+      val flagged = TextAnalysis.contaminationReport(docs,
+        docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+      val clean = TextAnalysis.removeFlagged(kept, flagged, "doc_id")
+      val gated = TextAnalysis.gopherFilter(clean, "doc_id", "text",
+        requireStopWords = false)
+      val w = QualityModel.trainHashedLogReg(docs, "doc_id", "text",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+          .otherwise(0), dim = 64, lr = 0.5, iters = 3)
+      val top = QualityModel.keepTopScored(gated, "doc_id", "text", w,
+        dim = 64, quantile = 0.5)
+      TextAnalysis.curationFilter(top, "doc_id", "text",
         minTokens = 20, maxTokens = 2000, minQuality = 0.1,
         maxRepetition = 0.2, keepLang = "en")
     }),
@@ -1944,17 +2005,18 @@ object LlmQueries {
     "text_qclf_scores" -> {
       val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
       s"""WITH ${qclfCtes(3)},
-         |sc0 AS (SELECT doc_id, feature, count(*) AS tf FROM (
-         |          SELECT doc_id, $feat AS feature
-         |          FROM (SELECT doc_id,
-         |                  unnest(string_split(lower(text), ' ')) AS w
-         |                FROM documents))
-         |        GROUP BY 1, 2),
-         |scd AS (SELECT sc0.doc_id,
-         |          round(sum(coalesce(w3.w, 0.0) * sc0.tf), 6) AS dot
-         |        FROM sc0 LEFT JOIN w3 USING (feature) GROUP BY 1)
-         |SELECT doc_id, round(1.0 / (1.0 + exp(-dot)), 6) AS score,
-         |  CAST(CASE WHEN round(1.0 / (1.0 + exp(-dot)), 6) >= 0.5
+         |sb0 AS (SELECT DISTINCT doc_id, $feat AS feature
+         |        FROM (SELECT doc_id,
+         |                unnest(string_split(lower(text), ' ')) AS w
+         |              FROM documents)),
+         |sb AS (SELECT * FROM sb0
+         |       UNION ALL
+         |       SELECT DISTINCT doc_id, -1 AS feature FROM sb0),
+         |scd AS (SELECT sb.doc_id,
+         |          ${grid6Sql("sum(coalesce(w3.w, 0.0))")} AS dot
+         |        FROM sb LEFT JOIN w3 USING (feature) GROUP BY 1)
+         |SELECT doc_id, ${grid6Sql("1.0 / (1.0 + exp(-dot))")} AS score,
+         |  CAST(CASE WHEN ${grid6Sql("1.0 / (1.0 + exp(-dot))")} >= 0.5
          |       THEN 1 ELSE 0 END AS INT) AS pred
          |FROM scd""".stripMargin
     },
@@ -2285,6 +2347,46 @@ object LlmQueries {
          |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
          |${curationCtes("decon")}
          |$CurationSelect""".stripMargin,
+
+    // the full release chain: decon CTEs -> gopher gate subquery ->
+    // classifier median gate (trained on the RAW corpus by qclfCtes,
+    // scored over the gated relation) -> curation
+    "llm_corpus_prep_full" -> {
+      val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |dg AS (${ngramRowsSql("kept", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
+         |fl AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (s)),
+         |decon AS (SELECT * FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+         |gated AS (SELECT * FROM ${gopherGateSql("decon")}),
+         |${qclfCtes(3)},
+         |sb0 AS (SELECT DISTINCT doc_id, $feat AS feature
+         |        FROM (SELECT doc_id,
+         |                unnest(string_split(lower(text), ' ')) AS w
+         |              FROM gated)),
+         |sb AS (SELECT * FROM sb0
+         |       UNION ALL
+         |       SELECT DISTINCT doc_id, -1 AS feature FROM sb0),
+         |scd AS (SELECT sb.doc_id,
+         |          ${grid6Sql("sum(coalesce(w3.w, 0.0))")} AS dot
+         |        FROM sb LEFT JOIN w3 USING (feature) GROUP BY 1),
+         |qsc AS (SELECT doc_id, ${grid6Sql("1.0 / (1.0 + exp(-dot))")} AS score
+         |        FROM scd),
+         |qcut AS (SELECT ${grid6Sql("quantile_cont(score, 0.5)")} AS c FROM qsc),
+         |topd AS (SELECT g.* FROM gated g JOIN qsc USING (doc_id), qcut
+         |         WHERE qsc.score >= qcut.c),
+         |${curationCtes("topd")}
+         |$CurationSelect""".stripMargin
+    },
 
     "text_pack_bins" ->
       """SELECT doc_id, n_chars,

@@ -22,14 +22,16 @@ class QualityModelSpec extends SparkSpec {
       col("y"), dim = 64, lr = 0.5, iters = 1)
       .as[(Int, Double)].collect().toMap
     // with w = 0 every p is exactly 0.5, so w1_f = -lr * round(
-    //   sum((0.5 - y) tf) / n, 6) — recompute from the sketch directly
+    //   sum(0.5 - y over docs with f) / n, 6) — recompute from the sketch
     val sk = QualityModel.featureSketch(docs, "doc_id", "text", col("y"), 64)
     val expected = sk.groupBy("feature")
-      .agg(round(sum((lit(0.5) - col("y")) * col("tf")) / lit(4.0), 6).as("g"))
-      .select(col("feature"), round(lit(0.0) - lit(0.5) * col("g"), 6).as("w"))
+      .agg(QualityModel.grid6(sum(lit(0.5) - col("y")) / lit(4.0)).as("g"))
+      .select(col("feature"),
+        QualityModel.grid6(lit(0.0) - lit(0.5) * col("g")).as("w"))
       .as[(Int, Double)].collect().toMap
     assert(w1 == expected && w1.nonEmpty)
-    // positive-class tokens pull weights positive, negative-class negative
+    // the balanced toy corpus zeroes the bias; class tokens pull +/-
+    assert(w1(-1) == 0.0)
     assert(w1.values.exists(_ > 0) && w1.values.exists(_ < 0))
   }
 
