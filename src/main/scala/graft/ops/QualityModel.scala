@@ -125,6 +125,12 @@ object QualityModel {
     * (the [[TextAnalysis.qualityTiers]] convention), one-row broadcast;
     * the kept-id semi-join is corpus-sized and therefore SHUFFLED, like
     * every keep-set join in the dedup family.
+    *
+    * `df` is referenced on both sides (scoring pass + final join) — pass
+    * a cheap scan or a persisted relation, not an expensive lazy chain;
+    * when gating a derived corpus, score the RAW corpus and semi-join
+    * the kept ids against the derived relation instead (scores are
+    * derivation-independent — see `llm_corpus_prep_full`).
     */
   def keepTopScored(df: DataFrame, idCol: String, textCol: String,
                     weights: DataFrame, dim: Int = 64,

@@ -289,6 +289,57 @@ object LlmQueries {
     * is then a shift+mask on the right half — identical bits to the
     * per-digit walk, 64x fewer string ops on both engines.
     */
+  /** The full IVF-PQ pipeline CTEs (PQ codebooks, codes, coarse cells,
+    * probes, query LUTs, candidate ADC sums in `sc`) — shared by the
+    * serving and recall oracles.
+    */
+  private def ivfPqCtes: String =
+    s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         |cb AS (SELECT s.sub, e.vec_id AS code,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS ce
+         |       FROM embeddings e, subs s WHERE e.vec_id % 50 = 0),
+         |xs AS (SELECT e.vec_id, s.sub,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
+         |       FROM embeddings e, subs s),
+         |d AS (SELECT x.vec_id, x.sub, c.code,
+         |             round(${dotSql("x.xe", "x.xe")}
+         |               - 2.0 * ${dotSql("x.xe", "c.ce")}
+         |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
+         |      FROM xs x JOIN cb c ON x.sub = c.sub),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |         row_number() OVER (PARTITION BY vec_id, sub
+         |                            ORDER BY d2, code) AS rn FROM d)
+         |  WHERE rn = 1),
+         |c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |       FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (${asgSql("c0")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |probe AS (SELECT query_id, centroid_id FROM (
+         |            SELECT q.query_id, c.centroid_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+         |                         c.centroid_id) AS rn
+         |            FROM q, c0 c) WHERE rn <= 3),
+         |qs AS (SELECT vec_id AS query_id, sub, xe AS qsub
+         |       FROM xs WHERE vec_id % 100 = 0),
+         |lut AS (SELECT qs.query_id, c.sub, c.code,
+         |               round(${dotSql("qs.qsub", "c.ce")}, 6) AS pdot
+         |        FROM qs JOIN cb c ON qs.sub = c.sub),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |         FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
+         |         WHERE a.vec_id <> p.query_id),
+         |sc AS (SELECT cd.query_id, cd.vec_id,
+         |              round(sum(l.pdot), 6) AS adc_score
+         |       FROM cand cd
+         |       JOIN codes k ON k.vec_id = cd.vec_id
+         |       JOIN lut l ON l.query_id = cd.query_id
+         |                 AND l.sub = k.sub AND l.code = k.code
+         |       GROUP BY 1, 2)""".stripMargin
+
+  private val IvfPqCtes: String = ivfPqCtes
+
   private val SimhashCtes: String =
     s"""tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
       |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -676,6 +727,17 @@ object LlmQueries {
         col("vec_id") % 100 === 0, m = 4, dim = 64, centroidMod = 50,
         nprobe = 3, k = 10)),
 
+    // recall@10 of the composed IVF-PQ configuration against exact
+    // brute force — quantifies what the m=4 ADC approximation costs
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.ivfPqTopK(e, col("vec_id") % 100 === 0, m = 4,
+          dim = 64, centroidMod = 50, nprobe = 3, k = 10),
+        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
+        k = 10)
+    }),
+
     // SRP-LSH bucket assignment (data-independent cosine bucketing; the
     // hyperplanes are md5-derived so the oracle replays them exactly).
     "sim_srp_buckets" -> ((s, dir) =>
@@ -1047,9 +1109,15 @@ object LlmQueries {
       val w = QualityModel.trainHashedLogReg(docs, "doc_id", "text",
         when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
           .otherwise(0), dim = 64, lr = 0.5, iters = 3)
-      val top = QualityModel.keepTopScored(gated, "doc_id", "text", w,
-        dim = 64, quantile = 0.5)
-      TextAnalysis.curationFilter(top, "doc_id", "text",
+      // scores are dedup-independent (the decon-flags trick): score the
+      // RAW corpus — a cheap scan — so the expensive dedup+decon+gopher
+      // subtree never re-executes inside the scoring pass, and intersect
+      // once. Median over the raw distribution is also the deployed
+      // shape (score the whole crawl, keep the top fraction).
+      val top = QualityModel.keepTopScored(docs, "doc_id", "text", w,
+        dim = 64, quantile = 0.5).select(col("doc_id"))
+      val released = gated.join(top, Seq("doc_id"), "left_semi")
+      TextAnalysis.curationFilter(released, "doc_id", "text",
         minTokens = 20, maxTokens = 2000, minQuality = 0.1,
         maxRepetition = 0.2, keepLang = "en")
     }),
@@ -1699,55 +1767,39 @@ object LlmQueries {
     // coarse codebook (same asg machinery as sim_ivf_topk), candidates
     // restricted to probed cells, ADC scoring from the PQ CTE block
     "sim_ivfpq_topk" ->
-      s"""WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
-         |cb AS (SELECT s.sub, e.vec_id AS code,
-         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS ce
-         |       FROM embeddings e, subs s WHERE e.vec_id % 50 = 0),
-         |xs AS (SELECT e.vec_id, s.sub,
-         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
-         |       FROM embeddings e, subs s),
-         |d AS (SELECT x.vec_id, x.sub, c.code,
-         |             round(${dotSql("x.xe", "x.xe")}
-         |               - 2.0 * ${dotSql("x.xe", "c.ce")}
-         |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
-         |      FROM xs x JOIN cb c ON x.sub = c.sub),
-         |codes AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code,
-         |         row_number() OVER (PARTITION BY vec_id, sub
-         |                            ORDER BY d2, code) AS rn FROM d)
-         |  WHERE rn = 1),
-         |c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
-         |       FROM embeddings WHERE vec_id % 50 = 0),
-         |asg AS (${asgSql("c0")}),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe
-         |      FROM embeddings WHERE vec_id % 100 = 0),
-         |probe AS (SELECT query_id, centroid_id FROM (
-         |            SELECT q.query_id, c.centroid_id,
-         |              row_number() OVER (PARTITION BY q.query_id
-         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
-         |                         c.centroid_id) AS rn
-         |            FROM q, c0 c) WHERE rn <= 3),
-         |qs AS (SELECT vec_id AS query_id, sub, xe AS qsub
-         |       FROM xs WHERE vec_id % 100 = 0),
-         |lut AS (SELECT qs.query_id, c.sub, c.code,
-         |               round(${dotSql("qs.qsub", "c.ce")}, 6) AS pdot
-         |        FROM qs JOIN cb c ON qs.sub = c.sub),
-         |cand AS (SELECT p.query_id, a.vec_id
-         |         FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
-         |         WHERE a.vec_id <> p.query_id),
-         |sc AS (SELECT cd.query_id, cd.vec_id,
-         |              round(sum(l.pdot), 6) AS adc_score
-         |       FROM cand cd
-         |       JOIN codes k ON k.vec_id = cd.vec_id
-         |       JOIN lut l ON l.query_id = cd.query_id
-         |                 AND l.sub = k.sub AND l.code = k.code
-         |       GROUP BY 1, 2)
+      s"""WITH $IvfPqCtes
          |SELECT query_id, vec_id, adc_score FROM (
          |  SELECT query_id, vec_id, adc_score,
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY adc_score DESC, vec_id) AS rn
          |  FROM sc)
          |WHERE rn <= 10""".stripMargin,
+
+    // recall@10 of the composed IVF-PQ config against exact brute force
+    // (the `q` CTE is shared: same query set on both sides)
+    "sim_ivfpq_recall" ->
+      s"""WITH $IvfPqCtes,
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_score DESC, vec_id) AS rn
+         |  FROM sc) WHERE rn <= 10),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bp) WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "sim_srp_buckets" ->
       """WITH hp AS (SELECT p, i,
@@ -2372,7 +2424,7 @@ object LlmQueries {
          |sb0 AS (SELECT DISTINCT doc_id, $feat AS feature
          |        FROM (SELECT doc_id,
          |                unnest(string_split(lower(text), ' ')) AS w
-         |              FROM gated)),
+         |              FROM documents)),
          |sb AS (SELECT * FROM sb0
          |       UNION ALL
          |       SELECT DISTINCT doc_id, -1 AS feature FROM sb0),
