@@ -285,6 +285,21 @@ class SimilaritySpec extends SparkSpec {
         s"hit $vid for query $qid is outside its probed cells") }
   }
 
+  test("ivfPq rerank: exact-cosine rerank never loses recall vs raw ADC") {
+    val e = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, 10)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, 10)
+        .agg(avg(col("recall"))).as[Double].collect().head
+    val adc = meanRecall(Similarity.ivfPqTopK(e, col("vec_id") % 100 === 0,
+      m = 4, dim = 64, centroidMod = 50, nprobe = 3, k = 10))
+    val rr = meanRecall(Similarity.ivfPqTopKReranked(e,
+      col("vec_id") % 100 === 0, m = 4, dim = 64, centroidMod = 50,
+      nprobe = 3, shortlist = 50, k = 10))
+    assert(rr >= adc, s"rerank recall $rr < raw ADC recall $adc")
+    assert(rr > 0.0 && rr <= 1.0)
+  }
+
   test("recallAtK: identical, disjoint, and partial lists") {
     def topk(rows: (Long, Long)*) = rows.toSeq.toDF("query_id", "vec_id")
     val exact = topk((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
