@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.QualityModel
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream-vs-batch parity for streaming classifier scoring: per-doc
+  * scores are model-and-document functions only, so micro-batched
+  * scoring against the stored weights must equal batch scoring of the
+  * whole corpus, and the kept sink must hold exactly the documents at
+  * or above the threshold.
+  */
+class ScoringIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micro-batched scoring equals batch scoring; kept sink thresholds") {
+    implicit val ctx = spark.sqlContext
+    val docsDf = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val docs = docsDf.as[(Long, String)].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sci_").toString
+    val (wDir, scoresDir, keptDir, ckpt) =
+      (s"$tmp/weights", s"$tmp/scores", s"$tmp/kept", s"$tmp/ckpt")
+
+    // train in batch on the corpus, persist the model as the stream's input
+    val w = QualityModel.trainHashedLogReg(docsDf, "doc_id", "text",
+      when(col("doc_id") % 4 === 0, 1).otherwise(0), dim = 64,
+      lr = 0.5, iters = 2)
+    w.write.parquet(wDir)
+
+    // pick a threshold that splits the fixture's score distribution
+    val batchScores = QualityModel.scoreHashedLogReg(docsDf, "doc_id",
+      "text", spark.read.parquet(wDir), 64)
+    val cut = batchScores.agg(
+      call_function("percentile", col("score"), lit(0.5))).as[Double]
+      .collect().head
+
+    val input = MemoryStream[(Long, String)]
+    val q = ScoringIngest.start(input.toDF().toDF("doc_id", "text"),
+      wDir, scoresDir, keptDir, ckpt, dim = 64, minScore = cut)
+    try {
+      docs.grouped(math.max(docs.size / 3 + 1, 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(scoresDir).distinct()
+      .collect().map(_.toSeq).toSet
+    val batch = batchScores.collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+
+    val keptIds = spark.read.parquet(keptDir).select("doc_id")
+      .as[Long].collect().toSet
+    val expected = batchScores.filter(col("score") >= cut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == expected && expected.nonEmpty)
+    assert(expected.size < docs.size) // the threshold actually splits
+    spark.catalog.clearCache()
+  }
+}
