@@ -513,6 +513,66 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** LEARNED per-subspace PQ codebooks: `maxIters` Lloyd steps run in
+    * every subspace SIMULTANEOUSLY over the one (vec_id, sub, xe) slice
+    * relation — assignment is argmin squared-L2 within the subspace
+    * (6-rounded distance, ties on the lower code), the update is the
+    * element-wise mean on the 1e-6 grid ([[kmeansTrain]]'s determinism
+    * contract, so the DuckDB oracle replays the exact trajectory).
+    * Seeded from the deterministic [[pqCodebook]]; returns the same
+    * `(sub, code, ce)` relation shape, drop-in for [[pqCodes]] /
+    * [[ivfPqIndex]] / the ADC servers. Cells that lose all members drop
+    * out (standard Lloyd).
+    *
+    * Scale posture: per iteration one broadcast-assign pass over the
+    * slice relation + one codebook-sized mean aggregate; the codebook
+    * (m x k_sub x dim/m doubles) is collected to the driver — driver-
+    * sized by definition (it must broadcast for assignment anyway),
+    * which also truncates the loop's lineage like [[kmeansTrain]].
+    */
+  def pqCodebookLearned(embeddings: DataFrame, m: Int, dim: Int,
+                        centroidMod: Int, maxIters: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val xs = embeddings.select(col("vec_id"), explode(array(
+        (0 until m).map(j => struct(lit(j).as("sub"),
+          slice(col("embedding"), j * sub + 1, sub).as("xe"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.xe").as("xe"))
+    var cb = pqCodebook(embeddings, m, dim, centroidMod)
+      .select(col("sub").cast("int"), col("code").cast("long"),
+        col("ce").cast("array<double>"))
+      .as[(Int, Long, Seq[Double])].collect().toSeq.sortBy(t => (t._1, t._2))
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      it += 1
+      val cbDf = cb.toDF("sub", "code", "ce")
+      val d2 = round(
+        fdot(col("xe"), col("xe")) - lit(2.0) * fdot(col("xe"), col("ce")) +
+          fdot(col("ce"), col("ce")), 6)
+      val next = xs.join(broadcast(cbDf), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("xe"), col("code"),
+          d2.as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        // xe is functionally dependent on the group key, so first() is
+        // value-deterministic here
+        .agg(min(struct(col("d2"), col("code"))).as("best"),
+          first(col("xe")).as("xe"))
+        .select(col("sub"), col("best.code").as("code"), col("xe"))
+        .groupBy(col("sub"), col("code"))
+        .agg(call_function("graft_vec_avg", col("xe")).as("ce0"))
+        .select(col("sub"), col("code"),
+          transform(col("ce0"), v => round(v, 6)).as("ce"))
+        .as[(Int, Long, Seq[Double])].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+      converged = next == cb
+      cb = next
+    }
+    cb.toDF("sub", "code", "ce")
+  }
+
   /** PQ encoding: each vector becomes `m` sub-codes, code `j` = the
     * codebook-`j` centroid minimizing squared L2 distance to the j-th
     * subvector (ties on the lower code id). The stored PQ index is

@@ -293,52 +293,86 @@ object LlmQueries {
     * probes, query LUTs, candidate ADC sums in `sc`) — shared by the
     * serving and recall oracles.
     */
-  private def ivfPqCtes: String =
-    s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
-         |cb AS (SELECT s.sub, e.vec_id AS code,
-         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS ce
-         |       FROM embeddings e, subs s WHERE e.vec_id % 50 = 0),
-         |xs AS (SELECT e.vec_id, s.sub,
-         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
-         |       FROM embeddings e, subs s),
-         |d AS (SELECT x.vec_id, x.sub, c.code,
-         |             round(${dotSql("x.xe", "x.xe")}
-         |               - 2.0 * ${dotSql("x.xe", "c.ce")}
-         |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
-         |      FROM xs x JOIN cb c ON x.sub = c.sub),
-         |codes AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code,
-         |         row_number() OVER (PARTITION BY vec_id, sub
-         |                            ORDER BY d2, code) AS rn FROM d)
-         |  WHERE rn = 1),
-         |c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
-         |       FROM embeddings WHERE vec_id % 50 = 0),
-         |asg AS (${asgSql("c0")}),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe
-         |      FROM embeddings WHERE vec_id % 100 = 0),
-         |probe AS (SELECT query_id, centroid_id FROM (
-         |            SELECT q.query_id, c.centroid_id,
-         |              row_number() OVER (PARTITION BY q.query_id
-         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
-         |                         c.centroid_id) AS rn
-         |            FROM q, c0 c) WHERE rn <= 3),
-         |qs AS (SELECT vec_id AS query_id, sub, xe AS qsub
-         |       FROM xs WHERE vec_id % 100 = 0),
-         |lut AS (SELECT qs.query_id, c.sub, c.code,
-         |               round(${dotSql("qs.qsub", "c.ce")}, 6) AS pdot
-         |        FROM qs JOIN cb c ON qs.sub = c.sub),
-         |cand AS (SELECT p.query_id, a.vec_id
-         |         FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
-         |         WHERE a.vec_id <> p.query_id),
-         |sc AS (SELECT cd.query_id, cd.vec_id,
-         |              round(sum(l.pdot), 6) AS adc_score
-         |       FROM cand cd
-         |       JOIN codes k ON k.vec_id = cd.vec_id
-         |       JOIN lut l ON l.query_id = cd.query_id
-         |                 AND l.sub = k.sub AND l.code = k.code
-         |       GROUP BY 1, 2)""".stripMargin
+  private def seedPqCbDef(name: String): String =
+    s"""$name AS (SELECT s.sub, e.vec_id AS code,
+       |              e.embedding[s.sub*16+1 : s.sub*16+16] AS ce
+       |       FROM embeddings e, subs s WHERE e.vec_id % 50 = 0)""".stripMargin
 
-  private val IvfPqCtes: String = ivfPqCtes
+  /** Unrolled per-subspace Lloyd chain (assignment = argmin 6-rounded
+    * squared L2 within the subspace, update = per-dim mean on the 1e-6
+    * grid) from the seed book `pcb0` to `pcb<iters>` — the SQL twin of
+    * [[Similarity.pqCodebookLearned]].
+    */
+  private def pqLearnedCbDef(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s""",
+         |pa$i AS (SELECT vec_id, sub, xe, code FROM (
+         |   SELECT x.vec_id, x.sub, x.xe, c.code,
+         |     row_number() OVER (PARTITION BY x.vec_id, x.sub
+         |       ORDER BY round(${dotSql("x.xe", "x.xe")}
+         |           - 2.0 * ${dotSql("x.xe", "c.ce")}
+         |           + ${dotSql("c.ce", "c.ce")}, 6), c.code) AS rn
+         |   FROM xs x JOIN pcb${i - 1} c ON x.sub = c.sub) WHERE rn = 1),
+         |pcb$i AS (SELECT sub, code, list(av ORDER BY i) AS ce FROM (
+         |   SELECT sub, code, i, round(avg(CAST(xe[i] AS DOUBLE)), 6) AS av
+         |   FROM pa$i, unnest(range(1, len(xe)+1)) t(i)
+         |   GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    seedPqCbDef("pcb0") + chain
+  }
+
+  /** The full IVF-PQ pipeline CTEs against the codebook CTE `cbName`
+    * (defined by `cbDef`): PQ codes, coarse cells, probes, query LUTs,
+    * candidate ADC sums in `sc` — shared by the serving, rerank, recall,
+    * and learned-codebook oracles.
+    */
+  private def ivfPqCtesWith(cbName: String, cbDef: String): String =
+    s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+       |xs AS (SELECT e.vec_id, s.sub,
+       |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
+       |       FROM embeddings e, subs s),
+       |$cbDef,
+       |d AS (SELECT x.vec_id, x.sub, c.code,
+       |             round(${dotSql("x.xe", "x.xe")}
+       |               - 2.0 * ${dotSql("x.xe", "c.ce")}
+       |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
+       |      FROM xs x JOIN $cbName c ON x.sub = c.sub),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |                            ORDER BY d2, code) AS rn FROM d)
+       |  WHERE rn = 1),
+       |c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |asg AS (${asgSql("c0")}),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe
+       |      FROM embeddings WHERE vec_id % 100 = 0),
+       |probe AS (SELECT query_id, centroid_id FROM (
+       |            SELECT q.query_id, c.centroid_id,
+       |              row_number() OVER (PARTITION BY q.query_id
+       |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+       |                         c.centroid_id) AS rn
+       |            FROM q, c0 c) WHERE rn <= 3),
+       |qs AS (SELECT vec_id AS query_id, sub, xe AS qsub
+       |       FROM xs WHERE vec_id % 100 = 0),
+       |lut AS (SELECT qs.query_id, c.sub, c.code,
+       |               round(${dotSql("qs.qsub", "c.ce")}, 6) AS pdot
+       |        FROM qs JOIN $cbName c ON qs.sub = c.sub),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |         FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
+       |         WHERE a.vec_id <> p.query_id),
+       |sc AS (SELECT cd.query_id, cd.vec_id,
+       |              round(sum(l.pdot), 6) AS adc_score
+       |       FROM cand cd
+       |       JOIN codes k ON k.vec_id = cd.vec_id
+       |       JOIN lut l ON l.query_id = cd.query_id
+       |                 AND l.sub = k.sub AND l.code = k.code
+       |       GROUP BY 1, 2)""".stripMargin
+
+  private val IvfPqCtes: String = ivfPqCtesWith("cb", seedPqCbDef("cb"))
+
+  private val IvfPqLearnedCtes: String =
+    ivfPqCtesWith("pcb2", pqLearnedCbDef(2))
 
   private val SimhashCtes: String =
     s"""tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
@@ -726,6 +760,47 @@ object LlmQueries {
       Similarity.ivfPqTopK(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, m = 4, dim = 64, centroidMod = 50,
         nprobe = 3, k = 10)),
+
+    // LEARNED per-subspace PQ codebooks (2 Lloyd steps per subspace,
+    // 1e-6 grid) — exploded for scalar-row oracle comparison
+    "vec_pq_codebook_learned" -> ((s, dir) =>
+      Similarity.pqCodebookLearned(Tables.embeddings(s, dir), m = 4,
+        dim = 64, centroidMod = 50, maxIters = 2)
+        .select(col("sub"), col("code"),
+          posexplode(col("ce")).as(Seq("pos", "v")))
+        .select(col("sub"), col("code"),
+          (col("pos") + 1).cast("int").as("dim"), col("v"))),
+
+    // IVF-PQ served from the LEARNED sub-codebooks — same integer index
+    // shape, tighter cells
+    "sim_ivfpq_topk_learned" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ivfCb = e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      val pqCb = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
+        centroidMod = 50, maxIters = 2)
+      Similarity.ivfPqTopKIndexed(
+        Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64),
+        ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), m = 4,
+        dim = 64, nprobe = 3, k = 10)
+    }),
+
+    // recall@10 of the learned-codebook ADC vs exact brute force — the
+    // training-lift measurement next to sim_ivfpq_recall's 0.38
+    "sim_ivfpq_learned_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val ivfCb = e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      val pqCb = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
+        centroidMod = 50, maxIters = 2)
+      Similarity.recallAtK(
+        Similarity.ivfPqTopKIndexed(
+          Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64),
+          ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), m = 4,
+          dim = 64, nprobe = 3, k = 10),
+        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
+        k = 10)
+    }),
 
     // two-stage serving: ADC shortlist of 50 from the integer index,
     // exact-cosine rerank of the shortlist only — the classical recall
@@ -1791,6 +1866,50 @@ object LlmQueries {
          |                            ORDER BY adc_score DESC, vec_id) AS rn
          |  FROM sc)
          |WHERE rn <= 10""".stripMargin,
+
+    // learned PQ codebooks, exploded (1-based dim like vec_centroids)
+    "vec_pq_codebook_learned" ->
+      s"""WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         |xs AS (SELECT e.vec_id, s.sub,
+         |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
+         |       FROM embeddings e, subs s),
+         |${pqLearnedCbDef(2)}
+         |SELECT CAST(sub AS INT) AS sub, CAST(code AS BIGINT) AS code,
+         |       CAST(i AS INT) AS dim, ce[i] AS v
+         |FROM pcb2, unnest(range(1, len(ce)+1)) t(i)""".stripMargin,
+
+    "sim_ivfpq_topk_learned" ->
+      s"""WITH $IvfPqLearnedCtes
+         |SELECT query_id, vec_id, adc_score FROM (
+         |  SELECT query_id, vec_id, adc_score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_score DESC, vec_id) AS rn
+         |  FROM sc)
+         |WHERE rn <= 10""".stripMargin,
+
+    "sim_ivfpq_learned_recall" ->
+      s"""WITH $IvfPqLearnedCtes,
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_score DESC, vec_id) AS rn
+         |  FROM sc) WHERE rn <= 10),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bp) WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
 
     // two-stage rerank: ADC shortlist (rn <= 50) re-scored with the
     // exact cosine, ranked on the raw sim like sim_topk

@@ -285,6 +285,36 @@ class SimilaritySpec extends SparkSpec {
         s"hit $vid for query $qid is outside its probed cells") }
   }
 
+  test("pqCodebookLearned: Lloyd lowers per-subspace quantization error") {
+    val e = Tables.embeddings(spark, sf0001)
+    val seed = Similarity.pqCodebook(e, m = 4, dim = 64, centroidMod = 50)
+    val learned = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
+      centroidMod = 50, maxIters = 2)
+    // mean over (vector, subspace) of the min squared L2 to any code —
+    // the k-means objective; Lloyd must not increase it
+    def objective(cb: org.apache.spark.sql.DataFrame): Double = {
+      // (vec_id, sub, xe) slice relation
+      val sliced = e.select(col("vec_id"), explode(array(
+          (0 until 4).map(j => struct(lit(j).as("sub"),
+            slice(col("embedding"), j * 16 + 1, 16).as("xe"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.sub").as("sub"), col("s.xe").as("xe"))
+      val d2 = (0 until 16).map(i =>
+        (element_at(col("xe"), i + 1).cast("double") -
+          element_at(col("ce"), i + 1).cast("double")) *
+        (element_at(col("xe"), i + 1).cast("double") -
+          element_at(col("ce"), i + 1).cast("double"))).reduce(_ + _)
+      sliced.join(cb, Seq("sub"))
+        .groupBy(col("vec_id"), col("sub")).agg(min(d2).as("best"))
+        .agg(avg(col("best"))).as[Double].collect().head
+    }
+    assert(objective(learned) <= objective(seed) + 1e-9)
+    // deterministic across runs, values on the 1e-6 grid
+    val l2 = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
+      centroidMod = 50, maxIters = 2)
+    assert(learned.collect().map(_.toSeq).toSet ==
+      l2.collect().map(_.toSeq).toSet)
+  }
+
   test("ivfPq rerank: exact-cosine rerank never loses recall vs raw ADC") {
     val e = Tables.embeddings(spark, sf0001)
     val exact = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, 10)
