@@ -326,7 +326,26 @@ object LlmQueries {
     * candidate ADC sums in `sc` — shared by the serving, rerank, recall,
     * and learned-codebook oracles.
     */
-  private def ivfPqCtesWith(cbName: String, cbDef: String): String =
+  /** Coarse-codebook CTE chain for `iters` unrolled Lloyd steps (the
+    * [[Similarity.kmeansTrain]] oracle shape), final book named
+    * `cl<iters>`.
+    */
+  private def coarseLearnedDef(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s""",
+         |casg$i AS (${asgSql(if (i == 1) "cl0" else s"cl${i - 1}")}),
+         |cl$i AS (${cMeanSql(s"casg$i")})""".stripMargin
+    }.mkString
+    s"""cl0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+       |        FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin + chain
+  }
+
+  private def ivfPqCtesWith(cbName: String, cbDef: String,
+                            coarseName: String = "c0",
+                            coarseDef: String =
+                              """c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
+                                |       FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin)
+      : String =
     s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
        |xs AS (SELECT e.vec_id, s.sub,
        |              e.embedding[s.sub*16+1 : s.sub*16+16] AS xe
@@ -342,9 +361,8 @@ object LlmQueries {
        |         row_number() OVER (PARTITION BY vec_id, sub
        |                            ORDER BY d2, code) AS rn FROM d)
        |  WHERE rn = 1),
-       |c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
-       |       FROM embeddings WHERE vec_id % 50 = 0),
-       |asg AS (${asgSql("c0")}),
+       |$coarseDef,
+       |asg AS (${asgSql(coarseName)}),
        |q AS (SELECT vec_id AS query_id, embedding AS qe
        |      FROM embeddings WHERE vec_id % 100 = 0),
        |probe AS (SELECT query_id, centroid_id FROM (
@@ -352,7 +370,7 @@ object LlmQueries {
        |              row_number() OVER (PARTITION BY q.query_id
        |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
        |                         c.centroid_id) AS rn
-       |            FROM q, c0 c) WHERE rn <= 3),
+       |            FROM q, $coarseName c) WHERE rn <= 3),
        |qs AS (SELECT vec_id AS query_id, sub, xe AS qsub
        |       FROM xs WHERE vec_id % 100 = 0),
        |lut AS (SELECT qs.query_id, c.sub, c.code,
@@ -373,6 +391,12 @@ object LlmQueries {
 
   private val IvfPqLearnedCtes: String =
     ivfPqCtesWith("pcb2", pqLearnedCbDef(2))
+
+  /** Fully learned IVF-PQ: learned coarse cells (2 Lloyd steps) AND
+    * learned sub-codebooks.
+    */
+  private val IvfPqFullLearnedCtes: String =
+    ivfPqCtesWith("pcb2", pqLearnedCbDef(2), "cl2", coarseLearnedDef(2))
 
   private val SimhashCtes: String =
     s"""tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
@@ -783,6 +807,24 @@ object LlmQueries {
         Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64),
         ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), m = 4,
         dim = 64, nprobe = 3, k = 10)
+    }),
+
+    // FULLY learned IVF-PQ: learned coarse cells (kmeansTrain, 2 Lloyd
+    // steps) AND learned sub-codebooks composed — recall vs brute force
+    "sim_ivfpq_full_learned_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val seed = e.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding")
+      val ivfCb = Similarity.kmeansTrain(e, seed, maxIters = 2)
+      val pqCb = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
+        centroidMod = 50, maxIters = 2)
+      Similarity.recallAtK(
+        Similarity.ivfPqTopKIndexed(
+          Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64),
+          ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), m = 4,
+          dim = 64, nprobe = 3, k = 10),
+        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
+        k = 10)
     }),
 
     // recall@10 of the learned-codebook ADC vs exact brute force — the
@@ -1886,6 +1928,30 @@ object LlmQueries {
          |                            ORDER BY adc_score DESC, vec_id) AS rn
          |  FROM sc)
          |WHERE rn <= 10""".stripMargin,
+
+    "sim_ivfpq_full_learned_recall" ->
+      s"""WITH $IvfPqFullLearnedCtes,
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc_score DESC, vec_id) AS rn
+         |  FROM sc) WHERE rn <= 10),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bp) WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "sim_ivfpq_learned_recall" ->
       s"""WITH $IvfPqLearnedCtes,
