@@ -29,7 +29,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the dump AND the
+    // oracle json to the named queries (check_oracle.py fails on dumps
+    // missing vs oracle_sql.json, so both must filter together).
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try {
         val out = fn(spark, sfDir)
         // Session TZ is UTC, so TIMESTAMP -> TIMESTAMP_NTZ keeps the
@@ -61,7 +67,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

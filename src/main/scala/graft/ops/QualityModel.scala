@@ -53,9 +53,9 @@ object QualityModel {
     * collapse toward 0 — observed on the fixture). One corpus scan;
     * presence (not tf) keeps dots in sigmoid's linear range.
     */
-  private[ops] def featureSketch(df: DataFrame, idCol: String,
-                                 textCol: String, labelCol: Column,
-                                 dim: Int): DataFrame = {
+  def featureSketch(df: DataFrame, idCol: String,
+                    textCol: String, labelCol: Column,
+                    dim: Int): DataFrame = {
     val tok = Par.fanOut(df.select(col(idCol), col(textCol), labelCol.as("y")))
       .select(col(idCol), col("y"),
         explode(split(lower(col(textCol)), " ")).as("term"))
@@ -84,7 +84,20 @@ object QualityModel {
                         iters: Int = 3): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sk = featureSketch(df, idCol, textCol, labelCol, dim).persist(sl)
-    sk.count() // one materialization for all iterations
+    val w = trainHashedLogRegWith(sk, idCol, lr, iters)
+    sk.unpersist() // weights are eagerly checkpointed — sketch is done
+    w
+  }
+
+  /** Train against an ALREADY-BUILT (and ideally persisted/checkpointed)
+    * feature sketch — the face that lets a train+score composition
+    * tokenize the corpus exactly once: build [[featureSketch]], cut its
+    * lineage (`localCheckpoint(true)`), train here, then score the same
+    * relation with [[scoreHashedLogRegWith]]. `sk` must carry
+    * (`idCol`, y, feature) as produced by [[featureSketch]].
+    */
+  def trainHashedLogRegWith(sk: DataFrame, idCol: String, lr: Double = 0.5,
+                            iters: Int = 3): DataFrame = {
     val nDocs = sk.select(col(idCol)).distinct().count().toDouble
     // w starts empty (all-zero weights stay implicit; only touched
     // features ever materialize a row — the relation is <= dim rows)
@@ -112,7 +125,6 @@ object QualityModel {
             lit(lr) * coalesce(col("g"), lit(0.0))).as("w"))
         .localCheckpoint(true) // cut the per-iteration lineage stack
     }
-    sk.unpersist()
     w
   }
 
@@ -134,8 +146,23 @@ object QualityModel {
     */
   def keepTopScored(df: DataFrame, idCol: String, textCol: String,
                     weights: DataFrame, dim: Int = 64,
-                    quantile: Double = 0.5): DataFrame = {
-    val scored = scoreHashedLogReg(df, idCol, textCol, weights, dim)
+                    quantile: Double = 0.5): DataFrame =
+    keepFromScored(df, idCol,
+      scoreHashedLogReg(df, idCol, textCol, weights, dim), quantile)
+
+  /** [[keepTopScored]] against an already-built feature sketch — the
+    * train+gate composition face: the corpus is tokenized once (in the
+    * sketch), not re-hashed by the gate's scoring pass.
+    */
+  def keepTopScoredWith(df: DataFrame, idCol: String, sk: DataFrame,
+                        weights: DataFrame,
+                        quantile: Double = 0.5): DataFrame =
+    keepFromScored(df, idCol, scoreHashedLogRegWith(sk, idCol, weights),
+      quantile)
+
+  private def keepFromScored(df: DataFrame, idCol: String,
+                             scored: DataFrame,
+                             quantile: Double): DataFrame = {
     val cut = scored.agg(grid6(
       call_function("percentile", col("score"), lit(quantile))).as("c"))
     val keptIds = scored.crossJoin(broadcast(cut))
@@ -164,4 +191,23 @@ object QualityModel {
       .withColumn("pred",
         when(col("score") >= 0.5, 1).otherwise(0).cast("int"))
   }
+
+  /** Score from an ALREADY-BUILT feature sketch (same relation
+    * [[trainHashedLogRegWith]] trains on) — identical arithmetic to
+    * [[scoreHashedLogReg]], zero additional corpus scans: a train+score
+    * composition that checkpoints the sketch tokenizes the corpus
+    * exactly once. At 100 TB this halves the quality gate's dominant
+    * cost (the tokenize+hash pass); [[scoreHashedLogReg]] remains the
+    * deploy face for scoring FRESH documents under fixed weights.
+    */
+  def scoreHashedLogRegWith(sk: DataFrame, idCol: String,
+                            weights: DataFrame): DataFrame =
+    sk.select(col(idCol), col("feature"))
+      .join(broadcast(weights), Seq("feature"), "left")
+      .groupBy(col(idCol))
+      .agg(grid6(sum(coalesce(col("w"), lit(0.0)))).as("dot"))
+      .select(col(idCol),
+        grid6(lit(1.0) / (lit(1.0) + exp(-col("dot")))).as("score"))
+      .withColumn("pred",
+        when(col("score") >= 0.5, 1).otherwise(0).cast("int"))
 }

@@ -344,7 +344,8 @@ object LlmQueries {
                             coarseName: String = "c0",
                             coarseDef: String =
                               """c0 AS (SELECT vec_id AS centroid_id, embedding AS ce
-                                |       FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin)
+                                |       FROM embeddings WHERE vec_id % 50 = 0)""".stripMargin,
+                            nprobe: Int = 3)
       : String =
     s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
        |xs AS (SELECT e.vec_id, s.sub,
@@ -370,7 +371,7 @@ object LlmQueries {
        |              row_number() OVER (PARTITION BY q.query_id
        |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
        |                         c.centroid_id) AS rn
-       |            FROM q, $coarseName c) WHERE rn <= 3),
+       |            FROM q, $coarseName c) WHERE rn <= $nprobe),
        |qs AS (SELECT vec_id AS query_id, sub, xe AS qsub
        |       FROM xs WHERE vec_id % 100 = 0),
        |lut AS (SELECT qs.query_id, c.sub, c.code,
@@ -393,10 +394,26 @@ object LlmQueries {
     ivfPqCtesWith("pcb2", pqLearnedCbDef(2))
 
   /** Fully learned IVF-PQ: learned coarse cells (2 Lloyd steps) AND
-    * learned sub-codebooks.
+    * learned sub-codebooks, at the ladder-picked serving nprobe=5.
     */
   private val IvfPqFullLearnedCtes: String =
-    ivfPqCtesWith("pcb2", pqLearnedCbDef(2), "cl2", coarseLearnedDef(2))
+    ivfPqCtesWith("pcb2", pqLearnedCbDef(2), "cl2", coarseLearnedDef(2),
+      nprobe = 5)
+
+  /** The two-stage rerank tail shared by the reranked serving oracles:
+    * ADC shortlist (top `shortlist` by adc_score from `sc`) re-scored
+    * with the exact cosine in `rr`.
+    */
+  private def rerankCtes(shortlist: Int): String =
+    s"""short AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_score DESC, vec_id) AS srn
+       |  FROM sc) WHERE srn <= $shortlist),
+       |rr AS (SELECT s.query_id, s.vec_id,
+       |         ${cosSql("q.qe", "e.embedding")} AS sim
+       |       FROM short s JOIN q ON q.query_id = s.query_id
+       |       JOIN embeddings e ON e.vec_id = s.vec_id)""".stripMargin
 
   private val SimhashCtes: String =
     s"""tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
@@ -795,22 +812,27 @@ object LlmQueries {
         .select(col("sub"), col("code"),
           (col("pos") + 1).cast("int").as("dim"), col("v"))),
 
-    // IVF-PQ served from the LEARNED sub-codebooks — same integer index
-    // shape, tighter cells
+    // IVF-PQ SERVED from the LEARNED sub-codebooks at the rung the r12
+    // RecallLadder sweep picked: nprobe=3 + exact-cosine rerank of the
+    // ADC-50 shortlist (recall@10 0.82 vs 0.50 ADC-only — see ROUND12.md)
     "sim_ivfpq_topk_learned" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val ivfCb = e.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding")
       val pqCb = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
         centroidMod = 50, maxIters = 2)
-      Similarity.ivfPqTopKIndexed(
+      Similarity.ivfPqTopKIndexedReranked(
         Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64),
-        ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), m = 4,
-        dim = 64, nprobe = 3, k = 10)
+        ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), e, m = 4,
+        dim = 64, nprobe = 3, shortlist = 50, k = 10)
     }),
 
-    // FULLY learned IVF-PQ: learned coarse cells (kmeansTrain, 2 Lloyd
-    // steps) AND learned sub-codebooks composed — recall vs brute force
+    // FULLY learned IVF-PQ (learned coarse cells AND learned
+    // sub-codebooks) at ITS ladder-picked serving rung: nprobe=5 +
+    // rerank50 — recall@10 0.78 in-sample / 0.40 holdout, the best
+    // holdout of all three configs (the learned coarse quantizer
+    // generalizes; it only trailed in-sample where every query is its
+    // own seed centroid). Replaces the ADC-only nprobe=3 rung (0.46).
     "sim_ivfpq_full_learned_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val seed = e.filter(col("vec_id") % 50 === 0)
@@ -819,10 +841,10 @@ object LlmQueries {
       val pqCb = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
         centroidMod = 50, maxIters = 2)
       Similarity.recallAtK(
-        Similarity.ivfPqTopKIndexed(
+        Similarity.ivfPqTopKIndexedReranked(
           Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64),
-          ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), m = 4,
-          dim = 64, nprobe = 3, k = 10),
+          ivfCb, pqCb, e.filter(col("vec_id") % 100 === 0), e, m = 4,
+          dim = 64, nprobe = 5, shortlist = 50, k = 10),
         Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
         k = 10)
     }),
@@ -1066,13 +1088,19 @@ object LlmQueries {
           .otherwise(0), dim = 64, lr = 0.5, iters = 3)
     }),
 
-    // the corpus scored under those weights (train + serve composed)
+    // the corpus scored under those weights (train + serve composed).
+    // ONE tokenize pass: the feature sketch is built and checkpointed
+    // once, the GD loop trains on it, and the scoring pass reads the
+    // SAME relation — the corpus is never re-tokenized (PlanSpec pins
+    // the scored plan to zero corpus scans / zero explodes).
     "text_qclf_scores" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val w = QualityModel.trainHashedLogReg(docs, "doc_id", "text",
+      val sk = QualityModel.featureSketch(docs, "doc_id", "text",
         when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
-          .otherwise(0), dim = 64, lr = 0.5, iters = 3)
-      QualityModel.scoreHashedLogReg(docs, "doc_id", "text", w, dim = 64)
+          .otherwise(0), dim = 64).localCheckpoint(true)
+      val w = QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5,
+        iters = 3)
+      QualityModel.scoreHashedLogRegWith(sk, "doc_id", w)
     }),
 
     // BM25 retrieval: top-10 documents for a fixed query-term set (the
@@ -1240,16 +1268,20 @@ object LlmQueries {
       val clean = TextAnalysis.removeFlagged(kept, flagged, "doc_id")
       val gated = TextAnalysis.gopherFilter(clean, "doc_id", "text",
         requireStopWords = false)
-      val w = QualityModel.trainHashedLogReg(docs, "doc_id", "text",
-        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
-          .otherwise(0), dim = 64, lr = 0.5, iters = 3)
       // scores are dedup-independent (the decon-flags trick): score the
-      // RAW corpus — a cheap scan — so the expensive dedup+decon+gopher
-      // subtree never re-executes inside the scoring pass, and intersect
-      // once. Median over the raw distribution is also the deployed
-      // shape (score the whole crawl, keep the top fraction).
-      val top = QualityModel.keepTopScored(docs, "doc_id", "text", w,
-        dim = 64, quantile = 0.5).select(col("doc_id"))
+      // RAW corpus — so the expensive dedup+decon+gopher subtree never
+      // re-executes inside the scoring pass, and intersect once. Median
+      // over the raw distribution is also the deployed shape (score the
+      // whole crawl, keep the top fraction). The checkpointed feature
+      // sketch is shared by train AND gate: one tokenize+hash pass over
+      // the raw corpus total, not one per phase.
+      val sk = QualityModel.featureSketch(docs, "doc_id", "text",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+          .otherwise(0), dim = 64).localCheckpoint(true)
+      val w = QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5,
+        iters = 3)
+      val top = QualityModel.keepTopScoredWith(docs, "doc_id", sk, w,
+        quantile = 0.5).select(col("doc_id"))
       val released = gated.join(top, Seq("doc_id"), "left_semi")
       TextAnalysis.curationFilter(released, "doc_id", "text",
         minTokens = 20, maxTokens = 2000, minQuality = 0.1,
@@ -1920,22 +1952,25 @@ object LlmQueries {
          |       CAST(i AS INT) AS dim, ce[i] AS v
          |FROM pcb2, unnest(range(1, len(ce)+1)) t(i)""".stripMargin,
 
+    // learned-PQ serving at its ladder rung: nprobe=3 + rerank50
     "sim_ivfpq_topk_learned" ->
-      s"""WITH $IvfPqLearnedCtes
-         |SELECT query_id, vec_id, adc_score FROM (
-         |  SELECT query_id, vec_id, adc_score,
+      s"""WITH $IvfPqLearnedCtes,
+         |${rerankCtes(50)}
+         |SELECT query_id, vec_id, round(sim, 6) AS cosine FROM (
+         |  SELECT query_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY adc_score DESC, vec_id) AS rn
-         |  FROM sc)
-         |WHERE rn <= 10""".stripMargin,
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM rr) WHERE rn <= 10""".stripMargin,
 
+    // fully-learned serving at its ladder rung: nprobe=5 + rerank50
     "sim_ivfpq_full_learned_recall" ->
       s"""WITH $IvfPqFullLearnedCtes,
+         |${rerankCtes(50)},
          |ap AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,
          |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY adc_score DESC, vec_id) AS rn
-         |  FROM sc) WHERE rn <= 10),
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM rr) WHERE rn <= 10),
          |bp AS (SELECT q.query_id, e.vec_id,
          |         ${cosSql("q.qe", "e.embedding")} AS sim
          |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),

@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   * and without the exact-cosine rerank stage) across a range of `nprobe`
   * values — the tuning loop behind picking the served configuration.
   *
+  * Two query sets are swept per rung: `insample` (vec_id % 100 == 0 — the
+  * repo's oracle convention; a strict SUBSET of the % 50 centroid seeds, so
+  * its recall is optimistically biased: every query is its own IVF centroid
+  * and a k-means init point) and `holdout` (vec_id % 100 == 7 — disjoint
+  * from the seeds, the honest out-of-sample number to tune on).
+  *
   * Usage: runMain graft.tools.RecallLadder <sfDir> [nprobe,nprobe,...]
   */
 object RecallLadder {
@@ -30,20 +36,27 @@ object RecallLadder {
       .select(col("vec_id").cast("long").as("vec_id"),
         col("embedding")).persist()
     e.count()
-    val queries = e.filter(col("vec_id") % 100 === 0)
-    val exact = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0,
-      k = 10).persist()
-    exact.count()
+    // (predicate name, query set, exact ground truth) — insample matches the
+    // oracle convention; holdout is disjoint from the centroid seeds.
+    val querySets: Seq[(String, DataFrame, DataFrame)] =
+      Seq(("insample", col("vec_id") % 100 === 0),
+        ("holdout", col("vec_id") % 100 === 7)).map { case (qn, pred) =>
+        val exact = Similarity.bruteForceTopK(e, pred, k = 10).persist()
+        exact.count()
+        (qn, e.filter(pred), exact)
+      }
 
     val seed = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
     // the three codebook configurations on the ladder
     val seedPq = Similarity.pqCodebook(e, m = 4, dim = 64, centroidMod = 50)
+      .persist()
+    seedPq.count()
     val learnedPq = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
       centroidMod = 50, maxIters = 2).persist()
     learnedPq.count()
     val learnedCoarse = Similarity.kmeansTrain(e, seed, maxIters = 2)
 
-    def meanRecall(approx: DataFrame): Double =
+    def meanRecall(approx: DataFrame, exact: DataFrame): Double =
       Similarity.recallAtK(approx, exact, k = 10)
         .agg(avg(col("recall"))).head().getDouble(0)
 
@@ -56,16 +69,17 @@ object RecallLadder {
       val index = Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64)
         .persist()
       index.count()
-      for (np <- nprobes) {
+      for (np <- nprobes; (qn, queries, exact) <- querySets) {
         val adc = meanRecall(Similarity.ivfPqTopKIndexed(index, ivfCb, pqCb,
-          queries, m = 4, dim = 64, nprobe = np, k = 10))
+          queries, m = 4, dim = 64, nprobe = np, k = 10), exact)
         val rr = meanRecall(Similarity.ivfPqTopKIndexedReranked(index, ivfCb,
           pqCb, queries, e, m = 4, dim = 64, nprobe = np, shortlist = 50,
-          k = 10))
-        println(f"LADDER $name%-13s nprobe=$np%-2d adc=$adc%.4f rerank50=$rr%.4f")
+          k = 10), exact)
+        println(f"LADDER $name%-13s $qn%-9s nprobe=$np%-2d adc=$adc%.4f rerank50=$rr%.4f")
       }
       index.unpersist()
     }
+    seedPq.unpersist(); learnedPq.unpersist()
     spark.stop()
   }
 }

@@ -276,6 +276,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("qclf train+score: one tokenize pass — scoring reads the checkpointed sketch") {
+    // the composition builds + checkpoints the feature sketch ONCE; the
+    // scored plan must read that relation, never re-scan or re-tokenize
+    // the corpus (the pre-r12 shape hashed the corpus twice)
+    val p = planOf("text_qclf_scores")
+    assert(!p.contains("FileScan parquet"),
+      s"scoring must read the checkpointed sketch, not re-scan the corpus:\n$p")
+    assert(!p.contains("Generate explode"),
+      s"scoring must not re-tokenize the corpus:\n$p")
+  }
+
   test("recall eval: query-count-sized broadcast join, no corpus-side merge") {
     val p = planOf("sim_ivf_recall")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
