@@ -67,6 +67,37 @@ object QualityModel {
         .withColumn("feature", lit(-1).cast("int")))
   }
 
+  /** [[featureSketch]] generalized to word n-grams — the PRODUCTION shape
+    * of the classifier's feature space (the fastText recipe: unigrams +
+    * bigrams hashed into a large bucket space, dim 2^18, so collisions
+    * are rare and word-order signal survives the hashing trick). Grams
+    * are emitted by the native codegen [[graft.functions.WordGrams]]
+    * expression (single-space token semantics — identical to the
+    * `split(lower(text), " ")` tokenization of the unigram sketch, so a
+    * 1-gram sketch from this face equals [[featureSketch]] exactly);
+    * presence stays BINARY and the bias feature (-1) stays, so every
+    * downstream face (train / score / gate, batch or streaming) works
+    * unchanged on the richer sketch. One corpus scan: the k gram sizes
+    * explode the SAME projected relation, not k re-reads.
+    */
+  def featureSketchNg(df: DataFrame, idCol: String, textCol: String,
+                      labelCol: Column, dim: Int,
+                      maxN: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = Par.fanOut(df.select(col(idCol), col(textCol), labelCol.as("y")))
+    val tok = (1 to maxN).map { k =>
+      base.select(col(idCol), col("y"),
+        explode(call_function("graft_word_grams",
+          lower(col(textCol)), lit(k), lit(true))).as("term"))
+    }.reduce(_ unionByName _)
+      .select(col(idCol), col("y"),
+        featureBucket(col("term"), dim).as("feature"))
+      .distinct()
+    tok.unionByName(
+      tok.select(col(idCol), col("y")).distinct()
+        .withColumn("feature", lit(-1).cast("int")))
+  }
+
   /** Train `iters` full-batch GD steps from w = 0 and return the weight
     * relation (feature, w). With zero init the first iteration's
     * probabilities are exactly 0.5 for every document, and each

@@ -123,16 +123,35 @@ object LlmQueries {
   private def grid6Sql(x: String): String =
     s"(floor(($x) * 1000000.0 + 0.5) / 1000000.0)"
 
-  private def qclfCtes(iters: Int): String = {
-    val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
+  /** Unigram gram-row source — the default (dim 64) sketch's features. */
+  private val QclfGrams1: String =
+    """SELECT doc_id, source,
+      |                unnest(string_split(lower(text), ' ')) AS w
+      |              FROM documents""".stripMargin
+
+  /** Unigram + bigram gram-row source (the production 2^18 sketch):
+    * bigrams are adjacent token pairs joined by a single space — the
+    * exact strings [[graft.functions.WordGrams]](k = 2) emits under
+    * single-space token semantics.
+    */
+  private val QclfGrams2: String =
+    s"""$QclfGrams1
+       |              UNION ALL
+       |              SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS w
+       |              FROM (SELECT doc_id, source,
+       |                      string_split(lower(text), ' ') AS ws
+       |                    FROM documents) qq,
+       |                   unnest(range(1, len(ws))) t(i)""".stripMargin
+
+  private def qclfCtes(iters: Int, dim: Int = 64,
+                       gramSql: String = QclfGrams1): String = {
+    val feat = s"${hexToLongSql("md5(w)", 1, 8)} % $dim"
     val base =
       s"""sk0 AS (SELECT DISTINCT doc_id,
          |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
          |         THEN 1 ELSE 0 END AS y,
          |    $feat AS feature
-         |  FROM (SELECT doc_id, source,
-         |          unnest(string_split(lower(text), ' ')) AS w
-         |        FROM documents)),
+         |  FROM ($gramSql)),
          |sk AS (SELECT * FROM sk0
          |       UNION ALL
          |       SELECT DISTINCT doc_id, y, -1 AS feature FROM sk0),
@@ -1101,6 +1120,19 @@ object LlmQueries {
       val w = QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5,
         iters = 3)
       QualityModel.scoreHashedLogRegWith(sk, "doc_id", w)
+    }),
+
+    // PRODUCTION feature shape of the same classifier: unigram + bigram
+    // hashed features in dim 2^18 (the fastText recipe — collisions rare,
+    // word-order signal survives). Mechanism unchanged: binary presence,
+    // bias feature, 3 gridded GD steps; the oracle hashes the identical
+    // gram strings through the identical md5 polynomial
+    "text_qclf_weights_2g" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sk = QualityModel.featureSketchNg(docs, "doc_id", "text",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+          .otherwise(0), dim = 262144, maxN = 2).localCheckpoint(true)
+      QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5, iters = 3)
     }),
 
     // BM25 retrieval: top-10 documents for a fixed query-term set (the
@@ -2341,6 +2373,10 @@ object LlmQueries {
 
     "text_qclf_weights" ->
       s"""WITH ${qclfCtes(3)}
+         |SELECT CAST(feature AS INT) AS feature, w FROM w3""".stripMargin,
+
+    "text_qclf_weights_2g" ->
+      s"""WITH ${qclfCtes(3, dim = 262144, gramSql = QclfGrams2)}
          |SELECT CAST(feature AS INT) AS feature, w FROM w3""".stripMargin,
 
     "text_qclf_scores" -> {

@@ -45,6 +45,48 @@ class QualityModelSpec extends SparkSpec {
     assert(scored(1L)._3 == 1 && scored(3L)._3 == 0)
   }
 
+  test("2^18 n-gram sketch pins the md5 feature hash (uni + bi + bias)") {
+    // one doc, two tokens -> exactly two unigram features, one bigram
+    // feature, and the bias; buckets recomputed here with an independent
+    // MessageDigest md5 so the engine-side conv(substring(md5)) % dim
+    // polynomial is PINNED, not self-compared
+    val one = Seq((1L, "good clean", 1)).toDF("doc_id", "text", "y")
+    def bucket(term: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 262144).toInt
+    }
+    val got = QualityModel.featureSketchNg(one, "doc_id", "text",
+      col("y"), dim = 262144, maxN = 2)
+      .select("feature").as[Int].collect().toSet
+    assert(got ==
+      Set(bucket("good"), bucket("clean"), bucket("good clean"), -1))
+  }
+
+  test("n-gram sketch at maxN = 1 equals the unigram sketch") {
+    val a = QualityModel.featureSketchNg(docs, "doc_id", "text",
+      col("y"), dim = 64, maxN = 1)
+      .as[(Long, Int, Int)].collect().toSet
+    val b = QualityModel.featureSketch(docs, "doc_id", "text", col("y"), 64)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bigram features separate word-order on the 2^18 sketch") {
+    // same bag of words, different order: unigram features identical,
+    // bigram features differ -> the 2g sketch distinguishes the docs
+    val pair = Seq((1L, "alpha beta gamma", 1),
+                   (2L, "gamma beta alpha", 0)).toDF("doc_id", "text", "y")
+    def feats(maxN: Int) = QualityModel.featureSketchNg(pair, "doc_id",
+        "text", col("y"), dim = 262144, maxN = maxN)
+      .groupBy("doc_id").agg(collect_set("feature").as("fs"))
+      .as[(Long, Seq[Int])].collect().map(r => r._1 -> r._2.toSet).toMap
+    val uni = feats(1)
+    val bi = feats(2)
+    assert(uni(1L) == uni(2L))
+    assert(bi(1L) != bi(2L))
+  }
+
   test("training is deterministic across runs") {
     def run() = QualityModel.trainHashedLogReg(docs, "doc_id", "text",
       col("y"), dim = 64, lr = 0.5, iters = 3)
