@@ -531,16 +531,38 @@ object Similarity {
     * which also truncates the loop's lineage like [[kmeansTrain]].
     */
   def pqCodebookLearned(embeddings: DataFrame, m: Int, dim: Int,
-                        centroidMod: Int, maxIters: Int): DataFrame = {
+                        centroidMod: Int, maxIters: Int): DataFrame =
+    pqCodebookLearnedFrom(embeddings,
+      pqCodebook(embeddings, m, dim, centroidMod), m, dim, maxIters)
+
+  /** [[pqCodebookLearned]] with the SEED CODEBOOK supplied by the caller
+    * — the face that decouples training from the fixture's seed policy.
+    * Production trains a FIXED-size sub-codebook (classically 256 codes
+    * per subspace) over an arbitrarily large corpus; with the internal
+    * `centroidMod` seeding the codebook GROWS with the corpus and each
+    * Lloyd assign pass goes O(n^2 m / centroidMod) — the same quadratic
+    * the `ivfpq_*_fixedcb` probes pinned for ENCODE. With a fixed seed
+    * relation each iteration is one broadcast assign over the (n x m)
+    * slice relation + a codebook-sized mean: linear in the corpus
+    * (`pq_train_*` ScaleProbe rows in BASELINE.md).
+    */
+  def pqCodebookLearnedFrom(embeddings: DataFrame, seedCb: DataFrame,
+                            m: Int, dim: Int, maxIters: Int): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val sub = dim / m
+    // persisted once: every Lloyd iteration re-reads the slice relation,
+    // and without the persist each pass re-derives it through the full
+    // corpus lineage (maxIters corpus scans instead of one — the
+    // pq_train_* probes billed that directly to the per-iteration
+    // marginal)
     val xs = embeddings.select(col("vec_id"), explode(array(
         (0 until m).map(j => struct(lit(j).as("sub"),
           slice(col("embedding"), j * sub + 1, sub).as("xe"))): _*)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.xe").as("xe"))
-    var cb = pqCodebook(embeddings, m, dim, centroidMod)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb = seedCb
       .select(col("sub").cast("int"), col("code").cast("long"),
         col("ce").cast("array<double>"))
       .as[(Int, Long, Seq[Double])].collect().toSeq.sortBy(t => (t._1, t._2))
@@ -570,6 +592,7 @@ object Similarity {
       converged = next == cb
       cb = next
     }
+    xs.unpersist()
     cb.toDF("sub", "code", "ce")
   }
 

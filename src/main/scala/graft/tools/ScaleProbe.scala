@@ -335,6 +335,37 @@ object ScaleProbe {
           m = 4, dim = 64, nprobe = 3, k = 10))
       Seq(ivfCb, pqCbF, idx, qrys).foreach(_.unpersist())
     }
+    // learned-PQ TRAINING cost per Lloyd iteration, production shape: a
+    // FIXED-size sub-codebook (replica 0's seeds at any k) trained over
+    // the full corpus — one iteration = one broadcast assign over the
+    // (n x m) slice relation + a codebook-sized mean, so it1 and the
+    // (it3 - it1) / 2 marginal must both track the corpus LINEARLY
+    if (only.forall(o => o.contains("pq_train_it1") ||
+        o.contains("pq_train_it3"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val seedCb = Similarity.pqCodebook(
+        embP.filter(col("vec_id") < 10000000L), m = 4, dim = 64,
+        centroidMod = 50).persist(sl)
+      seedCb.count()
+      t("pq_train_it1", keepCache = true)(
+        Similarity.pqCodebookLearnedFrom(embP, seedCb, m = 4, dim = 64,
+          maxIters = 1))
+      t("pq_train_it3", keepCache = true)(
+        Similarity.pqCodebookLearnedFrom(embP, seedCb, m = 4, dim = 64,
+          maxIters = 3))
+      seedCb.unpersist()
+    }
+
+    // the CORPUS-GROWING seed policy (centroidMod over the whole corpus,
+    // the fixture convention): each assign pass is O(n^2 m / centroidMod)
+    // — opt-in, expected quadratic (the training twin of the encode
+    // finding the ivfpq_*_fixedcb probes recorded)
+    if (only.exists(_.contains("pq_train_growcb"))) {
+      t("pq_train_growcb")(
+        Similarity.pqCodebookLearned(embP, m = 4, dim = 64,
+          centroidMod = 50, maxIters = 1))
+    }
+
     t("brute_topk")(Similarity.bruteForceTopK(emb, col("vec_id") % 1000 === 0, 10))
     // int8 path over the same corpus/queries — inline quantization, i.e.
     // index-build cost included in the timer

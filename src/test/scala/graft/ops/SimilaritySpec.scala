@@ -315,6 +315,28 @@ class SimilaritySpec extends SparkSpec {
       l2.collect().map(_.toSeq).toSet)
   }
 
+  test("pqCodebookLearnedFrom: explicit seed equals the internal seeding") {
+    // the seedable face with the fixture's own seed codebook must land on
+    // the exact trajectory of the centroidMod face (pure refactor
+    // contract); a fixed-size seed (production shape) still trains
+    val e = Tables.embeddings(spark, sf0001)
+    val viaMod = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
+      centroidMod = 50, maxIters = 2)
+    val viaSeed = Similarity.pqCodebookLearnedFrom(e,
+      Similarity.pqCodebook(e, m = 4, dim = 64, centroidMod = 50),
+      m = 4, dim = 64, maxIters = 2)
+    assert(viaMod.collect().map(_.toSeq).toSet ==
+      viaSeed.collect().map(_.toSeq).toSet)
+    val fixedSeed = Similarity.pqCodebook(
+      e.filter(col("vec_id") % 100 === 0), m = 4, dim = 64, centroidMod = 50)
+    val trained = Similarity.pqCodebookLearnedFrom(e, fixedSeed,
+      m = 4, dim = 64, maxIters = 2)
+    // same relation contract: m subspaces, codes drawn from the seed set
+    assert(trained.select("sub").distinct().count() == 4)
+    assert(trained.join(fixedSeed.select("sub", "code"),
+      Seq("sub", "code"), "left_anti").count() == 0)
+  }
+
   test("ivfPq rerank: exact-cosine rerank never loses recall vs raw ADC") {
     val e = Tables.embeddings(spark, sf0001)
     val exact = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, 10)
