@@ -705,21 +705,33 @@ object Similarity {
     */
   def ivfPqTopKIndexed(index: DataFrame, ivfCodebook: DataFrame,
                        pqCb: DataFrame, queries: DataFrame, m: Int,
-                       dim: Int, nprobe: Int, k: Int): DataFrame =
-    ivfPqAdcScores(index, ivfCodebook, pqCb, queries, m, dim, nprobe)
+                       dim: Int, nprobe: Int, k: Int,
+                       cellCodes: Option[DataFrame] = None): DataFrame =
+    ivfPqAdcScores(index, ivfCodebook, pqCb, queries, m, dim, nprobe,
+        cellCodes)
       .withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_score").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("adc_score"))
 
-  /** The ADC-scored candidate relation behind [[ivfPqTopKIndexed]] —
-    * (query_id, vec_id, adc_score) for every vector in a probed cell.
+  /** The index's cell -> code INVENTORY: the distinct (centroid_id, sub,
+    * code) triples present in the index — an index-LIFETIME artifact
+    * (build it with the index, persist it next to the codebooks; size is
+    * bounded by cells x m x k_sub and in practice far smaller). Supplied
+    * to the servers it makes the ADC LUT restriction a pure broadcast
+    * composition with zero passes over the code relation at serve time.
     */
-  private def ivfPqAdcScores(index: DataFrame, ivfCodebook: DataFrame,
-                             pqCb: DataFrame, queries: DataFrame, m: Int,
-                             dim: Int, nprobe: Int): DataFrame = {
-    GraftFunctions.register(index.sparkSession)
-    val sub = dim / m
+  def ivfPqCellCodes(index: DataFrame): DataFrame =
+    index.select(col("centroid_id"), col("sub"), col("code")).distinct()
+
+  /** The (query_id, centroid_id) probe pairs — each query's `nprobe`
+    * nearest coarse cells by cosine (|Q| x nprobe rows, both sides
+    * broadcast). Shared by the ADC servers; public so tooling can
+    * reason about probe coverage (e.g. LUT sizing) without re-deriving
+    * the probe convention.
+    */
+  def ivfPqProbedPairs(ivfCodebook: DataFrame, queries: DataFrame,
+                       nprobe: Int): DataFrame = {
     val q = withNorm(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"))
@@ -727,20 +739,53 @@ object Similarity {
       col("embedding").as("ce"), col("nrm").as("cnrm"))
     val probeRn = row_number().over(
       Window.partitionBy("query_id").orderBy(col("psim").desc, col("centroid_id")))
-    val probed = broadcast(q).join(broadcast(c))
+    broadcast(q).join(broadcast(c))
       .withColumn("psim", fdot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm")))
       .withColumn("prn", probeRn).filter(col("prn") <= nprobe)
       .select(col("query_id"), col("centroid_id"))
+  }
+
+  /** The ADC-scored candidate relation behind [[ivfPqTopKIndexed]] —
+    * (query_id, vec_id, adc_score) for every vector in a probed cell.
+    *
+    * The LUT is restricted to codes PRESENT IN PROBED CELLS: the naive
+    * classical LUT is |Q| x m x k_sub partial dots (every query against
+    * the whole sub-codebook), which grows with the codebook even though
+    * a probe only ever touches its cells' codes. Here the needed
+    * (query_id, sub, code) set comes from the supplied [[ivfPqCellCodes]]
+    * inventory x the probed pairs (both broadcast-sized, no corpus-scale
+    * pass), or — when no inventory is supplied — from the candidate rows
+    * themselves (one distinct partial-aggregate over the probed slice of
+    * the index, still never the full codebook cross).
+    */
+  private def ivfPqAdcScores(index: DataFrame, ivfCodebook: DataFrame,
+                             pqCb: DataFrame, queries: DataFrame, m: Int,
+                             dim: Int, nprobe: Int,
+                             cellCodes: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(index.sparkSession)
+    val sub = dim / m
+    val q = withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val probed = ivfPqProbedPairs(ivfCodebook, queries, nprobe)
     val qs = q.select(col("query_id"), explode(array(
       (0 until m).map(j => struct(lit(j).as("sub"),
         slice(col("qe"), j * sub + 1, sub).as("qsub"))): _*)).as("s"))
       .select(col("query_id"), col("s.sub").as("sub"), col("s.qsub").as("qsub"))
-    val lut = qs.join(pqCb, Seq("sub"))
+    val cand = index.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val needed = cellCodes match {
+      case Some(inv) => inv.join(broadcast(probed), Seq("centroid_id"))
+        .select(col("query_id"), col("sub"), col("code")).distinct()
+      case None => cand.select(col("query_id"), col("sub"), col("code"))
+        .distinct()
+    }
+    val lut = needed
+      .join(broadcast(pqCb), Seq("sub", "code"))
+      .join(broadcast(qs), Seq("query_id", "sub"))
       .select(col("query_id"), col("sub"), col("code"),
         round(fdot(col("qsub"), col("ce")), 6).as("pdot"))
-    index.join(broadcast(probed), Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+    cand.join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("pdot")), 6).as("adc_score"))
   }
@@ -771,10 +816,10 @@ object Similarity {
   def ivfPqTopKIndexedReranked(index: DataFrame, ivfCodebook: DataFrame,
                                pqCb: DataFrame, queries: DataFrame,
                                store: DataFrame, m: Int, dim: Int,
-                               nprobe: Int, shortlist: Int,
-                               k: Int): DataFrame = {
+                               nprobe: Int, shortlist: Int, k: Int,
+                               cellCodes: Option[DataFrame] = None): DataFrame = {
     val short = ivfPqAdcScores(index, ivfCodebook, pqCb, queries, m, dim,
-        nprobe)
+        nprobe, cellCodes)
       .withColumn("srn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_score").desc, col("vec_id"))))
       .filter(col("srn") <= shortlist)

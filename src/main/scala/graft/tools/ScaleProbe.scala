@@ -301,11 +301,26 @@ object ScaleProbe {
       val idx = Similarity.ivfPqIndex(embP, ivfCb, pqCb, m = 4, dim = 64)
         .persist(sl)
       val qrys = embP.filter(col("vec_id") % 1000 === 0).persist(sl)
-      Seq(ivfCb, pqCb, idx, qrys).foreach(_.count())
+      // cell->code inventory: an index-lifetime artifact like the
+      // codebooks — built once, makes the serve-time LUT restriction a
+      // pure broadcast composition (zero passes over the code relation)
+      val cc = Similarity.ivfPqCellCodes(idx).persist(sl)
+      Seq(ivfCb, pqCb, idx, qrys, cc).foreach(_.count())
+      // LUT sizing: the restricted LUT (codes present in probed cells)
+      // vs the classical |Q| x m x k_sub full-codebook cross
+      val nQ = qrys.count()
+      val needed = Similarity.ivfPqProbedPairs(ivfCb, qrys, nprobe = 3)
+        .join(cc, Seq("centroid_id"))
+        .select("query_id", "sub", "code").distinct().count()
+      println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d ivfpq_lut_rows         " +
+        f"restricted=$needed%d  full_cross=${nQ * pqCb.count()}%d")
       t("ivfpq_topk_indexed", keepCache = true)(
         Similarity.ivfPqTopKIndexed(idx, ivfCb, pqCb, qrys,
+          m = 4, dim = 64, nprobe = 3, k = 10, cellCodes = Some(cc)))
+      t("ivfpq_topk_noinv", keepCache = true)(
+        Similarity.ivfPqTopKIndexed(idx, ivfCb, pqCb, qrys,
           m = 4, dim = 64, nprobe = 3, k = 10))
-      Seq(ivfCb, pqCb, idx, qrys).foreach(_.unpersist())
+      Seq(ivfCb, pqCb, idx, qrys, cc).foreach(_.unpersist())
     }
 
     // the production PQ configuration: the sub-quantizer codebook is

@@ -291,4 +291,26 @@ class PlanSpec extends SparkSpec {
     val p = planOf("sim_ivf_recall")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("ivfpq serving: ADC LUT restricted to probed-cell codes") {
+    // serving plan over a PREBUILT index (checkpoint truncates the build
+    // subtree): the sub-codebook must only ever join on (sub, code) —
+    // a join keyed on sub ALONE is the |Q| x m x k_sub full-codebook
+    // cross the probed-cell restriction removes
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val ivfCb = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val pqCb = graft.ops.Similarity.pqCodebook(e, m = 4, dim = 64,
+      centroidMod = 50)
+    val idx = graft.ops.Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4,
+      dim = 64).localCheckpoint(true)
+    val served = graft.ops.Similarity.ivfPqTopKIndexed(idx, ivfCb, pqCb,
+      e.filter(col("vec_id") % 100 === 0), m = 4, dim = 64, nprobe = 3,
+      k = 10)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!"""HashJoin \[sub#\d+[L]?\]""".r.findFirstIn(p).isDefined,
+      s"codebook must never join on sub alone (full-codebook LUT cross):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

@@ -337,6 +337,26 @@ class SimilaritySpec extends SparkSpec {
       Seq("sub", "code"), "left_anti").count() == 0)
   }
 
+  test("IVF-PQ cell-code inventory: supplied path serves identically") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivfCb = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val pqCb = Similarity.pqCodebook(e, m = 4, dim = 64, centroidMod = 50)
+    val idx = Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64)
+      .localCheckpoint(true)
+    val qrys = e.filter(col("vec_id") % 100 === 0)
+    val cc = Similarity.ivfPqCellCodes(idx)
+    def serve(inv: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfPqTopKIndexed(idx, ivfCb, pqCb, qrys, m = 4, dim = 64,
+        nprobe = 3, k = 10, cellCodes = inv)
+        .collect().map(_.toSeq).toSet
+    assert(serve(Some(cc)) == serve(None) && serve(None).nonEmpty)
+    // the restriction has teeth on the fixture: the inventory is smaller
+    // than cells x full sub-codebook (not every code appears in every
+    // cell), so the per-query LUT beats the |Q| x m x k_sub cross
+    assert(cc.count() < ivfCb.count() * pqCb.count())
+  }
+
   test("ivfPq rerank: exact-cosine rerank never loses recall vs raw ADC") {
     val e = Tables.embeddings(spark, sf0001)
     val exact = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, 10)
