@@ -221,7 +221,20 @@ object LlmQueries {
     * [[graft.ops.TextAnalysis.gopherFilter]](requireStopWords = false),
     * same 6-rounded comparisons as the `text_gopher_rules` oracle.
     */
-  private def gopherGateSql(base: String): String =
+  /** Stopword-rich prose suffix for the `text_gopher_stopwords`
+    * enrichment — spliced verbatim into both engines' derivations.
+    */
+  private val GopherEnrichSuffix: String =
+    " the cat and the dog have been to most of the places that we know" +
+      " be with us"
+
+  private def gopherGateSql(base: String,
+                            requireStopWords: Boolean = false): String = {
+    val stopRule =
+      if (!requireStopWords) ""
+      else "\n   AND (" + graft.ops.TextAnalysis.GopherStopWords.map(sw =>
+        s"(CASE WHEN list_contains(__ws, '$sw') THEN 1 ELSE 0 END)")
+        .mkString(" +\n        ") + ") >= 2"
     s"""(SELECT * EXCLUDE (__lt, __ws, __ls) FROM (
        |   SELECT b.*, lower(text) AS __lt,
        |          string_split(lower(text), ' ') AS __ws,
@@ -243,7 +256,8 @@ object LlmQueries {
        |         / len(__ls), 6) <= 0.3
        |   AND round(CAST(len(list_filter(__ws, w ->
        |         regexp_matches(w, '[a-z]'))) AS DOUBLE)
-       |         / len(__ws), 6) >= 0.8)""".stripMargin
+       |         / len(__ws), 6) >= 0.8$stopRule)""".stripMargin
+  }
 
   /** 32-bit integer from `n` hex digits of `hexExpr` starting at 1-based
     * `start` — the per-digit strpos polynomial (DuckDB has no hex->int
@@ -970,6 +984,23 @@ object LlmQueries {
     // rule a 0/1 flag plus its underlying signal, pass = conjunction
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")),
+
+    // the FULL Gopher gate including the English indicator-stopword rule
+    // (every other green query runs requireStopWords = false — the
+    // synthetic fixture carries at most one indicator word per doc, so
+    // the rule is exercised against a deterministically ENRICHED corpus:
+    // every third document gets a stopword-rich prose suffix, and the
+    // gate must keep exactly the enriched docs that clear the other
+    // rules too — both accept and reject paths live)
+    "text_gopher_stopwords" -> ((s, dir) => {
+      val enriched = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(GopherEnrichSuffix)))
+          .otherwise(col("text")))
+      TextAnalysis.gopherFilter(enriched, "doc_id", "text",
+          requireStopWords = true)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
 
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")),
@@ -2229,6 +2260,14 @@ object LlmQueries {
          |       THEN 1 ELSE 0 END AS INT) AS pass
          |FROM x""".stripMargin
     },
+
+    "text_gopher_stopwords" ->
+      s"""WITH e AS (SELECT doc_id, lang, source, n_chars,
+         |  CASE WHEN doc_id % 3 = 0 THEN text || '$GopherEnrichSuffix'
+         |       ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id, lang, source, n_chars
+         |FROM ${gopherGateSql("e", requireStopWords = true)}""".stripMargin,
 
     "text_quality" -> {
       val en = sqlList(StopEn)

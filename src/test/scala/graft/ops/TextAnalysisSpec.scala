@@ -287,6 +287,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L)("pass") == 0)
   }
 
+  test("gopherFilter(requireStopWords = true): accept and reject paths") {
+    val prose = (1 to 6).map(_ =>
+      "the cat sat with the dog and they have gone to look at that bird")
+      .mkString(" ") // 90 words, >= 2 indicator words -> full gate accepts
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ")
+      // 60 words, clears every content rule but carries ZERO indicator
+      // words -> the stopword rule alone rejects it
+    val d = Seq((1L, prose), (2L, noStop)).toDF("doc_id", "text")
+    val strict = TextAnalysis.gopherFilter(d, "doc_id", "text",
+      requireStopWords = true).select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(1L))
+    val lax = TextAnalysis.gopherFilter(d, "doc_id", "text",
+      requireStopWords = false).select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(1L, 2L)) // the rejection above was the stopword rule
+  }
+
   test("gopherRules: ellipsis line fraction and alpha-word fraction") {
     val d = Seq(
       (1L, "first line...\nsecond line…\nthird stays\nfourth stays"),
