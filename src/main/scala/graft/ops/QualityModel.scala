@@ -191,11 +191,33 @@ object QualityModel {
     keepFromScored(df, idCol, scoreHashedLogRegWith(sk, idCol, weights),
       quantile)
 
+  /** The 100 TB deploy variant of [[keepTopScored]]: the cut is an
+    * APPROXIMATE percentile (Spark's `percentile_approx` sketch, state
+    * bounded by `accuracy`, mergeable across any partitioning) instead
+    * of the exact interpolated percentile, whose aggregation state
+    * grows with the distinct-score grid. Rank error is bounded by
+    * `1 / accuracy` of the corpus, so at the default 10⁴ the kept
+    * fraction is within 0.01 % of target; the exact face remains the
+    * oracle-facing convention (cross-engine reproducible), this is the
+    * one to run where the score relation is petabyte-scale.
+    */
+  def keepTopScoredApprox(df: DataFrame, idCol: String, textCol: String,
+                          weights: DataFrame, dim: Int = 64,
+                          quantile: Double = 0.5,
+                          accuracy: Int = 10000): DataFrame =
+    keepFromScored(df, idCol,
+      scoreHashedLogReg(df, idCol, textCol, weights, dim), quantile,
+      approxAccuracy = Some(accuracy))
+
   private def keepFromScored(df: DataFrame, idCol: String,
-                             scored: DataFrame,
-                             quantile: Double): DataFrame = {
-    val cut = scored.agg(grid6(
-      call_function("percentile", col("score"), lit(quantile))).as("c"))
+                             scored: DataFrame, quantile: Double,
+                             approxAccuracy: Option[Int] = None): DataFrame = {
+    val pctl = approxAccuracy match {
+      case Some(acc) => call_function("percentile_approx", col("score"),
+        lit(quantile), lit(acc))
+      case None => call_function("percentile", col("score"), lit(quantile))
+    }
+    val cut = scored.agg(grid6(pctl).as("c"))
     val keptIds = scored.crossJoin(broadcast(cut))
       .filter(col("score") >= col("c")).select(col(idCol))
     df.join(keptIds, Seq(idCol), "left_semi")

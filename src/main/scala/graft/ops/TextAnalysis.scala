@@ -1066,13 +1066,33 @@ object TextAnalysis {
     * by the distinct-score grid, ~1e6 entries worst case) broadcast as
     * one row into a map-only tier assignment.
     */
-  def qualityTiers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityTiers(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityTiersBy(df, idCol, textCol, None)
+
+  /** The 100 TB deploy variant: quartile cutoffs from Spark's
+    * `percentile_approx` sketch (state bounded by `accuracy` and
+    * mergeable across partitions) instead of the exact percentile,
+    * whose aggregation state grows with the distinct-score grid. Rank
+    * error per cutoff is bounded by `1 / accuracy` of the corpus; the
+    * exact face stays the oracle-facing convention.
+    */
+  def qualityTiersApprox(df: DataFrame, idCol: String, textCol: String,
+                         accuracy: Int = 10000): DataFrame =
+    qualityTiersBy(df, idCol, textCol, Some(accuracy))
+
+  private def qualityTiersBy(df: DataFrame, idCol: String, textCol: String,
+                             approxAccuracy: Option[Int]): DataFrame = {
     val scored = quality(df, idCol, textCol)
       .select(col(idCol), col("quality_score"))
+    def pctl(p: Double) = approxAccuracy match {
+      case Some(acc) => call_function("percentile_approx",
+        col("quality_score"), lit(p), lit(acc))
+      case None => call_function("percentile", col("quality_score"), lit(p))
+    }
     val cuts = scored.agg(
-      round(call_function("percentile", col("quality_score"), lit(0.25)), 6).as("t1"),
-      round(call_function("percentile", col("quality_score"), lit(0.5)), 6).as("t2"),
-      round(call_function("percentile", col("quality_score"), lit(0.75)), 6).as("t3"))
+      round(pctl(0.25), 6).as("t1"),
+      round(pctl(0.5), 6).as("t2"),
+      round(pctl(0.75), 6).as("t3"))
     scored.crossJoin(broadcast(cuts))
       .select(col(idCol), col("quality_score"),
         when(col("quality_score") <= col("t1"), 1)

@@ -87,6 +87,29 @@ class QualityModelSpec extends SparkSpec {
     assert(bi(1L) != bi(2L))
   }
 
+  test("approx-percentile gate tracks the exact gate on the fixture") {
+    val corpus = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val w = QualityModel.trainHashedLogReg(corpus, "doc_id", "text",
+      when(col("doc_id") % 4 === 0, 1).otherwise(0), dim = 64,
+      lr = 0.5, iters = 2)
+    val n = corpus.count().toDouble
+    val exact = QualityModel.keepTopScored(corpus, "doc_id", "text", w, 64)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = QualityModel.keepTopScoredApprox(corpus, "doc_id", "text",
+      w, 64, accuracy = 10000)
+      .select("doc_id").as[Long].collect().toSet
+    // the sketch's rank error is <= n / accuracy (< 1 row here), but the
+    // exact face INTERPOLATES between observed scores while the sketch
+    // returns an observed one — the kept sets may differ by at most the
+    // tie class straddling the cut
+    val diff = (exact -- approx) ++ (approx -- exact)
+    info(s"n=$n exact=${exact.size} approx=${approx.size} diff=${diff.size}")
+    assert(diff.size <= (0.02 * n).toInt,
+      s"kept sets diverged by ${diff.size} of $n docs")
+    assert(approx.nonEmpty && approx.size < n)
+  }
+
   test("training is deterministic across runs") {
     def run() = QualityModel.trainHashedLogReg(docs, "doc_id", "text",
       col("y"), dim = 64, lr = 0.5, iters = 3)

@@ -287,6 +287,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L)("pass") == 0)
   }
 
+  test("qualityTiersApprox: tier assignment tracks the exact quartiles") {
+    val corpus = graft.Tables.documents(spark, sf0001)
+    val n = corpus.count().toDouble
+    val exact = TextAnalysis.qualityTiers(corpus, "doc_id", "text")
+      .select("doc_id", "tier").as[(Long, Int)].collect().toMap
+    val approx = TextAnalysis.qualityTiersApprox(corpus, "doc_id", "text",
+      accuracy = 10000)
+      .select("doc_id", "tier").as[(Long, Int)].collect().toMap
+    // per-cutoff rank error <= n / accuracy (< 1 row at this accuracy);
+    // the residual differences come from exact-face interpolation vs the
+    // sketch's observed-value cuts — bounded by the tie classes
+    // straddling the three cutoffs
+    val moved = exact.count { case (id, t) => approx(id) != t }
+    info(s"n=$n moved=$moved")
+    assert(moved <= (0.05 * n).toInt,
+      s"$moved of $n docs changed tier under the approx cutoffs")
+    // every doc still gets a tier in 1..4 and all four tiers are populated
+    assert(approx.values.toSet == Set(1, 2, 3, 4))
+  }
+
   test("gopherFilter(requireStopWords = true): accept and reject paths") {
     val prose = (1 to 6).map(_ =>
       "the cat sat with the dog and they have gone to look at that bird")
