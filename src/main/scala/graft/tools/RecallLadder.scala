@@ -15,15 +15,31 @@ import org.apache.spark.sql.functions._
   * and a k-means init point) and `holdout` (vec_id % 100 == 7 — disjoint
   * from the seeds, the honest out-of-sample number to tune on).
   *
+  * A second mode sweeps TRAINING DEPTH instead of probe width: `iters`
+  * as the second argument runs the fully-learned configuration at its
+  * served rung (nprobe=5 + rerank50) across Lloyd-iteration depths for
+  * the coarse quantizer and the PQ sub-codebooks — the diagonal
+  * (d, d) plus the two off-diagonal attribution points at the deepest
+  * rung (deep coarse x shallow PQ and vice versa), and the learned-PQ
+  * rung (nprobe=3 + rerank50) at each PQ depth. Both trainers stop at
+  * their exact 1e-6-grid fixed point, so depths past convergence are
+  * free and identical.
+  *
   * Usage: runMain graft.tools.RecallLadder <sfDir> [nprobe,nprobe,...]
+  *        runMain graft.tools.RecallLadder <sfDir> iters [d,d,...]
   */
 object RecallLadder {
   def main(args: Array[String]): Unit = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = args.head
+    val itersMode = args.length > 1 && args(1) == "iters"
     val nprobes: Seq[Int] =
-      if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
-      else Seq(3, 4, 5, 6, 8)
+      if (itersMode || args.length <= 1) Seq(3, 4, 5, 6, 8)
+      else args(1).split(",").map(_.trim.toInt).toSeq
+    val depths: Seq[Int] =
+      if (itersMode && args.length > 2)
+        args(2).split(",").map(_.trim.toInt).toSeq
+      else Seq(2, 4, 8, 16)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -47,6 +63,53 @@ object RecallLadder {
       }
 
     val seed = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+
+    def meanRecallOf(approx: DataFrame, exact: DataFrame): Double =
+      Similarity.recallAtK(approx, exact, k = 10)
+        .agg(avg(col("recall"))).head().getDouble(0)
+
+    if (itersMode) {
+      // rerank50 recall at the served rungs across training depths;
+      // codebooks are cached per depth so the attribution points reuse them
+      val pqByDepth = depths.map { d =>
+        val cb = Similarity.pqCodebookLearned(e, m = 4, dim = 64,
+          centroidMod = 50, maxIters = d).persist()
+        cb.count(); d -> cb
+      }.toMap
+      val coarseByDepth = depths.map { d =>
+        d -> Similarity.kmeansTrain(e, seed, maxIters = d)
+      }.toMap
+      val dMax = depths.max
+      val dMin = depths.min
+      // (label, coarse book, pq book, nprobe): the (d,d) diagonal at the
+      // fully-learned rung, the two attribution corners, and the
+      // learned-PQ rung (seed coarse) per PQ depth
+      val rungs: Seq[(String, DataFrame, DataFrame, Int)] =
+        depths.map(d => (f"full(c=$d%-2d,pq=$d%-2d)",
+          coarseByDepth(d), pqByDepth(d), 5)) ++
+        Seq((f"full(c=$dMax%-2d,pq=$dMin%-2d)",
+          coarseByDepth(dMax), pqByDepth(dMin), 5),
+          (f"full(c=$dMin%-2d,pq=$dMax%-2d)",
+            coarseByDepth(dMin), pqByDepth(dMax), 5)) ++
+        depths.map(d => (f"lpq(pq=$d%-2d)      ", seed, pqByDepth(d), 3))
+      for ((label, ivfCb, pqCb, np) <- rungs) {
+        val index = Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64)
+          .persist()
+        index.count()
+        val rows = querySets.map { case (qn, queries, exact) =>
+          val rr = meanRecallOf(Similarity.ivfPqTopKIndexedReranked(index,
+            ivfCb, pqCb, queries, e, m = 4, dim = 64, nprobe = np,
+            shortlist = 50, k = 10), exact)
+          f"$qn=$rr%.4f"
+        }
+        println(s"ITERS $label nprobe=$np rerank50 ${rows.mkString(" ")}")
+        index.unpersist()
+      }
+      pqByDepth.values.foreach(_.unpersist())
+      spark.stop()
+      return
+    }
+
     // the three codebook configurations on the ladder
     val seedPq = Similarity.pqCodebook(e, m = 4, dim = 64, centroidMod = 50)
       .persist()
@@ -55,10 +118,6 @@ object RecallLadder {
       centroidMod = 50, maxIters = 2).persist()
     learnedPq.count()
     val learnedCoarse = Similarity.kmeansTrain(e, seed, maxIters = 2)
-
-    def meanRecall(approx: DataFrame, exact: DataFrame): Double =
-      Similarity.recallAtK(approx, exact, k = 10)
-        .agg(avg(col("recall"))).head().getDouble(0)
 
     val configs: Seq[(String, DataFrame, DataFrame)] = Seq(
       ("seeded", seed, seedPq),
@@ -70,9 +129,9 @@ object RecallLadder {
         .persist()
       index.count()
       for (np <- nprobes; (qn, queries, exact) <- querySets) {
-        val adc = meanRecall(Similarity.ivfPqTopKIndexed(index, ivfCb, pqCb,
+        val adc = meanRecallOf(Similarity.ivfPqTopKIndexed(index, ivfCb, pqCb,
           queries, m = 4, dim = 64, nprobe = np, k = 10), exact)
-        val rr = meanRecall(Similarity.ivfPqTopKIndexedReranked(index, ivfCb,
+        val rr = meanRecallOf(Similarity.ivfPqTopKIndexedReranked(index, ivfCb,
           pqCb, queries, e, m = 4, dim = 64, nprobe = np, shortlist = 50,
           k = 10), exact)
         println(f"LADDER $name%-13s $qn%-9s nprobe=$np%-2d adc=$adc%.4f rerank50=$rr%.4f")
