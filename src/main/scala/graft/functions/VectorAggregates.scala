@@ -11,9 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 /** Mutable aggregation state: running element-wise sums + row count. */
 final class VecAvgBuffer(var sums: Array[Double], var n: Long)
 
-/** Element-wise mean over an `array<float>` column as a custom
-  * `TypedImperativeAggregate` — the centroid step of IVF/k-means over
-  * embeddings.
+/** Element-wise mean over an `array<float>` or `array<double>` column as
+  * a custom `TypedImperativeAggregate` — the centroid step of IVF/k-means
+  * over embeddings (double arrays arise from residual relations, where
+  * the subtraction is performed in widened precision).
   *
   * Why a custom aggregate: the expressible alternative explodes every
   * vector into `dim` (index, value) rows and hash-aggregates them —
@@ -39,9 +40,15 @@ case class VectorAvgAggregate(
   override def prettyName: String = "graft_vec_avg"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_vec_avg expects array<float>, got ${t.simpleString}")
+      s"graft_vec_avg expects array<float> or array<double>, got ${t.simpleString}")
+  }
+
+  private val elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -59,7 +66,9 @@ case class VectorAvgAggregate(
         s"graft_vec_avg: ragged input (${b.sums.length} vs $d elements)")
       var i = 0
       while (i < d) {
-        if (!arr.isNullAt(i)) b.sums(i) += arr.getFloat(i).toDouble
+        if (!arr.isNullAt(i))
+          b.sums(i) += (if (elemIsDouble) arr.getDouble(i)
+                        else arr.getFloat(i).toDouble)
         i += 1
       }
       b.n += 1

@@ -817,9 +817,21 @@ object Similarity {
                                pqCb: DataFrame, queries: DataFrame,
                                store: DataFrame, m: Int, dim: Int,
                                nprobe: Int, shortlist: Int, k: Int,
-                               cellCodes: Option[DataFrame] = None): DataFrame = {
-    val short = ivfPqAdcScores(index, ivfCodebook, pqCb, queries, m, dim,
-        nprobe, cellCodes)
+                               cellCodes: Option[DataFrame] = None): DataFrame =
+    rerankShortlist(ivfPqAdcScores(index, ivfCodebook, pqCb, queries, m,
+      dim, nprobe, cellCodes), queries, store, shortlist, k)
+
+  /** The shared exact-cosine rerank tail: take the ADC top-`shortlist`
+    * per query from `scores` (query_id, vec_id, adc_score), re-score
+    * that shortlist alone against the raw vector `store`, return the
+    * exact top-k. The shortlist relation is |Q| x shortlist rows —
+    * broadcast into the store join, so the store is point-read, never
+    * shuffled.
+    */
+  private def rerankShortlist(scores: DataFrame, queries: DataFrame,
+                              store: DataFrame, shortlist: Int,
+                              k: Int): DataFrame = {
+    val short = scores
       .withColumn("srn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adc_score").desc, col("vec_id"))))
       .filter(col("srn") <= shortlist)
@@ -850,6 +862,137 @@ object Similarity {
       ivfCb, pqCb, embeddings.filter(queryPred), embeddings, m, dim,
       nprobe, shortlist, k)
   }
+
+  /** Residual relation: every vector minus its assigned coarse centroid —
+    * (vec_id, centroid_id, embedding = x − c, array<double>). The
+    * classical IVF-PQ encoding input (IVFADC): once the coarse quantizer
+    * explains the between-cell structure, residuals concentrate near the
+    * origin, so the same PQ bit budget spends on the remaining
+    * WITHIN-cell variance instead of re-describing cell position. One
+    * broadcast-assign corpus scan + a broadcast centroid join; both
+    * operands widen to double before the subtraction (float→double is
+    * exact), so the residual arrays are bit-identical across engines
+    * with no extra rounding.
+    */
+  def ivfResiduals(embeddings: DataFrame, ivfCodebook: DataFrame): DataFrame = {
+    val c = ivfCodebook.select(col("vec_id").as("centroid_id"),
+      col("embedding").cast("array<double>").as("cce"))
+    ivfAssign(embeddings, ivfCodebook)
+      .select(col("vec_id"), col("centroid_id"),
+        col("embedding").cast("array<double>").as("xe"))
+      .join(broadcast(c), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("xe"), col("cce"), (a, b) => a - b).as("embedding"))
+  }
+
+  /** Lloyd-learned per-subspace PQ codebooks over the RESIDUAL relation
+    * (seeded, like [[pqCodebook]], from the residuals of the
+    * `vec_id % centroidMod == 0` rows). Same `(sub, code, ce)` contract
+    * as every other PQ codebook — but trained on x − c, which is what
+    * the residual index stores and the server reconstructs.
+    */
+  def pqCodebookResidualLearned(residuals: DataFrame, m: Int, dim: Int,
+                                centroidMod: Int, maxIters: Int): DataFrame =
+    pqCodebookLearnedFrom(residuals,
+      pqCodebook(residuals, m, dim, centroidMod), m, dim, maxIters)
+
+  /** The residual IVF-PQ index: (vec_id, centroid_id, sub, code) where
+    * the codes quantize x − c(cell) — the same trillion-scale memory
+    * layout as [[ivfPqIndex]] (m small ints + a cell id per vector, no
+    * floats), built from one corpus scan. `pqCbRes` must be a
+    * residual-trained codebook ([[pqCodebookResidualLearned]]); encoding
+    * raw-space codebooks against residuals mixes frames and serves
+    * garbage.
+    */
+  def ivfPqResidualIndex(embeddings: DataFrame, ivfCodebook: DataFrame,
+                         pqCbRes: DataFrame, m: Int, dim: Int): DataFrame =
+    pqEncode(ivfResiduals(embeddings, ivfCodebook), Seq("centroid_id"),
+      pqCbRes, m, dim)
+
+  /** ADC scores for the residual index. The dot decomposes as
+    * q·x = q·c + q_r·x_r with q_r = q − c(cell): a per-(query, probed
+    * cell) base term plus a LUT over the residual codebook — the LUT is
+    * keyed by (query, CELL, sub, code) because residual entries are not
+    * shareable across cells (each cell has its own query residual).
+    * Still broadcast-sized: |Q| x nprobe x m x codes-in-probed-cells,
+    * restricted by the [[ivfPqCellCodes]] inventory exactly like the
+    * raw-space server; the only corpus-scale relation touched is the
+    * code index slice inside probed cells.
+    */
+  private def ivfPqResidualAdcScores(index: DataFrame,
+                                     ivfCodebook: DataFrame,
+                                     pqCbRes: DataFrame, queries: DataFrame,
+                                     m: Int, dim: Int, nprobe: Int,
+                                     cellCodes: Option[DataFrame]): DataFrame = {
+    GraftFunctions.register(index.sparkSession)
+    val sub = dim / m
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qe"))
+    val c = ivfCodebook.select(col("vec_id").as("centroid_id"),
+      col("embedding").cast("array<double>").as("cce"))
+    val probed = ivfPqProbedPairs(ivfCodebook, queries, nprobe)
+    // per probed (query, cell): the q·c base term and the query residual
+    // q − c sliced into subspaces
+    val qc = broadcast(probed).join(broadcast(q), Seq("query_id"))
+      .join(broadcast(c), Seq("centroid_id"))
+      .select(col("query_id"), col("centroid_id"),
+        round(fdot(col("qe"), col("cce")), 6).as("qcdot"),
+        zip_with(col("qe"), col("cce"), (a, b) => a - b).as("qr"))
+    val qrs = qc.select(col("query_id"), col("centroid_id"), explode(array(
+      (0 until m).map(j => struct(lit(j).as("sub"),
+        slice(col("qr"), j * sub + 1, sub).as("qrsub"))): _*)).as("s"))
+      .select(col("query_id"), col("centroid_id"),
+        col("s.sub").as("sub"), col("s.qrsub").as("qrsub"))
+    val cand = index.join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val needed = cellCodes match {
+      case Some(inv) => inv.join(broadcast(probed), Seq("centroid_id"))
+        .select(col("query_id"), col("centroid_id"), col("sub"),
+          col("code")).distinct()
+      case None => cand.select(col("query_id"), col("centroid_id"),
+        col("sub"), col("code")).distinct()
+    }
+    val lut = needed
+      .join(broadcast(pqCbRes), Seq("sub", "code"))
+      .join(broadcast(qrs), Seq("query_id", "centroid_id", "sub"))
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
+        round(fdot(col("qrsub"), col("ce")), 6).as("pdot"))
+    cand.join(broadcast(lut), Seq("query_id", "centroid_id", "sub", "code"))
+      .join(broadcast(qc.select(col("query_id"), col("centroid_id"),
+        col("qcdot"))), Seq("query_id", "centroid_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      // qcdot is functionally dependent on the candidate's cell (itself
+      // dependent on vec_id) — max() is value-deterministic here
+      .agg(round(max(col("qcdot")) + sum(col("pdot")), 6).as("adc_score"))
+  }
+
+  /** Residual IVF-PQ serving (ADC-only): probe, score candidates from
+    * residual codes, return the top-k by approximate q·x.
+    */
+  def ivfPqResidualTopKIndexed(index: DataFrame, ivfCodebook: DataFrame,
+                               pqCbRes: DataFrame, queries: DataFrame,
+                               m: Int, dim: Int, nprobe: Int, k: Int,
+                               cellCodes: Option[DataFrame] = None): DataFrame =
+    ivfPqResidualAdcScores(index, ivfCodebook, pqCbRes, queries, m, dim,
+        nprobe, cellCodes)
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_score").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_score"))
+
+  /** Two-stage residual IVF-PQ serving: residual-ADC shortlist, exact
+    * cosine rerank — [[ivfPqTopKIndexedReranked]] on the residual index.
+    */
+  def ivfPqResidualTopKIndexedReranked(index: DataFrame,
+                                       ivfCodebook: DataFrame,
+                                       pqCbRes: DataFrame,
+                                       queries: DataFrame, store: DataFrame,
+                                       m: Int, dim: Int, nprobe: Int,
+                                       shortlist: Int, k: Int,
+                                       cellCodes: Option[DataFrame] = None)
+      : DataFrame =
+    rerankShortlist(ivfPqResidualAdcScores(index, ivfCodebook, pqCbRes,
+      queries, m, dim, nprobe, cellCodes), queries, store, shortlist, k)
 
   /** Recall@k of an APPROXIMATE top-k result against the exact one —
     * the eval primitive that decides whether an IVF / PQ configuration

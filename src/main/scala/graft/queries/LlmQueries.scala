@@ -354,6 +354,98 @@ object LlmQueries {
     seedPqCbDef("pcb0") + chain
   }
 
+  /** Per-subspace Lloyd chain like [[pqLearnedCbDef]], but over an
+    * ARBITRARY slice-relation CTE (vec_id, sub, xe) and with prefixed
+    * CTE names — the residual oracle trains its PQ codebooks on
+    * residual slices (`rxs`) instead of raw ones (`xs`). Seeds are the
+    * `vec_id % 50 = 0` rows of the slice relation (the SQL twin of
+    * [[Similarity.pqCodebookResidualLearned]]'s seeding).
+    */
+  private def pqLearnedCbDefOver(iters: Int, xsName: String,
+                                 pfx: String): String = {
+    val chain = (1 to iters).map { i =>
+      s""",
+         |${pfx}a$i AS (SELECT vec_id, sub, xe, code FROM (
+         |   SELECT x.vec_id, x.sub, x.xe, c.code,
+         |     row_number() OVER (PARTITION BY x.vec_id, x.sub
+         |       ORDER BY round(${dotSql("x.xe", "x.xe")}
+         |           - 2.0 * ${dotSql("x.xe", "c.ce")}
+         |           + ${dotSql("c.ce", "c.ce")}, 6), c.code) AS rn
+         |   FROM $xsName x JOIN ${pfx}cb${i - 1} c ON x.sub = c.sub)
+         |   WHERE rn = 1),
+         |${pfx}cb$i AS (SELECT sub, code, list(av ORDER BY i) AS ce FROM (
+         |   SELECT sub, code, i, round(avg(CAST(xe[i] AS DOUBLE)), 6) AS av
+         |   FROM ${pfx}a$i, unnest(range(1, len(xe)+1)) t(i)
+         |   GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    s"""${pfx}cb0 AS (SELECT sub, vec_id AS code, xe AS ce
+       |        FROM $xsName WHERE vec_id % 50 = 0)""".stripMargin + chain
+  }
+
+  /** Residual IVF-PQ pipeline CTEs (the SQL twin of
+    * [[Similarity.ivfPqResidualIndex]] + [[Similarity.ivfPqResidualTopKIndexed]]):
+    * learned coarse cells, residual slices x − c(cell), residual-trained
+    * PQ codebooks, residual codes, and candidate ADC sums in `sc` where
+    * the score decomposes as q·c + (q − c)·decode(codes). Emits the
+    * same `q` / `sc` contract as [[ivfPqCtesWith]], so [[rerankCtes]]
+    * composes unchanged.
+    */
+  private def ivfPqResidualCtes(nprobe: Int, queryRes: Int = 0): String =
+    s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+       |${coarseLearnedDef(2)},
+       |rasg AS (${asgSql("cl2")}),
+       |rxs AS (SELECT a.vec_id, a.centroid_id, s.sub,
+       |          list_transform(range(1, 17), i ->
+       |            CAST(a.embedding[s.sub*16 + i] AS DOUBLE) -
+       |            CAST(c.ce[s.sub*16 + i] AS DOUBLE)) AS xe
+       |        FROM rasg a JOIN cl2 c ON a.centroid_id = c.centroid_id,
+       |             subs s),
+       |${pqLearnedCbDefOver(2, "rxs", "r")},
+       |rd AS (SELECT x.vec_id, x.sub, c.code,
+       |             round(${dotSql("x.xe", "x.xe")}
+       |               - 2.0 * ${dotSql("x.xe", "c.ce")}
+       |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
+       |      FROM rxs x JOIN rcb2 c ON x.sub = c.sub),
+       |rcodes AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |                            ORDER BY d2, code) AS rn FROM rd)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe
+       |      FROM embeddings WHERE vec_id % 100 = $queryRes),
+       |probe AS (SELECT query_id, centroid_id FROM (
+       |            SELECT q.query_id, c.centroid_id,
+       |              row_number() OVER (PARTITION BY q.query_id
+       |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+       |                         c.centroid_id) AS rn
+       |            FROM q, cl2 c) WHERE rn <= $nprobe),
+       |qc AS (SELECT p.query_id, p.centroid_id,
+       |         round(${dotSql("q.qe", "c.ce")}, 6) AS qcdot
+       |       FROM probe p JOIN q ON q.query_id = p.query_id
+       |       JOIN cl2 c ON c.centroid_id = p.centroid_id),
+       |rqs AS (SELECT p.query_id, p.centroid_id, s.sub,
+       |          list_transform(range(1, 17), i ->
+       |            CAST(q.qe[s.sub*16 + i] AS DOUBLE) -
+       |            CAST(c.ce[s.sub*16 + i] AS DOUBLE)) AS qrsub
+       |        FROM probe p JOIN q ON q.query_id = p.query_id
+       |        JOIN cl2 c ON c.centroid_id = p.centroid_id, subs s),
+       |rlut AS (SELECT rq.query_id, rq.centroid_id, cb.sub, cb.code,
+       |           round(${dotSql("rq.qrsub", "cb.ce")}, 6) AS pdot
+       |         FROM rqs rq JOIN rcb2 cb ON rq.sub = cb.sub),
+       |cand AS (SELECT p.query_id, a.vec_id, a.centroid_id
+       |         FROM probe p JOIN rasg a ON p.centroid_id = a.centroid_id
+       |         WHERE a.vec_id <> p.query_id),
+       |sc AS (SELECT cd.query_id, cd.vec_id,
+       |         round(max(qc.qcdot) + sum(l.pdot), 6) AS adc_score
+       |       FROM cand cd
+       |       JOIN rcodes k ON k.vec_id = cd.vec_id
+       |       JOIN rlut l ON l.query_id = cd.query_id
+       |         AND l.centroid_id = cd.centroid_id
+       |         AND l.sub = k.sub AND l.code = k.code
+       |       JOIN qc ON qc.query_id = cd.query_id
+       |         AND qc.centroid_id = cd.centroid_id
+       |       GROUP BY 1, 2)""".stripMargin
+
   /** The full IVF-PQ pipeline CTEs against the codebook CTE `cbName`
     * (defined by `cbDef`): PQ codes, coarse cells, probes, query LUTs,
     * candidate ADC sums in `sc` — shared by the serving, rerank, recall,
@@ -590,6 +682,27 @@ object LlmQueries {
   private val MixRateSql: String =
     MixWeights.map { case (g, p) => s"WHEN '$g' THEN $p" }
       .mkString("CASE source ", " ", " ELSE 0 END")
+
+  /** The served RESIDUAL IVF-PQ plan: 2-step-Lloyd coarse quantizer,
+    * residual-trained PQ sub-codebooks ([[Similarity.pqCodebookResidualLearned]]),
+    * residual index, nprobe=5 + rerank50 serving — the r12 ladder's best
+    * configuration (recall@10 0.88 in-sample / 0.44 holdout at sf0.01).
+    */
+  private def residualServed(s: org.apache.spark.sql.SparkSession,
+                             dir: String, queryRes: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val seed = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val ivfCb = Similarity.kmeansTrain(e, seed, maxIters = 2)
+    val res = Similarity.ivfResiduals(e, ivfCb)
+    val pqCbRes = Similarity.pqCodebookResidualLearned(res, m = 4,
+      dim = 64, centroidMod = 50, maxIters = 2)
+    Similarity.ivfPqResidualTopKIndexedReranked(
+      Similarity.ivfPqResidualIndex(e, ivfCb, pqCbRes, m = 4, dim = 64),
+      ivfCb, pqCbRes, e.filter(col("vec_id") % 100 === queryRes), e,
+      m = 4, dim = 64, nprobe = 5, shortlist = 50, k = 10)
+  }
 
   val queries: Map[String, Query] = Map(
 
@@ -910,6 +1023,28 @@ object LlmQueries {
           Similarity.ivfPqIndex(e, ivfCb, pqCb, m = 4, dim = 64),
           ivfCb, pqCb, e.filter(col("vec_id") % 100 === 7), e, m = 4,
           dim = 64, nprobe = 5, shortlist = 50, k = 10),
+        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 7, k = 10),
+        k = 10)
+    }),
+
+    // RESIDUAL IVF-PQ (FAISS IVFADC shape: PQ over x − coarse centroid)
+    // at the ladder-picked rung nprobe=5 + rerank50 — the best serving
+    // point of the entire r12 ladder: recall@10 0.88 in-sample / 0.44
+    // holdout vs 0.78/0.40 for the raw-space fully-learned config at
+    // identical serve cost (BASELINE.md residual table).
+    "sim_ivfpq_residual_topk" -> ((s, dir) =>
+      residualServed(s, dir, queryRes = 0)),
+
+    "sim_ivfpq_residual_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(residualServed(s, dir, queryRes = 0),
+        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
+        k = 10)
+    }),
+
+    "sim_ivfpq_residual_holdout_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(residualServed(s, dir, queryRes = 7),
         Similarity.bruteForceTopK(e, col("vec_id") % 100 === 7, k = 10),
         k = 10)
     }),
@@ -2060,6 +2195,66 @@ object LlmQueries {
     // fully-learned serving at its ladder rung: nprobe=5 + rerank50
     "sim_ivfpq_full_learned_recall" ->
       s"""WITH $IvfPqFullLearnedCtes,
+         |${rerankCtes(50)},
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM rr) WHERE rn <= 10),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bp) WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    // residual IVF-PQ serving at its ladder rung (nprobe=5 + rerank50)
+    "sim_ivfpq_residual_topk" ->
+      s"""WITH ${ivfPqResidualCtes(5)},
+         |${rerankCtes(50)}
+         |SELECT query_id, vec_id, round(sim, 6) AS cosine FROM (
+         |  SELECT query_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM rr) WHERE rn <= 10""".stripMargin,
+
+    "sim_ivfpq_residual_recall" ->
+      s"""WITH ${ivfPqResidualCtes(5)},
+         |${rerankCtes(50)},
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM rr) WHERE rn <= 10),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bp) WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    "sim_ivfpq_residual_holdout_recall" ->
+      s"""WITH ${ivfPqResidualCtes(5, queryRes = 7)},
          |${rerankCtes(50)},
          |ap AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,

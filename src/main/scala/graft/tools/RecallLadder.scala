@@ -138,6 +138,32 @@ object RecallLadder {
       }
       index.unpersist()
     }
+
+    // residual configs (PQ over x − coarse_centroid, FAISS IVFADC shape):
+    // residual codebooks are coarse-book-specific, so each coarse choice
+    // trains its own
+    val resConfigs: Seq[(String, DataFrame)] = Seq(
+      ("res-seeded", seed), ("res-full-learned", learnedCoarse))
+    for ((name, ivfCb) <- resConfigs) {
+      val res = Similarity.ivfResiduals(e, ivfCb).persist()
+      res.count()
+      val pqCbRes = Similarity.pqCodebookResidualLearned(res, m = 4,
+        dim = 64, centroidMod = 50, maxIters = 2).persist()
+      pqCbRes.count()
+      val index = Similarity.ivfPqResidualIndex(e, ivfCb, pqCbRes, m = 4,
+        dim = 64).persist()
+      index.count()
+      for (np <- nprobes; (qn, queries, exact) <- querySets) {
+        val adc = meanRecallOf(Similarity.ivfPqResidualTopKIndexed(index,
+          ivfCb, pqCbRes, queries, m = 4, dim = 64, nprobe = np, k = 10),
+          exact)
+        val rr = meanRecallOf(Similarity.ivfPqResidualTopKIndexedReranked(
+          index, ivfCb, pqCbRes, queries, e, m = 4, dim = 64, nprobe = np,
+          shortlist = 50, k = 10), exact)
+        println(f"LADDER $name%-16s $qn%-9s nprobe=$np%-2d adc=$adc%.4f rerank50=$rr%.4f")
+      }
+      index.unpersist(); pqCbRes.unpersist(); res.unpersist()
+    }
     seedPq.unpersist(); learnedPq.unpersist()
     spark.stop()
   }

@@ -372,6 +372,87 @@ class SimilaritySpec extends SparkSpec {
     assert(rr > 0.0 && rr <= 1.0)
   }
 
+  test("ivfResiduals: residual + assigned centroid reconstructs the vector") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivfCb = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val res = Similarity.ivfResiduals(e, ivfCb)
+    // every vector present exactly once, residual in double precision
+    assert(res.count() == e.count())
+    val recon = res
+      .join(ivfCb.select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("cce")), Seq("centroid_id"))
+      .join(e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("orig")), Seq("vec_id"))
+      .select(max(expr(
+        "aggregate(zip_with(zip_with(embedding, cce, (r, c) -> r + c)," +
+          " orig, (s, o) -> abs(s - o)), 0D, (a, x) -> greatest(a, x))")))
+      .as[Double].collect().head
+    assert(recon < 1e-12, s"max reconstruction error $recon")
+    // under a LEARNED (cell-mean) coarse quantizer the mean SQUARED
+    // residual norm is provably below the raw mean square (per cell,
+    // E||x−c||² = E||x||² − ||c||² for c the cell mean) — the variance
+    // the PQ bit budget no longer has to spend. NOT true for the seeded
+    // codebook (unit-vector centroids, wide cells ⇒ ||x−c|| can exceed
+    // ||x||), which is why the residual ladder trains its own books.
+    val learned = Similarity.kmeansTrain(e, ivfCb, maxIters = 2)
+    val msq = Similarity.ivfResiduals(e, learned)
+      .select(avg(expr(
+        "aggregate(embedding, 0D, (a, x) -> a + x * x)")).as("msq"))
+      .as[Double].collect().head
+    val rawMsq = e
+      .select(avg(expr(
+        "aggregate(cast(embedding AS array<double>), 0D," +
+          " (a, x) -> a + x * x)")).as("msq"))
+      .as[Double].collect().head
+    assert(msq < rawMsq,
+      s"mean squared residual norm $msq not below raw $rawMsq")
+  }
+
+  test("residual IVF-PQ: inventory path serves identically to derived") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivfCb = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val res = Similarity.ivfResiduals(e, ivfCb).localCheckpoint(true)
+    val pqCbRes = Similarity.pqCodebookResidualLearned(res, m = 4, dim = 64,
+      centroidMod = 50, maxIters = 2).localCheckpoint(true)
+    val idx = Similarity.ivfPqResidualIndex(e, ivfCb, pqCbRes, m = 4,
+      dim = 64).localCheckpoint(true)
+    // same memory layout as the raw-space index: m codes + a cell per id
+    assert(idx.groupBy("vec_id").count().filter(col("count") =!= 4)
+      .count() == 0)
+    val qrys = e.filter(col("vec_id") % 100 === 0)
+    val cc = Similarity.ivfPqCellCodes(idx)
+    def serve(inv: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfPqResidualTopKIndexed(idx, ivfCb, pqCbRes, qrys, m = 4,
+        dim = 64, nprobe = 3, k = 10, cellCodes = inv)
+        .collect().map(_.toSeq).toSet
+    assert(serve(Some(cc)) == serve(None) && serve(None).nonEmpty)
+  }
+
+  test("residual IVF-PQ rerank never loses recall vs residual ADC") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivfCb = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val res = Similarity.ivfResiduals(e, ivfCb).localCheckpoint(true)
+    val pqCbRes = Similarity.pqCodebookResidualLearned(res, m = 4, dim = 64,
+      centroidMod = 50, maxIters = 2).localCheckpoint(true)
+    val idx = Similarity.ivfPqResidualIndex(e, ivfCb, pqCbRes, m = 4,
+      dim = 64).localCheckpoint(true)
+    val qrys = e.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, 10)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, 10)
+        .agg(avg(col("recall"))).as[Double].collect().head
+    val adc = meanRecall(Similarity.ivfPqResidualTopKIndexed(idx, ivfCb,
+      pqCbRes, qrys, m = 4, dim = 64, nprobe = 3, k = 10))
+    val rr = meanRecall(Similarity.ivfPqResidualTopKIndexedReranked(idx,
+      ivfCb, pqCbRes, qrys, e, m = 4, dim = 64, nprobe = 3, shortlist = 50,
+      k = 10))
+    assert(rr >= adc, s"residual rerank recall $rr < raw ADC $adc")
+    assert(rr > 0.0 && rr <= 1.0)
+  }
+
   test("recallAtK: identical, disjoint, and partial lists") {
     def topk(rows: (Long, Long)*) = rows.toSeq.toDF("query_id", "vec_id")
     val exact = topk((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
