@@ -350,6 +350,34 @@ object ScaleProbe {
           m = 4, dim = 64, nprobe = 3, k = 10))
       Seq(ivfCb, pqCbF, idx, qrys).foreach(_.unpersist())
     }
+    // RESIDUAL IVF-PQ serve from a prebuilt index: identical candidate
+    // volume to the raw-space server; the only extra serve-time work is
+    // the per-(query, probed-cell) residual LUT (nprobe x bigger than the
+    // raw LUT, still broadcast-sized) and the q·c base-term join — so
+    // serve cost must track ivfpq_topk_indexed, not the corpus
+    if (only.forall(_.contains("ivfpq_residual_serve"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ivfCb = embP.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding").persist(sl)
+      val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
+      // fixed-size residual codebook (replica 0's residual seeds), the
+      // production shape — the corpus-growing policy is the known
+      // quadratic the fixedcb probes recorded
+      val pqCbRes = Similarity.pqCodebookLearnedFrom(res,
+        Similarity.pqCodebook(res.filter(col("vec_id") < 10000000L),
+          m = 4, dim = 64, centroidMod = 50), m = 4, dim = 64,
+        maxIters = 1).persist(sl)
+      val idx = Similarity.ivfPqResidualIndex(embP, ivfCb, pqCbRes,
+        m = 4, dim = 64).persist(sl)
+      val qrys = embP.filter(col("vec_id") % 1000 === 0).persist(sl)
+      val cc = Similarity.ivfPqCellCodes(idx).persist(sl)
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc).foreach(_.count())
+      t("ivfpq_residual_serve", keepCache = true)(
+        Similarity.ivfPqResidualTopKIndexed(idx, ivfCb, pqCbRes, qrys,
+          m = 4, dim = 64, nprobe = 3, k = 10, cellCodes = Some(cc)))
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc).foreach(_.unpersist())
+    }
+
     // learned-PQ TRAINING cost per Lloyd iteration, production shape: a
     // FIXED-size sub-codebook (replica 0's seeds at any k) trained over
     // the full corpus — one iteration = one broadcast assign over the

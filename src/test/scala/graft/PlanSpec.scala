@@ -313,4 +313,29 @@ class PlanSpec extends SparkSpec {
       s"codebook must never join on sub alone (full-codebook LUT cross):\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("residual ivfpq serving: per-cell LUTs, no codebook cross, no merge join") {
+    // same discipline as the raw-space server, on the residual path: the
+    // residual codebook joins only on (sub, code) (the LUT restriction),
+    // every query-sized relation broadcasts, and the prebuilt index is
+    // the only corpus-scale input
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val ivfCb = e.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+    val res = graft.ops.Similarity.ivfResiduals(e, ivfCb)
+      .localCheckpoint(true)
+    val pqCbRes = graft.ops.Similarity.pqCodebookResidualLearned(res,
+      m = 4, dim = 64, centroidMod = 50, maxIters = 1)
+      .localCheckpoint(true)
+    val idx = graft.ops.Similarity.ivfPqResidualIndex(e, ivfCb, pqCbRes,
+      m = 4, dim = 64).localCheckpoint(true)
+    val served = graft.ops.Similarity.ivfPqResidualTopKIndexed(idx, ivfCb,
+      pqCbRes, e.filter(col("vec_id") % 100 === 0), m = 4, dim = 64,
+      nprobe = 3, k = 10)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!"""HashJoin \[sub#\d+[L]?\]""".r.findFirstIn(p).isDefined,
+      s"residual codebook must never join on sub alone:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
