@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-provided fixture tables (see TESTDATA.md).
   *
@@ -22,21 +22,25 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set ONCE at session
-    * build by Verify/Bench/SparkSpec — not mutated here, so session
-    * behavior is order-independent) the column arrives as raw nanos;
-    * truncate to a proper micros TimestampType — the same truncation
-    * DuckDB applies on `CAST(ts AS TIMESTAMP)`, keeping oracle parity.
+  /** `events.ts` has arrived under THREE physical encodings across fixture
+    * generations — parquet TIMESTAMP(NANOS) (a raw-nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which Verify/Bench/
+    * SparkSpec still set for backward compatibility), naive micros
+    * (`timestamp[us]`, isAdjustedToUTC=false — Spark 4 infers
+    * `TIMESTAMP_NTZ`), and UTC-adjusted micros (`TimestampType`). This
+    * boundary normalizes EVERY arrival to `TimestampType` so no operator
+    * downstream depends on reader behavior or fixture vintage. Sessions
+    * pin `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast preserves
+    * the wall-clock value DuckDB's oracle sees on the same naive column.
     */
   private def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => sys.error(s"events.ts arrived as unsupported type $other")
+    }
   }
 
   def region(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "region")

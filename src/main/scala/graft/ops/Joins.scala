@@ -56,8 +56,12 @@ object Joins {
   def rangeJoin(left: DataFrame, leftTs: String,
                 right: DataFrame, startCol: String, endCol: String,
                 bucketMillis: Long): DataFrame = {
+    // Bucket via unix_micros over an explicit cast-to-timestamp: robust to
+    // TIMESTAMP, TIMESTAMP_NTZ and string arrivals alike (a direct
+    // cast-to-double fails analysis on NTZ). Both sides bucket through the
+    // same cast, so the grid stays consistent regardless of session TZ.
     def bucketOf(c: Column): Column =
-      floor(c.cast("double") * 1000 / bucketMillis).cast("long")
+      floor(unix_micros(c.cast("timestamp")) / (bucketMillis * 1000.0)).cast("long")
     val l = left.withColumn("__bucket", bucketOf(col(leftTs)))
     val r = right.withColumn("__bucket",
       explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))

@@ -513,6 +513,29 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic FIXED-SIZE PQ seed: exactly `k` codes per subspace
+    * (the production codebook shape — classically k=256), sliced from
+    * the `k` vectors ranked first by `md5(vec_id)` (house seed-derivation
+    * convention: pseudo-random spread, engine-replayable, no RNG). Unlike
+    * the `vec_id % centroidMod` policy the codebook CAPACITY no longer
+    * grows with the corpus: every Lloyd assign pass is O(n·m·k) with k a
+    * constant, and the trained book is a fixed broadcast-sized artifact
+    * at any corpus scale — the shape a 100 TB deployment trains once and
+    * serves everywhere. Seed selection is a TakeOrderedAndProject
+    * (top-k, no global sort materialization).
+    */
+  def pqCodebookFixed(embeddings: DataFrame, m: Int, dim: Int,
+                      k: Int): DataFrame = {
+    val sub = dim / m
+    val seeds = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+    (0 until m).map { j =>
+      seeds.select(lit(j).as("sub"), col("vec_id").as("code"),
+        slice(col("embedding"), j * sub + 1, sub).as("ce"))
+    }.reduce(_ unionByName _)
+  }
+
   /** LEARNED per-subspace PQ codebooks: `maxIters` Lloyd steps run in
     * every subspace SIMULTANEOUSLY over the one (vec_id, sub, xe) slice
     * relation — assignment is argmin squared-L2 within the subspace

@@ -1028,6 +1028,60 @@ object TextAnalysis {
           x => x.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Exact-substring deduplication at document granularity (the
+    * Lee et al. 2022 "Deduplicating Training Data…" / RefinedWeb
+    * ExactSubstr family, re-expressed relationally): a document is
+    * DROPPED when it shares at least one exact run of `w` consecutive
+    * word tokens with an EARLIER (lower-id) document; kept rows pass
+    * through with all columns. Any cross-document overlap of >= w tokens
+    * contains at least one aligned w-token window, so "shares a
+    * w-window" exactly characterizes ">= w-token overlap" — the
+    * sliding-window relation answers the suffix-array substring query,
+    * sharded by window hash instead of sorted globally (no suffix array
+    * to build or hold; the classical w is 50, fixture queries use a
+    * smaller w to bite on ~54-token documents).
+    *
+    * Scale posture: ONE corpus scan + shingle pass; the (doc, window)
+    * relation shuffles by window, the per-window first owner comes off
+    * the SAME exchange via a min() window function (no second scan, no
+    * join back), and the flagged-id set — corpus-scale under heavy
+    * duplication — is removed by a SHUFFLE anti-join on the id, never
+    * collected or broadcast (same posture as [[lineDedup]]'s
+    * frequent-line anti-join). Documents with < w tokens have no
+    * windows and are always kept. Keep-first is pairwise (a doc is
+    * kept iff no window it holds was first seen in a lower id), the
+    * same convention as the fuzzy keep-first face.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val flagged = Dedup.shingleRows(
+        Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, w)
+      .withColumn("own", min(col("doc_id")).over(byGram))
+      .filter(col("doc_id") =!= col("own"))
+      .select(col("doc_id")).distinct()
+    df.join(flagged, df(idCol) === flagged("doc_id"), "left_anti")
+  }
+
+  /** The audit face of [[substringDedup]]: per surviving-or-dropped
+    * document, how many of its distinct w-windows are shared with a
+    * lower-id document (`n_dup_windows`), its distinct window count, and
+    * the drop verdict — the evidence row a curation release logs next to
+    * the removal. Same single-shuffle shape as the dedup itself.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        w: Int): DataFrame = {
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    Dedup.shingleRows(
+        Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, w)
+      .withColumn("own", min(col("doc_id")).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("doc_id") =!= col("own"), 1).otherwise(0))
+          .as("n_dup_windows"))
+      .withColumn("dropped", (col("n_dup_windows") > 0).cast("boolean"))
+  }
+
   /** Corpus mixture accounting — the "data card" aggregate a training-
     * data release publishes: per-domain document and token counts with
     * their shares of the corpus. One partial-aggregated pass over the

@@ -18,6 +18,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Watermarks require `TimestampType`
+    * (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE` otherwise); a file source
+    * whose schema carries `TIMESTAMP_NTZ` — e.g. staged from a naive-
+    * micros fixture — is normalized here so every streaming face is
+    * robust to the arrival encoding, mirroring [[graft.Tables]]'
+    * batch-side boundary. Sessions pin TZ=UTC, so the cast is
+    * wall-clock-preserving.
+    */
+  private def eventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   /** Tumbling (or sliding, when `slide` is set) windowed counts + sums
     * with a watermark. Works on a streaming OR batch DataFrame — same
     * plan, which is exactly the point.
@@ -29,7 +44,7 @@ object EventStreams {
       case Some(s) => window(col("ts"), width, s)
       case None => window(col("ts"), width)
     }
-    events.withWatermark("ts", watermark)
+    eventTime(events, "ts").withWatermark("ts", watermark)
       .groupBy(win.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
@@ -44,7 +59,7 @@ object EventStreams {
     */
   def dedupStream(docs: DataFrame, textCol: String,
                   tsCol: String, watermark: String): DataFrame =
-    docs
+    eventTime(docs, tsCol)
       .withColumn("text_key",
         org.apache.spark.sql.functions.md5(lower(col(textCol))))
       .withWatermark(tsCol, watermark)
@@ -91,7 +106,7 @@ object EventStreams {
                        watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
-    events.selectExpr("user_id", "ts").as[SessionEvent]
+    eventTime(events, "ts").selectExpr("user_id", "ts").as[SessionEvent]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, Session](

@@ -25,14 +25,25 @@ import org.apache.spark.sql.functions._
   * their exact 1e-6-grid fixed point, so depths past convergence are
   * free and identical.
   *
+  * A third mode sweeps CODEBOOK SHAPE: `shape` as the second argument
+  * trains FIXED-SIZE sub-codebooks ([[Similarity.pqCodebookFixed]] —
+  * the production configuration, capacity decoupled from corpus size)
+  * across m x k_sub combinations and measures both the learned-PQ rung
+  * (seed coarse, nprobe=3) and the residual rung (learned coarse,
+  * nprobe=5), ADC and rerank50, insample + holdout. Round-12 verdict:
+  * depth is measured flat, so capacity (classically 256 codes/sub) is
+  * the remaining recall lever.
+  *
   * Usage: runMain graft.tools.RecallLadder <sfDir> [nprobe,nprobe,...]
   *        runMain graft.tools.RecallLadder <sfDir> iters [d,d,...]
+  *        runMain graft.tools.RecallLadder <sfDir> shape [m:k,m:k,...]
   */
 object RecallLadder {
   def main(args: Array[String]): Unit = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = args.head
     val itersMode = args.length > 1 && args(1) == "iters"
+    val shapeMode = args.length > 1 && args(1) == "shape"
     val nprobes: Seq[Int] =
       if (itersMode || args.length <= 1) Seq(3, 4, 5, 6, 8)
       else args(1).split(",").map(_.trim.toInt).toSeq
@@ -106,6 +117,62 @@ object RecallLadder {
         index.unpersist()
       }
       pqByDepth.values.foreach(_.unpersist())
+      spark.stop()
+      return
+    }
+
+    if (shapeMode) {
+      val shapes: Seq[(Int, Int)] =
+        if (args.length > 2) args(2).split(",").toSeq.map { s =>
+          val Array(a, b) = s.split(":"); (a.trim.toInt, b.trim.toInt) }
+        else Seq((4, 16), (4, 256), (8, 16), (8, 256))
+      val learnedCoarse = Similarity.kmeansTrain(e, seed, maxIters = 2)
+        .persist()
+      learnedCoarse.count()
+      for ((m, ksub) <- shapes) {
+        val t0 = System.nanoTime()
+        val pqCb = Similarity.pqCodebookLearnedFrom(e,
+          Similarity.pqCodebookFixed(e, m, 64, ksub), m, 64, maxIters = 8)
+          .persist()
+        pqCb.count()
+        val idx = Similarity.ivfPqIndex(e, seed, pqCb, m, 64).persist()
+        idx.count()
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        for ((qn, queries, exact) <- querySets) {
+          val adc = meanRecallOf(Similarity.ivfPqTopKIndexed(idx, seed,
+            pqCb, queries, m = m, dim = 64, nprobe = 3, k = 10), exact)
+          val rr = meanRecallOf(Similarity.ivfPqTopKIndexedReranked(idx,
+            seed, pqCb, queries, e, m = m, dim = 64, nprobe = 3,
+            shortlist = 50, k = 10), exact)
+          println(f"SHAPE lpq m=$m%-2d k=$ksub%-4d $qn%-9s nprobe=3 " +
+            f"adc=$adc%.4f rerank50=$rr%.4f train=$trainSec%.1fs")
+        }
+        idx.unpersist()
+        val t1 = System.nanoTime()
+        val res = Similarity.ivfResiduals(e, learnedCoarse).persist()
+        res.count()
+        val pqCbRes = Similarity.pqCodebookLearnedFrom(res,
+          Similarity.pqCodebookFixed(res, m, 64, ksub), m, 64, maxIters = 8)
+          .persist()
+        pqCbRes.count()
+        val ridx = Similarity.ivfPqResidualIndex(e, learnedCoarse, pqCbRes,
+          m, 64).persist()
+        ridx.count()
+        val trainResSec = (System.nanoTime() - t1) / 1e9
+        for ((qn, queries, exact) <- querySets) {
+          val adc = meanRecallOf(Similarity.ivfPqResidualTopKIndexed(ridx,
+            learnedCoarse, pqCbRes, queries, m = m, dim = 64, nprobe = 5,
+            k = 10), exact)
+          val rr = meanRecallOf(Similarity.ivfPqResidualTopKIndexedReranked(
+            ridx, learnedCoarse, pqCbRes, queries, e, m = m, dim = 64,
+            nprobe = 5, shortlist = 50, k = 10), exact)
+          println(f"SHAPE res m=$m%-2d k=$ksub%-4d $qn%-9s nprobe=5 " +
+            f"adc=$adc%.4f rerank50=$rr%.4f train=$trainResSec%.1fs")
+        }
+        ridx.unpersist(); pqCbRes.unpersist(); res.unpersist()
+        pqCb.unpersist()
+      }
+      learnedCoarse.unpersist()
       spark.stop()
       return
     }
