@@ -1055,11 +1055,26 @@ object TextAnalysis {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    // windows shuffle as fixed-width md5 keys, not raw ~w*6-char gram
+    // strings — 4x less exchange volume at w=20, more at w=50 (probe:
+    // 150 s -> linear at 100 k replicated docs); md5 so the oracle
+    // replays the exact key (house convention, same as the MinHash seed)
+    // Eager lineage cut before the anti-join (same fix, same reason as
+    // [[decontaminateIndexed]]): left lazy, the whole gram+window subtree
+    // re-plans nested inside the join — with InferFiltersFromGenerate
+    // duplicating the gram generator into every scan branch — and the
+    // probe went superlinear (161 s at 100 k replicated docs; 13 s for
+    // the flag pass itself). The checkpoint is DISTRIBUTED (ids stay on
+    // executors, nothing is collected or broadcast — flagged is
+    // corpus-scale under heavy duplication), so the join below is a
+    // plain shuffled anti-join on the id.
     val flagged = Dedup.shingleRows(
         Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, w)
+      .select(col("doc_id"), md5(col("s")).as("s"))
       .withColumn("own", min(col("doc_id")).over(byGram))
       .filter(col("doc_id") =!= col("own"))
       .select(col("doc_id")).distinct()
+      .localCheckpoint(true)
     df.join(flagged, df(idCol) === flagged("doc_id"), "left_anti")
   }
 
@@ -1074,6 +1089,7 @@ object TextAnalysis {
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     Dedup.shingleRows(
         Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, w)
+      .select(col("doc_id"), md5(col("s")).as("s"))
       .withColumn("own", min(col("doc_id")).over(byGram))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Corpus, Dedup, EventOps, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
 import graft.pipeline.{Breweries, Pipeline}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data-pipeline operators as oracle-checked queries over the
@@ -667,6 +668,36 @@ object LlmQueries {
     * document, mirroring [[Dedup.shingleRows]] (gram = n tokens joined by
     * a single space; documents shorter than n tokens produce none).
     */
+  /** Planted-overlap corpus for the exact-substring dedup queries: the
+    * documents (lowered) plus, for every `doc_id % 10 == 3` document, a
+    * copy carrying its first 25 tokens and a unique 4-token tail under
+    * id + 100000 — a guaranteed >= 20-token exact overlap with a
+    * lower-id source, with nothing else colliding. ONE definition feeds
+    * the Spark relation and [[plantedOverlapCorpusSql]] feeds the
+    * oracle, so the two engines can never drift on the fixture.
+    */
+  private def plantedOverlapCorpus(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), lower(col("text")).as("text"))
+    val planted = documents.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(array_join(slice(split(lower(col("text")), " "), 1, 25), " "),
+          lit(" planted tail marker "),
+          (col("doc_id") + 100000).cast("string")).as("text"))
+    base.unionByName(planted)
+  }
+
+  // NOTE: this fragment is interpolated into oracles that call
+  // stripMargin AFTER interpolation, so no line may begin with
+  // whitespace + '|' (a leading '||' concat would lose its first char);
+  // concat() keeps the fragment margin-safe.
+  private val plantedOverlapCorpusSql: String =
+    """(SELECT doc_id, lower(text) AS text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id,
+      |        concat(array_to_string(list_slice(string_split(lower(text), ' '), 1, 25), ' '),
+      |               ' planted tail marker ', CAST(doc_id + 100000 AS VARCHAR)) AS text
+      | FROM documents WHERE doc_id % 10 = 3)""".stripMargin
+
   private def ngramRowsSql(base: String, n: Int): String =
     s"""SELECT DISTINCT doc_id, array_to_string(ws[i:i+${n - 1}], ' ') AS s
        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $base),
@@ -1426,6 +1457,24 @@ object LlmQueries {
         concat_ws("\n", col("text"),
           concat(lit("source: "), col("source"))).as("text"))
       TextAnalysis.lineDedup(two, "doc_id", "text", minDocs = 10)
+    }),
+
+    // exact-substring dedup (Lee et al. w-token-window family): overlaps
+    // are PLANTED — every doc_id % 10 == 3 document spawns a copy holding
+    // its first 25 tokens plus a unique tail, so each planted doc shares
+    // a >= 20-token run with its (lower-id) source and must drop, while
+    // the sources and every other doc survive. w=20 bites on the ~54-token
+    // fixture docs; production runs the same plan with w=50.
+    "text_substring_dedup" -> ((s, dir) => {
+      TextAnalysis.substringDedup(plantedOverlapCorpus(Tables.documents(s, dir)),
+        "doc_id", "text", w = 20)
+    }),
+
+    // the audit face on the same planted corpus: per doc, distinct
+    // 20-windows, how many were first seen in a lower id, drop verdict
+    "text_substring_dup_stats" -> ((s, dir) => {
+      TextAnalysis.substringDupStats(plantedOverlapCorpus(Tables.documents(s, dir)),
+        "doc_id", "text", w = 20)
     }),
 
     // decontamination audit: corpus docs (src9 = the held-out benchmark)
@@ -2928,6 +2977,30 @@ object LlmQueries {
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
         |FROM ln WHERE line NOT IN (SELECT line FROM fq)
         |GROUP BY 1""".stripMargin,
+
+    // exact-substring dedup over the planted-overlap corpus: a doc drops
+    // iff one of its distinct 20-token windows was first seen (min id)
+    // in another doc
+    "text_substring_dedup" ->
+      s"""WITH corpus AS $plantedOverlapCorpusSql,
+         |sh AS (${ngramRowsSql("corpus", 20)}),
+         |own AS (SELECT s, min(doc_id) AS own FROM sh GROUP BY 1),
+         |fl AS (SELECT DISTINCT sh.doc_id FROM sh JOIN own USING (s)
+         |       WHERE sh.doc_id <> own.own)
+         |SELECT c.doc_id, c.text
+         |FROM corpus c LEFT JOIN fl ON c.doc_id = fl.doc_id
+         |WHERE fl.doc_id IS NULL""".stripMargin,
+
+    "text_substring_dup_stats" ->
+      s"""WITH corpus AS $plantedOverlapCorpusSql,
+         |sh AS (${ngramRowsSql("corpus", 20)}),
+         |own AS (SELECT s, min(doc_id) AS own FROM sh GROUP BY 1),
+         |j AS (SELECT sh.doc_id, own.own FROM sh JOIN own USING (s))
+         |SELECT doc_id, count(*) AS n_windows,
+         |       CAST(sum(CASE WHEN doc_id <> own THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_windows,
+         |       sum(CASE WHEN doc_id <> own THEN 1 ELSE 0 END) > 0 AS dropped
+         |FROM j GROUP BY 1""".stripMargin,
 
     // corpus (non-src9) docs sharing any word 8-gram with the src9
     // benchmark slice, with distinct-overlap counts

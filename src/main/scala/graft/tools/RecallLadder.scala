@@ -45,7 +45,7 @@ object RecallLadder {
     val itersMode = args.length > 1 && args(1) == "iters"
     val shapeMode = args.length > 1 && args(1) == "shape"
     val nprobes: Seq[Int] =
-      if (itersMode || args.length <= 1) Seq(3, 4, 5, 6, 8)
+      if (itersMode || shapeMode || args.length <= 1) Seq(3, 4, 5, 6, 8)
       else args(1).split(",").map(_.trim.toInt).toSeq
     val depths: Seq[Int] =
       if (itersMode && args.length > 2)

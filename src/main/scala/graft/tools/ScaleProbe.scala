@@ -99,6 +99,14 @@ object ScaleProbe {
     t("decontaminate")(
       graft.ops.TextAnalysis.decontaminate(docs, bench, "doc_id", "text", 8))
 
+    // exact-substring (20-token-window) dedup: the window relation grows
+    // linearly with the corpus (one row per token position), the
+    // per-window min-owner rides the same exchange, and the replica
+    // corpus is worst-case (every replica of a doc shares ALL its
+    // windows except the salted prefix ones with every other replica)
+    t("substring_dedup")(
+      graft.ops.TextAnalysis.substringDedup(docs, "doc_id", "text", w = 20))
+
     // line-level dedup with 50 planted frequent footer lines: the line
     // aggregate and anti-join both grow with the line stream, linearly
     t("line_dedup")(
