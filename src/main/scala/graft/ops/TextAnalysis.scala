@@ -1012,13 +1012,41 @@ object TextAnalysis {
     * partitioning.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                minDocs: Long): DataFrame = {
+                minDocs: Long): DataFrame =
+    lineDedupIndexed(df, lineDocCounts(df, textCol), idCol, textCol, minDocs)
+
+  /** Per-doc-distinct line frequency relation (line, n_docs) — the state
+    * [[lineDedupIndexed]] consumes and the streaming ingest persists.
+    * Counts are PARTIAL-safe: a stored index may hold several rows per
+    * line (append-grown across micro-batches); consumers re-aggregate by
+    * summing, and since each document lands in exactly one batch the
+    * summed partials equal the full-corpus distinct-doc count.
+    */
+  def lineDocCounts(df: DataFrame, textCol: String): DataFrame =
+    Par.fanOut(df.select(col(textCol)))
+      .select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+
+  /** [[lineDedup]] against a PRE-BUILT line-frequency relation — the
+    * per-ingest / retrospective-republish face (mirrors
+    * `decontaminateIndexed`): strip every line whose SUMMED count in
+    * `lineCounts` reaches `minDocs`, reassemble the survivors in
+    * original order. With a count relation covering exactly `df`, this
+    * is the batch operator; with a cumulative ingest index it cleans a
+    * new batch against the whole released corpus's line history.
+    *
+    * Scale posture: the frequent-line set is corpus-scale under heavy
+    * boilerplate, so the removal is a SHUFFLED anti-join on the line —
+    * never collected or broadcast — and the count re-aggregation
+    * shuffles only (line, partial) rows, not text.
+    */
+  def lineDedupIndexed(df: DataFrame, lineCounts: DataFrame, idCol: String,
+                       textCol: String, minDocs: Long): DataFrame = {
     val lines = Par.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "line")))
-    val frequent = Par.fanOut(df.select(col(textCol)))
-      .select(explode(array_distinct(split(col(textCol), "\n"))).as("line"))
-      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+    val frequent = lineCounts
+      .groupBy(col("line")).agg(sum(col("n_docs")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("line"))
     lines.join(frequent, Seq("line"), "left_anti")
