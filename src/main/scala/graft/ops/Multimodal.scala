@@ -64,6 +64,59 @@ object Multimodal {
     media.select(col("media_id"), f(1), f(2), f(3), f(4))
   }
 
+  /** REAL image-container header decode (not a stub): PNG / GIF / BMP /
+    * JPEG magic-number detection plus pixel dimensions parsed straight
+    * from the container bytes — pure byte arithmetic, no codec library
+    * (headers are spec-fixed offsets; only FRAME decode needs a codec,
+    * and that remains [[MediaDecoder]]'s swap point). Runs in the same
+    * `mapPartitions` batch shape as [[decodeFeatures]]: many rows in,
+    * explicit schema out, map-only — payload bytes never shuffle.
+    * Unknown/truncated payloads yield format "unknown" with null dims
+    * (audit rows, not errors — a 100 TB crawl always carries garbage).
+    */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val (fmt, w, h) = ImageHeaders.parse(r.getAs[Array[Byte]]("media"))
+        Row(r.getLong(0), fmt, w.map(Int.box).orNull, h.map(Int.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Embedding-join near-dup face: media items whose JOINED embedding
+    * vectors (`media_id` = `vec_id` — the cross-modal key a production
+    * pipeline carries from its encoder run) are near-duplicates, with
+    * both content digests attached — the relation a multimodal dedup
+    * review consumes ("these two media payloads embed alike; here is
+    * what they hash as"). The pair search is the label-blocked cosine
+    * join ([[Similarity.blockedNearDupPairs]] — never all-pairs); only
+    * media-backed vectors participate; the digest attach joins the
+    * HIT-sized pair relation against the (id, md5) sketch, so the
+    * payload bytes themselves never shuffle.
+    */
+  def nearDupPairs(media: DataFrame, embeddings: DataFrame,
+                   threshold: Double): DataFrame = {
+    val m = media.select(col("media_id"), md5(col("media")).as("media_md5"))
+    val vecs = embeddings.select("vec_id", "embedding", "label")
+      .join(m.select(col("media_id")),
+        embeddings("vec_id") === col("media_id"))
+      .drop("media_id")
+    val pairs = Similarity.blockedNearDupPairs(vecs, "label", threshold)
+    pairs
+      .join(m.select(col("media_id"), col("media_md5").as("md5_a")),
+        pairs("vec_a") === col("media_id")).drop("media_id")
+      .join(m.select(col("media_id"), col("media_md5").as("md5_b")),
+        pairs("vec_b") === col("media_id")).drop("media_id")
+      .select(col("vec_a").as("media_a"), col("vec_b").as("media_b"),
+        col("cosine"), col("md5_a"), col("md5_b"))
+  }
+
   /** The batch decode path: partition-wise iteration with an explicit
     * output schema — the Scala analogue of `mapInPandas` (same batch
     * shape: many rows in, many rows out, schema declared up front).
@@ -83,6 +136,57 @@ object Multimodal {
         Row(r.getLong(0), frames, feat)
       }
     }(enc)
+  }
+}
+
+/** Byte-level image-container header parsers — the spec-fixed fields
+  * (magic number, pixel dimensions) of the four ubiquitous formats.
+  * Pure functions over the payload prefix; no codec, no allocation.
+  */
+object ImageHeaders {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (be16(b, i) << 16) | be16(b, i + 2)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (le16(b, i + 2) << 16) | le16(b, i)
+
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** (format, width, height); ("unknown", None, None) for anything not
+    * parseable — including truncated buffers and nulls.
+    */
+  def parse(b: Array[Byte]): (String, Option[Int], Option[Int]) = {
+    if (b == null || b.length < 2) return ("unknown", None, None)
+    // PNG: 8-byte magic, IHDR chunk first (per spec): width/height BE32
+    // at byte 16/20
+    if (b.length >= 24 && PngMagic.indices.forall(i => u8(b, i) == PngMagic(i))
+        && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return ("png", Some(be32(b, 16)), Some(be32(b, 20)))
+    // GIF87a/GIF89a: logical screen size LE16 at byte 6/8
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      return ("gif", Some(le16(b, 6)), Some(le16(b, 8)))
+    // BMP: 'BM', BITMAPINFOHEADER width/height LE32 at byte 18/22
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return ("bmp", Some(le32(b, 18)), Some(math.abs(le32(b, 22))))
+    // JPEG: FFD8, then walk marker segments to the first SOFn frame
+    // header (height BE16 at +5, width BE16 at +7); skips APPn/COM/DQT…
+    if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(b, i) != 0xff) return ("jpeg", None, None) // desynced
+        val m = u8(b, i + 1)
+        if (m == 0xff) { i += 1 }                          // fill byte
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+        else if (m == 0xd9 || m == 0xda) return ("jpeg", None, None)
+        else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return ("jpeg", Some(be16(b, i + 7)), Some(be16(b, i + 5)))
+        else i += 2 + be16(b, i + 2)
+      }
+      return ("jpeg", None, None)
+    }
+    ("unknown", None, None)
   }
 }
 

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Corpus, Dedup, EventOps, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
 import graft.pipeline.{Breweries, Pipeline}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data-pipeline operators as oracle-checked queries over the
@@ -1628,6 +1628,52 @@ object LlmQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.fakeFeatures(
         Multimodal.documentsAsMedia(Tables.documents(s, dir)))),
+
+    // REAL image-header decode, oracle-checked end-to-end: payloads are
+    // SYNTHESIZED per doc as spec-correct PNG/GIF/BMP/JPEG container
+    // prefixes carrying dimensions derived from fixture columns (hex
+    // building + unhex — the bytes are real), then parsed back by the
+    // byte-level ImageHeaders walker; the oracle states the planted
+    // dimensions directly, so any endianness/offset/segment-walk bug
+    // breaks the match. The JPEG variant leads with a full APP0/JFIF
+    // segment so the SOF scan is genuinely exercised.
+    "mm_image_headers" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = (col("n_chars") % 300 + 16).cast("int")
+      val h = (col("doc_id") % 200 + 16).cast("int")
+      def be(c: Column, hexDigits: Int) = lpad(hex(c), hexDigits, "0")
+      def le16(c: Column) = {
+        val p = lpad(hex(c), 4, "0")
+        concat(substring(p, 3, 2), substring(p, 1, 2))
+      }
+      def le32(c: Column) = {
+        val p = lpad(hex(c), 8, "0")
+        concat(substring(p, 7, 2), substring(p, 5, 2),
+          substring(p, 3, 2), substring(p, 1, 2))
+      }
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be(w, 8), be(h, 8), lit("0806000000"))
+      val gif = concat(lit("474946383961"), le16(w), le16(h), lit("00"))
+      val bmp = concat(lit("424D"), lit("00" * 16), le32(w), le32(h))
+      val jpg = concat(lit("FFD8FFE000104A46494600010100000100010000"),
+        lit("FFC0001108"), be(h, 4), be(w, 4),
+        lit("03011100021101031101FFD9"))
+      val payload = unhex(
+        when(col("doc_id") % 4 === 0, png)
+          .when(col("doc_id") % 4 === 1, gif)
+          .when(col("doc_id") % 4 === 2, bmp)
+          .otherwise(jpg))
+      Multimodal.imageMeta(
+        d.select(col("doc_id").as("media_id"), payload.as("media")))
+    }),
+
+    // embedding-join near-dup face: media pairs whose joined vectors
+    // (media_id = vec_id) are label-blocked cosine near-dups, with both
+    // content digests attached
+    "mm_neardup_pairs" -> ((s, dir) =>
+      Multimodal.nearDupPairs(
+        Multimodal.documentsAsMedia(Tables.documents(s, dir)),
+        Tables.embeddings(s, dir), threshold = 0.35)),
 
     // ---- Pipeline driver (real writes + read-back) -------------------
 
@@ -3265,6 +3311,33 @@ object LlmQueries {
       s"""SELECT doc_id AS media_id, ${f(1)}, ${f(2)}, ${f(3)}, ${f(4)}
          |FROM documents""".stripMargin
     },
+
+    // the oracle states the PLANTED dimensions; the Spark side must
+    // build the container bytes and parse them back to match
+    "mm_image_headers" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |  CAST(n_chars % 300 + 16 AS INT) AS width,
+        |  CAST(doc_id % 200 + 16 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    "mm_neardup_pairs" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS media_md5
+         |           FROM documents),
+         |p AS (SELECT vec_a AS media_a, vec_b AS media_b,
+         |             round(sim, 6) AS cosine FROM (
+         |        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |               ${cosSql("a.embedding", "b.embedding")} AS sim
+         |        FROM embeddings a JOIN embeddings b
+         |          ON a.label = b.label AND a.vec_id < b.vec_id
+         |        JOIN m ma ON a.vec_id = ma.media_id
+         |        JOIN m mb ON b.vec_id = mb.media_id)
+         |      WHERE sim >= 0.35)
+         |SELECT media_a, media_b, cosine,
+         |       ma.media_md5 AS md5_a, mb.media_md5 AS md5_b
+         |FROM p JOIN m ma ON p.media_a = ma.media_id
+         |       JOIN m mb ON p.media_b = mb.media_id""".stripMargin,
 
     "pipeline_gold_readback" ->
       s"""WITH silver AS (${Breweries.SilverSql})

@@ -49,4 +49,87 @@ class MultimodalSpec extends SparkSpec {
     assert(d.decode(null) == ((0, Seq(0f, 0f, 0f, 0f))))
     assert(d.decode(Array.emptyByteArray)._1 == 0)
   }
+
+  // ---- real image-header parsing ------------------------------------
+
+  private def bytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("png header: big-endian dims out of the IHDR chunk") {
+    // 640 x 480: 00000280 x 000001E0
+    val png = bytes("89504E470D0A1A0A0000000D49484452" +
+      "0000028000000" + "1E0" + "0806000000")
+    assert(ImageHeaders.parse(png) == (("png", Some(640), Some(480))))
+  }
+
+  test("gif header: little-endian uint16 dims") {
+    // 320 x 200: 4001 C800 (LE)
+    val gif = bytes("474946383961" + "4001" + "C800" + "00")
+    assert(ImageHeaders.parse(gif) == (("gif", Some(320), Some(200))))
+  }
+
+  test("bmp header: little-endian int32 dims; top-down (negative) height") {
+    val pad = "00" * 16
+    val bmp = bytes("424D" + pad + "80020000" + "E0010000")
+    assert(ImageHeaders.parse(bmp) == (("bmp", Some(640), Some(480))))
+    // top-down DIBs store height negative; parser reports magnitude
+    val topDown = bytes("424D" + pad + "80020000" + "20FEFFFF") // -480
+    assert(ImageHeaders.parse(topDown) == (("bmp", Some(640), Some(480))))
+  }
+
+  test("jpeg: SOF0 found behind APP0 and DQT segments") {
+    val app0 = "FFE000104A46494600010100000100010000"
+    val dqt = "FFDB0005" + "000102" // 5-byte segment, arbitrary payload
+    val sof0 = "FFC0001108" + "01E0" + "0280" + "03011100021101031101"
+    val jpg = bytes("FFD8" + app0 + dqt + sof0 + "FFD9")
+    assert(ImageHeaders.parse(jpg) == (("jpeg", Some(640), Some(480))))
+  }
+
+  test("jpeg progressive (SOF2) parses; C4/C8/CC are not frame headers") {
+    val sof2 = "FFC2001108" + "0100" + "0200" + "03011100021101031101"
+    val huff = "FFC40005" + "000000" // DHT must be skipped, not parsed
+    assert(ImageHeaders.parse(bytes("FFD8" + huff + sof2)) ==
+      (("jpeg", Some(512), Some(256))))
+  }
+
+  test("garbage, truncated and null payloads parse as unknown") {
+    assert(ImageHeaders.parse(null) == (("unknown", None, None)))
+    assert(ImageHeaders.parse(bytes("89504E47")) == (("unknown", None, None)))
+    assert(ImageHeaders.parse("not an image at all".getBytes) ==
+      (("unknown", None, None)))
+    // JPEG magic but no SOF before EOI: format known, dims unknown
+    assert(ImageHeaders.parse(bytes("FFD8FFD9")) == (("jpeg", None, None)))
+  }
+
+  test("imageMeta: mapPartitions decode over a mixed-format relation") {
+    val rows = Seq(
+      (1L, bytes("89504E470D0A1A0A0000000D49484452" +
+        "00000280000001E0" + "0806000000")),
+      (2L, bytes("474946383961" + "4001" + "C800" + "00")),
+      (3L, "plain text".getBytes))
+      .toDF("media_id", "media")
+    val out = Multimodal.imageMeta(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) == (("png", Some(640), Some(480))))
+    assert(out(2L) == (("gif", Some(320), Some(200))))
+    assert(out(3L) == (("unknown", None, None)))
+  }
+
+  test("nearDupPairs: label-blocked cosine pairs carry both media digests") {
+    val media = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("media_id", "text")
+      .select($"media_id", org.apache.spark.sql.functions.encode($"text", "UTF-8").as("media"))
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(1.0f, 0.05f), "a"),
+      (3L, Seq(-1.0f, 0.0f), "b")) // other label: never paired
+      .toDF("vec_id", "embedding", "label")
+    val out = Multimodal.nearDupPairs(media, emb, threshold = 0.9)
+      .as[(Long, Long, Double, String, String)].collect()
+    assert(out.length == 1)
+    val p = out.head
+    assert((p._1, p._2) == ((1L, 2L)) && p._3 > 0.99)
+    assert(p._4 == "2c1743a391305fbf367df8e4f069f9f9") // md5("alpha")
+    assert(p._5 == "987bcab01b929eb2c07877b224215c92") // md5("beta")
+  }
 }
