@@ -108,16 +108,24 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
+    val rc = if (errors.nonEmpty) 1 else 0
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
     // the UNTRUNCATED artifact of record: the driver's tail window cannot
     // hold ~96 query entries, so the full-precision JSON also lands in a
-    // file next to the repo's BENCH_r{N}.json history
-    try {
-      val out = new java.io.PrintWriter("BENCH_FULL_LATEST.json", "UTF-8")
-      try out.println(fullJson) finally out.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_FULL_LATEST.json: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}""")
+    // file next to the repo's BENCH_r{N}.json history. LASTRUN is always
+    // written (failure evidence included); LATEST only on a CLEAN run, so
+    // a gate ratio anchored to it can never seed from a failed/partial
+    // bench (the r12 lesson: the rc=1 artifact replaced the rc=0 one and
+    // would have become the baseline of record).
+    def writeJson(path: String): Unit =
+      try {
+        val out = new java.io.PrintWriter(path, "UTF-8")
+        try out.println(fullJson) finally out.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: $e") }
+    writeJson("BENCH_FULL_LASTRUN.json")
+    if (rc == 0) writeJson("BENCH_FULL_LATEST.json")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}""")
     // trailing summary line: short enough to ALWAYS fit the tail window,
     // carries the coverage count and the pointer to the full map. Metric
     // name is DISTINCT from the per-query line's "total" so a consumer

@@ -48,9 +48,15 @@ object LlmQueries {
     * accumulated in index order (mirrors Spark's `aggregate(zip_with(...))`
     * left fold).
     */
+  // Native list_dot_product beats the interpreted lambda formulation
+  // ~10x on the unrolled-Lloyd oracles and is BIT-IDENTICAL to it
+  // (sequential left-to-right double accumulation — verified on
+  // adversarial magnitude mixes AND by the full exact-compare gate; the
+  // list-level DOUBLE cast preserves the old per-element cast, since
+  // float->double widening is exact). The Spark twin is
+  // [[graft.functions.FloatDotProduct]]'s sequential double loop.
   private def dotSql(a: String, b: String): String =
-    s"list_aggregate(list_transform(range(1, len($a)+1), " +
-      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
@@ -363,10 +369,11 @@ object LlmQueries {
     * [[Similarity.pqCodebookResidualLearned]]'s seeding).
     */
   private def pqLearnedCbDefOver(iters: Int, xsName: String,
-                                 pfx: String): String = {
+                                 pfx: String,
+                                 seedSql: Option[String] = None): String = {
     val chain = (1 to iters).map { i =>
       s""",
-         |${pfx}a$i AS (SELECT vec_id, sub, xe, code FROM (
+         |${pfx}a$i AS MATERIALIZED (SELECT vec_id, sub, xe, code FROM (
          |   SELECT x.vec_id, x.sub, x.xe, c.code,
          |     row_number() OVER (PARTITION BY x.vec_id, x.sub
          |       ORDER BY round(${dotSql("x.xe", "x.xe")}
@@ -374,14 +381,24 @@ object LlmQueries {
          |           + ${dotSql("c.ce", "c.ce")}, 6), c.code) AS rn
          |   FROM $xsName x JOIN ${pfx}cb${i - 1} c ON x.sub = c.sub)
          |   WHERE rn = 1),
-         |${pfx}cb$i AS (SELECT sub, code, list(av ORDER BY i) AS ce FROM (
+         |${pfx}cb$i AS MATERIALIZED (SELECT sub, code, list(av ORDER BY i) AS ce FROM (
          |   SELECT sub, code, i, round(avg(CAST(xe[i] AS DOUBLE)), 6) AS av
          |   FROM ${pfx}a$i, unnest(range(1, len(xe)+1)) t(i)
          |   GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
     }.mkString
-    s"""${pfx}cb0 AS (SELECT sub, vec_id AS code, xe AS ce
-       |        FROM $xsName WHERE vec_id % 50 = 0)""".stripMargin + chain
+    val cb0 = seedSql.getOrElse(
+      s"SELECT sub, vec_id AS code, xe AS ce FROM $xsName WHERE vec_id % 50 = 0")
+    s"""${pfx}cb0 AS MATERIALIZED ($cb0)""" + chain
   }
+
+  /** FIXED-size seed selection SQL (the [[Similarity.pqCodebookFixed]]
+    * twin): the k vectors ranked first by md5(vec_id), all subspaces.
+    */
+  private def fixedSeedSql(xsName: String, k: Int): String =
+    s"""SELECT sub, vec_id AS code, xe AS ce FROM $xsName
+       |   WHERE vec_id IN (SELECT vec_id FROM (SELECT DISTINCT vec_id
+       |     FROM $xsName)
+       |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin
 
   /** Residual IVF-PQ pipeline CTEs (the SQL twin of
     * [[Similarity.ivfPqResidualIndex]] + [[Similarity.ivfPqResidualTopKIndexed]]):
@@ -391,23 +408,27 @@ object LlmQueries {
     * same `q` / `sc` contract as [[ivfPqCtesWith]], so [[rerankCtes]]
     * composes unchanged.
     */
-  private def ivfPqResidualCtes(nprobe: Int, queryRes: Int = 0): String =
-    s"""subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+  private def ivfPqResidualCtes(nprobe: Int, queryRes: Int = 0,
+                                m: Int = 4, iters: Int = 2,
+                                fixedK: Option[Int] = None): String = {
+    val sw = 64 / m // subspace width
+    s"""subs AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS sub),
        |${coarseLearnedDef(2)},
-       |rasg AS (${asgSql("cl2")}),
-       |rxs AS (SELECT a.vec_id, a.centroid_id, s.sub,
-       |          list_transform(range(1, 17), i ->
-       |            CAST(a.embedding[s.sub*16 + i] AS DOUBLE) -
-       |            CAST(c.ce[s.sub*16 + i] AS DOUBLE)) AS xe
+       |rasg AS MATERIALIZED (${asgSql("cl2")}),
+       |rxs AS MATERIALIZED (SELECT a.vec_id, a.centroid_id, s.sub,
+       |          list_transform(range(1, ${sw + 1}), i ->
+       |            CAST(a.embedding[s.sub*$sw + i] AS DOUBLE) -
+       |            CAST(c.ce[s.sub*$sw + i] AS DOUBLE)) AS xe
        |        FROM rasg a JOIN cl2 c ON a.centroid_id = c.centroid_id,
        |             subs s),
-       |${pqLearnedCbDefOver(2, "rxs", "r")},
+       |${pqLearnedCbDefOver(iters, "rxs", "r",
+          fixedK.map(k => fixedSeedSql("rxs", k)))},
        |rd AS (SELECT x.vec_id, x.sub, c.code,
        |             round(${dotSql("x.xe", "x.xe")}
        |               - 2.0 * ${dotSql("x.xe", "c.ce")}
        |               + ${dotSql("c.ce", "c.ce")}, 6) AS d2
-       |      FROM rxs x JOIN rcb2 c ON x.sub = c.sub),
-       |rcodes AS (SELECT vec_id, sub, code FROM (
+       |      FROM rxs x JOIN rcb$iters c ON x.sub = c.sub),
+       |rcodes AS MATERIALIZED (SELECT vec_id, sub, code FROM (
        |  SELECT vec_id, sub, code,
        |         row_number() OVER (PARTITION BY vec_id, sub
        |                            ORDER BY d2, code) AS rn FROM rd)
@@ -425,14 +446,14 @@ object LlmQueries {
        |       FROM probe p JOIN q ON q.query_id = p.query_id
        |       JOIN cl2 c ON c.centroid_id = p.centroid_id),
        |rqs AS (SELECT p.query_id, p.centroid_id, s.sub,
-       |          list_transform(range(1, 17), i ->
-       |            CAST(q.qe[s.sub*16 + i] AS DOUBLE) -
-       |            CAST(c.ce[s.sub*16 + i] AS DOUBLE)) AS qrsub
+       |          list_transform(range(1, ${sw + 1}), i ->
+       |            CAST(q.qe[s.sub*$sw + i] AS DOUBLE) -
+       |            CAST(c.ce[s.sub*$sw + i] AS DOUBLE)) AS qrsub
        |        FROM probe p JOIN q ON q.query_id = p.query_id
        |        JOIN cl2 c ON c.centroid_id = p.centroid_id, subs s),
        |rlut AS (SELECT rq.query_id, rq.centroid_id, cb.sub, cb.code,
        |           round(${dotSql("rq.qrsub", "cb.ce")}, 6) AS pdot
-       |         FROM rqs rq JOIN rcb2 cb ON rq.sub = cb.sub),
+       |         FROM rqs rq JOIN rcb$iters cb ON rq.sub = cb.sub),
        |cand AS (SELECT p.query_id, a.vec_id, a.centroid_id
        |         FROM probe p JOIN rasg a ON p.centroid_id = a.centroid_id
        |         WHERE a.vec_id <> p.query_id),
@@ -446,6 +467,7 @@ object LlmQueries {
        |       JOIN qc ON qc.query_id = cd.query_id
        |         AND qc.centroid_id = cd.centroid_id
        |       GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The full IVF-PQ pipeline CTEs against the codebook CTE `cbName`
     * (defined by `cbDef`): PQ codes, coarse cells, probes, query LUTs,
@@ -719,6 +741,16 @@ object LlmQueries {
     * residual index, nprobe=5 + rerank50 serving — the r12 ladder's best
     * configuration (recall@10 0.88 in-sample / 0.44 holdout at sf0.01).
     */
+  /** The SERVED residual rung, r13: PRODUCTION-SHAPE fixed sub-codebooks
+    * (m=8 x 256 md5-ranked seeds, 8 Lloyd steps — `pqCodebookFixed` +
+    * `pqCodebookLearnedFrom`) at nprobe=10 + rerank50. Moved from the
+    * r12 m=4 corpus-seeded books at nprobe=5 on TWO measurements
+    * (BASELINE.md): the shape sweep (m=8 x 256 is the best codebook:
+    * holdout 0.47 vs 0.44 at np=5) and the probe-width attribution
+    * sweep (holdout is PROBE-bound: 0.47 -> 0.63 -> 0.765 -> 0.84 at
+    * np=5/10/20/40) — np=10 clears the 0.6 holdout gate the verdict set
+    * for moving the rung.
+    */
   private def residualServed(s: org.apache.spark.sql.SparkSession,
                              dir: String, queryRes: Int)
       : org.apache.spark.sql.DataFrame = {
@@ -727,12 +759,13 @@ object LlmQueries {
       .select("vec_id", "embedding")
     val ivfCb = Similarity.kmeansTrain(e, seed, maxIters = 2)
     val res = Similarity.ivfResiduals(e, ivfCb)
-    val pqCbRes = Similarity.pqCodebookResidualLearned(res, m = 4,
-      dim = 64, centroidMod = 50, maxIters = 2)
+    val pqCbRes = Similarity.pqCodebookLearnedFrom(res,
+      Similarity.pqCodebookFixed(res, m = 8, dim = 64, k = 256),
+      m = 8, dim = 64, maxIters = 8)
     Similarity.ivfPqResidualTopKIndexedReranked(
-      Similarity.ivfPqResidualIndex(e, ivfCb, pqCbRes, m = 4, dim = 64),
+      Similarity.ivfPqResidualIndex(e, ivfCb, pqCbRes, m = 8, dim = 64),
       ivfCb, pqCbRes, e.filter(col("vec_id") % 100 === queryRes), e,
-      m = 4, dim = 64, nprobe = 5, shortlist = 50, k = 10)
+      m = 8, dim = 64, nprobe = 10, shortlist = 50, k = 10)
   }
 
   val queries: Map[String, Query] = Map(
@@ -1059,10 +1092,10 @@ object LlmQueries {
     }),
 
     // RESIDUAL IVF-PQ (FAISS IVFADC shape: PQ over x − coarse centroid)
-    // at the ladder-picked rung nprobe=5 + rerank50 — the best serving
-    // point of the entire r12 ladder: recall@10 0.88 in-sample / 0.44
-    // holdout vs 0.78/0.40 for the raw-space fully-learned config at
-    // identical serve cost (BASELINE.md residual table).
+    // at the r13 ladder-picked rung: production-shape m=8 x 256 fixed
+    // codebooks, nprobe=10 + rerank50 — holdout recall@10 0.63 at sf0.1
+    // (vs 0.44 for the r12 m=4/np=5 rung), the first rung to clear the
+    // 0.6 holdout gate (BASELINE.md shape + probe-width tables).
     "sim_ivfpq_residual_topk" -> ((s, dir) =>
       residualServed(s, dir, queryRes = 0)),
 
@@ -2313,9 +2346,10 @@ object LlmQueries {
          |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
          |GROUP BY 1""".stripMargin,
 
-    // residual IVF-PQ serving at its ladder rung (nprobe=5 + rerank50)
+    // residual IVF-PQ serving at the r13 rung: fixed m=8 x 256
+    // codebooks, 8 Lloyd steps, nprobe=10 + rerank50 (see residualServed)
     "sim_ivfpq_residual_topk" ->
-      s"""WITH ${ivfPqResidualCtes(5)},
+      s"""WITH ${ivfPqResidualCtes(10, m = 8, iters = 8, fixedK = Some(256))},
          |${rerankCtes(50)}
          |SELECT query_id, vec_id, round(sim, 6) AS cosine FROM (
          |  SELECT query_id, vec_id, sim,
@@ -2324,7 +2358,7 @@ object LlmQueries {
          |  FROM rr) WHERE rn <= 10""".stripMargin,
 
     "sim_ivfpq_residual_recall" ->
-      s"""WITH ${ivfPqResidualCtes(5)},
+      s"""WITH ${ivfPqResidualCtes(10, m = 8, iters = 8, fixedK = Some(256))},
          |${rerankCtes(50)},
          |ap AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,
@@ -2349,7 +2383,8 @@ object LlmQueries {
          |GROUP BY 1""".stripMargin,
 
     "sim_ivfpq_residual_holdout_recall" ->
-      s"""WITH ${ivfPqResidualCtes(5, queryRes = 7)},
+      s"""WITH ${ivfPqResidualCtes(10, queryRes = 7, m = 8, iters = 8,
+        fixedK = Some(256))},
          |${rerankCtes(50)},
          |ap AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,

@@ -122,14 +122,21 @@ object RecallLadder {
     }
 
     if (shapeMode) {
-      val shapes: Seq[(Int, Int)] =
+      // entries "m:k" (default nprobes: lpq=3, res=5) or "m:k:np" (probe
+      // the given width on BOTH rungs — the probe-coverage attribution
+      // sweep: holdout at np=cells is the IVF-free upper bound of the
+      // codebook at this shortlist)
+      val shapes: Seq[(Int, Int, Option[Int])] =
         if (args.length > 2) args(2).split(",").toSeq.map { s =>
-          val Array(a, b) = s.split(":"); (a.trim.toInt, b.trim.toInt) }
-        else Seq((4, 16), (4, 256), (8, 16), (8, 256))
+          s.split(":").map(_.trim.toInt) match {
+            case Array(a, b) => (a, b, None)
+            case Array(a, b, np) => (a, b, Some(np))
+          } }
+        else Seq((4, 16, None), (4, 256, None), (8, 16, None), (8, 256, None))
       val learnedCoarse = Similarity.kmeansTrain(e, seed, maxIters = 2)
         .persist()
       learnedCoarse.count()
-      for ((m, ksub) <- shapes) {
+      for ((m, ksub, npOpt) <- shapes) {
         val t0 = System.nanoTime()
         val pqCb = Similarity.pqCodebookLearnedFrom(e,
           Similarity.pqCodebookFixed(e, m, 64, ksub), m, 64, maxIters = 8)
@@ -140,11 +147,13 @@ object RecallLadder {
         val trainSec = (System.nanoTime() - t0) / 1e9
         for ((qn, queries, exact) <- querySets) {
           val adc = meanRecallOf(Similarity.ivfPqTopKIndexed(idx, seed,
-            pqCb, queries, m = m, dim = 64, nprobe = 3, k = 10), exact)
+            pqCb, queries, m = m, dim = 64, nprobe = npOpt.getOrElse(3),
+            k = 10), exact)
           val rr = meanRecallOf(Similarity.ivfPqTopKIndexedReranked(idx,
-            seed, pqCb, queries, e, m = m, dim = 64, nprobe = 3,
-            shortlist = 50, k = 10), exact)
-          println(f"SHAPE lpq m=$m%-2d k=$ksub%-4d $qn%-9s nprobe=3 " +
+            seed, pqCb, queries, e, m = m, dim = 64,
+            nprobe = npOpt.getOrElse(3), shortlist = 50, k = 10), exact)
+          println(f"SHAPE lpq m=$m%-2d k=$ksub%-4d $qn%-9s " +
+            f"nprobe=${npOpt.getOrElse(3)}%-3d " +
             f"adc=$adc%.4f rerank50=$rr%.4f train=$trainSec%.1fs")
         }
         idx.unpersist()
@@ -161,12 +170,13 @@ object RecallLadder {
         val trainResSec = (System.nanoTime() - t1) / 1e9
         for ((qn, queries, exact) <- querySets) {
           val adc = meanRecallOf(Similarity.ivfPqResidualTopKIndexed(ridx,
-            learnedCoarse, pqCbRes, queries, m = m, dim = 64, nprobe = 5,
-            k = 10), exact)
+            learnedCoarse, pqCbRes, queries, m = m, dim = 64,
+            nprobe = npOpt.getOrElse(5), k = 10), exact)
           val rr = meanRecallOf(Similarity.ivfPqResidualTopKIndexedReranked(
             ridx, learnedCoarse, pqCbRes, queries, e, m = m, dim = 64,
-            nprobe = 5, shortlist = 50, k = 10), exact)
-          println(f"SHAPE res m=$m%-2d k=$ksub%-4d $qn%-9s nprobe=5 " +
+            nprobe = npOpt.getOrElse(5), shortlist = 50, k = 10), exact)
+          println(f"SHAPE res m=$m%-2d k=$ksub%-4d $qn%-9s " +
+            f"nprobe=${npOpt.getOrElse(5)}%-3d " +
             f"adc=$adc%.4f rerank50=$rr%.4f train=$trainResSec%.1fs")
         }
         ridx.unpersist(); pqCbRes.unpersist(); res.unpersist()
