@@ -1096,14 +1096,52 @@ object TextAnalysis {
     // executors, nothing is collected or broadcast — flagged is
     // corpus-scale under heavy duplication), so the join below is a
     // plain shuffled anti-join on the id.
-    val flagged = Dedup.shingleRows(
-        Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, w)
-      .select(col("doc_id"), md5(col("s")).as("s"))
+    val flagged = substringWindows(df, idCol, textCol, w)
       .withColumn("own", min(col("doc_id")).over(byGram))
       .filter(col("doc_id") =!= col("own"))
       .select(col("doc_id")).distinct()
       .localCheckpoint(true)
     df.join(flagged, df(idCol) === flagged("doc_id"), "left_anti")
+  }
+
+  /** The (doc_id, s) md5-keyed w-token-window relation — the shared
+    * generator for [[substringDedup]] and the ingest index
+    * ([[graft.streaming.SubstrDedupIngest]]).
+    */
+  def substringWindows(df: DataFrame, idCol: String, textCol: String,
+                       w: Int): DataFrame =
+    Dedup.shingleRows(
+        Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, w)
+      .select(col("doc_id"), md5(col("s")).as("s"))
+
+  /** [[substringDedup]] for a NEW BATCH against a PRE-BUILT window index
+    * (single column `s` of md5 window keys — every window of every doc
+    * ever ingested, kept or dropped, because batch keep-first flags
+    * against ALL lower-id docs, not just survivors). A batch doc drops
+    * iff it shares a window with the index (some earlier-ingested doc)
+    * or with a lower-id doc inside its own batch. With id-ordered
+    * ingestion this equals the batch operator EXACTLY
+    * (SubstrDedupIngestSpec pins it). Batch-vs-index shape: the corpus
+    * index is read once and joined, never re-shingled — the same
+    * contract as `decontaminateIndexed` / `incrementalLshCandidatesIndexed`.
+    */
+  def substringDedupIndexed(batch: DataFrame, windowIndex: DataFrame,
+                            idCol: String, textCol: String,
+                            w: Int): DataFrame = {
+    val bw = substringWindows(batch, idCol, textCol, w)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val inBatch = bw
+      .withColumn("own", min(col("doc_id")).over(byGram))
+      .filter(col("doc_id") =!= col("own"))
+      .select(col("doc_id"))
+    // the index may carry duplicate keys (append-grown): collapsed here
+    val vsIndex = bw
+      .join(windowIndex.select(col("s")).distinct(), Seq("s"))
+      .select(col("doc_id"))
+    // eager lineage cut before the anti-join — see [[substringDedup]]
+    val flagged = inBatch.unionByName(vsIndex).distinct()
+      .localCheckpoint(true)
+    batch.join(flagged, batch(idCol) === flagged("doc_id"), "left_anti")
   }
 
   /** The audit face of [[substringDedup]]: per surviving-or-dropped
@@ -1115,9 +1153,7 @@ object TextAnalysis {
   def substringDupStats(df: DataFrame, idCol: String, textCol: String,
                         w: Int): DataFrame = {
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    Dedup.shingleRows(
-        Par.fanOut(df.select(col(idCol), col(textCol))), idCol, textCol, w)
-      .select(col("doc_id"), md5(col("s")).as("s"))
+    substringWindows(df, idCol, textCol, w)
       .withColumn("own", min(col("doc_id")).over(byGram))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),

@@ -386,6 +386,29 @@ object ScaleProbe {
       Seq(ivfCb, res, pqCbRes, idx, qrys, cc).foreach(_.unpersist())
     }
 
+    // the SERVED r13 rung's cost shape (fixed m=8 x 256 books, nprobe=10
+    // — double the probed cells, 8-byte codes): per-query serve cost
+    // must stay corpus-independent like the np=3 m=4 probe above
+    // (training depth does not affect serve cost, so maxIters=1 here)
+    if (only.forall(_.contains("ivfpq_residual_serve_r13"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ivfCb = embP.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding").persist(sl)
+      val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
+      val pqCbRes = Similarity.pqCodebookLearnedFrom(res,
+        Similarity.pqCodebookFixed(res, m = 8, dim = 64, k = 256),
+        m = 8, dim = 64, maxIters = 1).persist(sl)
+      val idx = Similarity.ivfPqResidualIndex(embP, ivfCb, pqCbRes,
+        m = 8, dim = 64).persist(sl)
+      val qrys = embP.filter(col("vec_id") % 1000 === 0).persist(sl)
+      val cc = Similarity.ivfPqCellCodes(idx).persist(sl)
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc).foreach(_.count())
+      t("ivfpq_residual_serve_r13", keepCache = true)(
+        Similarity.ivfPqResidualTopKIndexed(idx, ivfCb, pqCbRes, qrys,
+          m = 8, dim = 64, nprobe = 10, k = 10, cellCodes = Some(cc)))
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc).foreach(_.unpersist())
+    }
+
     // learned-PQ TRAINING cost per Lloyd iteration, production shape: a
     // FIXED-size sub-codebook (replica 0's seeds at any k) trained over
     // the full corpus — one iteration = one broadcast assign over the

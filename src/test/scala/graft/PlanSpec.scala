@@ -338,4 +338,18 @@ class PlanSpec extends SparkSpec {
       s"residual codebook must never join on sub alone:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("r13 queries: no cartesian or nested-loop join anywhere") {
+    // substring dedup (gram-sharded anti-join) and the media
+    // embedding-join face must stay equi-join-only: a nested loop on
+    // either would be the quadratic the operators exist to avoid
+    for (name <- Seq("text_substring_dedup", "text_substring_dup_stats",
+      "mm_neardup_pairs")) {
+      val p = graft.SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plan regressed to a nested loop:\n$p")
+    }
+  }
 }
