@@ -1075,7 +1075,11 @@ object TextAnalysis {
     * join back), and the flagged-id set — corpus-scale under heavy
     * duplication — is removed by a SHUFFLE anti-join on the id, never
     * collected or broadcast (same posture as [[lineDedup]]'s
-    * frequent-line anti-join). Documents with < w tokens have no
+    * frequent-line anti-join). FLOOD-SAFE by shape: a boilerplate
+    * window shared by millions of documents costs its ROW count in the
+    * min() aggregate, never its pair count — there is no bucket
+    * self-join anywhere, so no hot-bucket cap is needed (unlike the
+    * LSH families). Documents with < w tokens have no
     * windows and are always kept. Keep-first is pairwise (a doc is
     * kept iff no window it holds was first seen in a lower id), the
     * same convention as the fuzzy keep-first face.

@@ -106,6 +106,11 @@ object ScaleProbe {
     // windows except the salted prefix ones with every other replica)
     t("substring_dedup")(
       graft.ops.TextAnalysis.substringDedup(docs, "doc_id", "text", w = 20))
+    // the classical production window (Lee et al. w=50): fewer windows
+    // per doc (only >= 50-token docs emit any), wider keys — cost must
+    // stay at or under the w=20 row
+    t("substring_dedup_w50")(
+      graft.ops.TextAnalysis.substringDedup(docs, "doc_id", "text", w = 50))
 
     // line-level dedup with 50 planted frequent footer lines: the line
     // aggregate and anti-join both grow with the line stream, linearly
