@@ -178,4 +178,37 @@ class PropertySpec extends SparkSpec {
       }
     }, samples = 8)
   }
+
+  test("substring dedup equals the brute-force reference and is idempotent") {
+    // docs over a TINY vocabulary so w-window collisions actually occur;
+    // w=3 keeps the reference cheap. Reference: doc d drops iff some
+    // lower-id doc shares at least one 3-token window.
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, docGen))
+    def windows(text: String): Set[Seq[String]] = {
+      val t = text.split(" ").toSeq
+      if (t.length < 3) Set.empty else t.sliding(3).map(_.toSeq).toSet
+    }
+    check(Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val kept = graft.ops.TextAnalysis
+        .substringDedup(df, "doc_id", "text", w = 3)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val want = docs.filter { case (id, t) =>
+        !docs.exists { case (id2, t2) =>
+          id2 < id && windows(t).intersect(windows(t2)).nonEmpty }
+      }
+      // reference equivalence; the kept set is therefore pairwise
+      // window-disjoint, which makes a second pass the identity
+      kept == want && {
+        val again = graft.ops.TextAnalysis
+          .substringDedup(kept.toDF("doc_id", "text"), "doc_id", "text", w = 3)
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        again == kept
+      }
+    }, samples = 8)
+  }
 }
