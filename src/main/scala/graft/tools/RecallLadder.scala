@@ -122,21 +122,24 @@ object RecallLadder {
     }
 
     if (shapeMode) {
-      // entries "m:k" (default nprobes: lpq=3, res=5) or "m:k:np" (probe
+      // entries "m:k" (default nprobes: lpq=3, res=5), "m:k:np" (probe
       // the given width on BOTH rungs — the probe-coverage attribution
       // sweep: holdout at np=cells is the IVF-free upper bound of the
-      // codebook at this shortlist)
-      val shapes: Seq[(Int, Int, Option[Int])] =
+      // codebook at this shortlist), or "m:k:np:sl" (also vary the
+      // rerank shortlist — the OTHER serving knob)
+      val shapes: Seq[(Int, Int, Option[Int], Int)] =
         if (args.length > 2) args(2).split(",").toSeq.map { s =>
           s.split(":").map(_.trim.toInt) match {
-            case Array(a, b) => (a, b, None)
-            case Array(a, b, np) => (a, b, Some(np))
+            case Array(a, b) => (a, b, None, 50)
+            case Array(a, b, np) => (a, b, Some(np), 50)
+            case Array(a, b, np, sl) => (a, b, Some(np), sl)
           } }
-        else Seq((4, 16, None), (4, 256, None), (8, 16, None), (8, 256, None))
+        else Seq((4, 16, None, 50), (4, 256, None, 50),
+          (8, 16, None, 50), (8, 256, None, 50))
       val learnedCoarse = Similarity.kmeansTrain(e, seed, maxIters = 2)
         .persist()
       learnedCoarse.count()
-      for ((m, ksub, npOpt) <- shapes) {
+      for ((m, ksub, npOpt, sl) <- shapes) {
         val t0 = System.nanoTime()
         val pqCb = Similarity.pqCodebookLearnedFrom(e,
           Similarity.pqCodebookFixed(e, m, 64, ksub), m, 64, maxIters = 8)
@@ -151,10 +154,10 @@ object RecallLadder {
             k = 10), exact)
           val rr = meanRecallOf(Similarity.ivfPqTopKIndexedReranked(idx,
             seed, pqCb, queries, e, m = m, dim = 64,
-            nprobe = npOpt.getOrElse(3), shortlist = 50, k = 10), exact)
+            nprobe = npOpt.getOrElse(3), shortlist = sl, k = 10), exact)
           println(f"SHAPE lpq m=$m%-2d k=$ksub%-4d $qn%-9s " +
-            f"nprobe=${npOpt.getOrElse(3)}%-3d " +
-            f"adc=$adc%.4f rerank50=$rr%.4f train=$trainSec%.1fs")
+            f"nprobe=${npOpt.getOrElse(3)}%-3d sl=$sl%-3d " +
+            f"adc=$adc%.4f rerank=$rr%.4f train=$trainSec%.1fs")
         }
         idx.unpersist()
         val t1 = System.nanoTime()
@@ -174,10 +177,10 @@ object RecallLadder {
             nprobe = npOpt.getOrElse(5), k = 10), exact)
           val rr = meanRecallOf(Similarity.ivfPqResidualTopKIndexedReranked(
             ridx, learnedCoarse, pqCbRes, queries, e, m = m, dim = 64,
-            nprobe = npOpt.getOrElse(5), shortlist = 50, k = 10), exact)
+            nprobe = npOpt.getOrElse(5), shortlist = sl, k = 10), exact)
           println(f"SHAPE res m=$m%-2d k=$ksub%-4d $qn%-9s " +
-            f"nprobe=${npOpt.getOrElse(5)}%-3d " +
-            f"adc=$adc%.4f rerank50=$rr%.4f train=$trainResSec%.1fs")
+            f"nprobe=${npOpt.getOrElse(5)}%-3d sl=$sl%-3d " +
+            f"adc=$adc%.4f rerank=$rr%.4f train=$trainResSec%.1fs")
         }
         ridx.unpersist(); pqCbRes.unpersist(); res.unpersist()
         pqCb.unpersist()
