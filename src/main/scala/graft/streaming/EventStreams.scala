@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -73,6 +73,45 @@ object EventStreams {
     * dimensions too big to broadcast, pre-bucket both sides
     * ([[graft.sources.BucketedTables]]) and let the join co-locate.
     */
+  /** STREAM-STREAM interval join — the streaming face of
+    * [[graft.ops.Joins.rangeJoin]]: pair every left event with the right
+    * events whose `rightTs` falls in `[leftTs, leftTs + window)` (e.g.
+    * clicks within 5 minutes after each error). Spark REQUIRES an
+    * equality predicate on stream-stream joins, which is exactly what
+    * the batch operator's bucket grid provides: the left side explodes
+    * into the two window-bucket cells its interval can overlap, the
+    * right side maps to its one cell, the join is an EQUI join on the
+    * cell (so join state is hash-partitioned by bucket, same as the
+    * batch shuffle), and the exact range predicate rides in the join
+    * condition — where Spark ALSO reads it as the cross-stream time
+    * constraint that, with both watermarks, bounds state eviction to
+    * watermark delay + window. One mechanism serves both engines'
+    * requirements. Inner rows emit as soon as both sides arrive; a
+    * (left, right) pair can only meet in the right event's single cell,
+    * so no dedup is needed. Column names must differ across sides
+    * (Spark's cross-stream constraint requirement).
+    */
+  def intervalJoinStream(left: DataFrame, leftTs: String,
+                         right: DataFrame, rightTs: String,
+                         windowMinutes: Int,
+                         watermark: String = "1 hour"): DataFrame = {
+    val bucketMs = windowMinutes * 60000L
+    def bucketOf(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / (bucketMs * 1000.0))
+        .cast("long")
+    val l = eventTime(left, leftTs).withWatermark(leftTs, watermark)
+      .withColumn("__lb", explode(array(
+        bucketOf(col(leftTs)), bucketOf(col(leftTs)) + lit(1L))))
+    val r = eventTime(right, rightTs).withWatermark(rightTs, watermark)
+      .withColumn("__rb", bucketOf(col(rightTs)))
+    l.join(r,
+        col("__lb") === col("__rb") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) < col(leftTs) +
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .drop("__lb", "__rb")
+  }
+
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 

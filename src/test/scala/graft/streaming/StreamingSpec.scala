@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.ops.EventOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import java.sql.Timestamp
 
 class StreamingSpec extends SparkSpec {
@@ -97,6 +98,43 @@ class StreamingSpec extends SparkSpec {
       .filter($"window_end" < new Timestamp(horizon))
       .collect().map(_.toSeq).toSet
     assert(mustHave.subsetOf(streamed))
+  }
+
+  test("stream-stream interval join matches the batch range join") {
+    implicit val ctx = spark.sqlContext
+    // errors and clicks as two independent streams, fed out of lockstep
+    // so cross-batch matches exercise the join state
+    val errIn = MemoryStream[(Long, Timestamp)]
+    val clkIn = MemoryStream[Timestamp]
+    val joined = EventStreams.intervalJoinStream(
+      errIn.toDF().toDF("err_id", "err_ts"), "err_ts",
+      clkIn.toDF().toDF("click_ts"), "click_ts",
+      windowMinutes = 5)
+    val q = joined.writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    val errors = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:10:00")))
+    val clicks = Seq(
+      ts("2024-01-01 10:01:00"), ts("2024-01-01 10:04:59"), // err 1
+      ts("2024-01-01 10:05:00"),                            // neither ([s,e))
+      ts("2024-01-01 10:12:00"), ts("2024-01-01 10:14:00")) // err 2
+    try {
+      // clicks for err 1 arrive BEFORE err 1 itself; err 2 before its clicks
+      clkIn.addData(clicks.take(3): _*); q.processAllAvailable()
+      errIn.addData(errors: _*); q.processAllAvailable()
+      clkIn.addData(clicks.drop(3): _*); q.processAllAvailable()
+      val streamed = spark.table("ssij")
+        .select("err_id", "click_ts").collect().map(_.toSeq).toSet
+      // batch reference: the bucketized range join over the same rows
+      val errDf = errors.toDF("err_id", "w_start")
+        .withColumn("w_end", $"w_start" + expr("INTERVAL 5 MINUTES"))
+      val batch = graft.ops.Joins.rangeJoin(
+          clicks.toDF("ts"), "ts", errDf, "w_start", "w_end", 300000L)
+        .select($"err_id", $"ts".as("click_ts"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.size == 4)
+    } finally q.stop()
   }
 
   test("streaming exact dedup drops in-watermark duplicates, keeps firsts") {
