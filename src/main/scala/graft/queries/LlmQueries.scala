@@ -1566,6 +1566,33 @@ object LlmQueries {
         maxRepetition = 0.2, keepLang = "en")
     }),
 
+    // the release chain with the r13 exact-substring stage folded in:
+    // exact collapse -> guarded fuzzy keep-first -> substring-dedup
+    // removal -> decontamination -> curation. Substring flags use the
+    // decon-flags trick (computed ONCE on the RAW corpus — a doc shares
+    // a >= w-token run with a lower id or it doesn't, independent of
+    // what earlier stages removed — then intersected by anti-join), and
+    // the flag relation is eagerly cut + anti-joined WITHOUT a broadcast
+    // hint: under heavy duplication it is corpus-scale, unlike the
+    // contamination-sized decon flags.
+    "llm_corpus_prep_xsub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
+      val substrFlagged = TextAnalysis.substringDupStats(docs,
+          "doc_id", "text", w = 20)
+        .filter(col("dropped")).select(col("doc_id"))
+        .localCheckpoint(true)
+      val unsub = kept.join(substrFlagged,
+        kept("doc_id") === substrFlagged("doc_id"), "left_anti")
+      val flagged = TextAnalysis.contaminationReport(docs,
+        docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+      val clean = TextAnalysis.removeFlagged(unsub, flagged, "doc_id")
+      TextAnalysis.curationFilter(clean, "doc_id", "text",
+        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+        maxRepetition = 0.2, keepLang = "en")
+    }),
+
     // the COMPLETE 2024-era release chain as one lazy plan: exact
     // collapse -> guarded fuzzy keep-first -> benchmark decontamination
     // -> Gopher format gate (stopword rule off: synthetic fixture text
@@ -3168,6 +3195,32 @@ object LlmQueries {
          |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
          |fl AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (s)),
          |decon AS (SELECT * FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+         |${curationCtes("decon")}
+         |$CurationSelect""".stripMargin,
+
+    // the xsub chain: fuzzy-kept minus raw-corpus substring flags minus
+    // contamination flags, then curation
+    "llm_corpus_prep_xsub" ->
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |ssh AS (${ngramRowsSql("documents", 20)}),
+         |sown AS (SELECT s, min(doc_id) AS own FROM ssh GROUP BY 1),
+         |sfl AS (SELECT DISTINCT ssh.doc_id FROM ssh JOIN sown USING (s)
+         |        WHERE ssh.doc_id <> sown.own),
+         |unsub AS (SELECT * FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM sfl)),
+         |dg AS (${ngramRowsSql("unsub", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
+         |fl AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (s)),
+         |decon AS (SELECT * FROM unsub
          |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
          |${curationCtes("decon")}
          |$CurationSelect""".stripMargin,
