@@ -95,19 +95,24 @@ object Multimodal {
     * both content digests attached — the relation a multimodal dedup
     * review consumes ("these two media payloads embed alike; here is
     * what they hash as"). The pair search is the label-blocked cosine
-    * join ([[Similarity.blockedNearDupPairs]] — never all-pairs); only
-    * media-backed vectors participate; the digest attach joins the
-    * HIT-sized pair relation against the (id, md5) sketch, so the
-    * payload bytes themselves never shuffle.
+    * join ([[Similarity.blockedNearDupPairs]] — never all-pairs), with
+    * the hot-bucket backstop ON by default (`maxBucketSize`): a
+    * degenerate label bucket (media flood, collapsed cell) is capped
+    * loudly instead of going quadratic — the same posture as
+    * [[Dedup.nearDupKeepFirst]]'s capped call sites. Only media-backed
+    * vectors participate; the digest attach joins the HIT-sized pair
+    * relation against the (id, md5) sketch, so the payload bytes
+    * themselves never shuffle.
     */
   def nearDupPairs(media: DataFrame, embeddings: DataFrame,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxBucketSize: Int = 4096): DataFrame = {
     val m = media.select(col("media_id"), md5(col("media")).as("media_md5"))
     val vecs = embeddings.select("vec_id", "embedding", "label")
       .join(m.select(col("media_id")),
         embeddings("vec_id") === col("media_id"))
       .drop("media_id")
-    val pairs = Similarity.blockedNearDupPairs(vecs, "label", threshold)
+    val pairs = Similarity.blockedNearDupPairs(vecs, "label", threshold,
+      maxBucketSize)
     pairs
       .join(m.select(col("media_id"), col("media_md5").as("md5_a")),
         pairs("vec_a") === col("media_id")).drop("media_id")

@@ -129,10 +129,15 @@ object RecallLadder {
       // rerank shortlist — the OTHER serving knob)
       val shapes: Seq[(Int, Int, Option[Int], Int)] =
         if (args.length > 2) args(2).split(",").toSeq.map { s =>
-          s.split(":").map(_.trim.toInt) match {
+          scala.util.Try(s.split(":").map(_.trim.toInt)).getOrElse(Array[Int]()) match {
             case Array(a, b) => (a, b, None, 50)
             case Array(a, b, np) => (a, b, Some(np), 50)
             case Array(a, b, np, sl) => (a, b, Some(np), sl)
+            case _ =>
+              System.err.println(
+                s"RecallLadder: bad shape entry '$s' — expected m:k[:np[:sl]] " +
+                  "(integers), e.g. 8:256 or 8:256:20:100")
+              spark.stop(); sys.exit(2)
           } }
         else Seq((4, 16, None, 50), (4, 256, None, 50),
           (8, 16, None, 50), (8, 256, None, 50))

@@ -132,4 +132,19 @@ class MultimodalSpec extends SparkSpec {
     assert(p._4 == "2c1743a391305fbf367df8e4f069f9f9") // md5("alpha")
     assert(p._5 == "987bcab01b929eb2c07877b224215c92") // md5("beta")
   }
+
+  test("nearDupPairs: a degenerate label bucket is capped, not quadratic") {
+    // 6 identical vectors under one flooded label + a cool pair under
+    // another; cap=4 drops the flooded bucket loudly and keeps the pair
+    val media = (1L to 8L).map(i => (i, s"doc$i")).toDF("media_id", "text")
+      .select($"media_id",
+        org.apache.spark.sql.functions.encode($"text", "UTF-8").as("media"))
+    val emb = ((1L to 6L).map(i => (i, Seq(1.0f, 0.0f), "flood")) ++
+      Seq((7L, Seq(0.0f, 1.0f), "cool"), (8L, Seq(0.0f, 1.0f), "cool")))
+      .toDF("vec_id", "embedding", "label")
+    val out = Multimodal.nearDupPairs(media, emb, threshold = 0.9,
+      maxBucketSize = 4)
+      .as[(Long, Long, Double, String, String)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((7L, 8L)))
+  }
 }

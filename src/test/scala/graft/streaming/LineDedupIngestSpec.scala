@@ -46,8 +46,7 @@ class LineDedupIngestSpec extends SparkSpec {
     assert(republished.forall(!_.apply(1).toString.contains("shared footer")))
 
     // (b) cumulative index partials re-aggregate to the batch frequencies
-    val idx = spark.read.parquet(idxDir)
-      .groupBy("line").agg(sum("n_docs").as("n_docs"))
+    val idx = LineDedupIngest.readLineIndex(spark, idxDir)
       .as[(String, Long)].collect().toMap
     val batchCounts = TextAnalysis.lineDocCounts(corpusDf, "text")
       .as[(String, Long)].collect().toMap
@@ -55,9 +54,44 @@ class LineDedupIngestSpec extends SparkSpec {
 
     // compaction preserves the aggregate exactly
     LineDedupIngest.compactLineIndex(spark, idxDir, numFiles = 1)
-    val compacted = spark.read.parquet(idxDir)
+    val compacted = LineDedupIngest.readLineIndex(spark, idxDir)
       .as[(String, Long)].collect().toMap
     assert(compacted == batchCounts)
+  }
+
+  test("at-least-once replay: a retried epoch does not inflate line counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ld3_").toString
+    val (idxDir, cleanDir) = (s"$tmp/idx", s"$tmp/clean")
+    // 12 docs sharing footer fR, split in two epochs of 6 — fR sits at
+    // exactly minDocs=12 only if BOTH epochs count once each
+    val all = (0L until 12L).map(i => (i, s"body $i\nfooter fR"))
+    val (e0, e1) = all.splitAt(6)
+    LineDedupIngest.ingestBatch(e0.toDF("doc_id", "text"), idxDir, cleanDir,
+      minDocs = 12, "doc_id", "text", epochId = 0L)
+    // epoch 1 delivered TWICE — the foreachBatch retry
+    LineDedupIngest.ingestBatch(e1.toDF("doc_id", "text"), idxDir, cleanDir,
+      minDocs = 12, "doc_id", "text", epochId = 1L)
+    LineDedupIngest.ingestBatch(e1.toDF("doc_id", "text"), idxDir, cleanDir,
+      minDocs = 12, "doc_id", "text", epochId = 1L)
+    // the replayed partials collapse: fR counts 12, not 18
+    val counts = LineDedupIngest.readLineIndex(spark, idxDir)
+      .as[(String, Long)].collect().toMap
+    assert(counts("footer fR") == 12L)
+    // republish over the raw archive equals the batch operator (the
+    // inflated-index over-strip the r13 advice described cannot happen:
+    // a 6+6 corpus with minDocs=13 would keep the footer, and does)
+    val corpusDf = all.toDF("doc_id", "text")
+    val republished = LineDedupIngest.republish(corpusDf, idxDir, minDocs = 13)
+      .collect().map(_.toSeq).toSet
+    val batch = TextAnalysis.lineDedup(corpusDf, "doc_id", "text", minDocs = 13)
+      .collect().map(_.toSeq).toSet
+    assert(republished == batch)
+    assert(republished.forall(_.apply(1).toString.contains("footer fR")))
+    // compaction after the replay still lands on the deduplicated counts
+    LineDedupIngest.compactLineIndex(spark, idxDir, numFiles = 1)
+    val compacted = LineDedupIngest.readLineIndex(spark, idxDir)
+      .as[(String, Long)].collect().toMap
+    assert(compacted("footer fR") == 12L)
   }
 
   test("prefix semantics: a footer past the threshold is stripped from later batches") {
