@@ -124,7 +124,35 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $path: $e") }
     writeJson("BENCH_FULL_LASTRUN.json")
-    if (rc == 0) writeJson("BENCH_FULL_LATEST.json")
+    // LATEST is the full-suite artifact of record: neither a failed run
+    // NOR a filtered profiling run (SPARK_GRAFT_BENCH_ONLY) may replace
+    // it — a clean-but-partial map would silently shrink the baseline
+    if (rc == 0 && only.isEmpty) writeJson("BENCH_FULL_LATEST.json")
+    // machine-readable PER-ROUND summary (r13 verdict task 8): the
+    // driver's BENCH_r{N}.json keeps only a truncated tail, so the
+    // per-query map also lands in a small round-stamped file that can
+    // never truncate (3-decimal seconds, ~25 bytes/query). The round
+    // number is inferred as 1 + the highest committed BENCH_r{N}.json —
+    // the driver writes that artifact AFTER this bench runs, so during
+    // round N the highest on disk is N-1.
+    val round = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (seen.isEmpty) 0 else seen.max + 1
+    }
+    val summaryJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
+    def writeSummary(path: String): Unit =
+      try {
+        val out = new java.io.PrintWriter(path, "UTF-8")
+        try out.println(summaryJson) finally out.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: $e") }
+    writeSummary("BENCH_SUMMARY_LASTRUN.json")
+    // round-stamped only for CLEAN FULL runs: a filtered profiling run
+    // (SPARK_GRAFT_BENCH_ONLY) must not replace the round's full map
+    if (rc == 0 && only.isEmpty) writeSummary(s"BENCH_SUMMARY_r$round.json")
     println(s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}""")
     // trailing summary line: short enough to ALWAYS fit the tail window,
     // carries the coverage count and the pointer to the full map. Metric
