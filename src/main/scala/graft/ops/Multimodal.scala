@@ -89,6 +89,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** ALL-container header decode (r13 verdict task 5 — the superset of
+    * [[imageMeta]]): PNG/GIF/BMP/JPEG dimensions PLUS WAV/RIFF audio
+    * parameters (channels, sample rate, duration from the data-chunk
+    * size) and MP4/ISO-BMFF movie metadata (duration via the `moov/mvhd`
+    * timescale, video dimensions via the first `trak/tkhd` box walk).
+    * Same batch shape as [[imageMeta]]: `mapPartitions`, explicit schema,
+    * map-only — payload bytes never shuffle. Unknown/truncated payloads
+    * yield format "unknown" with null fields (audit rows, not errors).
+    */
+  def mediaHeaders(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val h = MediaHeaders.parse(r.getAs[Array[Byte]]("media"))
+        Row(r.getLong(0), h.format,
+          h.width.map(Int.box).orNull, h.height.map(Int.box).orNull,
+          h.channels.map(Int.box).orNull,
+          h.sampleRate.map(Int.box).orNull,
+          h.durationMs.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
   /** Embedding-join near-dup face: media items whose JOINED embedding
     * vectors (`media_id` = `vec_id` — the cross-modal key a production
     * pipeline carries from its encoder run) are near-duplicates, with
@@ -149,12 +180,12 @@ object Multimodal {
   * Pure functions over the payload prefix; no codec, no allocation.
   */
 object ImageHeaders {
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-  private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
-  private def be32(b: Array[Byte], i: Int): Int =
+  private[ops] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private[ops] def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private[ops] def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+  private[ops] def be32(b: Array[Byte], i: Int): Int =
     (be16(b, i) << 16) | be16(b, i + 2)
-  private def le32(b: Array[Byte], i: Int): Int =
+  private[ops] def le32(b: Array[Byte], i: Int): Int =
     (le16(b, i + 2) << 16) | le16(b, i)
 
   private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -192,6 +223,109 @@ object ImageHeaders {
       return ("jpeg", None, None)
     }
     ("unknown", None, None)
+  }
+}
+
+/** Byte-level AUDIO/VIDEO container header parsers, extending the
+  * [[ImageHeaders]] method to WAV/RIFF ("RIFF....WAVE" + `fmt `/`data`
+  * chunk walk, Microsoft RIFF spec) and MP4/ISO-BMFF (ISO 14496-12 box
+  * walk: `ftyp` magic, `moov/mvhd` for timescale+duration, first
+  * `trak/tkhd` for 16.16-fixed video dimensions). Pure prefix
+  * arithmetic over spec-fixed offsets; only SAMPLE decode needs a codec
+  * (the [[MediaDecoder]] swap point). Declared-but-absent payload tails
+  * (truncated crawl files) parse fine: the walkers trust size fields to
+  * SKIP, never to read past the buffer.
+  */
+object MediaHeaders {
+  import ImageHeaders.{u8, le16, le32, be32}
+
+  final case class Header(format: String,
+                          width: Option[Int] = None,
+                          height: Option[Int] = None,
+                          channels: Option[Int] = None,
+                          sampleRate: Option[Int] = None,
+                          durationMs: Option[Long] = None)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) "" else new String(b, i, 4, "ISO-8859-1")
+
+  /** Superset dispatch: images via [[ImageHeaders.parse]], then WAV,
+    * then MP4; "unknown" with all-null fields otherwise.
+    */
+  def parse(b: Array[Byte]): Header = {
+    if (b == null || b.length < 2) return Header("unknown")
+    if (fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "WAVE") return parseWav(b)
+    if (fourcc(b, 4) == "ftyp") return parseMp4(b)
+    ImageHeaders.parse(b) match {
+      case ("unknown", _, _) => Header("unknown")
+      case (fmt, w, h) => Header(fmt, width = w, height = h)
+    }
+  }
+
+  /** WAV: chunk walk from byte 12 — `fmt ` gives channels (LE16 at
+    * payload+2), sample rate (LE32 at +4) and byte rate (LE32 at +8);
+    * `data` gives the payload size, so duration_ms = size x 1000 /
+    * byte_rate (exact long division). Chunks are word-aligned (odd sizes
+    * pad one byte, per spec).
+    */
+  private def parseWav(b: Array[Byte]): Header = {
+    var i = 12
+    var ch: Option[Int] = None
+    var sr: Option[Int] = None
+    var byteRate = 0L
+    var dataSize: Option[Long] = None
+    while (i + 8 <= b.length) {
+      val id = fourcc(b, i)
+      val size = le32(b, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        ch = Some(le16(b, i + 10))
+        sr = Some(le32(b, i + 12))
+        byteRate = le32(b, i + 16).toLong & 0xffffffffL
+      } else if (id == "data") dataSize = Some(size)
+      i += 8 + size.toInt + (size % 2).toInt
+    }
+    Header("wav", channels = ch, sampleRate = sr,
+      durationMs = dataSize.filter(_ => byteRate > 0)
+        .map(ds => ds * 1000L / byteRate))
+  }
+
+  /** MP4/ISO-BMFF: top-level box walk to `moov`, then children — `mvhd`
+    * v0 carries timescale (BE32 at payload+12) and duration (BE32 at
+    * +16), so duration_ms = duration x 1000 / timescale; the first
+    * `trak` whose `tkhd` v0 has a nonzero 16.16-fixed width (BE32 at
+    * payload+76/+80) supplies the video dimensions (audio-only movies
+    * report none). 64-bit box sizes (size field 1) and `size=0` (to end
+    * of file) stop the walk — headers live in ordinary 32-bit boxes.
+    */
+  private def parseMp4(b: Array[Byte]): Header = {
+    var duration: Option[Long] = None
+    var w: Option[Int] = None
+    var h: Option[Int] = None
+    def walkChildren(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to && i + 8 <= b.length) {
+        val size = be32(b, i).toLong & 0xffffffffL
+        if (size < 8) return // 0 = to-EOF, 1 = 64-bit: stop the walk
+        val id = fourcc(b, i + 4)
+        val end = math.min(to.toLong, i + size).toInt
+        if (id == "moov" && depth == 0) walkChildren(i + 8, end, 1)
+        else if (id == "mvhd" && depth == 1 && i + 8 + 20 <= b.length &&
+            u8(b, i + 8) == 0) {
+          val timescale = be32(b, i + 20).toLong & 0xffffffffL
+          val dur = be32(b, i + 24).toLong & 0xffffffffL
+          if (timescale > 0) duration = Some(dur * 1000L / timescale)
+        } else if (id == "trak" && depth == 1) walkChildren(i + 8, end, 2)
+        else if (id == "tkhd" && depth == 2 && i + 8 + 84 <= b.length &&
+            u8(b, i + 8) == 0 && w.isEmpty) {
+          val fw = be32(b, i + 8 + 76) >>> 16
+          val fh = be32(b, i + 8 + 80) >>> 16
+          if (fw > 0 && fh > 0) { w = Some(fw); h = Some(fh) }
+        }
+        i += size.toInt
+      }
+    }
+    walkChildren(0, b.length, 0)
+    Header("mp4", width = w, height = h, durationMs = duration)
   }
 }
 

@@ -1036,6 +1036,153 @@ object Similarity {
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(k.toDouble), 6))
 
+  // ---- OPQ rotation (Ge et al., "Optimized Product Quantization", CVPR
+  // 2013 — the parametric solution): learn an ORTHOGONAL rotation that
+  // decorrelates dimensions and balances variance across the m PQ
+  // subspaces before sub-quantization, shrinking ADC quantization error
+  // without touching index or serving shape (rotating both data and
+  // query preserves all dot products).
+
+  /** Mean vector and (centered) covariance of an embedding column,
+    * collected to the driver — (dim) and (dim x dim) doubles, driver-
+    * sized by definition at any corpus scale. ONE distributed pass: the
+    * per-row flattened outer product x⊗x (dim² doubles) partial-
+    * aggregates map-side through `graft_vec_avg`, so nothing corpus-
+    * sized moves. At very large corpora the classical practice is to
+    * estimate Σ on a sample; compose with `Dedup.hashSample` upstream —
+    * the estimator itself does not need to see every row.
+    */
+  def meanAndCovariance(embeddings: DataFrame, dim: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val x = col("embedding")
+    val outer = flatten(transform(x, xi =>
+      transform(x, xj => xi.cast("double") * xj.cast("double"))))
+    val row = embeddings.agg(
+      call_function("graft_vec_avg", x).as("mu"),
+      call_function("graft_vec_avg", outer).as("xxt")).head()
+    val mu = row.getSeq[Double](0).toArray
+    val xxt = row.getSeq[Double](1).toArray
+    require(mu.length == dim && xxt.length == dim * dim,
+      s"meanAndCovariance: expected dim=$dim, got ${mu.length}")
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      // 1e-6 grid (house determinism convention): double partial-sum
+      // merge order varies across runs; the grid absorbs it so the
+      // eigendecomposition below sees a replayable matrix
+      math.rint((xxt(i * dim + j) - mu(i) * mu(j)) * 1e6) / 1e6
+    }
+    (mu, cov)
+  }
+
+  /** Driver-side eigendecomposition of a symmetric matrix via cyclic
+    * Jacobi rotations — deterministic (fixed upper-triangle sweep order,
+    * fixed tolerance, no RNG) and exact enough at dim=64 (off-diagonal
+    * driven below 1e-12 of the Frobenius norm). Returns (eigenvalues,
+    * eigenvectors as COLUMNS), sorted by descending eigenvalue with each
+    * vector's largest-magnitude component forced positive (sign
+    * canonicalization, so replays agree).
+    */
+  private[graft] def jacobiEigSym(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      math.sqrt(2 * s)
+    }
+    val frob = math.sqrt(a0.map(_.map(x => x * x).sum).sum)
+    var sweep = 0
+    while (offNorm() > 1e-12 * math.max(frob, 1e-300) && sweep < 100) {
+      sweep += 1
+      for (p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 0) {
+        // classical 2x2 symmetric Schur rotation annihilating a(p)(q)
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta + (if (theta == 0) 1.0 else 0.0)) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until n) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = Array.tabulate(n, n) { (r, ci) => v(r)(order(ci)) }
+    // sign canonicalization per column
+    for (ci <- 0 until n) {
+      var best = 0
+      for (r <- 1 until n)
+        if (math.abs(evecs(r)(ci)) > math.abs(evecs(best)(ci))) best = r
+      if (evecs(best)(ci) < 0)
+        for (r <- 0 until n) evecs(r)(ci) = -evecs(r)(ci)
+    }
+    (evals, evecs)
+  }
+
+  /** The parametric-OPQ rotation for `m` subspaces: eigendecompose the
+    * corpus covariance, then allocate principal directions to subspaces
+    * balancing the VARIANCE PRODUCT (Ge et al. §4's eigenvalue-allocation
+    * — greedy largest-eigenvalue-to-emptiest-bucket on the log scale,
+    * optimal for independent Gaussian dims). Returns the (dim x dim)
+    * rotation as ROW-MAJOR flattened doubles on the 1e-6 grid, ready for
+    * [[rotate]]: row i of R is the eigenvector serving output dim i, so
+    * rotated = R·x groups decorrelated, variance-balanced coordinates
+    * into consecutive PQ subspaces.
+    */
+  def opqParametricRotation(embeddings: DataFrame, m: Int, dim: Int)
+      : Array[Double] = {
+    val (_, cov) = meanAndCovariance(embeddings, dim)
+    val (evals, evecs) = jacobiEigSym(cov)
+    val sub = dim / m
+    // greedy balanced allocation: next-largest eigenvalue goes to the
+    // non-full bucket with the smallest log-variance product
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logs = new Array[Double](m)
+    for (i <- 0 until dim) {
+      var best = -1
+      for (b <- 0 until m if buckets(b).size < sub)
+        if (best < 0 || logs(b) < logs(best)) best = b
+      buckets(best) = buckets(best) :+ i
+      logs(best) += math.log(math.max(evals(i), 1e-12))
+    }
+    val perm = buckets.toSeq.flatten
+    val r = new Array[Double](dim * dim)
+    for (out <- 0 until dim; j <- 0 until dim)
+      // row `out` = eigenvector perm(out) (transposed: rotated_i = u_i·x)
+      r(out * dim + j) = math.rint(evecs(j)(perm(out)) * 1e6) / 1e6
+    r
+  }
+
+  /** Apply a learned rotation to the embedding column: embedding ←
+    * round(R·x, 6) (`array<double>`, drop-in for the PQ trainers/encoders
+    * which accept float or double). The rotation rides the plan as a
+    * FOLDABLE literal through [[graft.functions.MatVecMul]] — map-only,
+    * codegen'd, no join, no broadcast; at 100 TB this is a free pass
+    * fused into whatever scan feeds training or encoding.
+    */
+  def rotate(embeddings: DataFrame, rotation: Array[Double],
+             vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings.withColumn(vecCol,
+      transform(call_function("graft_matvec",
+          lit(rotation), col(vecCol)), x => round(x, 6)))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket
     * (`bucketCol`): only same-bucket pairs are compared. With a learned
     * quantizer as the bucketer this is IVF near-dup at 100 TB; here the

@@ -1766,6 +1766,92 @@ object LlmQueries {
         d.select(col("doc_id").as("media_id"), payload.as("media")))
     }),
 
+    // ALL-container header decode (mm_image_headers' superset, r13
+    // verdict task 5): payloads synthesized per doc as spec-correct
+    // container prefixes — the four image formats PLUS a WAV/RIFF file
+    // (fmt + data chunks; audio parameters and data size planted from
+    // fixture columns, chosen so duration_ms is integer-exact), a full
+    // MP4 ftyp+moov(mvhd+trak/tkhd) video box tree (spec-sized 108/92-
+    // byte v0 boxes, unity matrices, 16.16-fixed dimensions), an
+    // audio-only M4A (moov with mvhd only, timescale 600 — dimensions
+    // must come back null), and a non-media payload (must come back
+    // "unknown"). The oracle states the planted values directly, so any
+    // chunk-walk / box-size / endianness / fixed-point bug breaks the
+    // match.
+    "mm_media_headers" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = (col("n_chars") % 300 + 16).cast("int")
+      val h = (col("doc_id") % 200 + 16).cast("int")
+      def be(c: Column, hexDigits: Int) = lpad(hex(c), hexDigits, "0")
+      def le16(c: Column) = {
+        val p = lpad(hex(c), 4, "0")
+        concat(substring(p, 3, 2), substring(p, 1, 2))
+      }
+      def le32(c: Column) = {
+        val p = lpad(hex(c), 8, "0")
+        concat(substring(p, 7, 2), substring(p, 5, 2),
+          substring(p, 3, 2), substring(p, 1, 2))
+      }
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be(w, 8), be(h, 8), lit("0806000000"))
+      val gif = concat(lit("474946383961"), le16(w), le16(h), lit("00"))
+      val bmp = concat(lit("424D"), lit("00" * 16), le32(w), le32(h))
+      val jpg = concat(lit("FFD8FFE000104A46494600010100000100010000"),
+        lit("FFC0001108"), be(h, 4), be(w, 4),
+        lit("03011100021101031101FFD9"))
+      // WAV: channels in {1,2}, sample rate 8-15 kHz (multiple of 1000
+      // so data_size = tenths x byte_rate / 10 stays integer-exact),
+      // 16-bit PCM; duration_ms = (doc_id % 50 + 1) x 100 by
+      // construction. The data chunk declares its size but the payload
+      // tail is absent — the truncated-crawl-file case the chunk walk
+      // must tolerate (it skips by declared size, never reads payload).
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val srK = (lit(8) + col("n_chars") % 8).cast("int") // sample rate / 1000
+      val sr = (srK * 1000).cast("int")
+      val byteRate = (sr * ch * 2).cast("int")
+      val dataSize = ((col("doc_id") % 50 + 1) * srK * ch * 200).cast("int")
+      val wav = concat(lit("52494646"), le32((dataSize + 36).cast("int")),
+        lit("57415645"), lit("666D7420"), lit("10000000"), lit("0100"),
+        le16(ch), le32(sr), le32(byteRate), le16((ch * 2).cast("int")),
+        lit("1000"), lit("64617461"), le32(dataSize))
+      // MP4 box tree constants: unity transform matrix + spec-sized v0
+      // boxes (mvhd 108, tkhd 92, trak 100, moov 216 incl. trak / 116
+      // audio-only, ftyp 20)
+      val matrix = "000100000000000000000000000000000001000000000000" +
+        "000000000000000040000000"
+      val mp4DurMs = ((col("n_chars") % 600 + 1) * 10).cast("int")
+      val mvhd = (timescaleHex: String, durUnits: Column) =>
+        concat(lit("0000006C6D766864" + "00000000" + "00000000" +
+          "00000000" + timescaleHex), be(durUnits, 8),
+          lit("00010000" + "0100" + "00" * 10 + matrix + "00" * 24 +
+            "00000002"))
+      val tkhd = concat(lit("0000005C746B6864" + "00000007" + "00000000" +
+        "00000000" + "00000001" + "00000000"), be(mp4DurMs, 8),
+        lit("00" * 8 + "0000" + "0000" + "0000" + "0000" + matrix),
+        be(w, 4), lit("0000"), be(h, 4), lit("0000"))
+      val mp4 = concat(lit("0000001466747970" + "69736F6D" + "00000200" +
+        "69736F6D"), lit("000000D86D6F6F76"),
+        mvhd("000003E8", mp4DurMs), lit("000000647472616B"), tkhd)
+      // audio-only M4A: classic timescale 600; duration units chosen so
+      // duration_ms = (doc_id % 100 + 1) x 100 exactly
+      val m4aUnits = ((col("doc_id") % 100 + 1) * 60).cast("int")
+      val m4a = concat(lit("0000001466747970" + "4D344120" + "00000200" +
+        "4D344120"), lit("000000746D6F6F76"), mvhd("00000258", m4aUnits))
+      // non-media: 'zz' + the content digest bytes — no magic can match
+      val junk = concat(lit("7A7A"), md5(col("text")))
+      val payload = unhex(
+        when(col("doc_id") % 8 === 0, png)
+          .when(col("doc_id") % 8 === 1, gif)
+          .when(col("doc_id") % 8 === 2, bmp)
+          .when(col("doc_id") % 8 === 3, jpg)
+          .when(col("doc_id") % 8 === 4, wav)
+          .when(col("doc_id") % 8 === 5, mp4)
+          .when(col("doc_id") % 8 === 6, junk)
+          .otherwise(m4a))
+      Multimodal.mediaHeaders(
+        d.select(col("doc_id").as("media_id"), payload.as("media")))
+    }),
+
     // embedding-join near-dup face: media pairs whose joined vectors
     // (media_id = vec_id) are label-blocked cosine near-dups, with both
     // content digests attached
@@ -3447,6 +3533,28 @@ object LlmQueries {
         |       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
         |  CAST(n_chars % 300 + 16 AS INT) AS width,
         |  CAST(doc_id % 200 + 16 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    // planted values for every container family; the Spark side must
+    // synthesize the byte trees and walk them back to match
+    "mm_media_headers" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |       WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+        |       WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp4'
+        |       WHEN 6 THEN 'unknown' ELSE 'mp4' END AS format,
+        |  CASE WHEN doc_id % 8 IN (0, 1, 2, 3, 5)
+        |       THEN CAST(n_chars % 300 + 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 8 IN (0, 1, 2, 3, 5)
+        |       THEN CAST(doc_id % 200 + 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 8 = 4
+        |       THEN CAST(doc_id % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 8 = 4
+        |       THEN CAST(8000 + (n_chars % 8) * 1000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 8 = 4 THEN CAST((doc_id % 50 + 1) * 100 AS BIGINT)
+        |       WHEN doc_id % 8 = 5 THEN CAST((n_chars % 600 + 1) * 10 AS BIGINT)
+        |       WHEN doc_id % 8 = 7 THEN CAST((doc_id % 100 + 1) * 100 AS BIGINT)
+        |       END AS duration_ms
         |FROM documents""".stripMargin,
 
     "mm_neardup_pairs" ->

@@ -414,6 +414,42 @@ object ScaleProbe {
       Seq(ivfCb, res, pqCbRes, idx, qrys, cc).foreach(_.unpersist())
     }
 
+    // r14 rung-move probe: the FULL served path (residual ADC shortlist +
+    // exact-cosine rerank) at the three knob points on the measured
+    // recall frontier — np=10/sl=50 (the r13 served rung, holdout 0.63),
+    // np=20/sl=50 (0.77) and np=20/sl=100 (0.84). All three serve from
+    // ONE prebuilt m=8 x 256 index; candidate volume is probed-cell-
+    // bounded, so each knob point must stay corpus-independent and the
+    // np=20 rows within ~2x of the np=10 row for the rung to move.
+    if (only.forall(_.exists(_.startsWith("ivfpq_residual_serve_r14")))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ivfCb = embP.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding").persist(sl)
+      val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
+      val pqCbRes = Similarity.pqCodebookLearnedFrom(res,
+        Similarity.pqCodebookFixed(res, m = 8, dim = 64, k = 256),
+        m = 8, dim = 64, maxIters = 1).persist(sl)
+      val idx = Similarity.ivfPqResidualIndex(embP, ivfCb, pqCbRes,
+        m = 8, dim = 64).persist(sl)
+      val qrys = embP.filter(col("vec_id") % 1000 === 0).persist(sl)
+      val cc = Similarity.ivfPqCellCodes(idx).persist(sl)
+      val store = embP.persist(sl)
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc, store).foreach(_.count())
+      // untimed warmup of the full served path: the FIRST timed probe in
+      // a JVM otherwise carries codegen+JIT warmth (~2-3 s) that would
+      // bias the np=10-vs-np=20 ratio the rung decision hangs on
+      Similarity.ivfPqResidualTopKIndexedReranked(idx, ivfCb, pqCbRes,
+        qrys, store, m = 8, dim = 64, nprobe = 10, shortlist = 50,
+        k = 10, cellCodes = Some(cc)).write.format("noop")
+        .mode("overwrite").save()
+      for ((np, slist) <- Seq((10, 50), (20, 50), (20, 100)))
+        t(f"ivfpq_residual_serve_r14_np${np}_sl$slist", keepCache = true)(
+          Similarity.ivfPqResidualTopKIndexedReranked(idx, ivfCb, pqCbRes,
+            qrys, store, m = 8, dim = 64, nprobe = np, shortlist = slist,
+            k = 10, cellCodes = Some(cc)))
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc, store).foreach(_.unpersist())
+    }
+
     // learned-PQ TRAINING cost per Lloyd iteration, production shape: a
     // FIXED-size sub-codebook (replica 0's seeds at any k) trained over
     // the full corpus — one iteration = one broadcast assign over the

@@ -116,6 +116,97 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == (("unknown", None, None)))
   }
 
+  // ---- audio/video container header parsing -------------------------
+
+  import MediaHeaders.Header
+
+  // full WAV: 2ch 16-bit 8 kHz, data chunk declares 32000 bytes (1 s)
+  // but the payload tail is truncated — the crawl-file case
+  private val wavHex = "52494646" + "247D0000" + "57415645" +
+    "666D7420" + "10000000" + "0100" + "0200" + "401F0000" +
+    "007D0000" + "0400" + "1000" + "64617461" + "007D0000"
+
+  test("wav: fmt chunk audio parameters + data-size duration") {
+    assert(MediaHeaders.parse(bytes(wavHex)) ==
+      Header("wav", channels = Some(2), sampleRate = Some(8000),
+        durationMs = Some(1000L)))
+  }
+
+  test("wav: an unknown chunk before fmt is skipped by declared size") {
+    // LIST chunk (6 bytes, odd -> padded to 8 with the word-align byte)
+    val withList = "52494646" + "247D0000" + "57415645" +
+      "4C495354" + "05000000" + "0102030405" + "00" +
+      wavHex.substring(24)
+    assert(MediaHeaders.parse(bytes(withList)) ==
+      Header("wav", channels = Some(2), sampleRate = Some(8000),
+        durationMs = Some(1000L)))
+  }
+
+  test("wav: fmt without data gives parameters but no duration") {
+    val noData = wavHex.substring(0, wavHex.length - 16)
+    assert(MediaHeaders.parse(bytes(noData)) ==
+      Header("wav", channels = Some(2), sampleRate = Some(8000)))
+  }
+
+  // 9 x BE32 fixed-point: 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+  // 0x40000000 (the spec's unity transform)
+  private val unityMatrix = "00010000" + "00000000" + "00000000" +
+    "00000000" + "00010000" + "00000000" + "00000000" + "00000000" +
+    "40000000"
+  private def mvhdHex(timescale: String, dur: String) =
+    "0000006C6D766864" + "00000000" + "00000000" + "00000000" +
+      timescale + dur + "00010000" + "0100" + "00" * 10 + unityMatrix +
+      "00" * 24 + "00000002"
+  private def tkhdHex(w: Int, h: Int) =
+    "0000005C746B6864" + "00000007" + "00000000" + "00000000" +
+      "00000001" + "00000000" + "00000BB8" + "00" * 8 +
+      "0000" * 4 + unityMatrix +
+      f"$w%04X" + "0000" + f"$h%04X" + "0000"
+
+  test("mp4: mvhd timescale duration + first tkhd 16.16 dimensions") {
+    // timescale 1000, duration 3000 units -> 3000 ms; 640 x 480
+    val mp4 = "0000001466747970" + "69736F6D" + "00000200" + "69736F6D" +
+      "000000D86D6F6F76" + mvhdHex("000003E8", "00000BB8") +
+      "000000647472616B" + tkhdHex(640, 480)
+    assert(MediaHeaders.parse(bytes(mp4)) ==
+      Header("mp4", width = Some(640), height = Some(480),
+        durationMs = Some(3000L)))
+  }
+
+  test("mp4 audio-only: moov with mvhd only — duration, null dims") {
+    // classic timescale 600, 1800 units -> 3000 ms
+    val m4a = "0000001466747970" + "4D344120" + "00000200" + "4D344120" +
+      "000000746D6F6F76" + mvhdHex("00000258", "00000708")
+    assert(MediaHeaders.parse(bytes(m4a)) ==
+      Header("mp4", durationMs = Some(3000L)))
+  }
+
+  test("mp4: 64-bit box size (size field = 1) stops the walk, no crash") {
+    val weird = "0000001466747970" + "69736F6D" + "00000200" + "69736F6D" +
+      "000000016D6F6F76" + "0000000000000020" // size=1 + largesize
+    assert(MediaHeaders.parse(bytes(weird)) == Header("mp4"))
+  }
+
+  test("mediaHeaders dispatch: images delegate, junk stays unknown") {
+    assert(MediaHeaders.parse(bytes("474946383961" + "4001" + "C800" + "00"))
+      == Header("gif", width = Some(320), height = Some(200)))
+    assert(MediaHeaders.parse("zz not a container".getBytes)
+      == Header("unknown"))
+    assert(MediaHeaders.parse(null) == Header("unknown"))
+  }
+
+  test("mediaHeaders: mapPartitions batch over a mixed relation") {
+    val rows = Seq(
+      (1L, bytes(wavHex)),
+      (2L, bytes("89504E470D0A1A0A0000000D49484452" +
+        "00000280000001E0" + "0806000000")),
+      (3L, "plain text".getBytes))
+      .toDF("media_id", "media")
+    val out = Multimodal.mediaHeaders(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "wav", 2L -> "png", 3L -> "unknown"))
+  }
+
   test("nearDupPairs: label-blocked cosine pairs carry both media digests") {
     val media = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("media_id", "text")
