@@ -741,15 +741,18 @@ object LlmQueries {
     * residual index, nprobe=5 + rerank50 serving — the r12 ladder's best
     * configuration (recall@10 0.88 in-sample / 0.44 holdout at sf0.01).
     */
-  /** The SERVED residual rung, r13: PRODUCTION-SHAPE fixed sub-codebooks
+  /** The SERVED residual rung, r14: PRODUCTION-SHAPE fixed sub-codebooks
     * (m=8 x 256 md5-ranked seeds, 8 Lloyd steps — `pqCodebookFixed` +
-    * `pqCodebookLearnedFrom`) at nprobe=10 + rerank50. Moved from the
-    * r12 m=4 corpus-seeded books at nprobe=5 on TWO measurements
-    * (BASELINE.md): the shape sweep (m=8 x 256 is the best codebook:
-    * holdout 0.47 vs 0.44 at np=5) and the probe-width attribution
-    * sweep (holdout is PROBE-bound: 0.47 -> 0.63 -> 0.765 -> 0.84 at
-    * np=5/10/20/40) — np=10 clears the 0.6 holdout gate the verdict set
-    * for moving the rung.
+    * `pqCodebookLearnedFrom`) at nprobe=20 + rerank100. Moved from the
+    * r13 np=10 + rerank50 point (holdout 0.63) on the r14 serve-cost
+    * ladder (BASELINE.md `ivfpq_residual_serve_r14_*`): the full
+    * reranked serve path at np=20/sl=100 costs the SAME per query as
+    * the np=10 rung at 100 k vectors (~0.087 vs ~0.085 s/query, both
+    * falling with corpus — cost is probed-cell-bounded, and doubling
+    * the probed cells is invisible next to fixed per-job overhead),
+    * while the shortlist-sweep attribution table puts np=20 + sl=100 at
+    * **0.84 holdout recall** — over the >= 0.75 gate the r13 verdict
+    * set for the move.
     */
   /** The built residual index artifacts: coarse book, residual PQ book,
     * code index, cell inventory — everything whose lifetime is the INDEX
@@ -803,7 +806,7 @@ object LlmQueries {
     Similarity.ivfPqResidualTopKIndexedReranked(
       b.index, b.ivfCb, b.pqCbRes,
       e.filter(col("vec_id") % 100 === queryRes), e,
-      m = 8, dim = 64, nprobe = 10, shortlist = 50, k = 10,
+      m = 8, dim = 64, nprobe = 20, shortlist = 100, k = 10,
       cellCodes = Some(b.cellCodes))
   }
 
@@ -1131,10 +1134,11 @@ object LlmQueries {
     }),
 
     // RESIDUAL IVF-PQ (FAISS IVFADC shape: PQ over x − coarse centroid)
-    // at the r13 ladder-picked rung: production-shape m=8 x 256 fixed
-    // codebooks, nprobe=10 + rerank50 — holdout recall@10 0.63 at sf0.1
-    // (vs 0.44 for the r12 m=4/np=5 rung), the first rung to clear the
-    // 0.6 holdout gate (BASELINE.md shape + probe-width tables).
+    // at the r14 ladder-picked rung: production-shape m=8 x 256 fixed
+    // codebooks, nprobe=20 + rerank100 — holdout recall@10 0.84 at
+    // sf0.1 (r13 served 0.63 at np=10/sl=50; moved on the r14
+    // serve-cost ladder showing the wider probe costs the same per
+    // query — BASELINE.md shortlist-sweep + serve_r14 tables).
     "sim_ivfpq_residual_topk" -> ((s, dir) =>
       residualServed(s, dir, queryRes = 0)),
 
@@ -1630,6 +1634,30 @@ object LlmQueries {
       TextAnalysis.curationFilter(clean, "doc_id", "text",
         minTokens = 20, maxTokens = 2000, minQuality = 0.1,
         maxRepetition = 0.2, keepLang = "en")
+    }),
+
+    // the release chain COMPLETED WITH ITS MIXTURE STAGE (r13 verdict
+    // task 7): guarded dedup -> curation -> temperature-scaled domain
+    // rates DERIVED FROM THE RELEASED CORPUS -> weighted sampling. The
+    // curated id set is eagerly checkpointed (the xsub pattern) so the
+    // expensive dedup+curation subtree executes ONCE even though both
+    // the rate aggregate and the sampled side read the released
+    // relation — the deployed shape: materialize the release manifest,
+    // then derive and apply the mixture from it. The sampler is the
+    // broadcast rate-table join (never a corpus-side shuffle); output
+    // is the mixed corpus rows.
+    "llm_corpus_prep_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
+      val curatedIds = TextAnalysis.curationFilter(kept, "doc_id", "text",
+          minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+          maxRepetition = 0.2, keepLang = "en")
+        .select(col("doc_id")).localCheckpoint(true)
+      val released = docs.join(curatedIds, Seq("doc_id"), "left_semi")
+      Dedup.weightedSampleJoined(released, "doc_id", "source",
+        Dedup.temperatureMixRates(released, "source", col("n_chars"),
+          alpha = 0.5, budget = 30000L))
     }),
 
     // the COMPLETE 2024-era release chain as one lazy plan: exact
@@ -2501,8 +2529,8 @@ object LlmQueries {
     // residual IVF-PQ serving at the r13 rung: fixed m=8 x 256
     // codebooks, 8 Lloyd steps, nprobe=10 + rerank50 (see residualServed)
     "sim_ivfpq_residual_topk" ->
-      s"""WITH ${ivfPqResidualCtes(10, m = 8, iters = 8, fixedK = Some(256))},
-         |${rerankCtes(50)}
+      s"""WITH ${ivfPqResidualCtes(20, m = 8, iters = 8, fixedK = Some(256))},
+         |${rerankCtes(100)}
          |SELECT query_id, vec_id, round(sim, 6) AS cosine FROM (
          |  SELECT query_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY query_id
@@ -2510,8 +2538,8 @@ object LlmQueries {
          |  FROM rr) WHERE rn <= 10""".stripMargin,
 
     "sim_ivfpq_residual_recall" ->
-      s"""WITH ${ivfPqResidualCtes(10, m = 8, iters = 8, fixedK = Some(256))},
-         |${rerankCtes(50)},
+      s"""WITH ${ivfPqResidualCtes(20, m = 8, iters = 8, fixedK = Some(256))},
+         |${rerankCtes(100)},
          |ap AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,
          |         row_number() OVER (PARTITION BY query_id
@@ -2535,9 +2563,9 @@ object LlmQueries {
          |GROUP BY 1""".stripMargin,
 
     "sim_ivfpq_residual_holdout_recall" ->
-      s"""WITH ${ivfPqResidualCtes(10, queryRes = 7, m = 8, iters = 8,
+      s"""WITH ${ivfPqResidualCtes(20, queryRes = 7, m = 8, iters = 8,
         fixedK = Some(256))},
-         |${rerankCtes(50)},
+         |${rerankCtes(100)},
          |ap AS (SELECT query_id, vec_id FROM (
          |  SELECT query_id, vec_id,
          |         row_number() OVER (PARTITION BY query_id
@@ -3349,6 +3377,35 @@ object LlmQueries {
          |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
          |${curationCtes("decon")}
          |$CurationSelect""".stripMargin,
+
+    // chain + mixture: the guarded/curation CTEs feed a released
+    // relation; temperature rates (6-place grid before the floor, the
+    // sample_temperature_* convention) derive from THAT relation and
+    // gate the md5 bucket
+    "llm_corpus_prep_mix" ->
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |${curationCtes("kept")},
+         |rel AS (SELECT d.* FROM documents d
+         |        WHERE d.doc_id IN (SELECT doc_id FROM cs
+         |          WHERE n_tokens BETWEEN 20 AND 2000 AND quality_score >= 0.1
+         |            AND rep_ratio <= 0.2 AND predicted_lang = 'en')),
+         |mixm AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+         |         FROM rel GROUP BY 1),
+         |mixs AS (SELECT source, mass, round(pow(mass, 0.5), 6) AS share
+         |         FROM mixm WHERE mass > 0),
+         |mixr AS (SELECT source,
+         |          CAST(least(100, floor(round(100.0 * 30000 * share /
+         |            ((SELECT sum(share) FROM mixs) * mass), 6))) AS INT) AS pct
+         |        FROM mixs)
+         |SELECT rel.* FROM rel JOIN mixr USING (source)
+         |WHERE $HashBucketSql < mixr.pct""".stripMargin,
 
     // the full release chain: decon CTEs -> gopher gate subquery ->
     // classifier median gate (trained on the RAW corpus by qclfCtes,

@@ -287,6 +287,20 @@ class PlanSpec extends SparkSpec {
       s"scoring must not re-tokenize the corpus:\n$p")
   }
 
+  test("mix chain: sampler reads the checkpointed release, rates broadcast") {
+    // the mixture stage derives rates from the RELEASED corpus and
+    // samples the same relation; the expensive dedup+curation subtree
+    // is checkpointed, so the final plan must carry NO tokenize pass
+    // (no Generate), the rate table must arrive broadcast, and nothing
+    // may fall back to a corpus-side merge or cross product
+    val p = planOf("llm_corpus_prep_mix")
+    assert(!p.contains("Generate explode"),
+      s"mix plan must not re-tokenize the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("recall eval: query-count-sized broadcast join, no corpus-side merge") {
     val p = planOf("sim_ivf_recall")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
