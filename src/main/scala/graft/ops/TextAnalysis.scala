@@ -1148,6 +1148,39 @@ object TextAnalysis {
     batch.join(flagged, batch(idCol) === flagged("doc_id"), "left_anti")
   }
 
+  /** [[substringDedupIndexed]] against an OWNER-CARRYING window index
+    * (`(s, own)` — per window key, the minimum doc id ever seen holding
+    * it). Where the key-set face can only say "some earlier-ingested doc
+    * held this window" (first-ingested-wins), this face applies the
+    * batch operator's actual rule — LOWEST ID wins — regardless of
+    * ingestion order: a doc drops iff the global minimum owner of one of
+    * its windows (the lesser of the index owner and the batch-internal
+    * minimum) is a lower id. Over a corpus whose windows the index fully
+    * covers (the republish pass over the raw ingest archive) this equals
+    * [[substringDedup]] EXACTLY for ANY ingestion order
+    * (SubstrDedupIngestSpec pins the shuffled-order case).
+    *
+    * Same scale shape as the key-set face: one batch shingle pass, one
+    * shuffle join on the fixed-width key against the pre-aggregated
+    * owner relation, eager lineage cut before the id anti-join.
+    */
+  def substringDedupIndexedOwners(batch: DataFrame, owners: DataFrame,
+                                  idCol: String, textCol: String,
+                                  w: Int): DataFrame = {
+    val bw = substringWindows(batch, idCol, textCol, w)
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val flagged = bw
+      .join(owners.select(col("s"), col("own").cast("long").as("idx_own")),
+        Seq("s"), "left")
+      .withColumn("batch_own", min(col("doc_id")).over(byGram))
+      .withColumn("gown",
+        least(col("batch_own"), coalesce(col("idx_own"), col("batch_own"))))
+      .filter(col("gown") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+      .localCheckpoint(true)
+    batch.join(flagged, batch(idCol) === flagged("doc_id"), "left_anti")
+  }
+
   /** The audit face of [[substringDedup]]: per surviving-or-dropped
     * document, how many of its distinct w-windows are shared with a
     * lower-id document (`n_dup_windows`), its distinct window count, and

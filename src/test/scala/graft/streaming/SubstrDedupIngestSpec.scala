@@ -66,10 +66,58 @@ class SubstrDedupIngestSpec extends SparkSpec {
       SubstrDedupIngest.readIndex(spark, idxDir), "doc_id", "text", w = 20)
     assert(kept.count() == 0)
 
-    // compaction preserves the key set
-    val before = spark.read.parquet(idxDir).distinct().count()
+    // compaction preserves the per-key min-owner relation
+    val before = SubstrDedupIngest.readIndexOwners(spark, idxDir)
+      .collect().map(_.toSeq).toSet
     SubstrDedupIngest.compactIndex(spark, idxDir, numFiles = 1)
-    assert(spark.read.parquet(idxDir).count() == before)
+    assert(spark.read.parquet(idxDir).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("shuffled-order ingestion: republish converges to exact batch parity") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sd3_").toString
+    val (idxDir, cleanDir, ckpt) = (s"$tmp/idx", s"$tmp/clean", s"$tmp/ckpt")
+    // the SAME 9 docs, delivered out of id order: the chain-copy 203
+    // and its transitive source's copy 3 arrive BEFORE the true keeper
+    // 1 — the worst case for first-ingested-wins semantics
+    val bX = Seq((203L, shared + " " + toks("z", 10) + " tail203"),
+      (101L, toks("q", 28)))
+    val bY = Seq((3L, shared + " " + toks("z", 10)),
+      (202L, toks("q", 28) + " tailmark202"))
+    val bZ = Seq((1L, shared + " " + toks("x", 10)),
+      (2L, toks("y", 30)),
+      (102L, shared + " " + toks("w", 10)),
+      (201L, toks("r", 25)))
+    val input = MemoryStream[(Long, String)]
+    val q = SubstrDedupIngest.start(input.toDF().toDF("doc_id", "text"),
+      idxDir, cleanDir, ckpt, w = 20)
+    try {
+      Seq(bX, bY, bZ).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // prefix semantics at ingest: 203 arrived first and was released
+    // (no lower owner known yet); 3 was flagged on arrival (203's
+    // windows carry owner 203 > 3? no — 3 IS lower, so 3 survives
+    // ingest too: owner-aware cleaning only drops against LOWER ids);
+    // later arrivals 1 and 102 judged against the true owners
+    val streamedIds = spark.read.parquet(cleanDir).distinct()
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedIds.contains(203L), "prefix release: 203 predates 3 and 1")
+    assert(streamedIds.contains(1L), "1 is the global keeper of its windows")
+    assert(!streamedIds.contains(102L), "102 arrived after lower owners")
+
+    // republish over the raw archive = the batch operator EXACTLY,
+    // despite the shuffled delivery
+    val corpus = (bX ++ bY ++ bZ).toDF("doc_id", "text")
+    val republished = SubstrDedupIngest.republish(corpus, idxDir, w = 20)
+      .collect().map(_.toSeq).toSet
+    val batch = TextAnalysis.substringDedup(corpus, "doc_id", "text", w = 20)
+      .collect().map(_.toSeq).toSet
+    assert(republished == batch)
+    assert(republished.map(_.head.asInstanceOf[Long]) ==
+      Set(1L, 2L, 101L, 201L))
   }
 
   test("first batch runs against the legitimately-empty index") {
