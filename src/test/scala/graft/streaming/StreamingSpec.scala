@@ -137,6 +137,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join late data: inside-watermark pairs emit, below-watermark drops") {
+    // pins the EVICTION CONTRACT (r13 verdict task 6): with watermark
+    // delay W, a row arriving in a later micro-batch still pairs iff its
+    // event time is above the global watermark (min over both inputs of
+    // max-seen-event-time - W); at or below it, the engine's late-data
+    // filter drops the row BEFORE the join, so a matching interval in
+    // retained state can no longer produce the pair. This is the one
+    // contract the batch range join cannot mirror — batch always pairs.
+    implicit val ctx = spark.sqlContext
+    val errIn = MemoryStream[(Long, Timestamp)]
+    val clkIn = MemoryStream[Timestamp]
+    val joined = EventStreams.intervalJoinStream(
+      errIn.toDF().toDF("err_id", "err_ts"), "err_ts",
+      clkIn.toDF().toDF("click_ts"), "click_ts",
+      windowMinutes = 5, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssij_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: e1 opens an interval at 10:00; both streams also carry
+      // a 12:00 advancer, driving the global watermark to 11:50 (the
+      // advancers pair with each other: e9's interval catches c 12:00)
+      errIn.addData((1L, ts("2024-01-01 10:00:00")),
+        (9L, ts("2024-01-01 12:00:00")))
+      clkIn.addData(ts("2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // batch 2, after the watermark sits at 11:50:
+      //  - click 10:01 matches e1's interval but is BELOW the watermark
+      //    -> late-data filter drops it, pair never emits
+      //  - e2 11:55 + click 11:58 are ABOVE the watermark -> pair emits
+      //    even though both arrive two batches after the advancers
+      clkIn.addData(ts("2024-01-01 10:01:00"), ts("2024-01-01 11:58:00"))
+      errIn.addData((2L, ts("2024-01-01 11:55:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("ssij_late")
+        .select("err_id", "click_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(pairs == Set(
+        (9L, ts("2024-01-01 12:00:00")),
+        (2L, ts("2024-01-01 11:58:00"))),
+        s"expected the advancer pair + the inside-watermark late pair, got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-watermark duplicates, keeps firsts") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
