@@ -1036,6 +1036,57 @@ object Similarity {
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(k.toDouble), 6))
 
+  /** EMBEDDING-SPACE decontamination report: for every corpus vector
+    * whose cosine against ANY benchmark vector reaches `threshold`, the
+    * best-matching benchmark id and similarity — the semantic analogue
+    * of [[TextAnalysis.contaminationReport]]'s n-gram rule (catches
+    * paraphrased/reformatted test-set leakage that exact grams miss;
+    * the embedding-similarity decon used by modern release pipelines).
+    *
+    * Shape: the benchmark is BROADCAST (eval benchmarks are small by
+    * construction) and the corpus is scanned ONCE through a broadcast
+    * nested-loop join — exact, embarrassingly parallel, map-only per
+    * corpus row; the corpus is never self-joined and never shuffles.
+    * At extreme corpus x benchmark scale, compose the IVF route instead:
+    * [[semanticIndex]] both sides and compare within probed cells.
+    * Benchmark members present in the corpus match themselves (cos 1) —
+    * desired: a release must drop the benchmark rows themselves too.
+    * Ties on the 6-rounded cosine resolve to the lowest benchmark id.
+    */
+  def embeddingContaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val c = withNorm(corpus)
+      .select(col("vec_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val b = withNorm(benchmark)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"),
+        col("nrm").as("bn"))
+    // division form (not dot >= t*|a||b|): bit-parity with the oracle's
+    // cosine expression on borderline rows
+    c.join(broadcast(b),
+        fdot(col("ce"), col("be")) / (col("cn") * col("bn"))
+          >= lit(threshold))
+      .select(col("vec_id"), col("bench_id"),
+        round(fdot(col("ce"), col("be")) / (col("cn") * col("bn")), 6)
+          .as("cosine"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("bench_id")).as("nb"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("vec_id"), (-col("best.nb")).as("bench_id"),
+        col("best.cosine").as("cosine"), col("n_matches"))
+  }
+
+  /** The corpus with embedding-contaminated vectors REMOVED — the
+    * serving face of [[embeddingContaminationReport]]: flag ids (a
+    * hit-sized relation), anti-join. Same contract as
+    * [[TextAnalysis.decontaminate]].
+    */
+  def decontaminateByEmbedding(corpus: DataFrame, benchmark: DataFrame,
+                               threshold: Double): DataFrame = {
+    val flagged = embeddingContaminationReport(corpus, benchmark, threshold)
+      .select(col("vec_id").as("__flag_id"))
+    corpus.join(flagged, corpus("vec_id") === col("__flag_id"), "left_anti")
+  }
+
   // ---- OPQ rotation (Ge et al., "Optimized Product Quantization", CVPR
   // 2013 — the parametric solution): learn an ORTHOGONAL rotation that
   // decorrelates dimensions and balances variance across the m PQ

@@ -1571,6 +1571,24 @@ object LlmQueries {
         docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
     }),
 
+    // EMBEDDING-SPACE decontamination (the third rung after exact grams
+    // and fuzzy MinHash): corpus vectors whose cosine against any
+    // benchmark vector (vec_id % 20 == 9 plays the eval set) reaches
+    // 0.35 — paraphrased leakage that shares no surface form. Benchmark
+    // broadcast, corpus scanned once, never self-joined.
+    "vec_decon_report" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.embeddingContaminationReport(e,
+        e.filter(col("vec_id") % 20 === 9), threshold = 0.35)
+    }),
+
+    "vec_decon_clean" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.decontaminateByEmbedding(e,
+        e.filter(col("vec_id") % 20 === 9), threshold = 0.35)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // FUZZY decontamination: near-duplicates of benchmark items (banded
     // MinHash candidates, Jaccard-verified at 0.5) — catches reformatted
     // eval leakage the exact 8-gram overlap misses; three sources play
@@ -3262,6 +3280,33 @@ object LlmQueries {
          |         AS n_dup_windows,
          |       sum(CASE WHEN doc_id <> own THEN 1 ELSE 0 END) > 0 AS dropped
          |FROM j GROUP BY 1""".stripMargin,
+
+    // embedding-space decon: best benchmark match per contaminated
+    // vector — cosine rounded BEFORE ranking (both engines rank the
+    // identical rounded doubles), ties to the lowest benchmark id
+    "vec_decon_report" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS be
+         |           FROM embeddings WHERE vec_id % 20 = 9),
+         |p AS (SELECT e.vec_id, b.bench_id,
+         |        round(${cosSql("e.embedding", "b.be")}, 6) AS cosine
+         |      FROM embeddings e, b
+         |      WHERE ${cosSql("e.embedding", "b.be")} >= 0.35),
+         |sel AS (SELECT vec_id, bench_id, cosine,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cosine DESC, bench_id) AS rn,
+         |          count(*) OVER (PARTITION BY vec_id) AS n_matches
+         |        FROM p)
+         |SELECT vec_id, bench_id, cosine,
+         |       CAST(n_matches AS BIGINT) AS n_matches
+         |FROM sel WHERE rn = 1""".stripMargin,
+
+    "vec_decon_clean" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS be
+         |           FROM embeddings WHERE vec_id % 20 = 9),
+         |fl AS (SELECT DISTINCT e.vec_id FROM embeddings e, b
+         |       WHERE ${cosSql("e.embedding", "b.be")} >= 0.35)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM fl)""".stripMargin,
 
     // corpus (non-src9) docs sharing any word 8-gram with the src9
     // benchmark slice, with distinct-overlap counts

@@ -453,6 +453,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rr > 0.0 && rr <= 1.0)
   }
 
+  test("embedding decon: threshold gate, lowest-id tie-break, self-match") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // matches both benchmark copies (tie)
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal: clean
+      (10L, Seq(1.0f, 0.0f)))  // benchmark member: self-match, must drop
+      .toDF("vec_id", "embedding")
+    val bench = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rep = Similarity.embeddingContaminationReport(corpus, bench, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // tie on cosine 1.0 resolves to the LOWEST benchmark id
+    assert(rep(1L) == ((10L, 1.0, 2L)))
+    assert(rep(10L) == ((10L, 1.0, 2L))) // self-match reported
+    assert(!rep.contains(2L))
+    val clean = Similarity.decontaminateByEmbedding(corpus, bench, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
   // ---- OPQ rotation -------------------------------------------------
 
   test("jacobiEigSym: recovers a known spectrum, descending, sign-fixed") {
