@@ -481,6 +481,17 @@ object ScaleProbe {
           centroidMod = 50, maxIters = 1))
     }
 
+    // embedding-space decon against a FIXED benchmark (replica 0's
+    // % 20 == 9 slice): the corpus side is a single broadcast
+    // nested-loop pass (exact, map-only per row), so cost must track
+    // the corpus LINEARLY with the benchmark constant — the shape risk
+    // of a BNLJ is quadratic growth, which a fixed benchmark rules out
+    // by construction and this row verifies
+    t("vec_decon_report")(
+      Similarity.embeddingContaminationReport(embP,
+        embP.filter(col("vec_id") < 10000000L && col("vec_id") % 20 === 9),
+        threshold = 0.35))
+
     t("brute_topk")(Similarity.bruteForceTopK(emb, col("vec_id") % 1000 === 0, 10))
     // int8 path over the same corpus/queries — inline quantization, i.e.
     // index-build cost included in the timer
