@@ -94,6 +94,71 @@ object DeconIngest {
       .write.mode("append").parquet(cleanDir)
   }
 
+  // ---- embedding-space face (r14) -----------------------------------
+
+  /** Build or extend the benchmark EMBEDDING index — the semantic
+    * analogue of [[writeBenchIndex]] for
+    * [[graft.ops.Similarity.embeddingContaminationReport]]'s rung:
+    * (vec_id, embedding) rows appended as benchmark suites accrete.
+    * Re-registration is harmless (readers collapse duplicate ids).
+    */
+  def writeBenchEmbIndex(benchmark: DataFrame, indexDir: String): Unit =
+    benchmark.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .write.mode("append").parquet(indexDir)
+
+  /** Start the embedding-decontamination stream: each micro-batch of
+    * (vec_id, embedding) rows is cosine-checked against the persistent
+    * benchmark embedding index (benchmark-sized, broadcast per batch —
+    * the [[ingestBatch]] posture exactly: no corpus state, per-batch
+    * cost flat as the release accumulates). Clean rows append to
+    * `cleanDir`; flagged (vec_id, bench_id, cosine, n_matches) audit
+    * rows to `flaggedDir`.
+    */
+  def startEmbedding(vecs: DataFrame, benchIndexDir: String,
+                     cleanDir: String, flaggedDir: String,
+                     checkpointDir: String,
+                     threshold: Double): StreamingQuery = {
+    require(hasParquet(vecs.sparkSession, benchIndexDir),
+      s"benchmark embedding index not found at $benchIndexDir — build it " +
+        "with DeconIngest.writeBenchEmbIndex before starting the stream")
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        ingestEmbeddingBatch(batch, benchIndexDir, cleanDir, flaggedDir,
+          threshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** One embedding-decon step (also directly usable from a batch
+    * scheduler): report the batch against the stored benchmark
+    * embeddings, append the audit rows, append the clean remainder.
+    */
+  def ingestEmbeddingBatch(batch: DataFrame, benchIndexDir: String,
+                           cleanDir: String, flaggedDir: String,
+                           threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val bench = spark.read.parquet(benchIndexDir).dropDuplicates("vec_id")
+    val flagged = graft.ops.Similarity.embeddingContaminationReport(
+      batch, bench, threshold).localCheckpoint(true)
+    flagged.write.mode("append").parquet(flaggedDir)
+    val flaggedIds = flagged.select(col("vec_id").as("__flag_id"))
+    batch.join(broadcast(flaggedIds),
+        batch("vec_id") === col("__flag_id"), "left_anti")
+      .write.mode("append").parquet(cleanDir)
+  }
+
+  /** Compact the append-grown benchmark embedding index (duplicate-id
+    * collapse + file-count reset; [[compactBenchIndex]]'s contract).
+    */
+  def compactBenchEmbIndex(spark: SparkSession, indexDir: String,
+                           numFiles: Int): Unit =
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      spark.read.parquet(indexDir).dropDuplicates("vec_id")
+        .repartition(numFiles),
+      indexDir)
+
   /** Compact the append-grown gram index (thousands of micro-appends →
     * `numFiles`), collapsing accumulated duplicate grams in the same
     * pass. Same atomic-swap and concurrency contract as

@@ -101,4 +101,49 @@ class DeconIngestSpec extends SparkSpec {
     assert(after == before)
     spark.catalog.clearCache()
   }
+
+  test("embedding face: streamed batches equal the batch operator; duplicate registration harmless") {
+    implicit val ctx = spark.sqlContext
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val bench = e.filter(col("vec_id") % 20 === 9)
+    val corpus = e.filter(col("vec_id") % 20 =!= 9)
+      .select("vec_id", "embedding")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_di_e_").toString
+    val (idxDir, cleanDir, flaggedDir, ckpt) =
+      (s"$tmp/idx", s"$tmp/clean", s"$tmp/flag", s"$tmp/ckpt")
+    DeconIngest.writeBenchEmbIndex(bench, idxDir)
+    DeconIngest.writeBenchEmbIndex(bench, idxDir) // duplicate registration
+
+    // feed the corpus through in two micro-batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = DeconIngest.startEmbedding(
+      input.toDF().toDF("vec_id", "embedding"),
+      idxDir, cleanDir, flaggedDir, ckpt, threshold = 0.35)
+    val rows = corpus.as[(Long, Seq[Float])].collect()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq: _*); q.processAllAvailable()
+      input.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamedClean = spark.read.parquet(cleanDir)
+      .select("vec_id").as[Long].collect().toSet
+    val batchClean = graft.ops.Similarity.decontaminateByEmbedding(
+        corpus, bench, threshold = 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    assert(streamedClean == batchClean)
+    // audit rows equal the batch report (duplicate index rows collapsed)
+    val streamedFlagged = spark.read.parquet(flaggedDir)
+      .collect().map(_.toSeq).toSet
+    val batchFlagged = graft.ops.Similarity.embeddingContaminationReport(
+        corpus, bench, threshold = 0.35)
+      .collect().map(_.toSeq).toSet
+    assert(streamedFlagged == batchFlagged)
+
+    DeconIngest.compactBenchEmbIndex(spark, idxDir, 1)
+    assert(spark.read.parquet(idxDir).count() == bench.count())
+    spark.catalog.clearCache()
+  }
 }
