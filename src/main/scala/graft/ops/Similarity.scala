@@ -1036,6 +1036,46 @@ object Similarity {
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(k.toDouble), 6))
 
+  /** Embedding data-quality vet — the garbage gate before any ANN /
+    * dedup indexing run: per row, the invariants every operator in this
+    * file assumes — exact dimensionality, all-finite values, nonzero
+    * norm — with an `ok` verdict. A 100 TB crawl's encoder output
+    * always carries ragged/NaN/zero rows (truncated writes, failed
+    * forward passes, padding artifacts); indexing them corrupts
+    * codebook training (NaN poisons every mean it touches) and
+    * similarity ranking silently. Map-only single scan; run
+    * [[cleanEmbeddings]] (or audit the `ok=false` rows) before
+    * training/indexing.
+    */
+  def vetEmbeddings(embeddings: DataFrame, dim: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = col("embedding")
+    val nonfinite = filter(e, x =>
+      isnan(x) || x === lit(Float.PositiveInfinity) ||
+        x === lit(Float.NegativeInfinity) || x.isNull)
+    embeddings.select(col("vec_id"),
+        size(e).as("n_dims"),
+        size(nonfinite).as("n_nonfinite"),
+        (fdot(e, e) === lit(0.0)).as("zero_norm"))
+      .withColumn("ok",
+        col("n_dims") === dim && col("n_nonfinite") === 0 &&
+          !col("zero_norm"))
+  }
+
+  /** The vetted corpus: rows passing every [[vetEmbeddings]] invariant.
+    * Hit-sized flag relation is unnecessary — the vet is a map-only
+    * predicate, so this is a plain filter fused into the scan.
+    */
+  def cleanEmbeddings(embeddings: DataFrame, dim: Int): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = col("embedding")
+    embeddings.filter(
+      size(e) === dim &&
+        size(filter(e, x => isnan(x) || x === lit(Float.PositiveInfinity) ||
+          x === lit(Float.NegativeInfinity) || x.isNull)) === 0 &&
+        fdot(e, e) =!= lit(0.0))
+  }
+
   /** EMBEDDING-SPACE decontamination report: for every corpus vector
     * whose cosine against ANY benchmark vector reaches `threshold`, the
     * best-matching benchmark id and similarity — the semantic analogue

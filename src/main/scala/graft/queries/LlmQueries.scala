@@ -1591,6 +1591,13 @@ object LlmQueries {
         docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
     }),
 
+    // embedding data-quality vet: the garbage gate before any indexing
+    // run (dimensionality / finiteness / nonzero-norm invariants; the
+    // fixture is clean, so every row must come back ok=true — planted
+    // garbage is spec-covered in SimilaritySpec)
+    "vec_vet" -> ((s, dir) =>
+      Similarity.vetEmbeddings(Tables.embeddings(s, dir), dim = 64)),
+
     // EMBEDDING-SPACE decontamination (the third rung after exact grams
     // and fuzzy MinHash): corpus vectors whose cosine against any
     // benchmark vector (vec_id % 20 == 9 plays the eval set) reaches
@@ -3299,6 +3306,17 @@ object LlmQueries {
          |         AS n_dup_windows,
          |       sum(CASE WHEN doc_id <> own THEN 1 ELSE 0 END) > 0 AS dropped
          |FROM j GROUP BY 1""".stripMargin,
+
+    "vec_vet" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+         |  CAST(len(list_filter(embedding,
+         |    x -> isnan(x) OR isinf(x) OR x IS NULL)) AS INT) AS n_nonfinite,
+         |  (${dotSql("embedding", "embedding")} = 0) AS zero_norm,
+         |  (len(embedding) = 64
+         |   AND len(list_filter(embedding,
+         |     x -> isnan(x) OR isinf(x) OR x IS NULL)) = 0
+         |   AND ${dotSql("embedding", "embedding")} <> 0) AS ok
+         |FROM embeddings""".stripMargin,
 
     // embedding-space decon: best benchmark match per contaminated
     // vector — cosine rounded BEFORE ranking (both engines rank the

@@ -453,6 +453,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rr > 0.0 && rr <= 1.0)
   }
 
+  test("vetEmbeddings: ragged, NaN, infinite and zero rows flagged; clean kept") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f)),                       // clean
+      (2L, Seq(1.0f)),                             // ragged (short)
+      (3L, Seq(Float.NaN, 1.0f)),                  // NaN
+      (4L, Seq(Float.PositiveInfinity, 0.0f)),     // +inf
+      (5L, Seq(0.0f, 0.0f)),                       // zero norm
+      (6L, Seq(1.0f, 2.0f, 3.0f)))                 // ragged (long)
+      .toDF("vec_id", "embedding")
+    val vet = Similarity.vetEmbeddings(rows, dim = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(vet(1L) == ((2, 0, false, true)))
+    assert(vet(2L) == ((1, 0, false, false)))
+    assert(vet(3L)._2 == 1 && !vet(3L)._4)
+    assert(vet(4L)._2 == 1 && !vet(4L)._4)
+    assert(vet(5L) == ((2, 0, true, false)))
+    assert(vet(6L) == ((3, 0, false, false)))
+    val clean = Similarity.cleanEmbeddings(rows, dim = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(clean == Set(1L))
+  }
+
   test("embedding decon: threshold gate, lowest-id tie-break, self-match") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)),   // matches both benchmark copies (tie)
