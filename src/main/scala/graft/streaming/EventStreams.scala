@@ -94,21 +94,32 @@ object EventStreams {
   def intervalJoinStream(left: DataFrame, leftTs: String,
                          right: DataFrame, rightTs: String,
                          windowMinutes: Int,
-                         watermark: String = "1 hour"): DataFrame = {
+                         watermark: String = "1 hour",
+                         joinType: String = "inner"): DataFrame = {
     val bucketMs = windowMinutes * 60000L
     def bucketOf(c: Column): Column =
       floor(unix_micros(c.cast("timestamp")) / (bucketMs * 1000.0))
         .cast("long")
+    // the two-cell coverage explode lives on the RIGHT side (a right
+    // event's bucket and its predecessor — the only two cells a left
+    // interval overlapping it can start in), so each LEFT row is ONE
+    // state row: `left_outer` then null-extends an unmatched left
+    // exactly once when the watermark passes its interval end (an
+    // exploded left would emit one null row per cell). A (left, right)
+    // pair still meets in exactly one exploded cell — rb and rb-1 can
+    // never both equal lb — so inner results are identical to the
+    // pre-r14 left-exploded formulation (StreamingSpec parity).
     val l = eventTime(left, leftTs).withWatermark(leftTs, watermark)
-      .withColumn("__lb", explode(array(
-        bucketOf(col(leftTs)), bucketOf(col(leftTs)) + lit(1L))))
+      .withColumn("__lb", bucketOf(col(leftTs)))
     val r = eventTime(right, rightTs).withWatermark(rightTs, watermark)
-      .withColumn("__rb", bucketOf(col(rightTs)))
+      .withColumn("__rb", explode(array(
+        bucketOf(col(rightTs)) - lit(1L), bucketOf(col(rightTs)))))
     l.join(r,
         col("__lb") === col("__rb") &&
           col(rightTs) >= col(leftTs) &&
           col(rightTs) < col(leftTs) +
-            expr(s"INTERVAL $windowMinutes MINUTES"))
+            expr(s"INTERVAL $windowMinutes MINUTES"),
+        joinType)
       .drop("__lb", "__rb")
   }
 

@@ -180,6 +180,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join left_outer: unmatched lefts null-extend once on expiry") {
+    // the audit face a monitoring pipeline wants: "errors with NO click
+    // inside their window" must surface, not vanish. An unmatched left
+    // emits exactly ONE null-extended row (the two-cell explode lives
+    // on the right side), and only after the watermark passes its
+    // interval end — matched lefts emit their pairs and no null row.
+    implicit val ctx = spark.sqlContext
+    val errIn = MemoryStream[(Long, Timestamp)]
+    val clkIn = MemoryStream[Timestamp]
+    val joined = EventStreams.intervalJoinStream(
+      errIn.toDF().toDF("err_id", "err_ts"), "err_ts",
+      clkIn.toDF().toDF("click_ts"), "click_ts",
+      windowMinutes = 5, watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssij_outer")
+      .outputMode("append").start()
+    try {
+      // e1 gets a click; e2 gets none; both intervals end by 10:15
+      errIn.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:10:00")))
+      clkIn.addData(ts("2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      // advance BOTH watermarks past 10:15 + delay so e2's state expires
+      errIn.addData((9L, ts("2024-01-01 11:00:00")))
+      clkIn.addData(ts("2024-01-01 11:00:00")) // also pairs with e9
+      q.processAllAvailable()
+      // null-extension is emitted by the state-cleanup of a FOLLOWING
+      // trigger — nudge one more micro-batch through
+      errIn.addData((10L, ts("2024-01-01 11:20:00")))
+      clkIn.addData(ts("2024-01-01 11:20:00")) // pairs with e10
+      q.processAllAvailable()
+      val rows = spark.table("ssij_outer")
+        .select("err_id", "click_ts").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toSet
+      assert(rows.contains((2L, None)), s"unmatched e2 must null-extend: $rows")
+      assert(rows.contains((1L, Some(ts("2024-01-01 10:01:00")))))
+      // exactly one row for e2, and no null row for matched lefts
+      assert(spark.table("ssij_outer").where("err_id = 2").count() == 1)
+      assert(!rows.contains((1L, None)) && !rows.contains((9L, None)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-watermark duplicates, keeps firsts") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
