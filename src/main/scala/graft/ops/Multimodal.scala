@@ -282,7 +282,11 @@ object MediaHeaders {
         sr = Some(le32(b, i + 12))
         byteRate = le32(b, i + 16).toLong & 0xffffffffL
       } else if (id == "data") dataSize = Some(size)
-      i += 8 + size.toInt + (size % 2).toInt
+      // Long walk arithmetic: a corrupt size near 2^32 would wrap a
+      // 32-bit add negative and loop forever; any next offset past the
+      // buffer ends the walk (the current chunk was already consumed)
+      val next = i.toLong + 8L + size + (size % 2)
+      if (next > b.length || next <= i) i = b.length else i = next.toInt
     }
     Header("wav", channels = ch, sampleRate = sr,
       durationMs = dataSize.filter(_ => byteRate > 0)
@@ -321,7 +325,9 @@ object MediaHeaders {
           val fh = be32(b, i + 8 + 80) >>> 16
           if (fw > 0 && fh > 0) { w = Some(fw); h = Some(fh) }
         }
-        i += size.toInt
+        // Long walk arithmetic (same overflow guard as the WAV walk)
+        val next = i.toLong + size
+        if (next > to || next <= i) return else i = next.toInt
       }
     }
     walkChildren(0, b.length, 0)

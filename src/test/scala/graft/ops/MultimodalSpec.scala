@@ -187,6 +187,18 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.parse(bytes(weird)) == Header("mp4"))
   }
 
+  test("corrupt near-2^32 chunk/box sizes terminate the walks (no overflow loop)") {
+    // WAV whose fmt chunk declares size 0xFFFFFFF8: a 32-bit walk adds
+    // a wrapped negative and loops forever; the Long walk must stop
+    val evilWav = "52494646" + "24000000" + "57415645" +
+      "666D7420" + "F8FFFFFF" + "0100" + "0200"
+    assert(MediaHeaders.parse(bytes(evilWav)).format == "wav")
+    // MP4 whose moov declares a ~4 GB size
+    val evilMp4 = "0000001466747970" + "69736F6D" + "00000200" + "69736F6D" +
+      "FFFFFFF86D6F6F76"
+    assert(MediaHeaders.parse(bytes(evilMp4)) == Header("mp4"))
+  }
+
   test("mediaHeaders dispatch: images delegate, junk stays unknown") {
     assert(MediaHeaders.parse(bytes("474946383961" + "4001" + "C800" + "00"))
       == Header("gif", width = Some(320), height = Some(200)))
