@@ -69,4 +69,24 @@ object Joins {
       .filter(col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
       .drop("__bucket")
   }
+
+  /** OUTER counting face of [[rangeJoin]]: every right interval with the
+    * number of in-range left rows — INCLUDING zero (the audit a
+    * monitoring pipeline wants: "errors with NO click in their window"
+    * must surface, not vanish from an inner join). Composition stays
+    * nested-loop-free: the inner bucketized join produces the hits, a
+    * hit-sized aggregate counts per `rightId`, and the interval relation
+    * left-joins the counts (interval-count-sized, broadcastable).
+    */
+  def rangeCount(left: DataFrame, leftTs: String,
+                 right: DataFrame, rightId: String,
+                 startCol: String, endCol: String,
+                 bucketMillis: Long): DataFrame = {
+    val hits = rangeJoin(left.select(col(leftTs)), leftTs,
+        right.select(col(rightId), col(startCol), col(endCol)),
+        startCol, endCol, bucketMillis)
+      .groupBy(col(rightId)).agg(count(lit(1)).as("n_hits"))
+    right.join(broadcast(hits), Seq(rightId), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+  }
 }

@@ -1790,6 +1790,20 @@ object LlmQueries {
         .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
     }),
 
+    // the OUTER counting face: every error with its in-window click
+    // count INCLUDING zero — the "errors with no clicks" audit an inner
+    // range join silently drops
+    "events_range_count_all" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select("ts")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("w_end"))
+      Joins.rangeCount(clicks, "ts", errors, "err_id", "w_start", "w_end",
+          300000L)
+        .select(col("err_id"), col("n_hits").as("n_clicks"))
+    }),
+
     // ---- Multimodal columns ------------------------------------------
 
     "mm_media_meta" -> ((s, dir) =>
@@ -3641,6 +3655,18 @@ object LlmQueries {
         |       FROM events WHERE event_type = 'error')
         |SELECT err_id, count(*) AS n_clicks
         |FROM er JOIN c ON c.ts >= er.s AND c.ts < er.e
+        |GROUP BY 1""".stripMargin,
+
+    // outer counting face: LEFT JOIN + count of non-null hits, so
+    // zero-click errors keep their row with n_clicks = 0
+    "events_range_count_all" ->
+      """WITH c AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |er AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS s,
+        |              CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS e
+        |       FROM events WHERE event_type = 'error')
+        |SELECT err_id, count(c.ts) AS n_clicks
+        |FROM er LEFT JOIN c ON c.ts >= er.s AND c.ts < er.e
         |GROUP BY 1""".stripMargin,
 
     // NOTE: the library's head_hex is BYTE-based (magic-number semantics);
