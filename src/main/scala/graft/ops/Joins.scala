@@ -43,6 +43,33 @@ object Joins {
       .select(leftCols.toIndexedSeq.map(col) :+ col(rightTsOut): _*)
   }
 
+  /** As-of (forward) join — [[asofBackward]]'s mirror: for every left
+    * row, the single right row with the SMALLEST `tsCol` >= the left
+    * row's `tsCol`, per `keyCol` (the "time to next event" primitive:
+    * next click after each purchase, next deploy after each alert).
+    * Same union-and-carry shape — ONE shuffle, ONE per-partition sort,
+    * no nested loop: at equal ts the right row sorts after the left row
+    * and the forward-looking frame `[current, unbounded following)`
+    * still sees it (forward as-of is inclusive). Returns the left rows
+    * plus `rightTsOut` (null when no later right row exists).
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, rightTsOut: String): DataFrame = {
+    val l = left.withColumn("__is_right", lit(0))
+      .withColumn("__rts", lit(null).cast(left.schema(tsCol).dataType))
+    val r = right.select(col(keyCol), col(tsCol)).withColumn("__is_right", lit(1))
+      .withColumn("__rts", col(tsCol))
+    val leftCols = left.columns
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__is_right").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn(rightTsOut, first(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(rightTsOut): _*)
+  }
+
   /** Range join: pair every left row whose `tsCol` falls in a right-side
     * interval `[startCol, endCol)`, via bucketization: both sides map to a
     * time-bucket grid of `bucketMillis` (intervals explode into the 1+

@@ -1777,6 +1777,20 @@ object LlmQueries {
           lit("1970-01-01 00:00:00").cast("timestamp")))
     }),
 
+    // forward as-of: each purchase matched to the user's NEXT click at
+    // or after it — the time-to-next-event mirror of events_asof_join
+    "events_asof_next" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Joins.asofForward(purchases, clicks, "user_id", "ts", "next_click_ts")
+        // no-match sentinel instead of NULL (NaT hash-compare contract,
+        // same as events_asof_join)
+        .withColumn("next_click_ts", coalesce(col("next_click_ts"),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+    }),
+
     // Range join via bucketization (equi-join on a time-bucket grid, then
     // the exact range filter — never a nested loop): clicks within 5
     // minutes after each error event, counted per error.
@@ -3646,6 +3660,20 @@ object LlmQueries {
         |SELECT p.event_id, p.user_id, p.ts,
         |       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS prior_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // forward as-of via LEFT-JOIN + min (decorrelated by DuckDB; the
+    // engine's native ASOF is backward-shaped, so the oracle states the
+    // definition directly)
+    "events_asof_next" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       coalesce(min(c.ts), TIMESTAMP '9999-12-31 00:00:00')
+        |         AS next_click_ts
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "events_range_join" ->
       """WITH c AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -29,6 +29,27 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L).isEmpty)                             // no prior click
   }
 
+  test("asof forward join picks the smallest right ts >= left ts per key") {
+    val purchases = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")), // after the last click: no next
+      (3L, 9L, ts("2024-01-01 09:00:00"))) // user 9 has no clicks
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (7L, ts("2024-01-01 09:30:00")),     // before: never matches forward
+      (7L, ts("2024-01-01 10:00:00")),     // tie with purchase 1: inclusive
+      (7L, ts("2024-01-01 11:59:00")),
+      (8L, ts("2024-01-01 13:00:00")))     // other key
+      .toDF("user_id", "ts")
+    val out = Joins.asofForward(purchases, clicks, "user_id", "ts", "next")
+      .as[(Long, Long, Timestamp, Option[Timestamp])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L).contains(ts("2024-01-01 10:00:00"))) // equal ts wins
+    assert(out(2L).isEmpty)                             // nothing later
+    assert(out(3L).isEmpty)                             // no clicks at all
+    assert(out.size == 3)                               // every left, once
+  }
+
   test("asof join preserves every left row exactly once") {
     val e = Tables.events(spark, sf0001)
     val clicks = e.filter($"event_type" === "click").select("user_id", "ts")
