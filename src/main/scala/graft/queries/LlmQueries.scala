@@ -1098,8 +1098,7 @@ object LlmQueries {
       Similarity.recallAtK(
         Similarity.ivfTopK(e, col("vec_id") % 100 === 0,
           centroidMod = 50, nprobe = 3, k = 10),
-        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
-        k = 10)
+        exactTopK(s, dir, 0), k = 10)
     }),
 
     // IVF with a LEARNED codebook: two Lloyd iterations from the
@@ -1245,8 +1244,7 @@ object LlmQueries {
       Similarity.recallAtK(
         Similarity.ivfPqTopKReranked(e, col("vec_id") % 100 === 0, m = 4,
           dim = 64, centroidMod = 50, nprobe = 3, shortlist = 50, k = 10),
-        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
-        k = 10)
+        exactTopK(s, dir, 0), k = 10)
     }),
 
     // recall@10 of the composed IVF-PQ configuration against exact
@@ -1256,8 +1254,7 @@ object LlmQueries {
       Similarity.recallAtK(
         Similarity.ivfPqTopK(e, col("vec_id") % 100 === 0, m = 4,
           dim = 64, centroidMod = 50, nprobe = 3, k = 10),
-        Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10),
-        k = 10)
+        exactTopK(s, dir, 0), k = 10)
     }),
 
     // SRP-LSH bucket assignment (data-independent cosine bucketing; the
