@@ -288,6 +288,35 @@ object TextAnalysis {
       flag(rules.map(_._2).reduce(_ && _)).as("pass"): _*)
   }
 
+  /** Document data-quality vet — the crawl-hygiene gate before ANY text
+    * processing (the [[graft.ops.Similarity.vetEmbeddings]] analogue for
+    * the text side): per document, the decode-level invariants the
+    * quality/dedup operators assume — non-empty non-whitespace content,
+    * zero U+FFFD replacement characters (the scar mojibake / broken
+    * UTF-8 decoding leaves), zero C0/DEL control characters outside
+    * tab/newline/CR (binary spill into a text column). A 100 TB crawl
+    * always carries all three. Map-only single scan; counts via the
+    * portable strip-and-measure idiom (remove everything NOT in the
+    * class, measure what remains) so a SQL oracle replays it exactly.
+    */
+  def vetDocuments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nControl = length(regexp_replace(t,
+      "[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+    val nReplacement = length(t) - length(regexp_replace(t, "\uFFFD", ""))
+    df.select(col(idCol),
+        length(t).as("n_chars"),
+        // explicit class, not trim(): trim strips SPACES only, and the
+        // class is stated identically in the SQL oracle (RE2 parity)
+        (length(regexp_replace(t, "[ \\t\\n\\f\\r]", "")) === 0)
+          .as("ws_only"),
+        nReplacement.as("n_replacement"),
+        nControl.as("n_control"))
+      .withColumn("ok",
+        col("n_chars") > 0 && !col("ws_only") &&
+          col("n_replacement") === 0 && col("n_control") === 0)
+  }
+
   /** The FILTER face of [[gopherRules]]: keep documents passing the rule
     * conjunction, original columns intact — one map-only predicate, no
     * join, composable into release chains. `requireStopWords = false`

@@ -1625,6 +1625,12 @@ object LlmQueries {
         docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
     }),
 
+    // document data-quality vet: the crawl-hygiene gate before any text
+    // processing (decode-level invariants; clean fixture -> all ok=true,
+    // planted mojibake/control/empty cases are spec-covered)
+    "text_vet" -> ((s, dir) =>
+      TextAnalysis.vetDocuments(Tables.documents(s, dir), "doc_id", "text")),
+
     // embedding data-quality vet: the garbage gate before any indexing
     // run (dimensionality / finiteness / nonzero-norm invariants; the
     // fixture is clean, so every row must come back ok=true — planted
@@ -3368,6 +3374,24 @@ object LlmQueries {
          |         AS n_dup_windows,
          |       sum(CASE WHEN doc_id <> own THEN 1 ELSE 0 END) > 0 AS dropped
          |FROM j GROUP BY 1""".stripMargin,
+
+    // same strip-and-measure idiom as the Spark side; chr(65533) is the
+    // U+FFFD replacement character
+    "text_vet" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  (length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) = 0)
+        |    AS ws_only,
+        |  CAST(length(text) - length(replace(text, chr(65533), ''))
+        |       AS INT) AS n_replacement,
+        |  CAST(length(regexp_replace(text,
+        |       '[^\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+        |       AS INT) AS n_control,
+        |  (length(text) > 0
+        |   AND length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) <> 0
+        |   AND length(text) = length(replace(text, chr(65533), ''))
+        |   AND length(regexp_replace(text,
+        |       '[^\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) = 0) AS ok
+        |FROM documents""".stripMargin,
 
     "vec_vet" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,

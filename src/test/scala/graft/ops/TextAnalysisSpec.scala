@@ -266,6 +266,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(3L)) // no transitions
   }
 
+  test("vetDocuments: mojibake, control spill, empty and ws-only flagged") {
+    val rows = Seq(
+      (1L, "a clean little document"),
+      (2L, ""),                                   // empty
+      (3L, "   \t \n "),                          // whitespace-only
+      (4L, "broken � decoding � here"), // replacement chars
+      (5L, "binary\u0000spill\u0007here"),  // control chars (NUL, BEL)
+      (6L, "tabs\tand\nnewlines are fine"))       // allowed whitespace
+      .toDF("doc_id", "text")
+    val vet = TextAnalysis.vetDocuments(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3), r.getInt(4),
+          r.getBoolean(5)))).toMap
+    assert(vet(1L)._5 && vet(6L)._5)
+    assert(vet(2L) == ((0, true, 0, 0, false)))
+    assert(vet(3L)._2 && !vet(3L)._5)
+    assert(vet(4L)._3 == 2 && !vet(4L)._5)
+    assert(vet(5L)._4 == 2 && !vet(5L)._5)
+  }
+
   test("gopherRules: prose passes, listings and symbol soup fail their rules") {
     val prose = (1 to 6).map(_ =>
       "the cat sat with the dog and they have gone to look at that bird")
