@@ -317,6 +317,20 @@ object TextAnalysis {
           col("n_replacement") === 0 && col("n_control") === 0)
   }
 
+  /** The filter face of [[vetDocuments]]: documents passing every
+    * hygiene invariant, original columns intact — a map-only predicate
+    * fused into the scan ([[graft.ops.Similarity.cleanEmbeddings]]'s
+    * contract).
+    */
+  def cleanDocuments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.filter(length(t) > 0 &&
+      length(regexp_replace(t, "[ \\t\\n\\f\\r]", "")) > 0 &&
+      length(t) === length(regexp_replace(t, "\uFFFD", "")) &&
+      length(regexp_replace(t,
+        "[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")) === 0)
+  }
+
   /** The FILTER face of [[gopherRules]]: keep documents passing the rule
     * conjunction, original columns intact — one map-only predicate, no
     * join, composable into release chains. `requireStopWords = false`

@@ -286,6 +286,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(vet(5L)._4 == 2 && !vet(5L)._5)
   }
 
+  test("cleanDocuments keeps exactly the vet-ok rows") {
+    val rows = Seq(
+      (1L, "a clean little document"), (2L, ""), (3L, "   \t \n "),
+      (4L, "broken \uFFFD here"), (5L, "spill\u0001ed"),
+      (6L, "tabs\tare fine")).toDF("doc_id", "text")
+    val kept = TextAnalysis.cleanDocuments(rows, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val okIds = TextAnalysis.vetDocuments(rows, "doc_id", "text")
+      .filter($"ok").select("doc_id").as[Long].collect().toSet
+    assert(kept == okIds && kept == Set(1L, 6L))
+  }
+
   test("gopherRules: prose passes, listings and symbol soup fail their rules") {
     val prose = (1 to 6).map(_ =>
       "the cat sat with the dog and they have gone to look at that bird")
