@@ -1274,6 +1274,96 @@ object Similarity {
           lit(rotation), col(vecCol)), x => round(x, 6)))
   }
 
+  // ---- Radius and metadata-constrained search ------------------------
+
+  /** Exact radius (range) search: every candidate within cosine >=
+    * `threshold` of each query (queries = rows selected by `queryPred`),
+    * self-matches excluded — the "all neighbors in range" face of
+    * similarity search ([[bruteForceTopK]] is the "best k" face; a radius
+    * query answers "how crowded is this region", top-k answers "who is
+    * closest"). The query set is broadcast and the corpus scanned once
+    * map-side, so the only shuffle carries the hit-sized survivor set —
+    * linear in the corpus at any scale. The threshold lives in the join
+    * condition in DIVISION form (not `dot >= t*|a||b|`) for bit-parity
+    * with the oracle's cosine on borderline rows (the
+    * [[embeddingContaminationReport]] idiom).
+    */
+  def radiusSearch(embeddings: DataFrame, queryPred: Column,
+                   threshold: Double): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qnrm"))
+    e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          fdot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm"))
+            >= lit(threshold))
+      .select(col("query_id"), col("vec_id"),
+        round(fdot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")),
+          6).as("cosine"))
+  }
+
+  /** Exact top-k restricted to candidates sharing the query's value of
+    * `partCol` — metadata-EQUALITY-constrained search (same-language
+    * retrieval, same-shard dedup lookups). The equality key turns the
+    * scoring join into a keyed join instead of a query-cross-corpus
+    * nested loop: at 100 TB with the index partitioned by `partCol`,
+    * each query touches only its partition's files — the filter IS the
+    * partition pruning.
+    */
+  def partitionedTopK(embeddings: DataFrame, queryPred: Column,
+                      partCol: String, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(queryPred).select(col(partCol).as("__qpart"),
+      col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("nrm").as("qnrm"))
+    val pairs = broadcast(q).join(e,
+        col("__qpart") === col(partCol) && col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        fdot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id")))
+    pairs.withColumn("rn", rn).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+  }
+
+  /** Exact top-k with an arbitrary candidate-side predicate — PRE-filter
+    * semantics: the predicate applies BEFORE ranking, so every query
+    * gets k hits as long as k candidates pass anywhere in the corpus
+    * (the vector-DB "filtered search" contract; POST-filtering a top-k
+    * list silently returns fewer than k under selective filters). This
+    * is the exact reference/ground truth; [[ivfTopKIndexedFiltered]] is
+    * the indexed serving face.
+    */
+  def filteredTopK(embeddings: DataFrame, queryPred: Column,
+                   candFilter: Column, k: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val pairs = broadcast(q)
+      .join(e.filter(candFilter), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        fdot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id")))
+    pairs.withColumn("rn", rn).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+  }
+
+  /** Filtered search against the PREBUILT IVF index ([[ivfAssign]]'s
+    * output): the candidate predicate is applied to probed-cell members
+    * before ranking — in-cell pre-filtering. Catalyst pushes the
+    * predicate into the stored-index scan (for a filter over a partition
+    * column of the index layout, probed cells read only matching files).
+    * Recall caveat, measured by `sim_ivf_filtered_recall`: with a fixed
+    * `nprobe`, a selective filter empties some probed cells, so filtered
+    * serving generally wants a WIDER probe than unfiltered serving to
+    * reach the same recall — the classic filtered-ANN trade-off.
+    */
+  def ivfTopKIndexedFiltered(assigned: DataFrame, codebook: DataFrame,
+                             queries: DataFrame, candFilter: Column,
+                             nprobe: Int, k: Int): DataFrame =
+    ivfTopKIndexed(assigned.filter(candFilter), codebook, queries, nprobe, k)
+
   /** Embedding-cosine near-duplicate pairs within a coarse bucket
     * (`bucketCol`): only same-bucket pairs are compared. With a learned
     * quantizer as the bucketer this is IVF near-dup at 100 TB; here the

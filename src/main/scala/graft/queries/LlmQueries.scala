@@ -844,6 +844,24 @@ object LlmQueries {
         dim = 64, centroidMod = 50, maxIters = 2)
     }
 
+  /** The deterministic %50 seed coarse codebook (driver-sized). */
+  private def seedCb(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+
+  /** Build-once memo for the seed-codebook IVF assignment — the stored
+    * flat IVF index shared by `sim_ivf_topk`, `sim_ivf_recall` and
+    * `sim_ivf_filtered_recall` (all three serve from the SAME cell
+    * assignment in production; re-deriving it per query re-scored the
+    * corpus against the codebook three times).
+    */
+  private def ivfAsgSeed(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    memoDf(s, dir, "ivfAsgSeed") {
+      Similarity.ivfAssign(Tables.embeddings(s, dir), seedCb(s, dir))
+    }
+
   /** Exact cosine ground truth for the `vec_id % 100 == res` query set —
     * the relation every recall eval compares against; built once like a
     * production eval's frozen ground-truth table.
@@ -1087,17 +1105,52 @@ object LlmQueries {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, k = 10)),
 
-    "sim_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir),
-        col("vec_id") % 100 === 0, centroidMod = 50, nprobe = 3, k = 10)),
+    // radius (range) search: all neighbors within cosine >= 0.25 of each
+    // query — the "how crowded is this region" face; hit-sized output
+    "sim_radius" -> ((s, dir) =>
+      Similarity.radiusSearch(Tables.embeddings(s, dir),
+        col("vec_id") % 20 === 0, threshold = 0.25)),
+
+    // metadata-equality-constrained top-k: rank only candidates sharing
+    // the query's label (same-language retrieval); the equality key is
+    // the partition pruning at scale
+    "sim_topk_label" -> ((s, dir) =>
+      Similarity.partitionedTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 50 === 0, "label", k = 10)),
+
+    // pre-filter top-k: arbitrary candidate predicate applied BEFORE
+    // ranking, so each query still gets its full k — the vector-DB
+    // "filtered search" contract (exact ground-truth face)
+    "sim_topk_filtered" -> ((s, dir) =>
+      Similarity.filteredTopK(Tables.embeddings(s, dir),
+        col("vec_id") % 50 === 0, col("label") % 3 === 0, k = 10)),
+
+    // recall@10 of filtered IVF serving (predicate applied inside probed
+    // cells) against the exact filtered ground truth — quantifies the
+    // filtered-ANN recall cost of a fixed probe width
+    "sim_ivf_filtered_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.ivfTopKIndexedFiltered(ivfAsgSeed(s, dir), seedCb(s, dir),
+          e.filter(col("vec_id") % 100 === 0), col("label") % 3 === 0,
+          nprobe = 3, k = 10),
+        Similarity.filteredTopK(e, col("vec_id") % 100 === 0,
+          col("label") % 3 === 0, k = 10), k = 10)
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKIndexed(ivfAsgSeed(s, dir), seedCb(s, dir),
+        e.filter(col("vec_id") % 100 === 0), nprobe = 3, k = 10)
+    }),
 
     // recall@10 of the IVF configuration against exact brute force over
     // the same queries — the eval gate an ANN config must pass to serve
     "sim_ivf_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.recallAtK(
-        Similarity.ivfTopK(e, col("vec_id") % 100 === 0,
-          centroidMod = 50, nprobe = 3, k = 10),
+        Similarity.ivfTopKIndexed(ivfAsgSeed(s, dir), seedCb(s, dir),
+          e.filter(col("vec_id") % 100 === 0), nprobe = 3, k = 10),
         exactTopK(s, dir, 0), k = 10)
     }),
 
@@ -2383,6 +2436,95 @@ object LlmQueries {
          |      FROM p)
          |SELECT query_id, vec_id, round(sim, 6) AS cosine
          |FROM r WHERE rn <= 10""".stripMargin,
+
+    // radius search: same cosine expression, threshold instead of rank
+    "sim_radius" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 20 = 0)
+         |SELECT q.query_id, e.vec_id,
+         |  round(${cosSql("q.qe", "e.embedding")}, 6) AS cosine
+         |FROM q, embeddings e
+         |WHERE e.vec_id <> q.query_id
+         |  AND ${cosSql("q.qe", "e.embedding")} >= 0.25""".stripMargin,
+
+    // same-label top-k: the equality constraint joins query to its
+    // label's candidates only
+    "sim_topk_label" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+         |             embedding AS qe
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q JOIN embeddings e ON e.label = q.qlabel
+         |      WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY sim DESC, vec_id) AS rn
+         |      FROM p)
+         |SELECT query_id, vec_id, round(sim, 6) AS cosine
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    // pre-filter top-k: predicate on the candidate side before ranking
+    "sim_topk_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q, embeddings e
+         |      WHERE e.vec_id <> q.query_id AND e.label % 3 = 0),
+         |r AS (SELECT query_id, vec_id, sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY sim DESC, vec_id) AS rn
+         |      FROM p)
+         |SELECT query_id, vec_id, round(sim, 6) AS cosine
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    // filtered-IVF recall eval: exact filtered ground truth vs the
+    // probed-cell pre-filtered list, recalled per query (the asg CTE
+    // carries label so the in-cell filter can replay)
+    "sim_ivf_filtered_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e
+         |       WHERE e.vec_id <> q.query_id AND e.label % 3 = 0),
+         |br AS (SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |       FROM bp),
+         |ex AS (SELECT query_id, vec_id FROM br WHERE rn <= 10),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, embedding, label, centroid_id FROM (
+         |          SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.ce")} DESC,
+         |                       c.centroid_id) AS rn
+         |          FROM embeddings e, c) WHERE rn = 1),
+         |probe AS (SELECT query_id, qe, centroid_id FROM (
+         |            SELECT q.query_id, q.qe, c.centroid_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY ${cosSql("q.qe", "c.ce")} DESC,
+         |                         c.centroid_id) AS rn
+         |            FROM q, c) WHERE rn <= 3),
+         |icand AS (SELECT p.query_id, a.vec_id,
+         |            ${cosSql("p.qe", "a.embedding")} AS sim
+         |          FROM probe p JOIN asg a ON p.centroid_id = a.centroid_id
+         |          WHERE a.vec_id <> p.query_id AND a.label % 3 = 0),
+         |ir AS (SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |       FROM icand),
+         |ap AS (SELECT query_id, vec_id FROM ir WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
 
     // recall eval: the exact and IVF lists are the two oracles above,
     // left-joined per query — mirror of Similarity.recallAtK

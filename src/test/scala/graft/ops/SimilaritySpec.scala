@@ -570,4 +570,50 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Double)].collect().toSet
     assert(part == Set((1L, 1, 0.5), (2L, 0, 0.0)))
   }
+
+  test("radiusSearch returns exactly the in-range neighbors, no self") {
+    val out = Similarity.radiusSearch(vecs, $"vec_id" % 100 === 0, 0.5)
+      .as[(Long, Long, Double)].collect()
+    // q0: 2 (~1.0) and 4 (~0.707) pass; 100 (0.0) and 3 (-1.0) don't
+    assert(out.filter(_._1 == 0L).map(_._2).toSet == Set(2L, 4L))
+    // q100: only 4 (~0.707) is within range
+    assert(out.filter(_._1 == 100L).map(_._2).toSet == Set(4L))
+    assert(!out.exists(t => t._1 == t._2))
+    assert(out.forall(_._3 >= 0.5))
+  }
+
+  test("partitionedTopK ranks only candidates sharing the query's partition value") {
+    // labels: 0 -> {0, 100, 2}; 1 -> {3, 4}. Unconstrained, q0's best
+    // friends are 2 then 4 — the label constraint must exclude 4.
+    val out = Similarity.partitionedTopK(vecs, $"vec_id" % 100 === 0,
+      "label", k = 2).as[(Long, Long, Double)].collect()
+    assert(out.filter(_._1 == 0L).map(_._2).toSet == Set(2L, 100L))
+    assert(out.filter(_._1 == 100L).map(_._2).toSet == Set(0L, 2L))
+  }
+
+  test("filteredTopK applies the predicate BEFORE ranking (pre-filter contract)") {
+    // candidates restricted to label 1 = {3, 4}: q0 still gets k=2 hits
+    // (4 at ~0.707, 3 at -1.0) even though neither is its global top-2 —
+    // post-filtering a top-2 list would have returned just one row
+    val out = Similarity.filteredTopK(vecs, $"vec_id" === 0, $"label" === 1,
+      k = 2).as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(out.map(_._2).toSeq == Seq(4L, 3L))
+  }
+
+  test("filtered IVF serving: hits satisfy the predicate, recall vs exact filtered") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cb = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    val pred = col("vec_id") % 100 === 0
+    val flt = col("label") % 3 === 0
+    val exact = Similarity.filteredTopK(e, pred, flt, k = 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val served = Similarity.ivfTopKIndexedFiltered(
+      Similarity.ivfAssign(e, cb), cb, e.filter(pred), flt, nprobe = 3, k = 10)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    // every served hit passes the predicate (in-cell pre-filtering)
+    val okIds = e.filter(flt).select("vec_id").as[Long].collect().toSet
+    assert(served.forall(t => okIds.contains(t._2)))
+    val recall = (exact & served).size.toDouble / exact.size
+    assert(recall >= 0.4, s"filtered IVF recall $recall too low")
+  }
 }
