@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -740,6 +741,34 @@ object Dedup {
   def fuzzyKeepFirst(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val dropped = resolveClusters(pairs)
       .filter(col("node") =!= col("label")).select(col("node"))
+    docs.join(dropped, docs(idCol) === dropped("node"), "left_anti")
+  }
+
+  /** [[fuzzyKeepFirst]] with a QUALITY-AWARE keeper policy: per resolved
+    * cluster, keep the member with the highest `score` (ties break on
+    * lowest id) instead of the lowest id. This is the policy real
+    * curation pipelines run — when a page was crawled five slightly-
+    * different times, keep the longest / highest-quality capture, not
+    * the one that happened to get the smallest id. `score` is any
+    * deterministic Column over the doc row (document length, a Gopher
+    * quality signal, a classifier score), so the keeper rule composes
+    * with every scorer in the library.
+    *
+    * Shuffle shape: scores are joined onto the RESOLVED membership
+    * relation (candidate-sized, not corpus-sized), the per-cluster
+    * argmax is one window over it, and the corpus pays a single
+    * dropped-set anti-join — identical cost profile to keep-first plus
+    * one candidate-sized join.
+    */
+  def fuzzyKeepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    score: Column): DataFrame = {
+    val members = resolveClusters(pairs)
+    val scored = docs.select(col(idCol).as("node"), score.as("__score"))
+      .join(members, Seq("node"))
+    val rn = row_number().over(Window.partitionBy(col("label"))
+      .orderBy(col("__score").desc, col("node")))
+    val dropped = scored.withColumn("__rn", rn)
+      .filter(col("__rn") =!= 1).select(col("node"))
     docs.join(dropped, docs(idCol) === dropped("node"), "left_anti")
   }
 

@@ -1005,6 +1005,16 @@ object LlmQueries {
         "doc_id")
     }),
 
+    // quality-aware keeper policy: per near-dup cluster keep the LONGEST
+    // member (ties on id) instead of the lowest id — the curation-grade
+    // keeper rule (keep the best capture of a page, not the first)
+    "dedup_fuzzy_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.fuzzyKeepBest(docs,
+        Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4, threshold = 0.5),
+        "doc_id", col("n_chars"))
+    }),
+
     // the guarded production composition: exact collapse FIRST (floods of
     // identical docs contribute one bucket member), then fuzzy keep-first
     // with the hot-bucket backstop armed (no fixture bucket exceeds it, so
@@ -2264,6 +2274,15 @@ object LlmQueries {
       s"""WITH RECURSIVE $ClusterCtes
          |SELECT * FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
+
+    "dedup_fuzzy_keep_best" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |worse AS (SELECT node FROM (
+         |    SELECT cc.node, row_number() OVER (PARTITION BY cc.keeper
+         |        ORDER BY d.n_chars DESC, cc.node) AS rn
+         |    FROM cc JOIN documents d ON d.doc_id = cc.node) WHERE rn > 1)
+         |SELECT * FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM worse)""".stripMargin,
 
     "dedup_guarded_kept" ->
       s"""WITH RECURSIVE x0 AS (

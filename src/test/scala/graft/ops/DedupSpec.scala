@@ -246,4 +246,22 @@ class DedupSpec extends SparkSpec {
       .as[(String, Long, Int, Long)].collect().sortBy(_._2)
     assert(gotDup.toSeq == got.toSeq)
   }
+
+  test("fuzzyKeepBest keeps the highest-scored cluster member, ties on id") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "b", 50L), (3L, "c", 30L), // cluster {1,2,3}
+      (4L, "d", 5L),                                  // untouched singleton
+      (5L, "e", 7L), (6L, "f", 7L)                    // tied cluster {5,6}
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.fuzzyKeepBest(d, pairs, "doc_id", col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    // 2 wins its cluster on score; 5 wins the tied cluster on id; 4 is
+    // outside every pair and survives untouched
+    assert(kept == Set(2L, 4L, 5L))
+    // contrast with keep-first, which would have kept 1 (lowest id)
+    val first = Dedup.fuzzyKeepFirst(d, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 4L, 5L))
+  }
 }
