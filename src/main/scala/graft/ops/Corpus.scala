@@ -87,4 +87,45 @@ object Corpus {
       .agg(sum("c").as("n_total"), count(lit(1)).cast("int").as("n_docs"))
       .orderBy(col("n_total").desc, col("token"))
       .limit(topN)
+
+  // ---- Data card ---------------------------------------------------
+
+  /** The per-slice statistics rollup a training-data team publishes with
+    * every corpus release (the "data card"): for each (`sourceCol`,
+    * `langCol`) slice — document count, distinct-content count and the
+    * implied exact-duplication rate, char and whitespace-token totals,
+    * doc-length extremes, mean tokens per doc, and the slice's share of
+    * all corpus tokens (the number the mixture stage consumes).
+    *
+    * Scale shape: ONE corpus scan computing map-only per-row signals
+    * (length, ws-mode token count via the codegen'd gram expression, an
+    * md5 content hash), one slice-keyed aggregation (the distinct-count
+    * is over content hashes WITHIN a slice-keyed shuffle — fixed-width
+    * keys, no text moves), then a token-share window over the
+    * slice-count-sized result — driver-trivial by definition.
+    */
+  def dataCard(df: DataFrame, sourceCol: String, langCol: String,
+               textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lt = lower(col(textCol))
+    val rows = df.select(col(sourceCol), col(langCol),
+      length(col(textCol)).cast("long").as("__chars"),
+      size(call_function("graft_word_grams", lt, lit(1), lit(false),
+        lit(true))).cast("long").as("__toks"),
+      md5(lt).as("__h"))
+    val g = rows.groupBy(col(sourceCol), col(langCol)).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("__h")).as("n_distinct_texts"),
+      sum(col("__chars")).as("total_chars"),
+      sum(col("__toks")).as("total_tokens"),
+      min(col("__chars")).as("min_chars"),
+      max(col("__chars")).as("max_chars"),
+      round(avg(col("__toks")), 6).as("avg_tokens"))
+    g.withColumn("dup_rate",
+        round(lit(1.0) -
+          col("n_distinct_texts").cast("double") / col("n_docs"), 6))
+      .withColumn("token_share",
+        round(col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(Window.partitionBy()), 6))
+  }
 }

@@ -1610,6 +1610,11 @@ object LlmQueries {
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocab(Tables.documents(s, dir), "doc_id", "text", topN = 20)),
 
+    // the release data card: per (source, lang) slice — doc/distinct
+    // counts, dup rate, char+token totals, length extremes, token share
+    "corpus_data_card" -> ((s, dir) =>
+      Corpus.dataCard(Tables.documents(s, dir), "source", "lang")),
+
     // materialized sequence packing: per (shard-namespaced) bin, the
     // member documents concatenated in deterministic order with an EOS
     // separator — the artifact a pretraining-prep job writes
@@ -3419,6 +3424,29 @@ object LlmQueries {
         |  CAST(count(*) AS INT) AS n_docs
         |FROM dt GROUP BY 1
         |ORDER BY n_total DESC, token LIMIT 20""".stripMargin,
+
+    "corpus_data_card" ->
+      """WITH t AS (SELECT source, lang,
+        |    CAST(length(text) AS BIGINT) AS ch,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS tk,
+        |    md5(lower(text)) AS h
+        |  FROM documents),
+        |g AS (SELECT source, lang,
+        |    count(*) AS n_docs,
+        |    count(DISTINCT h) AS n_distinct_texts,
+        |    CAST(sum(ch) AS BIGINT) AS total_chars,
+        |    CAST(sum(tk) AS BIGINT) AS total_tokens,
+        |    min(ch) AS min_chars, max(ch) AS max_chars,
+        |    round(avg(tk), 6) AS avg_tokens
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_distinct_texts, total_chars,
+        |  total_tokens, min_chars, max_chars, avg_tokens,
+        |  round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6)
+        |    AS dup_rate,
+        |  round(CAST(total_tokens AS DOUBLE)
+        |        / (sum(total_tokens) OVER ()), 6) AS token_share
+        |FROM g""".stripMargin,
 
     // packed sequences: the pack_bins window carried through to the
     // concatenated per-bin text (string_agg in doc_id order = the

@@ -82,4 +82,28 @@ class CorpusSpec extends SparkSpec {
       .as[(String, Long, Int)].collect()
     assert(top2.map(_._1).toSeq == Seq("a", "b"))
   }
+
+  test("dataCard: per-slice counts, dup rate, token share sum to 1") {
+    val df = Seq(
+      (1L, "srcA", "en", "one two three"),
+      (2L, "srcA", "en", "one two three"), // exact dup of 1
+      (3L, "srcA", "en", "four five"),
+      (4L, "srcB", "en", "six"),
+      (5L, "srcB", "de", "sieben  acht") // double space: ws-mode = 2 tokens
+    ).toDF("doc_id", "source", "lang", "text")
+    val card = Corpus.dataCard(df, "source", "lang")
+    val rows = card.select("source", "lang", "n_docs", "n_distinct_texts",
+        "total_tokens", "dup_rate", "token_share")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val aEn = rows(("srcA", "en"))
+    assert(aEn._3 == 3 && aEn._4 == 2) // 3 docs, 2 distinct texts
+    assert(math.abs(aEn._6 - 0.333333) < 1e-9) // dup_rate = 1 - 2/3
+    assert(aEn._5 == 8) // 3 + 3 + 2 ws tokens
+    assert(rows(("srcB", "de"))._5 == 2) // multi-space run = one separator
+    assert(rows(("srcB", "en"))._6 == 0.0)
+    // token shares over all slices sum to 1 (up to rounding)
+    val shareSum = rows.values.map(_._7).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
+  }
 }
