@@ -263,4 +263,26 @@ object QualityModel {
         grid6(lit(1.0) / (lit(1.0) + exp(-col("dot")))).as("score"))
       .withColumn("pred",
         when(col("score") >= 0.5, 1).otherwise(0).cast("int"))
+
+  /** Calibration table for a scored corpus — the eval a classifier gate
+    * must pass before its threshold means anything: bucket `score` into
+    * `bins` equal-width bins and report per-bin volume, positive-label
+    * count/rate and mean score. A well-calibrated scorer has
+    * `pos_rate ≈ avg_score` per bin; a miscalibrated one silently
+    * over- or under-filters at any fixed threshold. `scored` carries
+    * (score, label) rows — compose [[scoreHashedLogRegWith]] with a
+    * label join. One bin-keyed aggregation over fixed-width rows; the
+    * result is bins-sized. Scores live on the 1e-6 grid ([[grid6]]), so
+    * the bin edges are engine-deterministic.
+    */
+  def calibration(scored: DataFrame, labelCol: Column,
+                  bins: Int = 10): DataFrame =
+    scored.select(col("score"), labelCol.cast("int").as("__y"))
+      .withColumn("bin",
+        least(floor(col("score") * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        round(avg(col("__y").cast("double")), 6).as("pos_rate"),
+        round(avg(col("score")), 6).as("avg_score"))
 }

@@ -1271,6 +1271,32 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6))
   }
 
+  /** Tokenizer fertility per group — subword tokens per whitespace word,
+    * the number that decides how many TRAINING tokens a corpus slice
+    * actually yields (and the classic per-language tokenizer-equity
+    * metric: a high-fertility language pays more compute per word).
+    * One corpus scan computing both counters map-side (the codegen'd
+    * BPE encoder and the ws-mode gram counter), one group-keyed
+    * aggregation of two longs. `fertility = n_bpe_tokens / n_ws_tokens`
+    * rounded to the 6-place grid; null for a group with zero words.
+    */
+  def fertility(df: DataFrame, groupCol: String,
+                textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lt = lower(col(textCol))
+    val counted = withBpeTokens(df, textCol)
+      .withColumn("__ws", size(call_function("graft_word_grams", lt,
+        lit(1), lit(false), lit(true))).cast("long"))
+    counted.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens").cast("long")).as("n_bpe_tokens"),
+        sum(col("__ws")).as("n_ws_tokens"))
+      .withColumn("fertility",
+        when(col("n_ws_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)))
+  }
+
   /** Quality-quartile tiers — the curriculum/mixture bucketing primitive:
     * each document labeled 1-4 by which quartile of the corpus quality
     * distribution its score falls in. Cutoffs are EXACT percentiles

@@ -1427,6 +1427,11 @@ object LlmQueries {
         TextAnalysis.withBpeTokens(Tables.documents(s, dir), "text"),
         "source", col("n_bpe_tokens"))),
 
+    // per-language tokenizer fertility (BPE subwords per whitespace
+    // word) — the tokenizer-equity / training-token-yield metric
+    "text_fertility" -> ((s, dir) =>
+      TextAnalysis.fertility(Tables.documents(s, dir), "lang")),
+
     // quality-quartile curriculum tiers (exact percentile cutoffs,
     // 6-place grid, broadcast into a map-only assignment)
     "text_quality_tiers" -> ((s, dir) =>
@@ -1544,6 +1549,20 @@ object LlmQueries {
       QualityModel.scoreHashedLogRegWith(sk, "doc_id", w)
     }),
 
+    // calibration of the deployed classifier: decile bins of the scored
+    // corpus vs the true labels — pos_rate per bin against avg_score is
+    // the evidence the 0.5 gate threshold rests on
+    "text_qclf_calibration" -> ((s, dir) => {
+      val sk = qclfSketch(s, dir)
+      val w = QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5,
+        iters = 3)
+      val scored = QualityModel.scoreHashedLogRegWith(sk, "doc_id", w)
+      val labeled = scored.join(Tables.documents(s, dir).select(col("doc_id"),
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+          .otherwise(0).as("y")), Seq("doc_id"))
+      QualityModel.calibration(labeled, col("y"))
+    }),
+
     // PRODUCTION feature shape of the same classifier: unigram + bigram
     // hashed features in dim 2^18 (the fastText recipe — collisions rare,
     // word-order signal survives). Mechanism unchanged: binary presence,
@@ -1614,6 +1633,18 @@ object LlmQueries {
     // counts, dup rate, char+token totals, length extremes, token share
     "corpus_data_card" -> ((s, dir) =>
       Corpus.dataCard(Tables.documents(s, dir), "source", "lang")),
+
+    // release-to-release content diff: old = the corpus minus every 11th
+    // doc with a simulated legacy edit on every 13th; new = the corpus
+    // minus every 17th — per id, added/removed/changed/unchanged
+    "corpus_release_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" legacy"))).otherwise(col("text")))
+      val next = d.filter(col("doc_id") % 17 =!= 0)
+      Corpus.releaseDiff(old, next, "doc_id")
+    }),
 
     // materialized sequence packing: per (shard-namespaced) bin, the
     // member documents concatenated in deterministic order with an EOS
@@ -3279,6 +3310,56 @@ object LlmQueries {
          |FROM scd""".stripMargin
     },
 
+    // calibration: the qclf score replay bucketed into deciles against
+    // the true source labels
+    "text_qclf_calibration" -> {
+      val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
+      s"""WITH ${qclfCtes(3)},
+         |sb0 AS (SELECT DISTINCT doc_id, $feat AS feature
+         |        FROM (SELECT doc_id,
+         |                unnest(string_split(lower(text), ' ')) AS w
+         |              FROM documents)),
+         |sb AS (SELECT * FROM sb0
+         |       UNION ALL
+         |       SELECT DISTINCT doc_id, -1 AS feature FROM sb0),
+         |scd AS (SELECT sb.doc_id,
+         |          ${grid6Sql("sum(coalesce(w3.w, 0.0))")} AS dot
+         |        FROM sb LEFT JOIN w3 USING (feature) GROUP BY 1),
+         |scs AS (SELECT doc_id,
+         |          ${grid6Sql("1.0 / (1.0 + exp(-dot))")} AS score
+         |        FROM scd),
+         |lblj AS (SELECT s.score,
+         |           CASE WHEN d.source IN ('src0','src1','src2','src3',
+         |                'src4') THEN 1 ELSE 0 END AS y
+         |         FROM scs s JOIN documents d ON s.doc_id = d.doc_id)
+         |SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate,
+         |  round(avg(score), 6) AS avg_score
+         |FROM lblj GROUP BY 1""".stripMargin
+    },
+
+    // fertility: BPE doc token counts (the docbpe replay) joined to the
+    // ws-mode word counts, rolled up per language
+    "text_fertility" ->
+      s"""WITH RECURSIVE $bpeDocTokensCte,
+         |wsc AS (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text),
+         |         '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws
+         |  FROM documents),
+         |j AS (SELECT d.lang, CAST(b.n_bpe_tokens AS BIGINT) AS nb, w.n_ws
+         |      FROM documents d
+         |      JOIN docbpe b ON d.doc_id = b.doc_id
+         |      JOIN wsc w ON d.doc_id = w.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+         |  CASE WHEN sum(n_ws) = 0 THEN NULL
+         |       ELSE round(CAST(sum(nb) AS DOUBLE) / sum(n_ws), 6)
+         |  END AS fertility
+         |FROM j GROUP BY 1""".stripMargin,
+
     // interpolated bigram LM: lambda spliced as the exact doubles the
     // Scala arithmetic produces (1 - 0.7 = 0.30000000000000004) so both
     // engines interpolate with bit-identical constants
@@ -3424,6 +3505,20 @@ object LlmQueries {
         |  CAST(count(*) AS INT) AS n_docs
         |FROM dt GROUP BY 1
         |ORDER BY n_total DESC, token LIMIT 20""".stripMargin,
+
+    "corpus_release_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' legacy'
+        |             ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id, md5(text) AS h
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h = n.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     "corpus_data_card" ->
       """WITH t AS (SELECT source, lang,

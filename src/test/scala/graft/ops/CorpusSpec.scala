@@ -83,6 +83,15 @@ class CorpusSpec extends SparkSpec {
     assert(top2.map(_._1).toSeq == Seq("a", "b"))
   }
 
+  test("releaseDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")
+    val out = Corpus.releaseDiff(old, next, "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("dataCard: per-slice counts, dup rate, token share sum to 1") {
     val df = Seq(
       (1L, "srcA", "en", "one two three"),

@@ -116,4 +116,20 @@ class QualityModelSpec extends SparkSpec {
       .as[(Int, Double)].collect().toMap
     assert(run() == run())
   }
+
+  test("calibration bins scores, counts labels, clamps score=1.0 into the top bin") {
+    val scored = Seq(
+      (1L, 0.05, 1), (2L, 0.07, 0),  // bin 0: 1 of 2 positive
+      (3L, 0.55, 1), (4L, 0.58, 1),  // bin 5: 2 of 2
+      (5L, 1.0, 1)                   // exactly 1.0 -> bin 9, not 10
+    ).toDF("doc_id", "score", "y")
+    val out = QualityModel.calibration(scored, col("y"))
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0, 5, 9))
+    assert(out(0)._2 == 2 && out(0)._3 == 1 && out(0)._4 == 0.5)
+    assert(out(5)._2 == 2 && out(5)._3 == 2 && out(5)._4 == 1.0)
+    assert(out(9)._2 == 1 && out(9)._5 == 1.0)
+    assert(math.abs(out(0)._5 - 0.06) < 1e-9) // avg score per bin
+  }
 }

@@ -382,4 +382,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("g1") == (("g1", 3L, 2L, 1L, 1L, 2L)))
     assert(out("g2") == (("g2", 1L, 0L, 0L, 0L, 0L)))
   }
+
+  test("fertility: per-group BPE-per-word ratio from one scan, consistent with the encoders") {
+    val d = Seq(
+      ("en", "the quick brown fox"),
+      ("en", "jumps over  lazy dogs"), // double space: still 4 ws words
+      ("de", "ungewoehnlich lange zusammengesetzte woerter")
+    ).toDF("lang", "text")
+    val out = TextAnalysis.fertility(d, "lang")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // ws-token denominators
+    assert(out("en")._4 == 8 && out("de")._4 == 4)
+    // numerators agree with the BPE encoder run standalone
+    val nb = TextAnalysis.withBpeTokens(d, "text")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum($"n_bpe_tokens").as("nb"))
+      .as[(String, Long)].collect().toMap
+    assert(out("en")._3 == nb("en") && out("de")._3 == nb("de"))
+    // ratio on the 6-place grid; BPE can never emit fewer tokens than
+    // whitespace words (every word is >= 1 subword)
+    val f = out("en")._5.get
+    assert(math.abs(f - math.rint(1e6 * out("en")._3.toDouble /
+      out("en")._4) / 1e6) < 1e-9)
+    assert(f >= 1.0 && out("de")._5.get >= 1.0)
+  }
 }
