@@ -36,6 +36,43 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
   }
 
+  test("same-label top-k: hash join on the metadata key, not a nested loop") {
+    val p = planOf("sim_topk_label")
+    // the equality constraint must plan as a broadcast HASH join — the
+    // whole point of partitionedTopK vs the brute-force nested loop
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("radius search: broadcast queries, zero shuffles, hit-sized output") {
+    val p = planOf("sim_radius")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // the threshold lives in the join condition — no post-join shuffle,
+    // no window: the corpus is scanned once and survivors stream out
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("data card: distinct-count without Expand, fixed-width shuffles only") {
+    val p = planOf("corpus_data_card")
+    // single countDistinct plans as a two-level hash aggregate, NOT an
+    // Expand (which would multiply the shuffled rows per aggregate)
+    assert(!p.contains("Expand"))
+    assert(p.contains("partial_count"))
+    // the text column must not survive into any exchange: the scan
+    // projects (chars, toks, md5) before the first shuffle
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined)
+  }
+
+  test("release diff: content hashed below the exchange, pruned scans") {
+    val p = planOf("corpus_release_diff")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+    // both shuffles carry (id, md5) projections, never the text itself
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined)
+  }
+
   test("scans prune columns: dedup reads only (doc_id, text)") {
     val p = planOf("dedup_minhash_pairs")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
