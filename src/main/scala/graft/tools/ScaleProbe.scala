@@ -298,6 +298,42 @@ object ScaleProbe {
       Similarity.ivfPqTopK(embP, col("vec_id") % 1000 === 0,
         m = 4, dim = 64, centroidMod = 50, nprobe = 3, k = 10))
 
+    // label-carrying perturbed replicas for the metadata-constrained
+    // search probes (embP drops label)
+    lazy val embL = (0 until k).map { r =>
+      emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          (v + when(i === lit(r % 64), lit(0.05f)).otherwise(lit(0.0f)))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+    // radius search: a FIXED 10-query set broadcast against the k-fold
+    // corpus — cost must track the corpus scan linearly (BNLJ, zero
+    // shuffles); hit volume grows with the replica families by design
+    if (only.forall(_.contains("radius_search"))) {
+      val qpred = col("vec_id") < 10000000L && col("vec_id") % 50 === 0
+      t("radius_search")(
+        Similarity.radiusSearch(embL, qpred, threshold = 0.25))
+    }
+
+    // filtered IVF serving from a PREBUILT index: the label predicate
+    // prunes probed-cell members before ranking, so per-query cost must
+    // stay cell-bounded (corpus-independent) like the unfiltered server
+    // (|Q| = corpus/1000, as the other serve probes)
+    if (only.forall(_.contains("filtered_serve"))) {
+      val slF = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cbF = embL.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding").persist(slF)
+      val idxF = Similarity.ivfAssign(embL, cbF).persist(slF)
+      val qrysF = embL.filter(col("vec_id") % 1000 === 0).persist(slF)
+      Seq(cbF, idxF, qrysF).foreach(_.count())
+      t("filtered_serve", keepCache = true)(
+        Similarity.ivfTopKIndexedFiltered(idxF, cbF, qrysF,
+          col("label") % 3 === 0, nprobe = 3, k = 10))
+      Seq(cbF, idxF, qrysF).foreach(_.unpersist())
+    }
+
     // the production IVF-PQ shape: serve from a PREBUILT all-integer
     // index (build outside the timer, amortized across the index
     // lifetime) — per-query cost must stay probed-cell-bounded
