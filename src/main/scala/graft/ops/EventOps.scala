@@ -64,4 +64,77 @@ object EventOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Ordered funnel: for each user, how far they progressed through
+    * `steps` IN ORDER — each step's match is its EARLIEST occurrence
+    * strictly after the previous step's match and within
+    * `horizonMinutes` of the funnel start (the first step's first
+    * occurrence). The classic product-analytics sequence query, which
+    * plain SQL engines usually hand to a dedicated `funnel()` UDAF;
+    * here it is k-1 user-keyed left joins, each followed by a min
+    * aggregate — every join is on the user key (hash join, no
+    * inequality-only nested loop), every aggregate carries one
+    * timestamp per user, and a broken chain stays broken because the
+    * null previous-step time fails the next join's condition.
+    *
+    * Output per user who entered the funnel: `steps_completed` (1..k),
+    * `funnel_start`, `last_step_ts` — both non-null by construction
+    * (a coalesce chain ending at the start), so results hash-compare.
+    *
+    * Scale: events are filtered to the step types at the scan
+    * (predicate pushdown), each round shuffles one (user, ts) relation
+    * — funnel depth is a constant, not a data dimension.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             horizonMinutes: Int): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"), col("event_type").as("__et"),
+      col("ts").as("__ts"))
+    var acc = e.filter(col("__et") === steps.head)
+      .groupBy("user_id").agg(min(col("__ts")).as("ts_1"))
+    val horizon = expr(s"INTERVAL $horizonMinutes MINUTES")
+    steps.tail.zipWithIndex.foreach { case (step, idx) =>
+      val i = idx + 2
+      val nxt = e.filter(col("__et") === step)
+        .select(col("user_id").as("__u"), col("__ts"))
+      acc = acc.join(nxt, col("user_id") === col("__u") &&
+          col("__ts") > col(s"ts_${i - 1}") &&
+          col("__ts") <= col("ts_1") + horizon, "left")
+        .groupBy(acc.columns.toIndexedSeq.map(col): _*)
+        .agg(min(col("__ts")).as(s"ts_$i"))
+    }
+    val stepTs = (1 to steps.length).map(j => col(s"ts_$j"))
+    val completed = stepTs.tail
+      .map(c => when(c.isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    acc.select(col("user_id"),
+      completed.cast("int").as("steps_completed"),
+      col("ts_1").as("funnel_start"),
+      coalesce(stepTs.reverse: _*).as("last_step_ts"))
+  }
+
+  /** The funnel chart over [[funnel]]'s per-user output: one row per
+    * step with the users reaching AT LEAST that step and the
+    * conversion rate vs step 1. Both sides of the join are
+    * steps-sized / funnel-depth-sized — driver-trivial at any corpus
+    * scale (the heavy lifting happened in [[funnel]]).
+    */
+  def funnelReport(perUser: DataFrame, steps: Seq[String]): DataFrame = {
+    val s = perUser.sparkSession
+    import s.implicits._
+    val stepRel = steps.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("step", "step_name")
+    val counts = perUser.groupBy(col("steps_completed"))
+      .agg(count(lit(1)).as("n"))
+    val entered = Window.orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stepRel.join(counts, col("steps_completed") >= col("step"), "left")
+      .groupBy(col("step"), col("step_name"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
+      .withColumn("conversion",
+        when(first(col("n_users")).over(entered) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_users").cast("double") /
+            first(col("n_users")).over(entered), 6)))
+  }
 }

@@ -1901,6 +1901,21 @@ object LlmQueries {
     "events_json_props" -> ((s, dir) =>
       EventOps.jsonPropsAgg(Tables.events(s, dir))),
 
+    // ordered funnel: per user, progress through view -> click ->
+    // purchase within 24 h of the first view, each step strictly after
+    // the previous match
+    "events_funnel" -> ((s, dir) =>
+      EventOps.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), horizonMinutes = 1440)),
+
+    // the funnel chart: per step, users reaching at least it + the
+    // conversion rate vs step 1
+    "events_funnel_report" -> ((s, dir) =>
+      EventOps.funnelReport(
+        EventOps.funnel(Tables.events(s, dir),
+          Seq("view", "click", "purchase"), horizonMinutes = 1440),
+        Seq("view", "click", "purchase"))),
+
     // As-of join (operator Spark lacks; composed via union-and-carry, one
     // shuffle + one sort — validated against DuckDB's NATIVE ASOF JOIN):
     // each purchase matched to the user's most recent prior click.
@@ -3993,6 +4008,66 @@ object LlmQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS ts_1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.ts_1, min(e.ts) AS ts_2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.ts > s1.ts_1
+        |         AND e.ts <= s1.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.ts_1, s2.ts_2, min(e.ts) AS ts_3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND s2.ts_2 IS NOT NULL
+        |         AND e.ts > s2.ts_2
+        |         AND e.ts <= s2.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id,
+        |  CAST(1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS INT)
+        |    AS steps_completed,
+        |  ts_1 AS funnel_start,
+        |  coalesce(ts_3, ts_2, ts_1) AS last_step_ts
+        |FROM s3""".stripMargin,
+
+    "events_funnel_report" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS ts_1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.ts_1, min(e.ts) AS ts_2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.ts > s1.ts_1
+        |         AND e.ts <= s1.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.ts_1, s2.ts_2, min(e.ts) AS ts_3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND s2.ts_2 IS NOT NULL
+        |         AND e.ts > s2.ts_2
+        |         AND e.ts <= s2.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2, 3),
+        |pu AS (SELECT 1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS sc
+        |       FROM s3),
+        |steps(step, step_name) AS (VALUES (1, 'view'), (2, 'click'),
+        |                                  (3, 'purchase')),
+        |agg AS (SELECT s.step, s.step_name,
+        |          CAST(count(pu.sc) AS BIGINT) AS n_users
+        |        FROM steps s LEFT JOIN pu ON pu.sc >= s.step
+        |        GROUP BY 1, 2)
+        |SELECT step, step_name, n_users,
+        |  CASE WHEN first(n_users) OVER (ORDER BY step
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |         AND UNBOUNDED FOLLOWING) = 0 THEN NULL
+        |       ELSE round(CAST(n_users AS DOUBLE) /
+        |         first(n_users) OVER (ORDER BY step
+        |           ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND UNBOUNDED FOLLOWING), 6)
+        |  END AS conversion
+        |FROM agg""".stripMargin,
 
     "events_asof_join" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -59,4 +59,46 @@ class EventOpsSpec extends SparkSpec {
     assert(out("click") == ("click", 4L, 12L, 1, 5)) // k: 1,2,4,5
     assert(out("view") == ("view", 1L, 3L, 3, 3))
   }
+
+  test("funnel: in-order matching, horizon from the start, broken chains stay broken") {
+    val e = Seq(
+      // user 1 completes all three in order (click BEFORE the first
+      // view must not count; the 09:00 click precedes the funnel)
+      (1L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "click"),
+      (4L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: click lands OUTSIDE the 2 h horizon from the first view
+      (5L, ts("2024-01-01 10:00:00"), "view"),
+      (6L, ts("2024-01-01 13:00:00"), "click"),
+      (7L, ts("2024-01-01 13:30:00"), "purchase"),
+      // user 3: purchase BEFORE the click — order matters, step 2 only
+      (8L, ts("2024-01-01 10:00:00"), "view"),
+      (9L, ts("2024-01-01 10:20:00"), "purchase"),
+      (10L, ts("2024-01-01 10:40:00"), "click"),
+      // user 4 never enters the funnel (no view) — absent from output
+      (11L, ts("2024-01-01 10:00:00"), "click")
+    ).map { case (id, t, et) => (id, t, id % 100 match {
+      case n if n <= 4 => 1L
+      case n if n <= 7 => 2L
+      case n if n <= 10 => 3L
+      case _ => 4L
+    }, et) }.toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.funnel(e, Seq("view", "click", "purchase"), 120)
+      .as[(Long, Int, Timestamp, Timestamp)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._2 == 3 && out(1L)._3 == ts("2024-01-01 10:00:00")
+      && out(1L)._4 == ts("2024-01-01 12:00:00"))
+    assert(out(2L)._2 == 1 && out(2L)._4 == ts("2024-01-01 10:00:00"))
+    assert(out(3L)._2 == 2 && out(3L)._4 == ts("2024-01-01 10:40:00"))
+    // the chart face: reaching-at-least counts + conversion vs step 1
+    val rep = EventOps.funnelReport(
+      EventOps.funnel(e, Seq("view", "click", "purchase"), 120),
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep(1)._3 == 3 && rep(2)._3 == 2 && rep(3)._3 == 1)
+    assert(rep(2)._4.contains(0.666667) && rep(3)._4.contains(0.333333))
+  }
 }
