@@ -113,6 +113,42 @@ object EventOps {
       coalesce(stepTs.reverse: _*).as("last_step_ts"))
   }
 
+  /** Cohort retention: users cohorted by the WEEK of their first
+    * `cohortType` event, then counted as active in each weekly offset
+    * bucket after it — the classic retention triangle. Weeks are pure
+    * epoch arithmetic (`floor(epoch_seconds / 604800)`), not calendar
+    * `date_trunc`, so bucket edges are bit-identical on every engine
+    * and timezone-proof under the pinned-UTC session.
+    *
+    * Shape: one user-keyed aggregate for the cohort anchor, one
+    * broadcast-sized join back onto the events (the anchor relation is
+    * user-count-sized), a distinct over (user, cohort, offset) — the
+    * only corpus-sized shuffle, fixed-width — and a cohort-keyed count.
+    * The rate face joins cohort sizes (cohort-count-sized) back in.
+    */
+  def retention(events: DataFrame, cohortType: String): DataFrame = {
+    val firsts = events.filter(col("event_type") === cohortType)
+      .groupBy("user_id")
+      .agg(min(unix_timestamp(col("ts"))).as("t0"))
+    val active = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"))
+      .join(firsts, Seq("user_id"))
+      .filter(col("tsec") >= col("t0"))
+      .select(col("user_id"),
+        floor(col("t0") / 604800).cast("int").as("cohort_week"),
+        floor((col("tsec") - col("t0")) / 604800).cast("int")
+          .as("week_offset"))
+      .distinct()
+    val counts = active.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts
+      .select(floor(col("t0") / 604800).cast("int").as("cohort_week"))
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, Seq("cohort_week"))
+      .withColumn("retention_rate",
+        round(col("n_active").cast("double") / col("cohort_size"), 6))
+  }
+
   /** The funnel chart over [[funnel]]'s per-user output: one row per
     * step with the users reaching AT LEAST that step and the
     * conversion rate vs step 1. Both sides of the join are

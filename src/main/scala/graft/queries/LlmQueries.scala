@@ -1916,6 +1916,11 @@ object LlmQueries {
           Seq("view", "click", "purchase"), horizonMinutes = 1440),
         Seq("view", "click", "purchase"))),
 
+    // cohort retention triangle: users cohorted by the week of their
+    // first signup, counted as active per weekly offset after it
+    "events_retention" -> ((s, dir) =>
+      EventOps.retention(Tables.events(s, dir), "signup")),
+
     // As-of join (operator Spark lacks; composed via union-and-carry, one
     // shuffle + one sort — validated against DuckDB's NATIVE ASOF JOIN):
     // each purchase matched to the user's most recent prior click.
@@ -4068,6 +4073,28 @@ object LlmQueries {
         |           AND UNBOUNDED FOLLOWING), 6)
         |  END AS conversion
         |FROM agg""".stripMargin,
+
+    "events_retention" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(min(floor(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id,
+        |    CAST(floor(f.t0 / 604800) AS INT) AS cohort_week,
+        |    CAST(floor((CAST(floor(epoch(CAST(e.ts AS TIMESTAMP)))
+        |                     AS BIGINT) - f.t0) / 604800)
+        |         AS INT) AS week_offset
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |        >= f.t0),
+        |c AS (SELECT cohort_week, week_offset, count(*) AS n_active
+        |      FROM a GROUP BY 1, 2),
+        |s AS (SELECT CAST(floor(t0 / 604800) AS INT) AS cohort_week,
+        |             count(*) AS cohort_size
+        |      FROM f GROUP BY 1)
+        |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+        |  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6)
+        |    AS retention_rate
+        |FROM c JOIN s ON c.cohort_week = s.cohort_week""".stripMargin,
 
     "events_asof_join" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events

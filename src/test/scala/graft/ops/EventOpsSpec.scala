@@ -60,6 +60,32 @@ class EventOpsSpec extends SparkSpec {
     assert(out("view") == ("view", 1L, 3L, 3, 3))
   }
 
+  test("retention: epoch-week cohorts, pre-anchor activity excluded, rates vs cohort size") {
+    val e = Seq(
+      // user 1: signup, active in offset weeks 0, 1, 2
+      (1L, ts("2024-01-03 10:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-05 10:00:00"), 1L, "click"),   // +2d  -> offset 0
+      (3L, ts("2024-01-11 10:00:00"), 1L, "view"),    // +8d  -> offset 1
+      (4L, ts("2024-01-18 10:00:00"), 1L, "click"),   // +15d -> offset 2
+      // user 2: same cohort week (epoch weeks are Thursday-anchored:
+      // the bucket containing Jan 3 runs Dec 28 - Jan 3), only signup
+      (5L, ts("2024-01-02 10:00:00"), 2L, "signup"),
+      (6L, ts("2024-01-01 09:00:00"), 2L, "click"),   // BEFORE signup: excluded
+      // user 3: never signs up -> not in any cohort
+      (7L, ts("2024-01-03 10:00:00"), 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.retention(e, "signup")
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // one cohort week, sized 2
+    assert(out.keys.map(_._1).toSet.size == 1)
+    val cw = out.keys.head._1
+    assert(out((cw, 0)) == ((2L, 2L, 1.0)))   // both active at offset 0
+    assert(out((cw, 1)) == ((1L, 2L, 0.5)))
+    assert(out((cw, 2)) == ((1L, 2L, 0.5)))
+    assert(!out.contains((cw, -1))) // pre-anchor activity never counts
+  }
+
   test("funnel: in-order matching, horizon from the start, broken chains stay broken") {
     val e = Seq(
       // user 1 completes all three in order (click BEFORE the first
