@@ -152,6 +152,99 @@ object EventStreams {
     * user (bounded by watermark delay / gap), timed out on event time; the
     * raw stream is never buffered.
     */
+  final case class FunnelEvent(user_id: Long, step: Int,
+                               ts: java.sql.Timestamp)
+  final case class FunnelHit(step: Int, ts: Long)
+  final case class FunnelBuf(hits: Seq[FunnelHit])
+  final case class FunnelRow(user_id: Long, steps_completed: Int,
+                             funnel_start: java.sql.Timestamp,
+                             last_step_ts: java.sql.Timestamp)
+
+  /** Streaming ordered funnel — the streaming face of
+    * [[graft.ops.EventOps.funnel]], with BATCH PARITY for every event
+    * the engine admits (the [[sessionizeStream]] contract): per user,
+    * step-typed events are buffered until the watermark passes
+    * `funnel_start + horizon` — at that point nothing admissible can
+    * change the outcome (any event inside the horizon is below the
+    * watermark, and a new anchor would need `ts >= wm > start`), so the
+    * funnel is replayed over the buffer with the batch rule (earliest
+    * occurrence strictly after the previous match, inside the horizon
+    * of the start) and emitted EXACTLY ONCE, final.
+    *
+    * Buffer trimming keeps state bounded: with an anchor, only events
+    * inside the current anchor's horizon can ever match (future anchors
+    * are earlier, shrinking the window); without one, only events still
+    * above the watermark can outlive a future anchor. State per active
+    * user is therefore bounded by the step events inside
+    * (watermark delay + horizon) — the raw stream is never buffered
+    * unbounded. Users who never produce the first step emit nothing
+    * and their state self-clears as the watermark advances.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+                   horizonMinutes: Int,
+                   watermark: String = "1 hour"): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val horizonMs = horizonMinutes * 60000L
+    val stepOf = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    eventTime(events, "ts")
+      .filter(col("event_type").isin(steps.map(x => x: Any): _*))
+      .select(col("user_id"), stepOf.as("step"), col("ts"))
+      .as[FunnelEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[FunnelBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.map(_.hits).getOrElse(Seq.empty) ++
+            it.map(e => FunnelHit(e.step, e.ts.getTime))
+          val anchor = buf.iterator.filter(_.step == 0).map(_.ts)
+            .minOption
+          anchor match {
+            case Some(start) if start + horizonMs < wm =>
+              // final: replay the batch matching rule over the buffer
+              var last = start
+              var completed = 1
+              var k = 1
+              var broken = false
+              while (k < steps.length && !broken) {
+                buf.iterator
+                  .filter(h => h.step == k && h.ts > last &&
+                    h.ts <= start + horizonMs)
+                  .map(_.ts).minOption match {
+                  case Some(t) => last = t; completed += 1; k += 1
+                  case None => broken = true
+                }
+              }
+              state.remove()
+              Iterator.single(FunnelRow(uid, completed,
+                new java.sql.Timestamp(start),
+                new java.sql.Timestamp(last)))
+            case Some(start) =>
+              val keep = buf.filter(_.ts <= start + horizonMs)
+              state.update(FunnelBuf(keep))
+              state.setTimeoutTimestamp(
+                math.max(start + horizonMs + 1, wm + 1))
+              Iterator.empty
+            case None =>
+              // no anchor: an event at ts < wm can never match a future
+              // anchor (which must sit at >= wm, and matches are
+              // strictly after it)
+              val keep = buf.filter(_.ts >= wm)
+              if (keep.isEmpty) state.remove()
+              else {
+                state.update(FunnelBuf(keep))
+                state.setTimeoutTimestamp(wm + 1)
+              }
+              Iterator.empty
+          }
+      }
+  }
+
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -261,6 +261,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: held until the horizon passes, batch parity under reordering") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.funnelStream(
+      input.toDF().toDF("user_id", "event_type", "ts"),
+      Seq("view", "click", "purchase"), horizonMinutes = 120,
+      watermark = "3 hours")
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      // user 7's purchase arrives BEFORE its click (cross-batch reorder):
+      // the final replay must match by event time, not arrival order
+      input.addData((7L, "view", ts("2024-01-01 10:00:00")),
+        (7L, "purchase", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData((7L, "click", ts("2024-01-01 10:30:00")),
+        // user 9 stops at step 1: the click sits outside the 2 h horizon
+        (9L, "view", ts("2024-01-01 10:00:00")),
+        (9L, "click", ts("2024-01-01 13:00:00")),
+        // user 11 would complete from the 11:00 anchor...
+        (11L, "view", ts("2024-01-01 11:00:00")),
+        (11L, "click", ts("2024-01-01 11:30:00")),
+        (11L, "purchase", ts("2024-01-01 12:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("funnel_test").count() == 0) // everything held
+      // ...but a late-arriving EARLIER view (admissible: above the 10:00
+      // watermark) lowers the anchor to 10:05, pushing the 12:10
+      // purchase outside the horizon — steps drop from 3 to 2
+      input.addData((11L, "view", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance the watermark past every open horizon (two batches: the
+      // watermark updates at batch end, timeouts fire the batch after)
+      input.addData((1L, "view", ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, "view", ts("2024-01-01 19:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_test")
+        .as[(Long, Int, Timestamp, Timestamp)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(rows.keySet == Set(7L, 9L, 11L)) // u1's funnel still open
+      assert(rows(7L)._2 == 3 && rows(7L)._3 == ts("2024-01-01 10:00:00")
+        && rows(7L)._4 == ts("2024-01-01 11:00:00"))
+      assert(rows(9L)._2 == 1 && rows(9L)._4 == ts("2024-01-01 10:00:00"))
+      assert(rows(11L)._2 == 2 && rows(11L)._3 == ts("2024-01-01 10:05:00")
+        && rows(11L)._4 == ts("2024-01-01 11:30:00"))
+      // batch parity on the identical admitted events
+      val batch = graft.ops.EventOps.funnel(Seq(
+        (7L, "view", ts("2024-01-01 10:00:00")),
+        (7L, "purchase", ts("2024-01-01 11:00:00")),
+        (7L, "click", ts("2024-01-01 10:30:00")),
+        (9L, "view", ts("2024-01-01 10:00:00")),
+        (9L, "click", ts("2024-01-01 13:00:00")),
+        (11L, "view", ts("2024-01-01 11:00:00")),
+        (11L, "click", ts("2024-01-01 11:30:00")),
+        (11L, "purchase", ts("2024-01-01 12:10:00")),
+        (11L, "view", ts("2024-01-01 10:05:00"))
+      ).toDF("user_id", "event_type", "ts"),
+        Seq("view", "click", "purchase"), 120)
+        .as[(Long, Int, Timestamp, Timestamp)].collect()
+        .map(r => r._1 -> r).toMap
+      Seq(7L, 9L, 11L).foreach(u => assert(rows(u) == batch(u)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: event-time timeout closes the session") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
