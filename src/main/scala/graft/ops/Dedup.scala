@@ -800,6 +800,27 @@ object Dedup {
       idCol)
   }
 
+  /** [[nearDupKeepFirst]] with the quality-aware keeper rule: the same
+    * guarded production composition (exact collapse first, capped fuzzy
+    * matching), resolving each near-dup cluster to its BEST member by
+    * `score` ([[fuzzyKeepBest]]) instead of its lowest id. Note the
+    * exact-collapse stage still keeps the lowest id of each IDENTICAL
+    * flood — identical copies are interchangeable, so re-scoring them
+    * would only reshuffle equal content.
+    */
+  def nearDupKeepBest(docs: DataFrame, idCol: String, numHashes: Int,
+                      bands: Int, threshold: Double, score: Column,
+                      textCol: String = "text", k: Int = 3,
+                      maxBucketSize: Int = 0): DataFrame = {
+    val collapsed = exactKeepFirst(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    collapsed.count() // serial materialization — see lshCandidatePairs
+    fuzzyKeepBest(collapsed,
+      fuzzy(collapsed, idCol, numHashes, bands, threshold, textCol, k,
+        maxBucketSize),
+      idCol, score)
+  }
+
   /** 64-bit tf-weighted SimHash, returned as two 32-bit halves
     * (`simhash_hi`, `simhash_lo`) to stay inside signed-long arithmetic on
     * every engine. Bit i of md5(token) is extracted from its hex digits;

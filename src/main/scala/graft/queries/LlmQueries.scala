@@ -1023,6 +1023,13 @@ object LlmQueries {
       Dedup.nearDupKeepFirst(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)),
 
+    // the guarded composition with the quality-aware keeper: exact
+    // collapse, capped fuzzy, keep the LONGEST member per cluster
+    "dedup_guarded_keep_best" -> ((s, dir) =>
+      Dedup.nearDupKeepBest(Tables.documents(s, dir), "doc_id",
+        numHashes = 16, bands = 4, threshold = 0.5, score = col("n_chars"),
+        maxBucketSize = 64)),
+
     // the dedup audit: cluster-size histogram over the resolved labeling
     "dedup_cluster_stats" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -2349,6 +2356,20 @@ object LlmQueries {
          |${clusterWalkCtes("ver")}
          |SELECT * FROM x0
          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)""".stripMargin,
+
+    "dedup_guarded_keep_best" ->
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |worse AS (SELECT node FROM (
+         |    SELECT cc.node, row_number() OVER (PARTITION BY cc.keeper
+         |        ORDER BY d.n_chars DESC, cc.node) AS rn
+         |    FROM cc JOIN x0 d ON d.doc_id = cc.node) WHERE rn > 1)
+         |SELECT * FROM x0
+         |WHERE doc_id NOT IN (SELECT node FROM worse)""".stripMargin,
 
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $ClusterCtes,
