@@ -1271,6 +1271,41 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6))
   }
 
+  /** Overlapping-window document chunking — the context-window prep
+    * every RAG / long-document training pipeline runs: each document's
+    * whitespace tokens split into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens and no boundary sentence is lost. The last window starts
+    * only while uncovered tokens remain
+    * (`ceil(max(n - overlap, 1) / stride)` windows), so a short tail is
+    * never emitted as a fully-redundant chunk. Deterministic: chunk
+    * text is the token slice re-joined with single spaces.
+    *
+    * Map-only: tokenize, per-row window-count arithmetic, one explode —
+    * output rows ≈ corpus tokens / stride, no shuffle at all; at 100 TB
+    * this fuses into whatever scan feeds it.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    df.withColumn("__toks",
+        filter(split(col(textCol), "\\s+"), t => t =!= ""))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__k",
+        ceil(greatest(col("__n") - overlap, lit(1)).cast("double") / stride)
+          .cast("int"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("__k") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("chunk_idx") * stride)
+          .cast("int").as("n_tokens"))
+  }
+
   /** Tokenizer fertility per group — subword tokens per whitespace word,
     * the number that decides how many TRAINING tokens a corpus slice
     * actually yields (and the classic per-language tokenizer-equity

@@ -1439,6 +1439,12 @@ object LlmQueries {
     "text_fertility" -> ((s, dir) =>
       TextAnalysis.fertility(Tables.documents(s, dir), "lang")),
 
+    // overlapping-window chunking (16-token windows, 8-token overlap) —
+    // the context-window prep for RAG / long-document training
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id",
+        "text", chunkTokens = 16, overlap = 8)),
+
     // quality-quartile curriculum tiers (exact percentile cutoffs,
     // 6-place grid, broadcast into a map-only assignment)
     "text_quality_tiers" -> ((s, dir) =>
@@ -3380,6 +3386,20 @@ object LlmQueries {
          |  round(avg(score), 6) AS avg_score
          |FROM lblj GROUP BY 1""".stripMargin
     },
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n,
+        |    CAST(ceil(CAST(greatest(len(toks) - 8, 1) AS DOUBLE) / 8)
+        |         AS INT) AS k
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(toks[i * 8 + 1 : i * 8 + 16], ' ') AS chunk_text,
+        |  CAST(least(16, n - i * 8) AS INT) AS n_tokens
+        |FROM b, unnest(range(0, k)) u(i)""".stripMargin,
 
     // fertility: BPE doc token counts (the docbpe replay) joined to the
     // ws-mode word counts, rolled up per language

@@ -383,6 +383,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("g2") == (("g2", 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("chunkDocuments: overlapping windows, covered tail not re-emitted, empty docs dropped") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than a chunk
+      (3L, "   ")                                     // whitespace-only: dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, "doc_id", "text",
+      chunkTokens = 8, overlap = 4).as[(Long, Int, String, Int)].collect()
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // n=10, stride=4: ceil(max(10-4,1)/4)=2 windows — [w1..w8], [w5..w10];
+    // a third window [w9, w10] would be fully covered and must NOT appear
+    assert(c1.map(_._3).toSeq == Seq(
+      (1 to 8).map(i => s"w$i").mkString(" "),
+      (5 to 10).map(i => s"w$i").mkString(" ")))
+    assert(c1.map(_._4).toSeq == Seq(8, 6))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(c1(0)._3.split(" ").takeRight(4).toSeq ==
+      c1(1)._3.split(" ").take(4).toSeq)
+    val c2 = out.filter(_._1 == 2L)
+    assert(c2.length == 1 && c2.head._3 == "a b" && c2.head._4 == 2)
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("fertility: per-group BPE-per-word ratio from one scan, consistent with the encoders") {
     val d = Seq(
       ("en", "the quick brown fox"),
