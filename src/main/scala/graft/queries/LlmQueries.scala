@@ -924,6 +924,15 @@ object LlmQueries {
       Dedup.weightedSample(Tables.documents(s, dir), "doc_id", "source",
         MixWeights.toMap)),
 
+    // exact-size weighted sampling (Efraimidis-Spirakis priority keys):
+    // exactly 5 docs per source, drawn without replacement with
+    // probability proportional to length
+    "sample_weighted_topn" -> ((s, dir) =>
+      Dedup.weightedTopNSample(Tables.documents(s, dir), "doc_id",
+          "source", "n_chars", n = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("sample_priority"))),
+
     // temperature-scaled mixture rates (n^0.5 flattening to a 60k-token
     // budget): the rate table a multilingual/multi-domain recipe derives
     // from corpus masses instead of hand-picking
@@ -2183,6 +2192,21 @@ object LlmQueries {
     "sample_weighted_mix" ->
       s"""SELECT * FROM documents
          |WHERE $HashBucketSql < $MixRateSql""".stripMargin,
+
+    // priority sampling: u = (60-bit md5 prefix + 1) / 2^60, key =
+    // round(u^(1/w), 6), top-5 keys per source (ties on doc_id)
+    "sample_weighted_topn" -> {
+      val h60 = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH p AS (SELECT doc_id, source, n_chars,
+         |    round(pow((CAST($h60 AS DOUBLE) + 1)
+         |              / 1152921504606846976.0,
+         |              1.0 / n_chars), 6) AS sample_priority
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY sample_priority DESC, doc_id) AS rn FROM p)
+         |SELECT doc_id, source, n_chars, sample_priority
+         |FROM r WHERE rn <= 5""".stripMargin
+    },
 
     // temperature mixture: share = round(mass^alpha, 6); quotient rounded
     // to the 6-place grid BEFORE the floor so pow/sum last-bit drift can

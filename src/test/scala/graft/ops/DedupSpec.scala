@@ -247,6 +247,28 @@ class DedupSpec extends SparkSpec {
     assert(gotDup.toSeq == got.toSeq)
   }
 
+  test("weightedTopNSample: exact size, no replacement, deterministic, zero-weight excluded") {
+    val df = (1L to 100L).map { i =>
+      (i, if (i <= 50) "g1" else "g2", if (i % 10 == 0) 0L else i)
+    }.toDF("doc_id", "grp", "w")
+    def run() = Dedup.weightedTopNSample(df, "doc_id", "grp", "w", n = 7)
+      .select("grp", "doc_id").as[(String, Long)].collect().toSeq.sorted
+    val out = run()
+    // exactly n per group, sampled without replacement
+    assert(out.count(_._1 == "g1") == 7 && out.count(_._1 == "g2") == 7)
+    assert(out.distinct.size == out.size)
+    // zero-weight rows can never be drawn
+    assert(out.forall(_._2 % 10 != 0))
+    // no RNG: reruns are identical
+    assert(run() == out)
+    // a group smaller than n returns all its positive-weight rows
+    val tiny = Seq((1L, "g", 5L), (2L, "g", 0L), (3L, "g", 9L))
+      .toDF("doc_id", "grp", "w")
+    val got = Dedup.weightedTopNSample(tiny, "doc_id", "grp", "w", n = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("fuzzyKeepBest keeps the highest-scored cluster member, ties on id") {
     val d = Seq(
       (1L, "a", 10L), (2L, "b", 50L), (3L, "c", 30L), // cluster {1,2,3}
