@@ -113,6 +113,39 @@ object Corpus {
           .otherwise("changed").as("status"))
   }
 
+  /** Vocabulary drift between two corpus releases — the token-level
+    * companion of [[releaseDiff]]: for each token, its relative
+    * frequency in the old and new corpus and the (6-grid) frequency
+    * delta, returning the `topN` largest movers. The drift report is
+    * how a data team catches a bad ingest batch (one domain flooding),
+    * a scraper regression (boilerplate tokens surging), or a filter
+    * change's real footprint — before training on it.
+    *
+    * Two two-level token aggregations (map-side partials collapse
+    * within-document repeats), one token-keyed full-outer join, totals
+    * as a broadcast single-row aggregate (never a vocabulary-sized
+    * window), TakeOrderedAndProject for the top movers.
+    */
+  def vocabDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                 topN: Int): DataFrame = {
+    def counts(df: DataFrame, cn: String) =
+      df.select(explode(split(lower(col(textCol)), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(cn))
+    val j = counts(oldDf, "n_old")
+      .join(counts(newDf, "n_new"), Seq("token"), "full_outer")
+      .na.fill(0, Seq("n_old", "n_new"))
+    val tot = j.agg(sum(col("n_old")).cast("double").as("__to"),
+      sum(col("n_new")).cast("double").as("__tn"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p_old", round(col("n_old") / col("__to"), 6))
+      .withColumn("p_new", round(col("n_new") / col("__tn"), 6))
+      .withColumn("drift", round(col("p_new") - col("p_old"), 6))
+      .select(col("token"), col("n_old"), col("n_new"),
+        col("p_old"), col("p_new"), col("drift"))
+      .orderBy(abs(col("drift")).desc, col("token"))
+      .limit(topN)
+  }
+
   // ---- Data card ---------------------------------------------------
 
   /** The per-slice statistics rollup a training-data team publishes with

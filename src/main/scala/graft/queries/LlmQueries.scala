@@ -1656,6 +1656,17 @@ object LlmQueries {
     "corpus_data_card" -> ((s, dir) =>
       Corpus.dataCard(Tables.documents(s, dir), "source", "lang")),
 
+    // vocabulary drift between the same two releases: top-20 token
+    // frequency movers (the bad-ingest / scraper-regression detector)
+    "corpus_vocab_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" legacy"))).otherwise(col("text")))
+      val next = d.filter(col("doc_id") % 17 =!= 0)
+      Corpus.vocabDrift(old, next, "text", topN = 20)
+    }),
+
     // release-to-release content diff: old = the corpus minus every 11th
     // doc with a simulated legacy edit on every 13th; new = the corpus
     // minus every 17th — per id, added/removed/changed/unchanged
@@ -3590,6 +3601,31 @@ object LlmQueries {
         |  CAST(count(*) AS INT) AS n_docs
         |FROM dt GROUP BY 1
         |ORDER BY n_total DESC, token LIMIT 20""".stripMargin,
+
+    "corpus_vocab_drift" ->
+      """WITH ow AS (SELECT unnest(string_split(lower(
+        |      CASE WHEN doc_id % 13 = 0 THEN text || ' legacy'
+        |           ELSE text END), ' ')) AS token
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |oc AS (SELECT token, count(*) AS n_old FROM ow GROUP BY 1),
+        |nw AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |nc AS (SELECT token, count(*) AS n_new FROM nw GROUP BY 1),
+        |j AS (SELECT coalesce(oc.token, nc.token) AS token,
+        |        CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+        |        CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+        |      FROM oc FULL OUTER JOIN nc ON oc.token = nc.token),
+        |t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS toto,
+        |             CAST(sum(n_new) AS DOUBLE) AS totn FROM j),
+        |d AS (SELECT token, n_old, n_new,
+        |        round(n_old / t.toto, 6) AS p_old,
+        |        round(n_new / t.totn, 6) AS p_new
+        |      FROM j, t)
+        |SELECT token, n_old, n_new, p_old, p_new,
+        |       round(p_new - p_old, 6) AS drift
+        |FROM d
+        |ORDER BY abs(round(p_new - p_old, 6)) DESC, token
+        |LIMIT 20""".stripMargin,
 
     "corpus_release_diff" ->
       """WITH o AS (SELECT doc_id,

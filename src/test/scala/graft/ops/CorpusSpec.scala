@@ -92,6 +92,24 @@ class CorpusSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("vocabDrift: movers ranked by frequency delta, one-sided tokens survive the outer join") {
+    val old = Seq((1L, "a a a b"), (2L, "a b gone")).toDF("doc_id", "text")
+    val next = Seq((1L, "a b b b"), (2L, "a b fresh")).toDF("doc_id", "text")
+    val out = Corpus.vocabDrift(old, next, "text", topN = 10)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // totals: old 7 tokens, new 7 tokens
+    assert(out("a") == (("a", 4L, 2L, 0.571429, 0.285714, -0.285715)))
+    assert(out("gone")._3 == 0L && out("gone")._6 < 0)   // vanished token
+    assert(out("fresh")._2 == 0L && out("fresh")._6 > 0) // new token
+    // ranked by |drift| desc with token tie-break: 'a' and 'b' tie on
+    // |0.285715|, 'a' wins the tie lexicographically
+    val first = Corpus.vocabDrift(old, next, "text", topN = 2)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(first.map(_._1).toSeq == Seq("a", "b"))
+    assert(first(1)._6 == 0.285715)
+  }
+
   test("dataCard: per-slice counts, dup rate, token share sum to 1") {
     val df = Seq(
       (1L, "srcA", "en", "one two three"),
