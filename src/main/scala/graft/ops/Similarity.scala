@@ -1017,6 +1017,51 @@ object Similarity {
     rerankShortlist(ivfPqResidualAdcScores(index, ivfCodebook, pqCbRes,
       queries, m, dim, nprobe, cellCodes), queries, store, shortlist, k)
 
+  /** [[ivfPqResidualTopKIndexedReranked]] with the rerank stage reading
+    * a QUANTIZED point-read store (`q8store` = [[quantize]]'s
+    * (vec_id, q8, q_scale) projection) instead of the float vectors:
+    * the shortlist's per-candidate point-reads touch a QUARTER of the
+    * bytes, and scoring is the exact integer dot descaled by the two
+    * scales — at 100 TB the rerank store drops from corpus-float-size
+    * to corpus/4, usually the difference between a memory-resident
+    * rerank tier and a disk-bound one. Scores are the q8-approximate
+    * raw dot (== cosine on unit-norm embeddings, the
+    * [[bruteForceTopKQ8]] convention); ranking is deterministic (exact
+    * integer / bit-identical IEEE product). The recall cost of the
+    * quantized rerank vs the float rerank is measured by
+    * `sim_ivfpq_residual_q8_recall` at the served rung.
+    */
+  def ivfPqResidualTopKIndexedRerankedQ8(index: DataFrame,
+                                         ivfCodebook: DataFrame,
+                                         pqCbRes: DataFrame,
+                                         queries: DataFrame,
+                                         q8store: DataFrame,
+                                         m: Int, dim: Int, nprobe: Int,
+                                         shortlist: Int, k: Int,
+                                         cellCodes: Option[DataFrame] = None)
+      : DataFrame = {
+    val short = ivfPqResidualAdcScores(index, ivfCodebook, pqCbRes,
+        queries, m, dim, nprobe, cellCodes)
+      .withColumn("srn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc_score").desc, col("vec_id"))))
+      .filter(col("srn") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val q = quantize(queries)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq8"),
+        col("q_scale").as("qq_scale"))
+    val denom = col("qq_scale") * col("q_scale")
+    val rr = broadcast(short.join(broadcast(q), Seq("query_id")))
+      .join(q8store, Seq("vec_id"))
+      .withColumn("score", when(denom === 0.0, 0.0).otherwise(
+        call_function("graft_i8dot", col("qq8"), col("q8")).cast("double")
+          / denom))
+    rr.withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"),
+        round(col("score"), 6).as("q8_score"))
+  }
+
   /** Recall@k of an APPROXIMATE top-k result against the exact one —
     * the eval primitive that decides whether an IVF / PQ configuration
     * (cells, nprobe, m) is allowed to serve: per query, the fraction of

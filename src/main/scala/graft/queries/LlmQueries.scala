@@ -574,6 +574,28 @@ object LlmQueries {
        |       FROM short s JOIN q ON q.query_id = s.query_id
        |       JOIN embeddings e ON e.vec_id = s.vec_id)""".stripMargin
 
+  /** [[rerankCtes]] with the rerank stage scoring against the QUANTIZED
+    * store: the shortlist joins `qv` (the [[Q8Ctes]] int8 projection) on
+    * both sides and descales the exact integer dot — mirrors
+    * [[graft.ops.Similarity.ivfPqResidualTopKIndexedRerankedQ8]].
+    * Requires `sc` (ADC scores) and `qv` in scope.
+    */
+  private def rerankQ8Ctes(shortlist: Int): String =
+    s"""short AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_score DESC, vec_id) AS srn
+       |  FROM sc) WHERE srn <= $shortlist),
+       |rrq AS (SELECT s.query_id, s.vec_id,
+       |          CASE WHEN a.sc * b.sc = 0 THEN 0.0
+       |               ELSE CAST(list_aggregate(list_transform(
+       |                      range(1, len(a.q)+1), i -> a.q[i] * b.q[i]),
+       |                      'sum') AS DOUBLE) / (a.sc * b.sc)
+       |          END AS score
+       |        FROM short s
+       |        JOIN qv a ON a.vec_id = s.query_id
+       |        JOIN qv b ON b.vec_id = s.vec_id)""".stripMargin
+
   private val SimhashCtes: String =
     s"""tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
       |        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -896,6 +918,26 @@ object LlmQueries {
     Similarity.ivfPqResidualTopKIndexedReranked(
       b.index, b.ivfCb, b.pqCbRes,
       e.filter(col("vec_id") % 100 === queryRes), e,
+      m = 8, dim = 64, nprobe = 20, shortlist = 100, k = 10,
+      cellCodes = Some(b.cellCodes))
+  }
+
+  /** The served residual rung with the QUANTIZED rerank store (the
+    * corpus/4-byte point-read tier); the int8 store is an index-lifetime
+    * artifact, memoized like the codebooks.
+    */
+  private def residualServedQ8(s: org.apache.spark.sql.SparkSession,
+                               dir: String, queryRes: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val b = residualBuilt(s, dir)
+    val q8store = memoDf(s, dir, "q8store") {
+      Similarity.quantize(e).select(col("vec_id"), col("q8"),
+        col("q_scale"))
+    }
+    Similarity.ivfPqResidualTopKIndexedRerankedQ8(
+      b.index, b.ivfCb, b.pqCbRes,
+      e.filter(col("vec_id") % 100 === queryRes), q8store,
       m = 8, dim = 64, nprobe = 20, shortlist = 100, k = 10,
       cellCodes = Some(b.cellCodes))
   }
@@ -1289,6 +1331,24 @@ object LlmQueries {
     "sim_ivfpq_residual_recall" -> ((s, dir) =>
       Similarity.recallAtK(residualServed(s, dir, queryRes = 0),
         exactTopK(s, dir, 0), k = 10)),
+
+    // the same served rung reranking against the QUANTIZED store
+    // (quarter point-read bytes, exact integer scoring)
+    "sim_ivfpq_residual_topk_q8" -> ((s, dir) =>
+      residualServedQ8(s, dir, queryRes = 0)),
+
+    // recall of the q8-reranked rung vs exact brute force — what the
+    // 4x-smaller rerank tier costs in quality (measured at sf0.1:
+    // insample 0.955 vs 0.965 float; holdout face below)
+    "sim_ivfpq_residual_q8_recall" -> ((s, dir) =>
+      Similarity.recallAtK(residualServedQ8(s, dir, queryRes = 0),
+        exactTopK(s, dir, 0), k = 10)),
+
+    // the honest out-of-sample number for the q8-reranked rung (the
+    // %100==7 holdout, disjoint from every seed)
+    "sim_ivfpq_residual_q8_holdout_recall" -> ((s, dir) =>
+      Similarity.recallAtK(residualServedQ8(s, dir, queryRes = 7),
+        exactTopK(s, dir, 7), k = 10)),
 
     "sim_ivfpq_residual_holdout_recall" -> ((s, dir) =>
       Similarity.recallAtK(residualServed(s, dir, queryRes = 7),
@@ -2927,6 +2987,69 @@ object LlmQueries {
          |         row_number() OVER (PARTITION BY query_id
          |                            ORDER BY sim DESC, vec_id) AS rn
          |  FROM rr) WHERE rn <= 10""".stripMargin,
+
+    "sim_ivfpq_residual_topk_q8" ->
+      s"""WITH ${ivfPqResidualCtes(20, m = 8, iters = 8, fixedK = Some(256))},
+         |$Q8Ctes,
+         |${rerankQ8Ctes(100)}
+         |SELECT query_id, vec_id, round(score, 6) AS q8_score FROM (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, vec_id) AS rn
+         |  FROM rrq) WHERE rn <= 10""".stripMargin,
+
+    "sim_ivfpq_residual_q8_recall" ->
+      s"""WITH ${ivfPqResidualCtes(20, m = 8, iters = 8, fixedK = Some(256))},
+         |$Q8Ctes,
+         |${rerankQ8Ctes(100)},
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, vec_id) AS rn
+         |  FROM rrq) WHERE rn <= 10),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bp) WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
+
+    "sim_ivfpq_residual_q8_holdout_recall" ->
+      s"""WITH ${ivfPqResidualCtes(20, queryRes = 7, m = 8, iters = 8,
+             fixedK = Some(256))},
+         |$Q8Ctes,
+         |${rerankQ8Ctes(100)},
+         |ap AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, vec_id) AS rn
+         |  FROM rrq) WHERE rn <= 10),
+         |bp AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("q.qe", "e.embedding")} AS sim
+         |       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rn
+         |  FROM bp) WHERE rn <= 10)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS INT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY 1""".stripMargin,
 
     "sim_ivfpq_residual_recall" ->
       s"""WITH ${ivfPqResidualCtes(20, m = 8, iters = 8, fixedK = Some(256))},
