@@ -71,6 +71,67 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // TPC-H Q6 shape: forecast-revenue — a PURE filter + scalar
+    // aggregate over the fact table; every predicate must reach the
+    // parquet scan (the pushdown showcase).
+    "tpch_q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            col("l_discount").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")).as("dec_rev"),
+          count(lit(1)).as("n_items"))
+        .select(round(col("dec_rev").cast("double"), 6).as("revenue"),
+          col("n_items"))),
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    // quarter — fact filter, two joins, grouped top-k
+    // (TakeOrderedAndProject, never a global sort).
+    "tpch_q10_returns" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rev", (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).as("dec_rev"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("dec_rev").cast("double"), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — a grouped HAVING filter on
+    // the fact table semi-joining back onto the order/customer detail.
+    "tpch_q18_large_orders" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy(col("l_orderkey").as("__ok"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("__q"))
+        .filter(col("__q") > lit(300).cast("decimal(18,4)"))
+        .select(col("__ok"), round(col("__q").cast("double"), 6)
+          .as("total_qty"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("__ok"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice").cast("double"), 6).as("o_total"),
+          col("total_qty"))
+        .orderBy(col("o_total").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q5 shape: revenue by nation for one region — the 5-way
     // dimension join with broadcast dims over the fact scan.
     "tpch_q5_region_volume" -> ((s, dir) => {
@@ -129,6 +190,51 @@ object AnalyticsQueries {
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin,
+
+    "tpch_q6_forecast" ->
+      """SELECT
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4)))
+        |      AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |         > CAST(300 AS DECIMAL(18,4)))
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  round(CAST(o_totalprice AS DOUBLE), 6) AS o_total,
+        |  total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_total DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "tpch_q5_region_volume" ->
       """SELECT n_name,

@@ -36,6 +36,28 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
   }
 
+  test("q6: every predicate pushed to the scan, four-column read") {
+    // the one-line plan truncates PushedFilters, so assert on the
+    // FORMATTED explain, where the full pushdown list is printed
+    val df = SparkEntry.queries("tpch_q6_forecast")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThanOrEqual(l_discount,0.07)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"q6 predicates must reach PushedFilters:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:"))
+  }
+
+  test("q10/q18: grouped top-k is TakeOrderedAndProject, never a global sort") {
+    Seq("tpch_q10_returns", "tpch_q18_large_orders").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("TakeOrderedAndProject"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("same-label top-k: hash join on the metadata key, not a nested loop") {
     val p = planOf("sim_topk_label")
     // the equality constraint must plan as a broadcast HASH join — the
