@@ -43,6 +43,23 @@ object Joins {
       .select(leftCols.toIndexedSeq.map(col) :+ col(rightTsOut): _*)
   }
 
+  /** [[asofBackward]] with a STALENESS TOLERANCE — the
+    * pandas `merge_asof(tolerance=...)` / kdb window-join contract: a
+    * prior right row OLDER than `toleranceMinutes` at the left row's
+    * time is treated as NO match (nulled), because a quote from last
+    * week must not price today's trade. A pure post-projection on the
+    * as-of output — the one-shuffle union-and-carry plan is unchanged.
+    */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame,
+                            keyCol: String, tsCol: String,
+                            rightTsOut: String,
+                            toleranceMinutes: Int): DataFrame =
+    asofBackward(left, right, keyCol, tsCol, rightTsOut)
+      .withColumn(rightTsOut,
+        when(col(rightTsOut) >=
+            col(tsCol) - expr(s"INTERVAL $toleranceMinutes MINUTES"),
+          col(rightTsOut)).otherwise(lit(null).cast("timestamp")))
+
   /** As-of (forward) join — [[asofBackward]]'s mirror: for every left
     * row, the single right row with the SMALLEST `tsCol` >= the left
     * row's `tsCol`, per `keyCol` (the "time to next event" primitive:

@@ -2029,6 +2029,19 @@ object LlmQueries {
           lit("1970-01-01 00:00:00").cast("timestamp")))
     }),
 
+    // tolerance-bounded as-of: the prior click only counts if it is at
+    // most 60 minutes stale (merge_asof(tolerance) semantics)
+    "events_asof_join_tol" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Joins.asofBackwardTolerance(purchases, clicks, "user_id", "ts",
+          "prior_click_ts", toleranceMinutes = 60)
+        .withColumn("prior_click_ts", coalesce(col("prior_click_ts"),
+          lit("1970-01-01 00:00:00").cast("timestamp")))
+    }),
+
     // forward as-of: each purchase matched to the user's NEXT click at
     // or after it — the time-to-next-event mirror of events_asof_join
     "events_asof_next" -> ((s, dir) => {
@@ -4319,6 +4332,19 @@ object LlmQueries {
         |  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6)
         |    AS retention_rate
         |FROM c JOIN s ON c.cohort_week = s.cohort_week""".stripMargin,
+
+    "events_asof_join_tol" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN c.ts IS NOT NULL
+        |         AND c.ts >= p.ts - INTERVAL 60 MINUTE THEN c.ts
+        |       ELSE TIMESTAMP '1970-01-01 00:00:00'
+        |  END AS prior_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "events_asof_join" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events

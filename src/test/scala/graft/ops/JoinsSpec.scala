@@ -29,6 +29,26 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L).isEmpty)                             // no prior click
   }
 
+  test("asof with tolerance: stale matches nulled, boundary inclusive") {
+    val purchases = Seq(
+      (1L, 7L, ts("2024-01-01 12:00:00")),  // prior click 59 min old: kept
+      (2L, 8L, ts("2024-01-01 12:00:00")),  // prior click 2 h old: nulled
+      (3L, 9L, ts("2024-01-01 12:00:00")))  // exactly 60 min: inclusive
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (7L, ts("2024-01-01 11:01:00")),
+      (8L, ts("2024-01-01 10:00:00")),
+      (9L, ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "ts")
+    val out = Joins.asofBackwardTolerance(purchases, clicks, "user_id",
+        "ts", "prior", toleranceMinutes = 60)
+      .as[(Long, Long, Timestamp, Option[Timestamp])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L).contains(ts("2024-01-01 11:01:00")))
+    assert(out(2L).isEmpty) // a 2h-stale quote must not price the trade
+    assert(out(3L).contains(ts("2024-01-01 11:00:00"))) // boundary kept
+  }
+
   test("asof forward join picks the smallest right ts >= left ts per key") {
     val purchases = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
