@@ -1895,6 +1895,41 @@ object LlmQueries {
     // the flag relation is eagerly cut + anti-joined WITHOUT a broadcast
     // hint: under heavy duplication it is corpus-scale, unlike the
     // contamination-sized decon flags.
+    // the dedup FUNNEL: release accounting of how many documents (and
+    // chars) survive each stage — raw -> exact collapse -> guarded
+    // fuzzy -> substring. The number a data team publishes next to
+    // every release ("dedup removed X%"); stages are the identical
+    // operators the chains run, checkpointed so each runs once
+    "llm_dedup_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val collapsed = Dedup.exactKeepFirst(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val kept = Dedup.fuzzyKeepFirst(collapsed,
+        Dedup.fuzzy(collapsed, "doc_id", numHashes = 16, bands = 4,
+          threshold = 0.5, maxBucketSize = 64), "doc_id")
+        .localCheckpoint(true)
+      val substrFlagged = TextAnalysis.substringDupStats(docs,
+          "doc_id", "text", w = 20)
+        .filter(col("dropped")).select(col("doc_id")).localCheckpoint(true)
+      val unsub = kept.join(substrFlagged,
+        kept("doc_id") === substrFlagged("doc_id"), "left_anti")
+      def stage(i: Int, name: String,
+                df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .select(lit(i).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_chars"))
+      val all = stage(1, "raw", docs)
+        .union(stage(2, "exact", collapsed))
+        .union(stage(3, "fuzzy", kept))
+        .union(stage(4, "substring", unsub))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      all.withColumn("pct_docs",
+        round(col("n_docs").cast("double") / first(col("n_docs")).over(w), 6))
+    }),
+
     "llm_corpus_prep_xsub" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
@@ -4063,6 +4098,38 @@ object LlmQueries {
 
     // the xsub chain: fuzzy-kept minus raw-corpus substring flags minus
     // contamination flags, then curation
+    "llm_dedup_funnel" ->
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |ssh AS (${ngramRowsSql("documents", 20)}),
+         |sown AS (SELECT s, min(doc_id) AS own FROM ssh GROUP BY 1),
+         |sfl AS (SELECT DISTINCT ssh.doc_id FROM ssh JOIN sown USING (s)
+         |        WHERE ssh.doc_id <> sown.own),
+         |unsub AS (SELECT * FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM sfl)),
+         |f AS (
+         |  SELECT 1 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents
+         |  UNION ALL
+         |  SELECT 2, 'exact', count(*), CAST(sum(n_chars) AS BIGINT) FROM x0
+         |  UNION ALL
+         |  SELECT 3, 'fuzzy', count(*), CAST(sum(n_chars) AS BIGINT) FROM kept
+         |  UNION ALL
+         |  SELECT 4, 'substring', count(*), CAST(sum(n_chars) AS BIGINT)
+         |  FROM unsub)
+         |SELECT stage, stage_name, n_docs, n_chars,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    first(n_docs) OVER (ORDER BY stage
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         |    6) AS pct_docs
+         |FROM f""".stripMargin,
+
     "llm_corpus_prep_xsub" ->
       s"""WITH RECURSIVE x0 AS (
          |  SELECT * FROM documents
