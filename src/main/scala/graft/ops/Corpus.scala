@@ -88,6 +88,25 @@ object Corpus {
       .orderBy(col("n_total").desc, col("token"))
       .limit(topN)
 
+  // ---- Train/val/test split ----------------------------------------
+
+  /** Deterministic train/val/test assignment: the md5 id bucket (0-99,
+    * [[graft.ops.Dedup.hashBucket]]) partitions the corpus into
+    * `val` (< valPct), `test` (next testPct) and `train` (the rest) —
+    * the split every training run needs, reproducible across engines,
+    * reruns and corpus growth (a document's split never changes when
+    * other documents arrive, unlike positional splits). Map-only.
+    */
+  def trainValTestSplit(df: DataFrame, idCol: String, valPct: Int,
+                        testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val b = graft.ops.Dedup.hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
   // ---- Release diff ------------------------------------------------
 
   /** Content diff between two corpus releases: per document id, whether

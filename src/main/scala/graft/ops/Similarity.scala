@@ -1081,6 +1081,23 @@ object Similarity {
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(k.toDouble), 6))
 
+  /** IVF index-health audit: per coarse cell, its member count and load
+    * factor vs the mean cell — the number that predicts serving tail
+    * latency (a probed hot cell scans its whole membership) and flags a
+    * collapsed quantizer (most vectors in few cells) before it ships.
+    * `assigned` is [[ivfAssign]]'s output. One cell-keyed count; the
+    * load-factor window runs over the cells-count-sized result.
+    */
+  def ivfIndexStats(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy()
+    counts.withColumn("load_factor",
+      round(col("n_vecs").cast("double") /
+        (sum(col("n_vecs")).over(w).cast("double") /
+          count(lit(1)).over(w)), 6))
+  }
+
   /** Embedding data-quality vet — the garbage gate before any ANN /
     * dedup indexing run: per row, the invariants every operator in this
     * file assumes — exact dimensionality, all-finite values, nonzero

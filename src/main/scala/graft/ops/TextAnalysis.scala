@@ -1271,6 +1271,22 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6))
   }
 
+  /** Log2-bucketed document-length histogram per group — the length
+    * distribution a data card charts (uniform buckets are useless when
+    * lengths span 10..10M chars). The bucket is `length(bin(n))` —
+    * floor(log2(n)) + 1 computed EXACTLY via the binary string length,
+    * never through libm log2 (whose last-ulp at exact powers of two
+    * differs across engines and would flip a bucket edge). One
+    * group-keyed aggregation of fixed-width rows.
+    */
+  def lengthHistogram(df: DataFrame, groupCol: String,
+                      lenCol: String): DataFrame =
+    df.filter(col(lenCol) > 0)
+      .withColumn("bucket", length(bin(col(lenCol))).cast("int"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).as("min_len"), max(col(lenCol)).as("max_len"))
+
   /** Overlapping-window document chunking — the context-window prep
     * every RAG / long-document training pipeline runs: each document's
     * whitespace tokens split into windows of `chunkTokens` advancing by

@@ -1716,6 +1716,24 @@ object LlmQueries {
     "corpus_data_card" -> ((s, dir) =>
       Corpus.dataCard(Tables.documents(s, dir), "source", "lang")),
 
+    // deterministic train/val/test assignment (5% val, 5% test on the
+    // md5 bucket — a doc's split never changes as the corpus grows)
+    "corpus_split" -> ((s, dir) =>
+      Corpus.trainValTestSplit(Tables.documents(s, dir), "doc_id",
+          valPct = 5, testPct = 5)
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    // log2-bucketed length histogram per language (exact bucket edges
+    // via binary-string length, no libm log2)
+    "text_length_hist" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, dir), "lang",
+        "n_chars")),
+
+    // IVF index-health audit over the stored seed assignment: per-cell
+    // membership + load factor (hot cells = serving tail latency)
+    "vec_index_stats" -> ((s, dir) =>
+      Similarity.ivfIndexStats(ivfAsgSeed(s, dir))),
+
     // vocabulary drift between the same two releases: top-20 token
     // frequency movers (the bad-ingest / scraper-regression detector)
     "corpus_vocab_drift" -> ((s, dir) => {
@@ -3772,6 +3790,31 @@ object LlmQueries {
         |  CAST(count(*) AS INT) AS n_docs
         |FROM dt GROUP BY 1
         |ORDER BY n_total DESC, token LIMIT 20""".stripMargin,
+
+    "corpus_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $HashBucketSql < 5 THEN 'val'
+         |       WHEN $HashBucketSql < 10 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
+
+    "text_length_hist" ->
+      """SELECT lang, CAST(length(bin(n_chars)) AS INT) AS bucket,
+        |  count(*) AS n_docs, min(n_chars) AS min_len,
+        |  max(n_chars) AS max_len
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY 1, 2""".stripMargin,
+
+    "vec_index_stats" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |asg AS (${asgSql("c")}),
+         |g AS (SELECT centroid_id, count(*) AS n_vecs FROM asg GROUP BY 1)
+         |SELECT centroid_id, n_vecs,
+         |  round(CAST(n_vecs AS DOUBLE) /
+         |    (CAST(sum(n_vecs) OVER () AS DOUBLE) / count(*) OVER ()), 6)
+         |    AS load_factor
+         |FROM g""".stripMargin,
 
     "corpus_vocab_drift" ->
       """WITH ow AS (SELECT unnest(string_split(lower(

@@ -83,6 +83,21 @@ class CorpusSpec extends SparkSpec {
     assert(top2.map(_._1).toSeq == Seq("a", "b"))
   }
 
+  test("trainValTestSplit: proportions near target, assignment corpus-independent") {
+    val df = (1L to 2000L).toDF("doc_id")
+    val s = Corpus.trainValTestSplit(df, "doc_id", valPct = 5, testPct = 5)
+      .as[(Long, String)].collect().toMap
+    val n = s.size.toDouble
+    assert(math.abs(s.values.count(_ == "val") / n - 0.05) < 0.02)
+    assert(math.abs(s.values.count(_ == "test") / n - 0.05) < 0.02)
+    assert(s.values.count(_ == "train") / n > 0.85)
+    // a document's split never changes when the corpus shrinks/grows
+    val sub = Corpus.trainValTestSplit(
+      df.filter($"doc_id" <= 500), "doc_id", 5, 5)
+      .as[(Long, String)].collect().toMap
+    sub.foreach { case (id, sp) => assert(s(id) == sp) }
+  }
+
   test("releaseDiff classifies added/removed/changed/unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val next = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")

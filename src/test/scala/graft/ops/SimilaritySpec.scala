@@ -571,6 +571,17 @@ class SimilaritySpec extends SparkSpec {
     assert(part == Set((1L, 1, 0.5), (2L, 0, 0.0)))
   }
 
+  test("ivfIndexStats: cell counts complete, load factors mean to 1") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cb = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    val stats = Similarity.ivfIndexStats(Similarity.ivfAssign(e, cb))
+      .as[(Long, Long, Double)].collect()
+    assert(stats.map(_._2).sum == e.count()) // every vector in one cell
+    val meanLf = stats.map(_._3).sum / stats.length
+    assert(math.abs(meanLf - 1.0) < 1e-3, s"mean load factor $meanLf")
+    assert(stats.forall(_._3 > 0))
+  }
+
   test("radiusSearch returns exactly the in-range neighbors, no self") {
     val out = Similarity.radiusSearch(vecs, $"vec_id" % 100 === 0, 0.5)
       .as[(Long, Long, Double)].collect()

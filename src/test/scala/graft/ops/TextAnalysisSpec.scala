@@ -383,6 +383,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("g2") == (("g2", 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("lengthHistogram: exact power-of-two bucket edges, zero lengths dropped") {
+    val d = Seq(("en", 7L), ("en", 8L), ("en", 15L), ("en", 16L),
+      ("de", 1L), ("de", 0L)).toDF("lang", "n_chars")
+    val out = TextAnalysis.lengthHistogram(d, "lang", "n_chars")
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // bucket = floor(log2)+1 exactly: 7 -> 3, 8 -> 4, 15 -> 4, 16 -> 5
+    assert(out(("en", 3)) == ((1L, 7L, 7L)))
+    assert(out(("en", 4)) == ((2L, 8L, 15L)))
+    assert(out(("en", 5)) == ((1L, 16L, 16L)))
+    assert(out(("de", 1)) == ((1L, 1L, 1L)))
+    assert(out.size == 4) // the zero-length row contributes nothing
+  }
+
   test("chunkDocuments: overlapping windows, covered tail not re-emitted, empty docs dropped") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
