@@ -107,6 +107,29 @@ object Corpus {
         .otherwise("train"))
   }
 
+  /** Split-leakage report: evaluation documents (val/test) whose exact
+    * content also appears in the training split — the eval-integrity
+    * check every benchmark-bearing corpus needs (hash splits assign by
+    * ID, so DUPLICATED CONTENT lands on both sides and silently
+    * inflates eval scores). Per leaked eval doc: its split, how many
+    * training twins, and the first twin id. Both sides reduce to
+    * (id, md5, split) map-side; the join is hash-keyed fixed-width —
+    * the [[releaseDiff]] cost shape.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   valPct: Int, testPct: Int): DataFrame = {
+    val s = trainValTestSplit(df, idCol, valPct, testPct)
+      .select(col(idCol), md5(lower(col(textCol))).as("__h"), col("split"))
+    val train = s.filter(col("split") === "train")
+      .select(col("__h"), col(idCol).as("train_id"))
+    val eval = s.filter(col("split") =!= "train")
+      .select(col("__h"), col(idCol).as("eval_id"), col("split"))
+    eval.join(train, Seq("__h"))
+      .groupBy(col("eval_id"), col("split"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        min(col("train_id")).as("first_train_dup"))
+  }
+
   // ---- Release diff ------------------------------------------------
 
   /** Content diff between two corpus releases: per document id, whether

@@ -1723,6 +1723,18 @@ object LlmQueries {
           valPct = 5, testPct = 5)
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // eval-integrity: val/test docs whose exact content also sits in
+    // train (id-hash splits leak DUPLICATED content across sides). The
+    // fixture is exact-dup-free, so every 10th doc is re-crawled under
+    // a shifted id — the scenario the check exists for
+    "corpus_split_leakage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val recrawl = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      Corpus.splitLeakage(d.unionByName(recrawl), "doc_id", "text",
+        valPct = 5, testPct = 5)
+    }),
+
     // log2-bucketed length histogram per language (exact bucket edges
     // via binary-string length, no libm log2)
     "text_length_hist" -> ((s, dir) =>
@@ -3797,6 +3809,24 @@ object LlmQueries {
          |       WHEN $HashBucketSql < 10 THEN 'test'
          |       ELSE 'train' END AS split
          |FROM documents""".stripMargin,
+
+    "corpus_split_leakage" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |s AS (SELECT doc_id, md5(lower(text)) AS h,
+         |    CASE WHEN $HashBucketSql < 5 THEN 'val'
+         |         WHEN $HashBucketSql < 10 THEN 'test'
+         |         ELSE 'train' END AS split
+         |  FROM u),
+         |tr AS (SELECT h, doc_id AS train_id FROM s WHERE split = 'train'),
+         |ev AS (SELECT h, doc_id AS eval_id, split FROM s
+         |       WHERE split <> 'train')
+         |SELECT ev.eval_id, ev.split, count(*) AS n_train_dups,
+         |       min(tr.train_id) AS first_train_dup
+         |FROM ev JOIN tr ON ev.h = tr.h
+         |GROUP BY 1, 2""".stripMargin,
 
     "text_length_hist" ->
       """SELECT lang, CAST(length(bin(n_chars)) AS INT) AS bucket,

@@ -98,6 +98,26 @@ class CorpusSpec extends SparkSpec {
     sub.foreach { case (id, sp) => assert(s(id) == sp) }
   }
 
+  test("splitLeakage: only cross-side exact dups surface, with twin counts") {
+    // pick ids by their actual md5 buckets: one eval-side, three train-side
+    val buckets = spark.range(1, 200).toDF("doc_id")
+      .withColumn("b", graft.ops.Dedup.hashBucket($"doc_id"))
+      .as[(Long, Long)].collect().toMap
+    val evalId = buckets.find(_._2 < 5).get._1
+    val trainIds = buckets.filter(_._2 >= 10).keys.take(3).toSeq
+    val df = (Seq(evalId -> "shared content") ++
+      trainIds.take(2).map(_ -> "shared content") ++
+      Seq(trainIds(2) -> "unique content")).toDF("doc_id", "text")
+    val out = Corpus.splitLeakage(df, "doc_id", "text", 5, 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r._1 == evalId && r._2 == "val" && r._3 == 2) // two train twins
+    assert(r._4 == trainIds.take(2).min)
+    // dups fully inside train never surface
+    assert(!out.exists(_._1 != evalId))
+  }
+
   test("releaseDiff classifies added/removed/changed/unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val next = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")
