@@ -113,6 +113,22 @@ object EventOps {
       coalesce(stepTs.reverse: _*).as("last_step_ts"))
   }
 
+  /** Trending event types: per tumbling window, the top `k` event
+    * types by volume — the windowed-rank composition (window assignment
+    * map-side, one (window, type) partial-aggregate shuffle, then a
+    * rank over the WINDOW-COUNT-sized result; the rank's partition key
+    * is the window, so WindowGroupLimit prunes before its exchange).
+    */
+  def windowedTopK(events: DataFrame, width: String, k: Int): DataFrame = {
+    val counted = events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val rn = row_number().over(Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type")))
+    counted.withColumn("rank", rn).filter(col("rank") <= k)
+  }
+
   /** Cohort retention: users cohorted by the WEEK of their first
     * `cohortType` event, then counted as active in each weekly offset
     * bucket after it — the classic retention triangle. Weeks are pure

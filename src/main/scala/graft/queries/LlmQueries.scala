@@ -2059,6 +2059,10 @@ object LlmQueries {
     "events_json_props" -> ((s, dir) =>
       EventOps.jsonPropsAgg(Tables.events(s, dir))),
 
+    // trending types: top-2 event types per tumbling 6-hour window
+    "events_windowed_topk" -> ((s, dir) =>
+      EventOps.windowedTopK(Tables.events(s, dir), "6 hours", k = 2)),
+
     // ordered funnel: per user, progress through view -> click ->
     // purchase within 24 h of the first view, each step strictly after
     // the previous match
@@ -4352,6 +4356,18 @@ object LlmQueries {
          |       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
          |FROM asg, unnest(range(1, len(embedding)+1)) t(i)
          |GROUP BY 1, 2""".stripMargin,
+
+    "events_windowed_topk" ->
+      """WITH c AS (SELECT
+        |    time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))
+        |      AS window_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n,
+        |       CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+        |        ORDER BY n DESC, event_type) AS rank FROM c)
+        |WHERE rank <= 2""".stripMargin,
 
     "events_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,

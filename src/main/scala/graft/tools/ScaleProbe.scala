@@ -317,6 +317,26 @@ object ScaleProbe {
         Similarity.radiusSearch(embL, qpred, threshold = 0.25))
     }
 
+    // event-sequence analytics on a k-fold events corpus (users offset
+    // per replica, timestamps untouched): funnel cost is k-1 user-keyed
+    // joins + aggregates over the step-filtered stream — linear in the
+    // events; retention is one anchor aggregate + one distinct — same
+    // bound. Both shuffle fixed-width rows only.
+    if (only.forall(o => o.contains("events_funnel") ||
+        o.contains("events_retention"))) {
+      val ev0 = graft.Tables.events(spark, sfDir) // encoding-normalized ts
+      val evP = (0 until k).map { r =>
+        ev0.select((col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("event_type"), col("ts"))
+      }.reduce(_ unionByName _)
+      if (only.forall(_.contains("events_funnel")))
+        t("events_funnel")(graft.ops.EventOps.funnel(evP,
+          Seq("view", "click", "purchase"), horizonMinutes = 1440))
+      if (only.forall(_.contains("events_retention")))
+        t("events_retention")(
+          graft.ops.EventOps.retention(evP, "signup"))
+    }
+
     // filtered IVF serving from a PREBUILT index: the label predicate
     // prunes probed-cell members before ranking, so per-query cost must
     // stay cell-bounded (corpus-independent) like the unfiltered server

@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("funnel: every step join is keyed on the user, no nested loop") {
+    val p = planOf("events_funnel")
+    // the time predicates must ride a user-keyed HASH join, never plan
+    // as an inequality-only nested loop
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"funnel must stay user-keyed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"))
+  }
+
   test("as-of join: no nested-loop or cartesian operator anywhere") {
     val p = planOf("events_asof_join")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
