@@ -1925,6 +1925,22 @@ object LlmQueries {
     // the flag relation is eagerly cut + anti-joined WITHOUT a broadcast
     // hint: under heavy duplication it is corpus-scale, unlike the
     // contamination-sized decon flags.
+    // the TRAINING LAYOUT capstone: chunk (16-token windows, overlap 8)
+    // -> deterministic shard assignment (md5 of the chunk uid) ->
+    // per-shard sequence packing into 256-token bins, ONE lazy plan —
+    // the manifest a pretraining-prep job writes after curation
+    "llm_training_layout" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+          "doc_id", "text", chunkTokens = 16, overlap = 8)
+        .withColumn("chunk_uid",
+          col("doc_id") * 10000 + col("chunk_idx"))
+        .withColumn("shard",
+          (Dedup.hashBucket(col("chunk_uid")) % 8).cast("int"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+      TextAnalysis.packBinsSharded(chunks, "shard", "chunk_uid",
+        "n_tokens", capacity = 256)
+    }),
+
     // the dedup FUNNEL: release accounting of how many documents (and
     // chars) survive each stage — raw -> exact collapse -> guarded
     // fuzzy -> substring. The number a data team publishes next to
@@ -4175,6 +4191,32 @@ object LlmQueries {
 
     // the xsub chain: fuzzy-kept minus raw-corpus substring flags minus
     // contamination flags, then curation
+    "llm_training_layout" -> {
+      val uidHex = hexToLongSql("md5(CAST(chunk_uid AS VARCHAR))", 1, 8)
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |b AS (SELECT doc_id, len(toks) AS n,
+         |    CAST(ceil(CAST(greatest(len(toks) - 8, 1) AS DOUBLE) / 8)
+         |         AS INT) AS k
+         |  FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id * 10000 + i AS chunk_uid,
+         |         CAST(least(16, n - i * 8) AS BIGINT) AS n_tokens
+         |       FROM b, unnest(range(0, k)) u(i)),
+         |sh AS (SELECT chunk_uid, n_tokens,
+         |         CAST((CAST($uidHex AS BIGINT) % 100) % 8 AS INT) AS shard
+         |       FROM ch),
+         |cb AS (SELECT shard, chunk_uid, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |           ORDER BY chunk_uid ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |       FROM sh)
+         |SELECT shard, chunk_uid, n_tokens, cum_before,
+         |  shard || ':' || CAST(floor(cum_before / 256) AS BIGINT) AS bin
+         |FROM cb""".stripMargin
+    },
+
     "llm_dedup_funnel" ->
       s"""WITH RECURSIVE x0 AS (
          |  SELECT * FROM documents
