@@ -1081,6 +1081,37 @@ object Similarity {
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(k.toDouble), 6))
 
+  /** Embedding-space drift between two corpus releases: per slice
+    * (label/domain), the L2 distance between the releases' slice
+    * centroids plus member counts — the drift monitor for a re-encoded
+    * or re-crawled corpus (an encoder swap shows up as uniform large
+    * drift across slices; a data shift as drift concentrated in a few).
+    * Two slice-keyed centroid aggregates (map-side partial
+    * [[graft.functions.VectorAvgAggregate]] sums), two count
+    * aggregates, a slice-count-sized full-outer join; `drift` is null
+    * for a slice present in only one release. Centroids ride the 1e-6
+    * grid, so the distance is engine-exact.
+    */
+  def centroidDrift(oldEmb: DataFrame, newEmb: DataFrame,
+                    bucketCol: String = "label"): DataFrame = {
+    GraftFunctions.register(oldEmb.sparkSession)
+    def side(df: DataFrame, c: String, n: String) =
+      centroids(df, bucketCol).select(col(bucketCol), col("centroid").as(c))
+        .join(df.groupBy(col(bucketCol)).agg(count(lit(1)).as(n)),
+          Seq(bucketCol))
+    val diff = zip_with(col("__co"), col("__cn"), (a, b) => a - b)
+    side(oldEmb, "__co", "n_old")
+      .join(side(newEmb, "__cn", "n_new"), Seq(bucketCol), "full_outer")
+      .withColumn("drift",
+        when(col("__co").isNull || col("__cn").isNull,
+          lit(null).cast("double"))
+          // the squared distance is gridded BEFORE the sqrt: the dot's
+          // last-ulp depends on summation order, and both engines then
+          // sqrt the identical 1e-6-grid value
+          .otherwise(round(sqrt(round(fdot(diff, diff), 6)), 6)))
+      .select(col(bucketCol), col("n_old"), col("n_new"), col("drift"))
+  }
+
   /** IVF index-health audit: per coarse cell, its member count and load
     * factor vs the mean cell — the number that predicts serving tail
     * latency (a probed hot cell scans its whole membership) and flags a

@@ -1746,6 +1746,14 @@ object LlmQueries {
     "vec_index_stats" -> ((s, dir) =>
       Similarity.ivfIndexStats(ivfAsgSeed(s, dir))),
 
+    // embedding-space drift between two releases (different crawl
+    // subsets): per-label centroid L2 shift + member counts
+    "vec_label_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.centroidDrift(e.filter(col("vec_id") % 13 =!= 0),
+        e.filter(col("vec_id") % 17 =!= 0), "label")
+    }),
+
     // vocabulary drift between the same two releases: top-20 token
     // frequency movers (the bad-ingest / scraper-regression detector)
     "corpus_vocab_drift" -> ((s, dir) => {
@@ -3854,6 +3862,31 @@ object LlmQueries {
         |  max(n_chars) AS max_len
         |FROM documents WHERE n_chars > 0
         |GROUP BY 1, 2""".stripMargin,
+
+    "vec_label_drift" ->
+      """WITH oc AS (SELECT label, list(av ORDER BY i) AS c FROM (
+        |    SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av
+        |    FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+        |    WHERE vec_id % 13 <> 0 GROUP BY 1, 2) GROUP BY 1),
+        |onn AS (SELECT label, count(*) AS n_old FROM embeddings
+        |        WHERE vec_id % 13 <> 0 GROUP BY 1),
+        |nc AS (SELECT label, list(av ORDER BY i) AS c FROM (
+        |    SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS av
+        |    FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+        |    WHERE vec_id % 17 <> 0 GROUP BY 1, 2) GROUP BY 1),
+        |nnn AS (SELECT label, count(*) AS n_new FROM embeddings
+        |        WHERE vec_id % 17 <> 0 GROUP BY 1),
+        |o AS (SELECT oc.label, oc.c, onn.n_old FROM oc JOIN onn USING (label)),
+        |n AS (SELECT nc.label, nc.c, nnn.n_new FROM nc JOIN nnn USING (label)),
+        |j AS (SELECT o.label AS lo, n.label AS ln, o.n_old, n.n_new,
+        |        list_transform(range(1, len(o.c)+1),
+        |                       i -> o.c[i] - n.c[i]) AS d
+        |      FROM o FULL OUTER JOIN n ON o.label = n.label)
+        |SELECT coalesce(lo, ln) AS label, n_old, n_new,
+        |  CASE WHEN lo IS NULL OR ln IS NULL THEN NULL
+        |       ELSE round(sqrt(round(list_dot_product(d, d), 6)), 6)
+        |  END AS drift
+        |FROM j""".stripMargin,
 
     "vec_index_stats" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
