@@ -155,6 +155,28 @@ object Corpus {
           .otherwise("changed").as("status"))
   }
 
+  /** Shard manifest with content checksums — the integrity artifact a
+    * release ships: per shard, its document count, byte total, and a
+    * deterministic checksum (md5 over the id-ordered concatenation of
+    * member content hashes). Two corpora with the same manifest are
+    * byte-identical per shard; a single flipped document flips its
+    * shard's checksum. Per-doc hashes compute map-side (text never
+    * shuffles); the per-shard fold is one shard-keyed aggregation.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    val key = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(idCol), (key % nShards).cast("int").as("shard"),
+        md5(col(textCol)).as("__h"),
+        length(col(textCol)).cast("long").as("__len"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("n_chars"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col(idCol), col("__h")))),
+            x => x.getField("__h")))).as("checksum"))
+  }
+
   /** Vocabulary drift between two corpus releases — the token-level
     * companion of [[releaseDiff]]: for each token, its relative
     * frequency in the old and new corpus and the (6-grid) frequency

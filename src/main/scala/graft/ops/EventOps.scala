@@ -113,6 +113,38 @@ object EventOps {
       coalesce(stepTs.reverse: _*).as("last_step_ts"))
   }
 
+  /** Trailing-window anomaly detection: per (event_type, hour bucket),
+    * the z-score of the bucket's volume against the TRAILING `lookback`
+    * buckets' mean/stddev (frame `[-lookback, -1]` — the current bucket
+    * never scores itself). The ops-analytics staple: a traffic spike or
+    * outage shows as |z| >> 0 the moment it happens, with the baseline
+    * tracking slow drift. Buckets with no trailing history (or zero
+    * variance) emit a null z. Mean and stddev are gridded to 1e-6
+    * BEFORE the quotient so windowed summation order can never split
+    * engines. One (type, bucket) aggregate; the z window runs per type
+    * over the bucket-count-sized series.
+    */
+  def anomalyScores(events: DataFrame, lookback: Int): DataFrame = {
+    val counted = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("window_start")).rowsBetween(-lookback, -1)
+    // a single-row trailing frame yields stddev NaN on Spark but NULL
+    // on the oracle engine — normalize to NULL (no-baseline semantics)
+    val sd = stddev(col("n")).over(w)
+    counted
+      .withColumn("base_mean", round(avg(col("n")).over(w), 6))
+      .withColumn("base_sd",
+        when(isnan(sd), lit(null).cast("double")).otherwise(round(sd, 6)))
+      .withColumn("z",
+        when(col("base_sd").isNull || col("base_sd") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n") - col("base_mean")) / col("base_sd"),
+            6)))
+  }
+
   /** Trending event types: per tumbling window, the top `k` event
     * types by volume — the windowed-rank composition (window assignment
     * map-side, one (window, type) partial-aggregate shuffle, then a

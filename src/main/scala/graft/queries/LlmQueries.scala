@@ -1754,6 +1754,12 @@ object LlmQueries {
         e.filter(col("vec_id") % 17 =!= 0), "label")
     }),
 
+    // the release integrity manifest: per shard, counts + bytes + a
+    // deterministic checksum over id-ordered member content hashes
+    "corpus_shard_manifest" -> ((s, dir) =>
+      Corpus.shardManifest(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8)),
+
     // vocabulary drift between the same two releases: top-20 token
     // frequency movers (the bad-ingest / scraper-regression detector)
     "corpus_vocab_drift" -> ((s, dir) => {
@@ -2086,6 +2092,11 @@ object LlmQueries {
     // trending types: top-2 event types per tumbling 6-hour window
     "events_windowed_topk" -> ((s, dir) =>
       EventOps.windowedTopK(Tables.events(s, dir), "6 hours", k = 2)),
+
+    // trailing-24h anomaly scores per (type, hour): volume z-score vs
+    // the trailing window's mean/std (spike/outage detection)
+    "events_anomaly" -> ((s, dir) =>
+      EventOps.anomalyScores(Tables.events(s, dir), lookback = 24)),
 
     // ordered funnel: per user, progress through view -> click ->
     // purchase within 24 h of the first view, each step strictly after
@@ -3899,6 +3910,18 @@ object LlmQueries {
          |    AS load_factor
          |FROM g""".stripMargin,
 
+    "corpus_shard_manifest" -> {
+      val h60 = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(CAST($h60 AS BIGINT) % 8 AS INT) AS shard,
+         |    md5(text) AS h, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(len) AS BIGINT) AS n_chars,
+         |  md5(string_agg(h, ',' ORDER BY doc_id)) AS checksum
+         |FROM s GROUP BY 1""".stripMargin
+    },
+
     "corpus_vocab_drift" ->
       """WITH ow AS (SELECT unnest(string_split(lower(
         |      CASE WHEN doc_id % 13 = 0 THEN text || ' legacy'
@@ -4431,6 +4454,23 @@ object LlmQueries {
          |       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS avg_val
          |FROM asg, unnest(range(1, len(embedding)+1)) t(i)
          |GROUP BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH c AS (SELECT
+        |    time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+        |      AS window_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |zc AS (SELECT window_start, event_type, n,
+        |    round(avg(n) OVER tw, 6) AS base_mean,
+        |    round(stddev(n) OVER tw, 6) AS base_sd
+        |  FROM c WINDOW tw AS (PARTITION BY event_type
+        |    ORDER BY window_start
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT window_start, event_type, n, base_mean, base_sd,
+        |  CASE WHEN base_sd IS NULL OR base_sd = 0 THEN NULL
+        |       ELSE round((n - base_mean) / base_sd, 6) END AS z
+        |FROM zc""".stripMargin,
 
     "events_windowed_topk" ->
       """WITH c AS (SELECT

@@ -60,6 +60,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out("view") == ("view", 1L, 3L, 3, 3))
   }
 
+  test("anomalyScores: trailing baseline, no-history and zero-variance emit null z") {
+    // type A: counts 1,3,1,3 then a spike of 5; type B: constant 2s
+    val rows = (Seq.fill(1)(0) ++ Seq.fill(3)(1) ++ Seq.fill(1)(2) ++
+      Seq.fill(3)(3) ++ Seq.fill(5)(4)).zipWithIndex.map { case (h, i) =>
+      (i.toLong, ts(f"2024-01-01 $h%02d:30:00"), 1L, "A")
+    } ++ (0 to 2).flatMap(h => Seq(
+      (100L + h, ts(f"2024-01-01 $h%02d:10:00"), 2L, "B"),
+      (200L + h, ts(f"2024-01-01 $h%02d:40:00"), 2L, "B")))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventOps.anomalyScores(e, lookback = 24)
+      .as[(Timestamp, String, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+      .map(r => (r._2, r._1.toString.take(13)) -> r).toMap
+    // first bucket of each type: no trailing history -> null baseline/z
+    assert(out(("A", "2024-01-01 00"))._6.isEmpty)
+    // A at hour 4: baseline mean(1,3,1,3)=2, sd=1.154701, z=(5-2)/sd
+    val a4 = out(("A", "2024-01-01 04"))
+    assert(a4._3 == 5 && a4._4.contains(2.0))
+    assert(a4._6.exists(z => z > 2.59 && z < 2.61))
+    // B: constant history -> zero variance -> null z (never +-inf)
+    assert(out(("B", "2024-01-01 02"))._5.contains(0.0)
+      && out(("B", "2024-01-01 02"))._6.isEmpty)
+  }
+
   test("retention: epoch-week cohorts, pre-anchor activity excluded, rates vs cohort size") {
     val e = Seq(
       // user 1: signup, active in offset weeks 0, 1, 2

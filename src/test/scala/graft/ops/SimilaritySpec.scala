@@ -571,6 +571,19 @@ class SimilaritySpec extends SparkSpec {
     assert(part == Set((1L, 1, 0.5), (2L, 0, 0.0)))
   }
 
+  test("centroidDrift: zero for identical releases, null for one-sided slices") {
+    val e = Tables.embeddings(spark, sf0001)
+    val same = Similarity.centroidDrift(e, e, "label")
+      .as[(Int, Option[Long], Option[Long], Option[Double])].collect()
+    assert(same.nonEmpty && same.forall(_._4.contains(0.0)))
+    // a label present only in the old release: counts carried, drift null
+    val out = Similarity.centroidDrift(e, e.filter($"label" =!= 0), "label")
+      .as[(Int, Option[Long], Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0)._4.isEmpty && out(0)._2.exists(_ > 0) && out(0)._3.isEmpty)
+    assert(out.filter(_._1 != 0).values.forall(_._4.contains(0.0)))
+  }
+
   test("ivfIndexStats: cell counts complete, load factors mean to 1") {
     val e = Tables.embeddings(spark, sf0001)
     val cb = e.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
