@@ -87,6 +87,31 @@ object Joins {
       .select(leftCols.toIndexedSeq.map(col) :+ col(rightTsOut): _*)
   }
 
+  /** Nearest-neighbor as-of — pandas `merge_asof(direction='nearest')`:
+    * for every left row, whichever of its backward and forward matches
+    * is CLOSER in time (ties break backward, the pandas rule). Composed
+    * from the two union-and-carry passes over the same key partitioning
+    * — two window sorts, still no nested loop anywhere.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, rightTsOut: String): DataFrame = {
+    val both = asofForward(
+      asofBackward(left, right, keyCol, tsCol, "__back"),
+      right, keyCol, tsCol, "__fwd")
+    // micros, not cast-to-long (which truncates to SECONDS and would
+    // mis-break sub-second nearest decisions)
+    val db = unix_micros(col(tsCol).cast("timestamp")) -
+      unix_micros(col("__back").cast("timestamp"))
+    val df_ = unix_micros(col("__fwd").cast("timestamp")) -
+      unix_micros(col(tsCol).cast("timestamp"))
+    both.withColumn(rightTsOut,
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(df_ < db, col("__fwd"))
+          .otherwise(col("__back"))) // ties and db <= df: backward
+      .drop("__back", "__fwd")
+  }
+
   /** Range join: pair every left row whose `tsCol` falls in a right-side
     * interval `[startCol, endCol)`, via bucketization: both sides map to a
     * time-bucket grid of `bucketMillis` (intervals explode into the 1+

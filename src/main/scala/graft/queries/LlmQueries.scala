@@ -2146,6 +2146,19 @@ object LlmQueries {
           lit("1970-01-01 00:00:00").cast("timestamp")))
     }),
 
+    // nearest as-of: each purchase matched to the user's CLOSEST click
+    // in either direction (ties backward — the pandas nearest rule)
+    "events_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Joins.asofNearest(purchases, clicks, "user_id", "ts",
+          "nearest_click_ts")
+        .withColumn("nearest_click_ts", coalesce(col("nearest_click_ts"),
+          lit("1970-01-01 00:00:00").cast("timestamp")))
+    }),
+
     // forward as-of: each purchase matched to the user's NEXT click at
     // or after it — the time-to-next-event mirror of events_asof_join
     "events_asof_next" -> ((s, dir) => {
@@ -4603,6 +4616,27 @@ object LlmQueries {
         |  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6)
         |    AS retention_rate
         |FROM c JOIN s ON c.cohort_week = s.cohort_week""".stripMargin,
+
+    "events_asof_nearest" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS back_ts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.event_id, c.ts AS fwd_ts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  coalesce(CASE
+        |      WHEN back_ts IS NULL THEN fwd_ts
+        |      WHEN fwd_ts IS NULL THEN back_ts
+        |      WHEN epoch_us(fwd_ts) - epoch_us(b.ts)
+        |           < epoch_us(b.ts) - epoch_us(back_ts) THEN fwd_ts
+        |      ELSE back_ts END,
+        |    TIMESTAMP '1970-01-01 00:00:00') AS nearest_click_ts
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
 
     "events_asof_join_tol" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events

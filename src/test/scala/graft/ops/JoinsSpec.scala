@@ -49,6 +49,27 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L).contains(ts("2024-01-01 11:00:00"))) // boundary kept
   }
 
+  test("asof nearest: closer side wins, ties break backward, one-sided falls through") {
+    val purchases = Seq(
+      (1L, 7L, ts("2024-01-01 12:00:00")), // back 10 min, fwd 5 min: fwd
+      (2L, 8L, ts("2024-01-01 12:00:00")), // back 5 min, fwd 5 min: TIE -> back
+      (3L, 9L, ts("2024-01-01 12:00:00")), // only a forward click exists
+      (4L, 10L, ts("2024-01-01 12:00:00"))) // no clicks at all
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (7L, ts("2024-01-01 11:50:00")), (7L, ts("2024-01-01 12:05:00")),
+      (8L, ts("2024-01-01 11:55:00")), (8L, ts("2024-01-01 12:05:00")),
+      (9L, ts("2024-01-01 13:00:00")))
+      .toDF("user_id", "ts")
+    val out = Joins.asofNearest(purchases, clicks, "user_id", "ts", "near")
+      .as[(Long, Long, Timestamp, Option[Timestamp])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L).contains(ts("2024-01-01 12:05:00")))
+    assert(out(2L).contains(ts("2024-01-01 11:55:00"))) // tie -> backward
+    assert(out(3L).contains(ts("2024-01-01 13:00:00")))
+    assert(out(4L).isEmpty)
+  }
+
   test("asof forward join picks the smallest right ts >= left ts per key") {
     val purchases = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
