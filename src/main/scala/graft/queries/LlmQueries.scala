@@ -2105,6 +2105,26 @@ object LlmQueries {
       EventOps.funnel(Tables.events(s, dir),
         Seq("view", "click", "purchase"), horizonMinutes = 1440)),
 
+    // conversion-latency profile: per progress level, how long users
+    // took from funnel entry to their last completed step (exact
+    // percentiles — the "time to convert" distribution)
+    "events_funnel_latency" -> ((s, dir) => {
+      val f = EventOps.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), horizonMinutes = 1440)
+      graft.functions.GraftFunctions.register(s)
+      f.withColumn("latency_s",
+          (unix_micros(col("last_step_ts")) -
+            unix_micros(col("funnel_start"))) / lit(1000000.0))
+        .groupBy(col("steps_completed"))
+        .agg(count(lit(1)).as("n_users"),
+          round(call_function("percentile", col("latency_s"), lit(0.5)), 6)
+            .as("median_s"),
+          round(call_function("percentile", col("latency_s"), lit(0.9)), 6)
+            .as("p90_s"),
+          round(min(col("latency_s")), 6).as("min_s"),
+          round(max(col("latency_s")), 6).as("max_s"))
+    }),
+
     // the funnel chart: per step, users reaching at least it + the
     // conversion rate vs step 1
     "events_funnel_report" -> ((s, dir) =>
@@ -4558,6 +4578,36 @@ object LlmQueries {
         |  ts_1 AS funnel_start,
         |  coalesce(ts_3, ts_2, ts_1) AS last_step_ts
         |FROM s3""".stripMargin,
+
+    "events_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS ts_1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.ts_1, min(e.ts) AS ts_2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.ts > s1.ts_1
+        |         AND e.ts <= s1.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.ts_1, s2.ts_2, min(e.ts) AS ts_3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND s2.ts_2 IS NOT NULL
+        |         AND e.ts > s2.ts_2
+        |         AND e.ts <= s2.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2, 3),
+        |pu AS (SELECT
+        |    CAST(1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+        |           + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS INT)
+        |      AS steps_completed,
+        |    (epoch_us(coalesce(ts_3, ts_2, ts_1)) - epoch_us(ts_1))
+        |      / 1000000.0 AS latency_s
+        |  FROM s3)
+        |SELECT steps_completed, count(*) AS n_users,
+        |  round(quantile_cont(latency_s, 0.5), 6) AS median_s,
+        |  round(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+        |  round(min(latency_s), 6) AS min_s,
+        |  round(max(latency_s), 6) AS max_s
+        |FROM pu GROUP BY 1""".stripMargin,
 
     "events_funnel_report" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
