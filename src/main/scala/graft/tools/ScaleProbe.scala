@@ -83,6 +83,26 @@ object ScaleProbe {
     t("guarded_keepfirst")(
       Dedup.nearDupKeepFirst(docs, "doc_id", 16, 4, 0.5, maxBucketSize = 1000))
 
+    // the guarded composition with the QUALITY-AWARE keeper: identical
+    // sketch/resolution work to keep-first plus one candidate-sized
+    // score join — cost must track guarded_keepfirst, not diverge
+    t("guarded_keepbest")(
+      Dedup.nearDupKeepBest(docs.withColumn("n_chars", length(col("text"))),
+        "doc_id", 16, 4, 0.5, col("n_chars"), maxBucketSize = 1000))
+
+    // chunk -> shard -> pack layout: chunking is map-only (one explode),
+    // packing one window per shard — the whole manifest must scale with
+    // the corpus scan
+    t("training_layout") {
+      val chunks = graft.ops.TextAnalysis.chunkDocuments(docs, "doc_id",
+          "text", chunkTokens = 16, overlap = 8)
+        .withColumn("chunk_uid", col("doc_id") * 10000 + col("chunk_idx"))
+        .withColumn("shard", (Dedup.hashBucket(col("chunk_uid")) % 8).cast("int"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+      graft.ops.TextAnalysis.packBinsSharded(chunks, "shard", "chunk_uid",
+        "n_tokens", capacity = 256)
+    }
+
     // tf-idf over the k-fold corpus: the (doc, term) sketch relation grows
     // linearly; the vocabulary (term-window side) stays ~fixed
     t("tfidf_topk")(
