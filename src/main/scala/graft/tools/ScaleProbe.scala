@@ -526,6 +526,44 @@ object ScaleProbe {
       Seq(ivfCb, res, pqCbRes, idx, qrys, cc, store).foreach(_.unpersist())
     }
 
+    // the served rung with the QUANTIZED rerank store vs the float
+    // store, same prebuilt index and warmup protocol: the q8 tier reads
+    // a quarter of the bytes per shortlist candidate, so its serve cost
+    // must match-or-beat the float row at every corpus size (recall
+    // cost measured separately: holdout-identical, BASELINE.md)
+    if (only.forall(_.exists(_.startsWith("ivfpq_residual_serve_q8")))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ivfCb = embP.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding").persist(sl)
+      val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
+      val pqCbRes = Similarity.pqCodebookLearnedFrom(res,
+        Similarity.pqCodebookFixed(res, m = 8, dim = 64, k = 256),
+        m = 8, dim = 64, maxIters = 1).persist(sl)
+      val idx = Similarity.ivfPqResidualIndex(embP, ivfCb, pqCbRes,
+        m = 8, dim = 64).persist(sl)
+      val qrys = embP.filter(col("vec_id") % 1000 === 0).persist(sl)
+      val cc = Similarity.ivfPqCellCodes(idx).persist(sl)
+      val store = embP.persist(sl)
+      val q8store = Similarity.quantize(embP)
+        .select(col("vec_id"), col("q8"), col("q_scale")).persist(sl)
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc, store, q8store)
+        .foreach(_.count())
+      Similarity.ivfPqResidualTopKIndexedReranked(idx, ivfCb, pqCbRes,
+        qrys, store, m = 8, dim = 64, nprobe = 20, shortlist = 100,
+        k = 10, cellCodes = Some(cc)).write.format("noop")
+        .mode("overwrite").save()
+      t("ivfpq_residual_serve_q8_float", keepCache = true)(
+        Similarity.ivfPqResidualTopKIndexedReranked(idx, ivfCb, pqCbRes,
+          qrys, store, m = 8, dim = 64, nprobe = 20, shortlist = 100,
+          k = 10, cellCodes = Some(cc)))
+      t("ivfpq_residual_serve_q8_int8", keepCache = true)(
+        Similarity.ivfPqResidualTopKIndexedRerankedQ8(idx, ivfCb, pqCbRes,
+          qrys, q8store, m = 8, dim = 64, nprobe = 20, shortlist = 100,
+          k = 10, cellCodes = Some(cc)))
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc, store, q8store)
+        .foreach(_.unpersist())
+    }
+
     // learned-PQ TRAINING cost per Lloyd iteration, production shape: a
     // FIXED-size sub-codebook (replica 0's seeds at any k) trained over
     // the full corpus — one iteration = one broadcast assign over the
