@@ -155,6 +155,32 @@ object Corpus {
           .otherwise("changed").as("status"))
   }
 
+  /** Set-level overlap between two releases' CONTENT (distinct text
+    * hashes, so duplicates count once): intersection size, exact
+    * Jaccard, and both containments — the one-row audit that says "the
+    * new release is 96% the old one plus 4% fresh" without a per-doc
+    * diff. Both sides reduce to distinct-hash sets map-side; one
+    * hash-keyed join of fixed-width rows; single-row output.
+    */
+  def releaseOverlap(oldDf: DataFrame, newDf: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    def hashes(df: DataFrame) =
+      df.select(md5(col(textCol)).as("__h")).distinct()
+    val o = hashes(oldDf)
+    val n = hashes(newDf).select(col("__h").as("__hn"))
+    val inter = o.join(n, col("__h") === col("__hn"))
+      .agg(count(lit(1)).as("n_common"))
+    o.agg(count(lit(1)).as("n_old")).crossJoin(
+        n.agg(count(lit(1)).as("n_new")))
+      .crossJoin(broadcast(inter))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("n_old") + col("n_new") - col("n_common")), 6))
+      .withColumn("containment_old",
+        round(col("n_common").cast("double") / col("n_old"), 6))
+      .withColumn("containment_new",
+        round(col("n_common").cast("double") / col("n_new"), 6))
+  }
+
   /** Shard manifest with content checksums — the integrity artifact a
     * release ships: per shard, its document count, byte total, and a
     * deterministic checksum (md5 over the id-ordered concatenation of

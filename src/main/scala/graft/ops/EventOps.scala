@@ -113,6 +113,21 @@ object EventOps {
       coalesce(stepTs.reverse: _*).as("last_step_ts"))
   }
 
+  /** Per-user lifetime summary: first/last activity, event volume and
+    * distinct active (epoch) days — the base table every engagement
+    * metric derives from. One user-keyed aggregate; the distinct-days
+    * count rides the same shuffle as fixed-width (user, day) rows.
+    * Days are `floor(epoch_seconds / 86400)` — the same pure-arithmetic
+    * bucketing as [[retention]], timezone-proof under pinned UTC.
+    */
+  def userLifetime(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("ts"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("int").as("__day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("__day")).as("n_active_days"))
+
   /** Trailing-window anomaly detection: per (event_type, hour bucket),
     * the z-score of the bucket's volume against the TRAILING `lookback`
     * buckets' mean/stddev (frame `[-lookback, -1]` — the current bucket

@@ -1754,6 +1754,16 @@ object LlmQueries {
         e.filter(col("vec_id") % 17 =!= 0), "label")
     }),
 
+    // set-level content overlap between the same two releases:
+    // intersection, Jaccard and both containments in one row
+    "corpus_release_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" legacy"))).otherwise(col("text")))
+      Corpus.releaseOverlap(old, d.filter(col("doc_id") % 17 =!= 0))
+    }),
+
     // the release integrity manifest: per shard, counts + bytes + a
     // deterministic checksum over id-ordered member content hashes
     "corpus_shard_manifest" -> ((s, dir) =>
@@ -2137,6 +2147,11 @@ object LlmQueries {
     // first signup, counted as active per weekly offset after it
     "events_retention" -> ((s, dir) =>
       EventOps.retention(Tables.events(s, dir), "signup")),
+
+    // per-user lifetime summary: first/last activity, volume, distinct
+    // active days
+    "events_user_lifetime" -> ((s, dir) =>
+      EventOps.userLifetime(Tables.events(s, dir))),
 
     // As-of join (operator Spark lacks; composed via union-and-carry, one
     // shuffle + one sort — validated against DuckDB's NATIVE ASOF JOIN):
@@ -3943,6 +3958,24 @@ object LlmQueries {
          |    AS load_factor
          |FROM g""".stripMargin,
 
+    "corpus_release_overlap" ->
+      """WITH o AS (SELECT DISTINCT md5(
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' legacy'
+        |         ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT DISTINCT md5(text) AS h
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |x AS (SELECT
+        |    (SELECT count(*) FROM o) AS n_old,
+        |    (SELECT count(*) FROM n) AS n_new,
+        |    (SELECT count(*) FROM o JOIN n ON o.h = n.h) AS n_common)
+        |SELECT n_old, n_new, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |        / (n_old + n_new - n_common), 6) AS jaccard,
+        |  round(CAST(n_common AS DOUBLE) / n_old, 6) AS containment_old,
+        |  round(CAST(n_common AS DOUBLE) / n_new, 6) AS containment_new
+        |FROM x""".stripMargin,
+
     "corpus_shard_manifest" -> {
       val h60 = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)
       s"""WITH s AS (SELECT doc_id,
@@ -4666,6 +4699,15 @@ object LlmQueries {
         |  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6)
         |    AS retention_rate
         |FROM c JOIN s ON c.cohort_week = s.cohort_week""".stripMargin,
+
+    "events_user_lifetime" ->
+      """SELECT user_id,
+        |  min(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |  max(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |  count(*) AS n_events,
+        |  count(DISTINCT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP)))
+        |        / 86400) AS INT)) AS n_active_days
+        |FROM events GROUP BY 1""".stripMargin,
 
     "events_asof_nearest" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
