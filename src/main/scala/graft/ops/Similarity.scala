@@ -1089,14 +1089,17 @@ object Similarity {
     * Two slice-keyed centroid aggregates (map-side partial
     * [[graft.functions.VectorAvgAggregate]] sums), two count
     * aggregates, a slice-count-sized full-outer join; `drift` is null
-    * for a slice present in only one release. Centroids ride the 1e-6
-    * grid, so the distance is engine-exact.
+    * for a slice present in only one release. Each centroid COMPONENT
+    * is snapped to the 1e-6 grid BEFORE differencing (the
+    * [[kmeansTrain]] convention) — both engines then difference
+    * identical gridded centroids, so the distance is engine-exact.
     */
   def centroidDrift(oldEmb: DataFrame, newEmb: DataFrame,
                     bucketCol: String = "label"): DataFrame = {
     GraftFunctions.register(oldEmb.sparkSession)
     def side(df: DataFrame, c: String, n: String) =
-      centroids(df, bucketCol).select(col(bucketCol), col("centroid").as(c))
+      centroids(df, bucketCol).select(col(bucketCol),
+          transform(col("centroid"), v => round(v, 6)).as(c))
         .join(df.groupBy(col(bucketCol)).agg(count(lit(1)).as(n)),
           Seq(bucketCol))
     val diff = zip_with(col("__co"), col("__cn"), (a, b) => a - b)

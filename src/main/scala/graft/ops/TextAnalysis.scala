@@ -1322,6 +1322,26 @@ object TextAnalysis {
           .cast("int").as("n_tokens"))
   }
 
+  /** Chunk-index capacity of [[chunkUid]]: 2^20 chunks per document
+    * (~8.4 M tokens at stride 8) before the uid construction fails
+    * LOUDLY instead of silently colliding with another document's uid
+    * space.
+    */
+  val ChunkUidCapacity: Long = 1L << 20
+
+  /** Collision-free chunk uid: `doc_id * 2^20 + chunk_idx`, with a loud
+    * per-row failure (`raise_error`) if a document exceeds 2^20 chunks —
+    * a `doc_id * 10000`-style packing would silently merge a long
+    * document's chunks into a neighbouring document's uid space in any
+    * downstream shard/pack accounting.
+    */
+  def chunkUid(docId: Column, chunkIdx: Column): Column =
+    when(chunkIdx.cast("long") < lit(ChunkUidCapacity),
+      docId.cast("long") * lit(ChunkUidCapacity) + chunkIdx.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"chunk_idx overflows chunkUid capacity $ChunkUidCapacity: "),
+        chunkIdx.cast("string"))))
+
   /** Tokenizer fertility per group — subword tokens per whitespace word,
     * the number that decides how many TRAINING tokens a corpus slice
     * actually yields (and the classic per-language tokenizer-equity

@@ -155,6 +155,56 @@ object AnalyticsQueries {
         .select(col("n_name"),
           round(col("dec_rev").cast("double"), 6).as("revenue"),
           col("n_items"))
+    }),
+
+    // TPC-H Q21 shape: correlated EXISTS + NOT-EXISTS with an
+    // INEQUALITY correlate (l2.l_suppkey <> l1.l_suppkey) — the sole
+    // returned-line supplier in multi-supplier finished orders.
+    // Expressed as a left-semi + left-anti hash/merge join pair on the
+    // order key carrying the non-equi residual; PlanSpec pins that
+    // neither decorrelation falls back to a nested-loop join.
+    "tpch_q21_sole_returner" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = l.select(col("l_orderkey").as("__ok2"),
+        col("l_suppkey").as("__sk2"))
+      val l3 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      l1.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("__ok2") &&
+          col("l_suppkey") =!= col("__sk2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("__ok3") &&
+          col("l_suppkey") =!= col("__sk3"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(25)
+    }),
+
+    // TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+    // quantity) guarding a fact filter — decorrelated into a part-keyed
+    // aggregate joined back onto the same filtered scan. The 0.2
+    // threshold is applied as `5 * l_quantity < avg` so the comparison
+    // is between EXACT doubles (integral quantities sum exactly; the
+    // 0.2 literal never rounds) — engine-identical by construction.
+    "tpch_q17_small_qty" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val lp = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("l_partkey").as("__pk"))
+        .agg(avg(col("l_quantity")).as("__avgq"))
+      lp.join(avgq, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") * 5 < col("__avgq"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .as("dec_sum"), count(lit(1)).as("n_lines"))
+        .select(round(col("dec_sum").cast("double") / 7.0, 6)
+          .as("avg_yearly"), col("n_lines"))
     })
   )
 
@@ -249,6 +299,34 @@ object AnalyticsQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q21_sole_returner" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 25""".stripMargin,
+
+    "tpch_q17_small_qty" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |        AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity * 5 < (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                        WHERE l2.l_partkey = p_partkey)""".stripMargin
   )
 }

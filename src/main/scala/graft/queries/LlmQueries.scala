@@ -1957,7 +1957,7 @@ object LlmQueries {
       val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
           "doc_id", "text", chunkTokens = 16, overlap = 8)
         .withColumn("chunk_uid",
-          col("doc_id") * 10000 + col("chunk_idx"))
+          TextAnalysis.chunkUid(col("doc_id"), col("chunk_idx")))
         .withColumn("shard",
           (Dedup.hashBucket(col("chunk_uid")) % 8).cast("int"))
         .withColumn("n_tokens", col("n_tokens").cast("long"))
@@ -4323,7 +4323,7 @@ object LlmQueries {
          |    CAST(ceil(CAST(greatest(len(toks) - 8, 1) AS DOUBLE) / 8)
          |         AS INT) AS k
          |  FROM t WHERE len(toks) > 0),
-         |ch AS (SELECT doc_id * 10000 + i AS chunk_uid,
+         |ch AS (SELECT doc_id * 1048576 + i AS chunk_uid,
          |         CAST(least(16, n - i * 8) AS BIGINT) AS n_tokens
          |       FROM b, unnest(range(0, k)) u(i)),
          |sh AS (SELECT chunk_uid, n_tokens,

@@ -161,8 +161,12 @@ object EventStreams {
                              last_step_ts: java.sql.Timestamp)
 
   /** Streaming ordered funnel — the streaming face of
-    * [[graft.ops.EventOps.funnel]], with BATCH PARITY for every event
-    * the engine admits (the [[sessionizeStream]] contract): per user,
+    * [[graft.ops.EventOps.funnel]], with BATCH PARITY for every ADMITTED
+    * event, where admitted is enforced HERE, not hedged onto the engine:
+    * a row below the current watermark when its micro-batch runs is
+    * dropped inside the state function (`flatMapGroupsWithState` does
+    * not do this itself), so a late step-0 row can never recreate
+    * removed state and double-emit a finalized funnel. Per user,
     * step-typed events are buffered until the watermark passes
     * `funnel_start + horizon` — at that point nothing admissible can
     * change the outcome (any event inside the horizon is below the
@@ -200,8 +204,15 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, it, state: GroupState[FunnelBuf]) =>
           val wm = state.getCurrentWatermarkMs()
+          // HARD late-data guarantee: flatMapGroupsWithState does NOT
+          // drop below-watermark rows itself, and a late step-0 row
+          // slipping in after state.remove() would recreate state and
+          // emit a SECOND final row for the same funnel. Dropping
+          // anything below the current watermark here makes the
+          // exactly-once final emission a guarantee, not a hedge.
           val buf = state.getOption.map(_.hits).getOrElse(Seq.empty) ++
-            it.map(e => FunnelHit(e.step, e.ts.getTime))
+            it.filter(_.ts.getTime >= wm)
+              .map(e => FunnelHit(e.step, e.ts.getTime))
           val anchor = buf.iterator.filter(_.step == 0).map(_.ts)
             .minOption
           anchor match {

@@ -96,7 +96,8 @@ object ScaleProbe {
     t("training_layout") {
       val chunks = graft.ops.TextAnalysis.chunkDocuments(docs, "doc_id",
           "text", chunkTokens = 16, overlap = 8)
-        .withColumn("chunk_uid", col("doc_id") * 10000 + col("chunk_idx"))
+        .withColumn("chunk_uid",
+          graft.ops.TextAnalysis.chunkUid(col("doc_id"), col("chunk_idx")))
         .withColumn("shard", (Dedup.hashBucket(col("chunk_uid")) % 8).cast("int"))
         .withColumn("n_tokens", col("n_tokens").cast("long"))
       graft.ops.TextAnalysis.packBinsSharded(chunks, "shard", "chunk_uid",

@@ -434,4 +434,24 @@ class PlanSpec extends SparkSpec {
         s"$name plan regressed to a nested loop:\n$p")
     }
   }
+
+  test("q21 shape: semi/anti with inequality residual stays a hash/merge join") {
+    val p = planOf("tpch_q21_sole_returner")
+    // the <> suppkey correlate must ride the orderkey equi-join as a
+    // residual condition — a nested loop here is quadratic in lineitem
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"q21:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q21 decorrelation must not nested-loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q17 shape: scalar-subquery decorrelation is a part-keyed agg join") {
+    val p = planOf("tpch_q17_small_qty")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q17 decorrelation must not nested-loop:\n$p")
+    // the brand dimension broadcasts into both the fact scan and the
+    // per-part average; the avg join is partkey-keyed
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_avg"))
+  }
 }

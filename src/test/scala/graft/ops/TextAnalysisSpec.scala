@@ -420,6 +420,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("chunkUid: collision-free packing, loud failure on index overflow") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ok = Seq((7L, 3), (7L, 0), (8L, 3)).toDF("doc_id", "chunk_idx")
+      .select(TextAnalysis.chunkUid(col("doc_id"), col("chunk_idx"))
+        .as("uid")).as[Long].collect().toSet
+    // distinct (doc, idx) pairs -> distinct uids, doc spaces disjoint
+    assert(ok == Set(7L * (1L << 20) + 3, 7L * (1L << 20),
+      8L * (1L << 20) + 3))
+    // a >= 2^20 chunk index must FAIL the job, not merge uid spaces
+    val boom = intercept[Exception] {
+      Seq((7L, (1 << 20))).toDF("doc_id", "chunk_idx")
+        .select(TextAnalysis.chunkUid(col("doc_id"), col("chunk_idx")))
+        .collect()
+    }
+    assert(boom.toString.contains("chunkUid") ||
+      Option(boom.getCause).exists(_.toString.contains("chunkUid")) ||
+      boom.toString.contains("USER_RAISED_EXCEPTION") ||
+      Option(boom.getCause).exists(_.toString
+        .contains("USER_RAISED_EXCEPTION")))
+  }
+
   test("fertility: per-group BPE-per-word ratio from one scan, consistent with the encoders") {
     val d = Seq(
       ("en", "the quick brown fox"),

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.ops.EventOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import java.sql.Timestamp
 
 class StreamingSpec extends SparkSpec {
@@ -322,6 +322,44 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Int, Timestamp, Timestamp)].collect()
         .map(r => r._1 -> r).toMap
       Seq(7L, 9L, 11L).foreach(u => assert(rows(u) == batch(u)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: below-watermark step-0 cannot recreate state and double-emit") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.funnelStream(
+      input.toDF().toDF("user_id", "event_type", "ts"),
+      Seq("view", "click", "purchase"), horizonMinutes = 120,
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_late_test")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, "view", ts("2024-01-01 10:00:00")),
+        (7L, "click", ts("2024-01-01 10:30:00")),
+        (7L, "purchase", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // advance the watermark past 12:00 (anchor + horizon): wm -> 15:00
+      input.addData((1L, "view", ts("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, "view", ts("2024-01-01 17:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("funnel_late_test")
+        .filter(col("user_id") === 7L).count() == 1) // finalized once
+      // a LATE step-0 row far below the 16:00 watermark: without the
+      // in-function late filter this recreates user 7's state and
+      // eventually emits a SECOND final row for the same funnel
+      input.addData((7L, "view", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, "view", ts("2024-01-01 22:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, "view", ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val u7 = spark.table("funnel_late_test")
+        .filter(col("user_id") === 7L)
+        .as[(Long, Int, Timestamp, Timestamp)].collect().toSeq
+      assert(u7 == Seq((7L, 3, ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 11:00:00"))), s"expected one final row, got $u7")
     } finally q.stop()
   }
 
