@@ -153,6 +153,48 @@ object Multimodal {
         col("cosine"), col("md5_a"), col("md5_b"))
   }
 
+  /** Interleaved multimodal sequence packing — the layout step of a
+    * vision-language training pipeline: each document's TEXT tokens and
+    * its attached media's IMAGE-PATCH placeholders count against ONE
+    * combined per-bin budget (a ViT consumes `ceil(bytes/patchBytes)`
+    * patch slots here; swap the patch rule for `ceil(w/14)*ceil(h/14)`
+    * over [[imageMeta]] dims when real image containers flow through —
+    * the packing is agnostic to where `n_patches` comes from).
+    *
+    * Bin assignment is EXACTLY [[graft.ops.TextAnalysis.packBinsSharded]]'s
+    * running-total rule (bin = floor(preceding cumulative cost /
+    * capacity), windows partitioned per shard so every shard packs as an
+    * independent parallel task), applied to the combined cost instead of
+    * the token count. Documents without media pack as text-only
+    * (0 patches) — the interleaved corpus is a superset, not a filter.
+    *
+    * Scale posture: the payload reduces to `octet_length` MAP-SIDE
+    * before anything shuffles (media bytes never move); the doc↔media
+    * join is id-keyed on fixed-width rows; then one per-shard window.
+    */
+  def interleavedPack(documents: DataFrame, media: DataFrame,
+                      nShards: Int, capacity: Long,
+                      patchBytes: Int = 256): DataFrame = {
+    val pat = media.select(col("media_id").as("doc_id"),
+      ceil(octet_length(col("media")).cast("double") / patchBytes)
+        .cast("long").as("n_patches"))
+    val costed = documents.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .join(pat, Seq("doc_id"), "left")
+      .withColumn("n_patches", coalesce(col("n_patches"), lit(0L)))
+      .withColumn("cost", col("n_tokens") + col("n_patches"))
+      .withColumn("shard",
+        (Dedup.hashBucket(col("doc_id")) % nShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    costed
+      .withColumn("cum_before", coalesce(sum(col("cost")).over(w), lit(0L)))
+      .withColumn("bin", concat_ws(":", col("shard"),
+        floor(col("cum_before") / capacity).cast("long")))
+  }
+
   /** The batch decode path: partition-wise iteration with an explicit
     * output schema — the Scala analogue of `mapInPandas` (same batch
     * shape: many rows in, many rows out, schema declared up front).

@@ -2377,6 +2377,16 @@ object LlmQueries {
         Multimodal.documentsAsMedia(Tables.documents(s, dir)),
         Tables.embeddings(s, dir), threshold = 0.35)),
 
+    // interleaved multimodal packing: text tokens + image-patch slots
+    // (1 patch per 256 payload bytes) count against ONE combined
+    // per-bin budget; docs whose id % 3 == 0 carry no media and pack
+    // text-only — the vision-language training-layout step
+    "mm_interleaved_pack" -> ((s, dir) =>
+      Multimodal.interleavedPack(Tables.documents(s, dir),
+        Multimodal.documentsAsMedia(Tables.documents(s, dir))
+          .filter(col("media_id") % 3 =!= 0),
+        nShards = 8, capacity = 512)),
+
     // ---- Pipeline driver (real writes + read-back) -------------------
 
     "pipeline_gold_readback" -> ((s, dir) => {
@@ -4857,6 +4867,28 @@ object LlmQueries {
          |       ma.media_md5 AS md5_a, mb.media_md5 AS md5_b
          |FROM p JOIN m ma ON p.media_a = ma.media_id
          |       JOIN m mb ON p.media_b = mb.media_id""".stripMargin,
+
+    "mm_interleaved_pack" -> {
+      val idHex = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |             x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE)
+         |                        / 256) AS BIGINT) END AS n_patches
+         |  FROM documents),
+         |sh AS (SELECT doc_id, n_tokens, n_patches,
+         |         n_tokens + n_patches AS cost,
+         |         CAST((CAST($idHex AS BIGINT) % 100) % 8 AS INT) AS shard
+         |       FROM t),
+         |cb AS (SELECT *, CAST(coalesce(sum(cost) OVER (PARTITION BY shard
+         |         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |         AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |       FROM sh)
+         |SELECT doc_id, n_tokens, n_patches, cost, shard, cum_before,
+         |  shard || ':' || CAST(floor(cum_before / 512) AS BIGINT) AS bin
+         |FROM cb""".stripMargin
+    },
 
     "pipeline_gold_readback" ->
       s"""WITH silver AS (${Breweries.SilverSql})

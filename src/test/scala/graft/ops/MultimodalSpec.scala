@@ -250,4 +250,32 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Double, String, String)].collect()
     assert(out.map(p => (p._1, p._2)).toSet == Set((7L, 8L)))
   }
+
+  test("interleavedPack: combined token+patch budget, text-only docs pack too") {
+    import org.apache.spark.sql.functions.{col, encode, lit}
+    val docs = Seq(
+      (1L, "a b c d"),          // 4 tokens, media: 600 bytes -> 3 patches
+      (2L, "e f"),              // 2 tokens, no media -> text-only
+      (3L, "g h i"))            // 3 tokens, media: 100 bytes -> 1 patch
+      .toDF("doc_id", "text")
+    val media = Seq((1L, "x" * 600), (3L, "y" * 100))
+      .toDF("media_id", "t")
+      .select(col("media_id"), encode(col("t"), "UTF-8").as("media"))
+    // one shard so the running total is a single deterministic sequence
+    val out = Multimodal.interleavedPack(docs, media, nShards = 1,
+        capacity = 8, patchBytes = 256)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_patches"),
+        col("cost"), col("cum_before"), col("bin"))
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 3L, 7L, 0L, "0:0"),   // cum 0  -> bin 0
+      (2L, 2L, 0L, 2L, 7L, "0:0"),   // cum 7  -> bin 0 (crosses the line)
+      (3L, 3L, 1L, 4L, 9L, "0:1")))  // cum 9  -> bin 1
+    // media bytes reduce map-side: the packed relation carries no
+    // binary column anywhere in its schema
+    val packed = Multimodal.interleavedPack(docs, media, 1, 8)
+    assert(!packed.schema.exists(_.dataType ==
+      org.apache.spark.sql.types.BinaryType))
+  }
 }
