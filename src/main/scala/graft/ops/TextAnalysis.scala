@@ -592,6 +592,73 @@ object TextAnalysis {
         min(col(numCol)).as("min_len"),
         max(col(numCol)).as("max_len"))
 
+  /** [[lengthStats]]'s 100 TB face: the exact `percentile` aggregate is
+    * SORT-BASED — it buffers every value of a group in one task's
+    * memory, so a single big language group OOMs an executor at corpus
+    * scale. This face swaps in Spark's `percentile_approx`
+    * (Greenwald–Khanna `QuantileSummaries`: mergeable across partitions
+    * — partial sketches combine map-side like any partial aggregate —
+    * with state bounded by `accuracy`, not group size, and a
+    * deterministic insert/compress path for a deterministic input
+    * partitioning). Guarantee: the returned value is an actual group
+    * element whose rank is within `n / accuracy` of the target rank.
+    *
+    * Keep the exact face for oracle parity at fixture scale; run THIS
+    * face on real corpora. [[lengthStatsSketchAudit]] checks the rank
+    * bound against the data itself.
+    */
+  def lengthStatsSketch(df: DataFrame, groupCol: String, numCol: String,
+                        accuracy: Int = 1000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        call_function("percentile_approx", col(numCol), lit(0.5),
+          lit(accuracy)).as("p50_sketch"),
+        call_function("percentile_approx", col(numCol), lit(0.9),
+          lit(accuracy)).as("p90_sketch"),
+        min(col(numCol)).as("min_len"),
+        max(col(numCol)).as("max_len"))
+
+  /** Self-audit of [[lengthStatsSketch]] against the GK rank guarantee,
+    * computed from the data itself (no exact percentile anywhere — the
+    * audit stays sketch-safe at scale): for each group and each target
+    * percentile p, the sketch value must be an actual group element
+    * (`count(< v) < count(<= v)`) whose rank interval covers the target
+    * rank `ceil(p*n)` within `n/accuracy + 1` (the +1 absorbs the
+    * 1-based-rank convention at tiny n). Emits one row per group with
+    * the booleans — all-true is the contract; a broken sketch flips
+    * them red in the oracle gate.
+    *
+    * Shape: the sketch relation is group-count-sized (broadcast back
+    * onto the corpus); the rank counts are one more map-side partial
+    * aggregate. Two corpus passes total.
+    */
+  def lengthStatsSketchAudit(df: DataFrame, groupCol: String,
+                             numCol: String,
+                             accuracy: Int = 1000): DataFrame = {
+    val sk = lengthStatsSketch(df, groupCol, numCol, accuracy)
+      .select(col(groupCol), col("n"), col("p50_sketch"), col("p90_sketch"))
+    val j = df.select(col(groupCol), col(numCol))
+      .join(broadcast(sk), Seq(groupCol))
+    def cnt(v: Column, strict: Boolean) =
+      sum(when(if (strict) col(numCol) < v else col(numCol) <= v, 1L)
+        .otherwise(0L))
+    val counted = j.groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        cnt(col("p50_sketch"), strict = true).as("__lt50"),
+        cnt(col("p50_sketch"), strict = false).as("__le50"),
+        cnt(col("p90_sketch"), strict = true).as("__lt90"),
+        cnt(col("p90_sketch"), strict = false).as("__le90"))
+    def ok(p: Double, lt: Column, le: Column) = {
+      val target = ceil(lit(p) * col("n"))
+      val tol = col("n").cast("double") / accuracy + 1.0
+      (le > lt) && target >= (lt + 1).cast("double") - tol &&
+        target <= le.cast("double") + tol
+    }
+    counted.select(col(groupCol), col("n"),
+      ok(0.5, col("__lt50"), col("__le50")).as("p50_rank_ok"),
+      ok(0.9, col("__lt90"), col("__le90")).as("p90_rank_ok"))
+  }
+
   /** Per-document top-k TF-IDF terms — the keyword/topic-feature
     * extraction a curation pipeline runs to profile domains and build
     * mixture weights. Smoothed idf = ln((N+1)/(df+1)) + 1, score =

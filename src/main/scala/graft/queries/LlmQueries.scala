@@ -1522,6 +1522,14 @@ object LlmQueries {
     "text_length_stats" -> ((s, dir) =>
       TextAnalysis.lengthStats(Tables.documents(s, dir), "lang", "n_chars")),
 
+    // the sketch face's self-audit: percentile_approx (mergeable GK
+    // summaries, state bounded by accuracy not group size — the 100 TB
+    // percentile path) must return an actual element within the rank
+    // guarantee for every language group; the oracle predicts all-true
+    "text_length_stats_sketch" -> ((s, dir) =>
+      TextAnalysis.lengthStatsSketchAudit(Tables.documents(s, dir),
+        "lang", "n_chars", accuracy = 1000)),
+
     "text_langid_chargram" -> ((s, dir) =>
       TextAnalysis.langIdCharNgrams(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -3556,6 +3564,11 @@ object LlmQueries {
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_len,
         |  round(stddev_samp(n_chars), 6) AS sd_len,
         |  min(n_chars) AS min_len, max(n_chars) AS max_len
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_length_stats_sketch" ->
+      """SELECT lang, count(*) AS n,
+        |  true AS p50_rank_ok, true AS p90_rank_ok
         |FROM documents GROUP BY 1""".stripMargin,
 
     "text_langid_chargram" -> {

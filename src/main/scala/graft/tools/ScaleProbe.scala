@@ -141,6 +141,20 @@ object ScaleProbe {
           concat(lit("footer "), col("doc_id") % 50)).as("text")),
         "doc_id", "text", minDocs = 10))
 
+    // grouped percentiles at corpus scale: the EXACT sort-based
+    // percentile buffers each group's values inside single tasks (the
+    // known 100 TB OOM face — 5 groups here, so each task holds
+    // corpus/5 values); the GK sketch is a bounded-state mergeable
+    // partial aggregate whose cost must track the corpus linearly and
+    // stay at-or-under the exact row as k grows
+    val lenGrouped = docs
+      .withColumn("grp", (col("doc_id") % 5).cast("string"))
+      .withColumn("len", length(col("text")))
+    t("length_stats_exact")(
+      graft.ops.TextAnalysis.lengthStats(lenGrouped, "grp", "len"))
+    t("length_stats_sketch")(
+      graft.ops.TextAnalysis.lengthStatsSketch(lenGrouped, "grp", "len"))
+
     // BM25 over the k-fold corpus: hit volume grows linearly with the
     // corpus; the top-k stays k-sized (TakeOrderedAndProject)
     t("bm25_topk")(

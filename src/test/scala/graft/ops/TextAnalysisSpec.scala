@@ -441,6 +441,42 @@ class TextAnalysisSpec extends SparkSpec {
         .contains("USER_RAISED_EXCEPTION")))
   }
 
+  test("lengthStatsSketch: GK rank guarantee |approx - exact| <= n/accuracy on a value grid") {
+    import org.apache.spark.sql.functions.col
+    // three groups with known distributions: a 1..2000 grid, a skewed
+    // grid (squares), and a tiny group (exercises the +1 rank slack)
+    val rows = (1 to 2000).map(v => ("grid", v)) ++
+      (1 to 1000).map(v => ("skew", v * v % 997)) ++
+      (1 to 7).map(v => ("tiny", v * 10))
+    val df = rows.toDF("g", "v").repartition(8) // sketch merges across partitions
+    for (acc <- Seq(100, 1000, 10000)) {
+      val sk = TextAnalysis.lengthStatsSketch(df, "g", "v", acc)
+        .select(col("g"), col("n"), col("p50_sketch"), col("p90_sketch"))
+        .as[(String, Long, Int, Int)].collect()
+      val byG = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted
+      }
+      for ((g, n, p50, p90) <- sk; sortedVs = byG(g)) {
+        // the sketch value must be an actual element whose rank is
+        // within n/accuracy of the target rank
+        assert(sortedVs.contains(p50), s"$g/$acc: p50=$p50 not an element")
+        for ((p, v) <- Seq((0.5, p50), (0.9, p90))) {
+          val lt = sortedVs.count(_ < v)
+          val le = sortedVs.count(_ <= v)
+          val target = math.ceil(p * n)
+          val tol = n.toDouble / acc + 1.0
+          assert(target >= lt + 1 - tol && target <= le + tol,
+            s"$g acc=$acc p=$p: value $v rank ($lt, $le] vs target $target tol $tol")
+        }
+      }
+      // the audit face agrees with the hand check: all booleans true
+      val audit = TextAnalysis.lengthStatsSketchAudit(df, "g", "v", acc)
+        .as[(String, Long, Boolean, Boolean)].collect()
+      assert(audit.length == 3 && audit.forall(r => r._3 && r._4),
+        s"audit at acc=$acc: ${audit.mkString(",")}")
+    }
+  }
+
   test("fertility: per-group BPE-per-word ratio from one scan, consistent with the encoders") {
     val d = Seq(
       ("en", "the quick brown fox"),
