@@ -190,10 +190,25 @@ object Corpus {
     * shuffles); the per-shard fold is one shard-keyed aggregation.
     */
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
-                    nShards: Int): DataFrame = {
+                    nShards: Int): DataFrame =
+    shardManifestBy(withShard(df, idCol, nShards), "shard", idCol, textCol)
+
+  /** The deterministic shard assignment [[shardManifest]] rides:
+    * 60 md5 bits of the id, mod `nShards`.
+    */
+  def withShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     val key = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
       .cast("long")
-    df.select(col(idCol), (key % nShards).cast("int").as("shard"),
+    df.withColumn("shard", (key % nShards).cast("int"))
+  }
+
+  /** [[shardManifest]] over a PRE-ASSIGNED shard column — the face the
+    * publish/read-back verifier uses, where the shard must be whatever
+    * was physically written, not recomputed.
+    */
+  def shardManifestBy(df: DataFrame, shardCol: String, idCol: String,
+                      textCol: String): DataFrame =
+    df.select(col(shardCol).cast("int").as("shard"), col(idCol),
         md5(col(textCol)).as("__h"),
         length(col(textCol)).cast("long").as("__len"))
       .groupBy(col("shard"))
@@ -201,6 +216,54 @@ object Corpus {
         md5(concat_ws(",",
           transform(array_sort(collect_list(struct(col(idCol), col("__h")))),
             x => x.getField("__h")))).as("checksum"))
+
+  /** Release-publish capstone — the LLM-corpus analogue of the ETL
+    * pipeline's gold write + read-back verification
+    * ([[graft.pipeline.Pipeline]]): physically write the release as a
+    * shard-partitioned Parquet table (atomic tmp-dir swap, so readers
+    * never see a half release), read it BACK from disk, recompute the
+    * per-shard manifest from the read-back bytes, and compare checksums
+    * against the manifest planned from the in-memory release. Returns
+    * one row per shard with both checksums and `readback_match` — an
+    * all-true column is the publish contract; any storage-layer
+    * corruption, dropped row, or encoding drift flips its shard red.
+    *
+    * Scale posture: the write is partitioned by the 60-bit-md5 shard
+    * key (uniform by construction — no hot output file); both manifests
+    * reduce text to (id, md5) map-side, so verification shuffles
+    * fixed-width rows only, never the corpus text.
+    */
+  def publishRelease(release: DataFrame, idCol: String, textCol: String,
+                     nShards: Int, outDir: String): DataFrame = {
+    val sharded = withShard(release.select(col(idCol), col(textCol)),
+      idCol, nShards)
+    graft.pipeline.Pipeline.atomicOverwrite(release.sparkSession, sharded,
+      outDir, partitionBy = Seq("shard"))
+    verifyPublished(release, idCol, textCol, nShards, outDir)
+  }
+
+  /** The verification half of [[publishRelease]], standalone — re-run it
+    * any time after the write (a periodic integrity audit of a published
+    * release): recompute the manifest from what is ON DISK and compare
+    * against the manifest the release plans to. Writes nothing.
+    */
+  def verifyPublished(release: DataFrame, idCol: String, textCol: String,
+                      nShards: Int, outDir: String): DataFrame = {
+    val sharded = withShard(release.select(col(idCol), col(textCol)),
+      idCol, nShards)
+    val planned = shardManifestBy(sharded, "shard", idCol, textCol)
+      .select(col("shard"), col("n_docs"), col("n_chars"), col("checksum"))
+    val back = shardManifestBy(
+      release.sparkSession.read.parquet(outDir), "shard", idCol, textCol)
+      .select(col("shard"), col("n_docs").as("__rb_docs"),
+        col("n_chars").as("__rb_chars"), col("checksum").as("rb_checksum"))
+    planned.join(back, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_docs"), col("n_chars"), col("checksum"),
+        col("rb_checksum"),
+        coalesce(col("checksum") === col("rb_checksum") &&
+          col("n_docs") === col("__rb_docs") &&
+          col("n_chars") === col("__rb_chars"), lit(false))
+          .as("readback_match"))
   }
 
   /** Vocabulary drift between two corpus releases — the token-level

@@ -2397,6 +2397,18 @@ object LlmQueries {
 
     // ---- Pipeline driver (real writes + read-back) -------------------
 
+    // release-publish capstone: the exact-collapsed release physically
+    // written as a shard-partitioned parquet table (atomic swap), read
+    // BACK from disk, per-shard manifest recomputed from the read-back
+    // bytes and verified against the planned manifest — the LLM-corpus
+    // analogue of pipeline_gold_readback
+    "llm_release_publish" -> ((s, dir) => {
+      val release = Dedup.exactKeepFirst(Tables.documents(s, dir),
+        "doc_id", "text")
+      Corpus.publishRelease(release, "doc_id", "text", nShards = 8,
+        ParityQueries.scratch("llm_release_publish"))
+    }),
+
     "pipeline_gold_readback" -> ((s, dir) => {
       val out = ParityQueries.scratch("pipeline_run")
       // wipe the previous run: quarantine is APPEND by design, so reusing
@@ -4901,6 +4913,24 @@ object LlmQueries {
          |SELECT doc_id, n_tokens, n_patches, cost, shard, cum_before,
          |  shard || ':' || CAST(floor(cum_before / 512) AS BIGINT) AS bin
          |FROM cb""".stripMargin
+    },
+
+    "llm_release_publish" -> {
+      val h60 = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH x0 AS (SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |s AS (SELECT doc_id,
+         |    CAST(CAST($h60 AS BIGINT) % 8 AS INT) AS shard,
+         |    md5(text) AS h, CAST(length(text) AS BIGINT) AS len
+         |  FROM x0),
+         |m AS (SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS n_chars,
+         |    md5(string_agg(h, ',' ORDER BY doc_id)) AS checksum
+         |  FROM s GROUP BY 1)
+         |SELECT shard, n_docs, n_chars, checksum,
+         |  checksum AS rb_checksum, true AS readback_match
+         |FROM m""".stripMargin
     },
 
     "pipeline_gold_readback" ->

@@ -168,4 +168,32 @@ class CorpusSpec extends SparkSpec {
     val shareSum = rows.values.map(_._7).sum
     assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
   }
+
+  test("publishRelease: write + read-back manifest verifies; tampering flips its shard red") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub_").toString
+    val release = (1L to 40L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val out = Corpus.publishRelease(release, "doc_id", "text",
+        nShards = 4, outDir = s"$dir/release")
+      .as[(Int, Long, Long, String, String, Boolean)].collect()
+    assert(out.length == 4 && out.forall(_._6),
+      s"clean publish must verify: ${out.mkString(",")}")
+    assert(out.map(_._2).sum == 40) // every doc landed in some shard
+    // tamper with ONE physical shard: drop a row from its partition dir
+    val victim = out.head._1
+    val part = s"$dir/release/shard=$victim"
+    val survivors = spark.read.parquet(part)
+    val dropped = survivors.orderBy(col("doc_id")).limit(1)
+      .select("doc_id").as[Long].head()
+    val tampered = survivors.filter(col("doc_id") =!= dropped)
+      .localCheckpoint(true)
+    tampered.write.mode("overwrite").parquet(part)
+    val audit = Corpus.verifyPublished(release, "doc_id", "text",
+        nShards = 4, outDir = s"$dir/release")
+      .as[(Int, Long, Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(!audit(victim), "the tampered shard must fail verification")
+    assert(audit.filter(_._1 != victim).values.forall(identity),
+      "untouched shards must still verify")
+  }
 }
