@@ -58,4 +58,41 @@ class StatsIngestSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(after == before)
   }
+
+  test("keyed card: streamed distinct counts match the batch card bit-for-bit, replay-safe") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st3_").toString
+    val (statsDir, keysDir) = (s"$tmp/stats", s"$tmp/keys")
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = StatsIngest.start(
+      input.toDF().toDF("doc_id", "source", "lang", "text"),
+      statsDir, s"$tmp/ckpt", keysDir = Some(keysDir))
+    try {
+      corpus.grouped(7).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = Corpus.dataCard(
+        corpus.toDF("doc_id", "source", "lang", "text"), "source", "lang")
+      .collect().map(_.toSeq).toSet
+    def streamed() =
+      StatsIngest.report(spark, statsDir, keysDir = Some(keysDir))
+        .collect().map(_.toSeq).toSet
+    // full column set — n_distinct_texts, dup_rate and token_share
+    // included — equals the batch card exactly
+    assert(streamed() == batch)
+    // at-least-once replay of an epoch: the re-appended key set is
+    // absorbed by the distinct; the card must not move
+    val replay = corpus.slice(7, 14).toDF("doc_id", "source", "lang", "text")
+    StatsIngest.ingestBatch(replay, statsDir, 1L, "source", "lang", "text",
+      keysDir = Some(keysDir))
+    assert(streamed() == batch, "replayed epoch moved the card")
+    // compaction collapses the duplicate keys and changes nothing
+    val rowsBefore = spark.read.parquet(keysDir).count()
+    StatsIngest.compactKeys(spark, keysDir)
+    val rowsAfter = spark.read.parquet(keysDir).count()
+    assert(rowsAfter < rowsBefore, "compaction must shrink the key set")
+    assert(streamed() == batch, "compaction moved the card")
+  }
 }
