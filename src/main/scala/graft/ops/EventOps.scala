@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,60 @@ object EventOps {
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
         count(lit(1)).as("n_events"),
         countDistinct(col("__day")).as("n_active_days"))
+
+  /** Loud per-user event cap — the bot-flood guard for every operator
+    * that keys state or sorts within `user_id` ([[sessionize]],
+    * [[funnel]], the as-of family): a single runaway user holding 10^8
+    * events pins one task at 100× regardless of AQE (hash joins and
+    * running-sum windows over ONE key don't split). This cap
+    * deterministically thins each over-cap user down to ~`maxPerUser`
+    * events BEFORE any per-user operator runs, with zero per-user
+    * sorting anywhere in the cap itself (the trap would be `row_number
+    * <= cap`, which IS the skewed sort): one skew-immune partial-agg
+    * count pass finds the flooded users (a tiny relation, broadcast
+    * back), then a map-side hash-rate filter keeps each of their events
+    * iff `md5(user|epoch-second|type) mod 10000 < ceil(cap·10⁴/n)` —
+    * engine-reproducible, order-independent, and ~binomial around the
+    * cap. The same pattern as [[graft.ops.Dedup]]'s hot-bucket guard:
+    * bounded loudly, never silently quadratic.
+    *
+    * LOUD: pair with [[capUserEventsAudit]] — capping changes analytics
+    * results, so the capped users and their kept counts are a
+    * first-class audit artifact, not a log line.
+    */
+  def capUserEvents(events: DataFrame, maxPerUser: Long): DataFrame = {
+    val flooded = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxPerUser)
+      .select(col("user_id"),
+        ceil(lit(maxPerUser) * 10000.0 / col("__n")).cast("long")
+          .as("__rate10k"))
+    events.join(broadcast(flooded), Seq("user_id"), "left")
+      .filter(col("__rate10k").isNull || thinKey() < col("__rate10k"))
+      .drop("__rate10k")
+  }
+
+  /** `md5(user|epoch-second|type) mod 10000` — [[capUserEvents]]'s
+    * deterministic keep-decision key. Events of one user sharing a
+    * second and type share fate; acceptable for a flood guard.
+    */
+  private def thinKey(): Column =
+    conv(substring(md5(concat_ws("|", col("user_id"),
+      unix_timestamp(col("ts")), col("event_type"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+
+  /** The audit face of [[capUserEvents]]: one row per CAPPED user with
+    * the original and kept event counts — what actually got thinned.
+    * Same two skew-immune count passes; no sorts.
+    */
+  def capUserEventsAudit(events: DataFrame, maxPerUser: Long): DataFrame = {
+    val orig = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events")).filter(col("n_events") > maxPerUser)
+    val kept = capUserEvents(events, maxPerUser)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("__k"))
+    orig.join(kept, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("__k"), lit(0L)).as("n_kept"))
+  }
 
   /** Trailing-window anomaly detection: per (event_type, hour bucket),
     * the z-score of the bucket's volume against the TRAILING `lookback`

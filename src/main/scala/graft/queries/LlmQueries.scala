@@ -2161,6 +2161,16 @@ object LlmQueries {
     "events_user_lifetime" -> ((s, dir) =>
       EventOps.userLifetime(Tables.events(s, dir))),
 
+    // the bot-flood guard's audit: ~20% of the event stream remapped
+    // onto ONE hot user, then every over-cap user deterministically
+    // hash-thinned toward 50 events with no per-user sort anywhere —
+    // one row per capped user with original and kept counts
+    "events_user_cap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("user_id",
+        when(col("user_id") % 10 < 2, lit(7L)).otherwise(col("user_id")))
+      EventOps.capUserEventsAudit(ev, maxPerUser = 50)
+    }),
+
     // As-of join (operator Spark lacks; composed via union-and-carry, one
     // shuffle + one sort — validated against DuckDB's NATIVE ASOF JOIN):
     // each purchase matched to the user's most recent prior click.
@@ -4743,6 +4753,27 @@ object LlmQueries {
         |  count(DISTINCT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP)))
         |        / 86400) AS INT)) AS n_active_days
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_user_cap" -> {
+      val thinHex = hexToLongSql(
+        "md5(CAST(user_id AS VARCHAR) || '|' || " +
+          "CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '|' || " +
+          "event_type)", 1, 8)
+      s"""WITH e AS (SELECT
+         |    CASE WHEN user_id % 10 < 2 THEN 7 ELSE user_id END AS user_id,
+         |    event_type, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events),
+         |n AS (SELECT user_id, count(*) AS n_events FROM e
+         |      GROUP BY 1 HAVING count(*) > 50),
+         |k AS (SELECT e.user_id, count(*) AS n_kept
+         |      FROM e JOIN n USING (user_id)
+         |      WHERE (CAST($thinHex AS BIGINT) % 10000) <
+         |        CAST(ceil(50 * 10000.0 / n_events) AS BIGINT)
+         |      GROUP BY 1)
+         |SELECT n.user_id, n.n_events,
+         |  coalesce(k.n_kept, 0) AS n_kept
+         |FROM n LEFT JOIN k USING (user_id)""".stripMargin
+    },
 
     "events_asof_nearest" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -372,6 +372,65 @@ object ScaleProbe {
           graft.ops.EventOps.retention(evP, "signup"))
     }
 
+    // hot-user skew face (r14 verdict tasks 1+7): ONE planted bot user
+    // holds ~20% of the ladder corpus — the worst case for every
+    // operator that keys state, windows or sorts within user_id
+    // (sessionize's running-sum window, funnel's user-keyed joins,
+    // retention's anchor join, the as-of family's within-user sorts).
+    // Probed three ways per operator: uniform twin, hot, and hot with
+    // the loud capUserEvents guard (hash-thinned to 10k events) — the
+    // guard row must land back at the uniform row's cost. Opt-in:
+    //   runMain graft.tools.ScaleProbe <sf> <k> events_hot_funnel,...
+    if (only.exists(_.exists(_.startsWith("events_")))) {
+      val ev0 = graft.Tables.events(spark, sfDir)
+      val evP0 = (0 until k).map { r =>
+        ev0.select((col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("event_type"), col("ts"))
+      }.reduce(_ unionByName _)
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // materialize once: the probes time the OPERATOR, not k unions
+      val evP = evP0.persist(sl); evP.count()
+      val hot = evP.withColumn("user_id",
+        when(pmod(hash(col("user_id"), col("ts")), lit(100)) < 20,
+          lit(424242424242L)).otherwise(col("user_id")))
+        .persist(sl); hot.count()
+      val hotCapped = graft.ops.EventOps.capUserEvents(hot,
+        maxPerUser = 10000).persist(sl); hotCapped.count()
+      val steps = Seq("view", "click", "purchase")
+      def fun(df: DataFrame) =
+        graft.ops.EventOps.funnel(df, steps, horizonMinutes = 1440)
+      t("events_uni_funnel", keepCache = true)(fun(evP))
+      t("events_hot_funnel", keepCache = true)(fun(hot))
+      t("events_hot_funnel_capped", keepCache = true)(fun(hotCapped))
+      t("events_uni_sessionize", keepCache = true)(graft.ops.EventOps.sessionize(evP, 30))
+      t("events_hot_sessionize", keepCache = true)(graft.ops.EventOps.sessionize(hot, 30))
+      t("events_hot_sessionize_capped", keepCache = true)(
+        graft.ops.EventOps.sessionize(hotCapped, 30))
+      t("events_uni_retention", keepCache = true)(graft.ops.EventOps.retention(evP, "signup"))
+      t("events_hot_retention", keepCache = true)(graft.ops.EventOps.retention(hot, "signup"))
+      t("events_hot_retention_capped", keepCache = true)(
+        graft.ops.EventOps.retention(hotCapped, "signup"))
+      // the four as-of variants share one union-and-carry plan shape
+      // (one shuffle on user, one within-partition sort) — the planted
+      // user concentrates that sort into one task
+      def lp(df: DataFrame) = df.filter(col("event_type") === "purchase")
+      def rc(df: DataFrame) = df.filter(col("event_type") === "click")
+      def asofAll(tag: String, df: DataFrame): Unit = {
+        t(s"events_${tag}_asof", keepCache = true)(graft.ops.Joins.asofBackward(
+          lp(df), rc(df), "user_id", "ts", "asof_ts"))
+        t(s"events_${tag}_asof_tol", keepCache = true)(graft.ops.Joins.asofBackwardTolerance(
+          lp(df), rc(df), "user_id", "ts", "asof_ts", 120))
+        t(s"events_${tag}_asof_fwd", keepCache = true)(graft.ops.Joins.asofForward(
+          lp(df), rc(df), "user_id", "ts", "asof_ts"))
+        t(s"events_${tag}_asof_near", keepCache = true)(graft.ops.Joins.asofNearest(
+          lp(df), rc(df), "user_id", "ts", "asof_ts"))
+      }
+      asofAll("uni", evP)
+      asofAll("hot", hot)
+      asofAll("hotcap", hotCapped)
+      Seq(evP, hot, hotCapped).foreach(_.unpersist())
+    }
+
     // filtered IVF serving from a PREBUILT index: the label predicate
     // prunes probed-cell members before ranking, so per-query cost must
     // stay cell-bounded (corpus-independent) like the unfiltered server

@@ -151,4 +151,42 @@ class EventOpsSpec extends SparkSpec {
     assert(rep(1)._3 == 3 && rep(2)._3 == 2 && rep(3)._3 == 1)
     assert(rep(2)._4.contains(0.666667) && rep(3)._4.contains(0.333333))
   }
+
+  test("capUserEvents: planted hot user thinned toward the cap, everyone else untouched") {
+    import org.apache.spark.sql.functions.col
+    // hot user 1 floods 2000 events (one per second); users 2..6 have
+    // 40 each — under the cap of 100, so they must pass through intact
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows =
+      (0 until 2000).map(i =>
+        (1L, new Timestamp(base + i * 1000L), "view")) ++
+      (2L to 6L).flatMap(u => (0 until 40).map(i =>
+        (u, new Timestamp(base + i * 60000L), "view")))
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val capped = EventOps.capUserEvents(ev, maxPerUser = 100)
+    val byUser = capped.groupBy(col("user_id")).count()
+      .as[(Long, Long)].collect().toMap
+    // hash-rate thinning lands binomially around the cap (n=2000,
+    // p=ceil-rate ~ 0.05): inside [60, 140] with huge margin
+    assert(byUser(1L) >= 60 && byUser(1L) <= 140,
+      s"hot user kept ${byUser(1L)}")
+    (2L to 6L).foreach(u => assert(byUser(u) == 40, s"user $u touched"))
+    // deterministic: a second run keeps the identical event set
+    val again = EventOps.capUserEvents(ev, maxPerUser = 100)
+      .select("user_id", "ts").as[(Long, Timestamp)].collect().toSet
+    assert(again ==
+      capped.select("user_id", "ts").as[(Long, Timestamp)].collect().toSet)
+    // the audit face names exactly the flooded user, with both counts
+    val audit = EventOps.capUserEventsAudit(ev, maxPerUser = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(audit.length == 1 &&
+      audit.head == ((1L, 2000L, byUser(1L))))
+    // downstream analytics on the capped stream are untouched for
+    // everyone under the cap: sessionize emits identical rows there
+    val sFull = EventOps.sessionize(ev.filter(col("user_id") =!= 1L), 30)
+      .collect().map(_.toSeq).toSet
+    val sCapped = EventOps.sessionize(capped, 30)
+      .filter(col("user_id") =!= 1L).collect().map(_.toSeq).toSet
+    assert(sFull == sCapped)
+  }
 }
