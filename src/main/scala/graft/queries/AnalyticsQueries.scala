@@ -186,6 +186,52 @@ object AnalyticsQueries {
         .limit(25)
     }),
 
+    // TPC-H Q19 shape: a DISJUNCTION of conjunctive brand/size/quantity
+    // clauses spanning both join sides — the planner test is that the
+    // part-only component of each disjunct still reaches the part scan
+    // (CNF extraction) and the join stays a broadcast hash join with the
+    // cross-side residual evaluated post-join, never a nested loop.
+    "tpch_q19_disjunctive" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") -
+              col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(18,4)")).as("dec_rev"),
+          count(lit(1)).as("n_lines"))
+        .select(round(col("dec_rev").cast("double"), 6).as("revenue"),
+          col("n_lines"))
+    }),
+
+    // TPC-H Q20 shape: an IN-subquery whose body is itself a grouped
+    // HAVING aggregate over a dimension-filtered join — suppliers who
+    // moved > 120 units of some 'small' part. Decorrelates to
+    // aggregate -> left-semi hash join; the dimension broadcast-prunes
+    // the fact scan before the aggregate.
+    "tpch_q20_excess_suppliers" -> ((s, dir) => {
+      val small = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val movers = Tables.lineitem(s, dir)
+        .join(broadcast(small), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 120)
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // TPC-H Q17 shape: correlated SCALAR subquery (per-part average
     // quantity) guarding a fact filter — decorrelated into a part-keyed
     // aggregate joined back onto the same filtered scan. The 0.2
@@ -317,6 +363,30 @@ object AnalyticsQueries {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 25""".stripMargin,
+
+    "tpch_q19_disjunctive" ->
+      """SELECT
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 120)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "tpch_q17_small_qty" ->
       """SELECT

@@ -2143,6 +2143,19 @@ object LlmQueries {
           round(max(col("latency_s")), 6).as("max_s"))
     }),
 
+    // the funnel-latency percentiles' 100 TB face: GK-sketch quantiles
+    // with the rank-guarantee audit per steps_completed tier (the exact
+    // face above buffers each tier's latencies inside one task)
+    "events_funnel_latency_sketch" -> ((s, dir) => {
+      val f = EventOps.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), horizonMinutes = 1440)
+      val lat = f.withColumn("latency_s",
+        (unix_micros(col("last_step_ts")) -
+          unix_micros(col("funnel_start"))) / lit(1000000.0))
+      TextAnalysis.lengthStatsSketchAudit(lat, "steps_completed",
+        "latency_s", accuracy = 1000)
+    }),
+
     // the funnel chart: per step, users reaching at least it + the
     // conversion rate vs step 1
     "events_funnel_report" -> ((s, dir) =>
@@ -4685,6 +4698,31 @@ object LlmQueries {
         |  round(quantile_cont(latency_s, 0.9), 6) AS p90_s,
         |  round(min(latency_s), 6) AS min_s,
         |  round(max(latency_s), 6) AS max_s
+        |FROM pu GROUP BY 1""".stripMargin,
+
+    "events_funnel_latency_sketch" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS ts_1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.ts_1, min(e.ts) AS ts_2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click' AND e.ts > s1.ts_1
+        |         AND e.ts <= s1.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.ts_1, s2.ts_2, min(e.ts) AS ts_3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND s2.ts_2 IS NOT NULL
+        |         AND e.ts > s2.ts_2
+        |         AND e.ts <= s2.ts_1 + INTERVAL 1440 MINUTE
+        |       GROUP BY 1, 2, 3),
+        |pu AS (SELECT
+        |    CAST(1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+        |           + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS INT)
+        |      AS steps_completed
+        |  FROM s3)
+        |SELECT steps_completed, count(*) AS n,
+        |  true AS p50_rank_ok, true AS p90_rank_ok
         |FROM pu GROUP BY 1""".stripMargin,
 
     "events_funnel_report" ->

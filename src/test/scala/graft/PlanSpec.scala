@@ -445,6 +445,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("user cap: broadcast rate join, no window/sort anywhere in the guard") {
+    val p = planOf("events_user_cap")
+    // the whole point of the hash-thinning formulation: a row_number
+    // cap would plan a per-user Window SORT — the very skew it guards
+    assert(!p.contains("Window"), s"cap plan grew a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"flooded-user rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cap join must not shuffle-sort:\n$p")
+  }
+
+  test("interleaved pack: one per-shard window, payload never aggregated") {
+    val p = planOf("mm_interleaved_pack")
+    // exactly ONE window (the per-shard running total) and no
+    // single-partition exchange (bins pack shard-parallel)
+    assert("Window".r.findAllIn(p).length == 1, s"interleaved pack:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must stay shard-parallel:\n$p")
+  }
+
+  test("length-stats sketch: approx aggregate only, exact sort-based percentile absent") {
+    val p = planOf("text_length_stats_sketch")
+    assert(p.contains("percentile_approx"), s"sketch plan:\n$p")
+    assert(!p.contains("percentile("),
+      s"the exact sort-based percentile must not appear:\n$p")
+  }
+
+  test("q19 shape: single-side OR components CNF-pushed to BOTH scans, broadcast join") {
+    val df = SparkEntry.queries("tpch_q19_disjunctive")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the lineitem scan gets the quantity-range disjunction...
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"q19 lineitem pushdown lost:\n$p")
+    // ...and the part scan gets the brand/size disjunction
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      s"q19 part pushdown lost:\n$p")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q19 must stay a broadcast hash join with a residual:\n$p")
+  }
+
+  test("q20 shape: grouped-HAVING IN-subquery decorrelates to agg + semi hash join") {
+    val p = planOf("tpch_q20_excess_suppliers")
+    assert(p.contains("LeftSemi"), s"q20:\n$p")
+    assert(p.contains("partial_sum"), s"q20 agg must partial map-side:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q20 must not nested-loop:\n$p")
+  }
+
   test("q17 shape: scalar-subquery decorrelation is a part-keyed agg join") {
     val p = planOf("tpch_q17_small_qty")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
