@@ -232,6 +232,32 @@ object AnalyticsQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // TPC-H Q22 shape: an UNCORRELATED scalar aggregate subquery (the
+    // global positive-balance average — a one-row broadcast, never a
+    // per-row re-evaluation) gating a filter, plus a NOT-EXISTS
+    // anti join against orders. Completes the join-shape sweep:
+    // semi (q18/q20), semi+anti with residual (q21), correlated scalar
+    // (q17), disjunctive residual (q19), scalar + anti (here).
+    "tpch_q22_idle_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      // the threshold rides the 1e-6 grid so both engines compare
+      // against an IDENTICAL scalar (the repo-wide determinism rule)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(round(avg(col("c_acctbal")), 6).as("__avg"))
+      // "no order in the recent window" (the real q22 flavor): the date
+      // predicate pushes into the orders scan BEFORE the anti join
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double"), 6).as("total_bal"))
+    }),
+
     // TPC-H Q17 shape: correlated SCALAR subquery (per-part average
     // quantity) guarding a fact filter — decorrelated into a part-keyed
     // aggregate joined back onto the same filtered scan. The 0.2
@@ -363,6 +389,18 @@ object AnalyticsQueries {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 25""".stripMargin,
+
+    "tpch_q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |    AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     "tpch_q19_disjunctive" ->
       """SELECT

@@ -494,6 +494,17 @@ class PlanSpec extends SparkSpec {
       s"q20 must not nested-loop:\n$p")
   }
 
+  test("q22 shape: one-row scalar broadcast + anti join, recency filter pushed") {
+    val df = SparkEntry.queries("tpch_q22_idle_customers")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftAnti"), s"q22 must anti-join orders:\n$p")
+    // the recency predicate reaches the orders scan BEFORE the anti join
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q22 recency pushdown lost:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q22:\n$p")
+  }
+
   test("q17 shape: scalar-subquery decorrelation is a part-keyed agg join") {
     val p = planOf("tpch_q17_small_qty")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
