@@ -230,6 +230,30 @@ object EventOps {
     counted.withColumn("rank", rn).filter(col("rank") <= k)
   }
 
+  /** Daily active users with a trailing-week smoothed series — the
+    * top-line engagement chart. Days are pure epoch arithmetic
+    * (`floor(epoch/86400)`, the [[userLifetime]]/[[retention]]
+    * convention — timezone-proof under pinned UTC). One (day, user)
+    * distinct (the only corpus-sized shuffle, fixed-width), one
+    * day-keyed count, then the trailing average over the DAY-COUNT-
+    * sized series (driver-trivial at any corpus scale). The trailing
+    * frame includes the current day (`[-6, 0]`) and averages over the
+    * days PRESENT — counts are exact integers, so the 6-gridded mean
+    * is engine-identical.
+    */
+  def dailyActive(events: DataFrame, trailingDays: Int = 7): DataFrame = {
+    val byDay = events
+      .select(floor(unix_timestamp(col("ts")) / 86400).cast("int")
+        .as("day"), col("user_id"))
+    val dau = byDay.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val evs = byDay.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day")).rowsBetween(-(trailingDays - 1), 0)
+    dau.join(evs, Seq("day"))
+      .withColumn("trailing_avg_active",
+        round(avg(col("n_active")).over(w), 6))
+  }
+
   /** Cohort retention: users cohorted by the WEEK of their first
     * `cohortType` event, then counted as active in each weekly offset
     * bucket after it — the classic retention triangle. Weeks are pure

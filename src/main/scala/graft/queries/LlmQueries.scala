@@ -2164,6 +2164,11 @@ object LlmQueries {
           Seq("view", "click", "purchase"), horizonMinutes = 1440),
         Seq("view", "click", "purchase"))),
 
+    // daily active users + events with the trailing-week smoothed
+    // series — the top-line engagement chart
+    "events_dau_rolling" -> ((s, dir) =>
+      EventOps.dailyActive(Tables.events(s, dir))),
+
     // cohort retention triangle: users cohorted by the week of their
     // first signup, counted as active per weekly offset after it
     "events_retention" -> ((s, dir) =>
@@ -4791,6 +4796,20 @@ object LlmQueries {
         |  count(DISTINCT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP)))
         |        / 86400) AS INT)) AS n_active_days
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_dau_rolling" ->
+      """WITH d AS (SELECT
+        |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
+        |      AS day, user_id
+        |  FROM events),
+        |a AS (SELECT day, count(DISTINCT user_id) AS n_active,
+        |        count(*) AS n_events
+        |      FROM d GROUP BY 1)
+        |SELECT day, n_active, n_events,
+        |  round(avg(n_active) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+        |    AS trailing_avg_active
+        |FROM a""".stripMargin,
 
     "events_user_cap" -> {
       val thinHex = hexToLongSql(

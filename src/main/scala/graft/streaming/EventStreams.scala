@@ -256,6 +256,46 @@ object EventStreams {
       }
   }
 
+  final case class CapEvent(user_id: Long, event_type: String,
+                            ts: java.sql.Timestamp)
+  final case class CapState(admitted: Long)
+
+  /** Streaming face of [[graft.ops.EventOps.capUserEvents]] — the
+    * bot-flood guard applied AT INGEST, so the per-user state/sort
+    * operators downstream never see the flood at all. Per user, the
+    * first `maxPerUser` events (event-time order within each
+    * micro-batch, arrival order across batches) are admitted; everything
+    * after is dropped. State is ONE counter per user (8 bytes — kept
+    * for the stream's lifetime deliberately: expiring it would re-admit
+    * a returning flooder, exactly the wrong failure mode for a guard).
+    *
+    * Honest contract vs the batch face: the batch guard thins by
+    * CONTENT hash (order-independent, oracle-reproducible); the stream
+    * guard caps by ARRIVAL (prefix-biased, deterministic for a given
+    * micro-batch sequence). A periodic batch republish with
+    * [[graft.ops.EventOps.capUserEvents]] converges the archive to the
+    * batch rule — the same stream-then-republish contract as the dedup
+    * ingest faces.
+    */
+  def capUserEventsStream(events: DataFrame, maxPerUser: Long,
+                          watermark: String = "1 hour"): Dataset[CapEvent] = {
+    import events.sparkSession.implicits._
+    eventTime(events, "ts").selectExpr("user_id", "event_type", "ts")
+      .as[CapEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CapState, CapEvent](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[CapState]) =>
+          val have = state.getOption.map(_.admitted).getOrElse(0L)
+          val room = math.min(math.max(0L, maxPerUser - have),
+            Int.MaxValue.toLong).toInt
+          val admit = it.toSeq.sortBy(_.ts.getTime).take(room)
+          if (admit.nonEmpty) state.update(CapState(have + admit.length))
+          admit.iterator
+      }
+  }
+
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -363,6 +363,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming flood guard: per-user cap across micro-batches, others untouched") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.capUserEventsStream(
+      input.toDF().toDF("user_id", "event_type", "ts"), maxPerUser = 10)
+      .writeStream.format("memory").queryName("cap_stream_test")
+      .outputMode("append").start()
+    try {
+      def ev(u: Long, i: Int) =
+        (u, "view", new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 1000L))
+      // batch 1: flooder sends 8, normal user sends 3
+      input.addData(((0 until 8).map(i => ev(1L, i)) ++
+        (0 until 3).map(i => ev(2L, i))): _*)
+      q.processAllAvailable()
+      // batch 2: flooder sends 20 more (room for only 2), normal +2
+      input.addData(((8 until 28).map(i => ev(1L, i)) ++
+        (3 until 5).map(i => ev(2L, i))): _*)
+      q.processAllAvailable()
+      // batch 3: flooder keeps going — nothing more admits, ever
+      input.addData((28 until 40).map(i => ev(1L, i)): _*)
+      q.processAllAvailable()
+      val out = spark.table("cap_stream_test")
+        .as[(Long, String, Timestamp)].collect()
+      val byUser = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+      assert(byUser(1L).length == 10, s"flooder admitted ${byUser(1L).length}")
+      // prefix-biased: the EARLIEST 10 events kept (batch-2 room went to
+      // the event-time-sorted head of that batch)
+      assert(byUser(1L).last.getTime ==
+        ts("2024-01-01 00:00:00").getTime + 9 * 1000L)
+      assert(byUser(2L).length == 5, "under-cap user must pass intact")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: event-time timeout closes the session") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
