@@ -174,14 +174,27 @@ object Multimodal {
     */
   def interleavedPack(documents: DataFrame, media: DataFrame,
                       nShards: Int, capacity: Long,
-                      patchBytes: Int = 256): DataFrame = {
-    val pat = media.select(col("media_id").as("doc_id"),
-      ceil(octet_length(col("media")).cast("double") / patchBytes)
-        .cast("long").as("n_patches"))
+                      patchBytes: Int = 256): DataFrame =
+    interleavedPackWith(documents,
+      media.select(col("media_id").as("doc_id"),
+        ceil(octet_length(col("media")).cast("double") / patchBytes)
+          .cast("long").as("n_patches")),
+      nShards, capacity)
+
+  /** [[interleavedPack]] over a PRECOMPUTED per-document patch relation
+    * (`doc_id`, `n_patches`) — the face a real ViT pipeline uses, where
+    * the patch grid comes from parsed image dimensions
+    * (`ceil(w/p) * ceil(h/p)` over [[imageMeta]]) rather than a byte
+    * heuristic. Same combined-budget running-total packing; documents
+    * absent from the patch relation pack text-only.
+    */
+  def interleavedPackWith(documents: DataFrame, patches: DataFrame,
+                          nShards: Int, capacity: Long): DataFrame = {
     val costed = documents.select(col("doc_id"),
         size(filter(split(col("text"), "\\s+"), t => t =!= ""))
           .cast("long").as("n_tokens"))
-      .join(pat, Seq("doc_id"), "left")
+      .join(patches.select(col("doc_id"), col("n_patches")),
+        Seq("doc_id"), "left")
       .withColumn("n_patches", coalesce(col("n_patches"), lit(0L)))
       .withColumn("cost", col("n_tokens") + col("n_patches"))
       .withColumn("shard",

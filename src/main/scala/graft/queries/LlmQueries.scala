@@ -2423,6 +2423,30 @@ object LlmQueries {
           .filter(col("media_id") % 3 =!= 0),
         nShards = 8, capacity = 512)),
 
+    // the ViT face of interleaved packing, end-to-end: spec-correct PNG
+    // payloads synthesized with planted dims (the mm_image_headers
+    // convention) -> REAL byte-level header decode -> patch grid
+    // ceil(w/14)*ceil(h/14) -> combined token+patch packing. The oracle
+    // states the planted dims in closed form, so a header-walk or
+    // patch-arithmetic bug breaks the match.
+    "mm_interleaved_pack_vit" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = (col("n_chars") % 300 + 16).cast("int")
+      val h = (col("doc_id") % 200 + 16).cast("int")
+      def be(c: Column, hexDigits: Int) = lpad(hex(c), hexDigits, "0")
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be(w, 8), be(h, 8), lit("0806000000"))
+      val media = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("media_id"), unhex(png).as("media"))
+      val patches = Multimodal.imageMeta(media)
+        .select(col("media_id").as("doc_id"),
+          (ceil(col("width").cast("double") / 14) *
+            ceil(col("height").cast("double") / 14))
+            .cast("long").as("n_patches"))
+      Multimodal.interleavedPackWith(d, patches, nShards = 8,
+        capacity = 768)
+    }),
+
     // ---- Pipeline driver (real writes + read-back) -------------------
 
     // release-publish capstone: the exact-collapsed release physically
@@ -5000,6 +5024,29 @@ object LlmQueries {
          |       FROM sh)
          |SELECT doc_id, n_tokens, n_patches, cost, shard, cum_before,
          |  shard || ':' || CAST(floor(cum_before / 512) AS BIGINT) AS bin
+         |FROM cb""".stripMargin
+    },
+
+    "mm_interleaved_pack_vit" -> {
+      val idHex = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |             x -> x <> '')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(ceil(((n_chars % 300) + 16) / 14.0) *
+         |              ceil(((doc_id % 200) + 16) / 14.0) AS BIGINT)
+         |    END AS n_patches
+         |  FROM documents),
+         |sh AS (SELECT doc_id, n_tokens, n_patches,
+         |         n_tokens + n_patches AS cost,
+         |         CAST((CAST($idHex AS BIGINT) % 100) % 8 AS INT) AS shard
+         |       FROM t),
+         |cb AS (SELECT *, CAST(coalesce(sum(cost) OVER (PARTITION BY shard
+         |         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |         AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |       FROM sh)
+         |SELECT doc_id, n_tokens, n_patches, cost, shard, cum_before,
+         |  shard || ':' || CAST(floor(cum_before / 768) AS BIGINT) AS bin
          |FROM cb""".stripMargin
     },
 
