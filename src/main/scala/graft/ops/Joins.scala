@@ -43,6 +43,41 @@ object Joins {
       .select(leftCols.toIndexedSeq.map(col) :+ col(rightTsOut): _*)
   }
 
+  /** [[asofBackward]] carrying the matched right row's VALUE columns —
+    * the full pandas `merge_asof` / kdb aj contract (a trade wants the
+    * prior quote's PRICE, not just its time). Same union-and-carry
+    * plan: the right row's carried columns travel as ONE struct through
+    * the same single shuffle + per-partition sort; `last(ignoreNulls)`
+    * carries the whole struct, which then unpacks to `<prefix><col>`
+    * output columns (null when no prior right row exists). Right rows
+    * tied on (key, ts) are resolved deterministically by the struct
+    * ordering (largest carried tuple wins) — pandas keeps an arbitrary
+    * occurrence; this face is at least reproducible.
+    */
+  def asofBackwardValues(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String, valueCols: Seq[String],
+                         prefix: String = "asof_"): DataFrame = {
+    val carried = tsCol +: valueCols
+    val rvType = org.apache.spark.sql.types.StructType(
+      carried.map(c => right.schema(c)))
+    val leftCols = left.columns
+    val l = left.withColumn("__is_right", lit(0))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val r = right.select(col(keyCol) +: carried.map(col): _*)
+      .withColumn("__is_right", lit(1))
+      .withColumn("__rv", struct(carried.map(col): _*))
+      .select(col(keyCol), col(tsCol), col("__is_right"), col("__rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__is_right").desc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select(leftCols.toIndexedSeq.map(col) ++
+        carried.map(c => col("__m").getField(c).as(s"$prefix$c")): _*)
+  }
+
   /** [[asofBackward]] with a STALENESS TOLERANCE — the
     * pandas `merge_asof(tolerance=...)` / kdb window-join contract: a
     * prior right row OLDER than `toleranceMinutes` at the left row's

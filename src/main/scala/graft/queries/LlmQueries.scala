@@ -2204,6 +2204,25 @@ object LlmQueries {
           lit("1970-01-01 00:00:00").cast("timestamp")))
     }),
 
+    // value-carrying as-of (the full merge_asof/kdb-aj contract): each
+    // purchase gets the prior click's id AND value, not just its time;
+    // no-match sentinels keep every output column non-null (the repo's
+    // NaT/NaN hash-compare rule)
+    "events_asof_join_value" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Joins.asofBackwardValues(purchases, clicks, "user_id", "ts",
+          Seq("event_id", "value"), prefix = "prior_")
+        .withColumn("prior_ts", coalesce(col("prior_ts"),
+          lit("1970-01-01 00:00:00").cast("timestamp")))
+        .withColumn("prior_event_id",
+          coalesce(col("prior_event_id"), lit(-1L)))
+        .withColumn("prior_value", coalesce(col("prior_value"), lit(-1.0)))
+    }),
+
     // tolerance-bounded as-of: the prior click only counts if it is at
     // most 60 minutes stale (merge_asof(tolerance) semantics)
     "events_asof_join_tol" -> ((s, dir) => {
@@ -4898,6 +4917,19 @@ object LlmQueries {
         |SELECT p.event_id, p.user_id, p.ts,
         |       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS prior_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "events_asof_join_value" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_id, value FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS prior_ts,
+        |  coalesce(c.event_id, -1) AS prior_event_id,
+        |  coalesce(c.value, -1.0) AS prior_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     // forward as-of via LEFT-JOIN + min (decorrelated by DuckDB; the
     // engine's native ASOF is backward-shaped, so the oracle states the

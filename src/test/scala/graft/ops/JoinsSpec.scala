@@ -29,6 +29,27 @@ class JoinsSpec extends SparkSpec {
     assert(out(3L).isEmpty)                             // no prior click
   }
 
+  test("asof value carry: matched right row's columns travel, ties deterministic") {
+    val purchases = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),
+      (3L, 9L, ts("2024-01-01 09:00:00"))) // no prior click
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 101L, 1.5),
+      (7L, ts("2024-01-01 11:00:00"), 102L, 2.5),
+      (7L, ts("2024-01-01 11:00:00"), 103L, 3.5)) // tie: largest tuple wins
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Joins.asofBackwardValues(purchases, clicks, "user_id", "ts",
+        Seq("event_id", "value"), prefix = "prior_")
+      .as[(Long, Long, Timestamp, Option[Timestamp], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> (r._4, r._5, r._6)).toMap
+    assert(out(1L) == ((Some(ts("2024-01-01 09:30:00")), Some(101L), Some(1.5))))
+    // the 11:00 tie resolves to the LARGEST carried tuple (103, 3.5)
+    assert(out(2L) == ((Some(ts("2024-01-01 11:00:00")), Some(103L), Some(3.5))))
+    assert(out(3L) == ((None, None, None))) // no-match: all nulls
+  }
+
   test("asof with tolerance: stale matches nulled, boundary inclusive") {
     val purchases = Seq(
       (1L, 7L, ts("2024-01-01 12:00:00")),  // prior click 59 min old: kept
