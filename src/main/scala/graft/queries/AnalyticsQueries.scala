@@ -258,6 +258,26 @@ object AnalyticsQueries {
             .cast("double"), 6).as("total_bal"))
     }),
 
+    // TPC-H Q16 shape: DISTINCT-count rollup behind a NOT IN exclusion
+    // subquery — the null-aware anti-join planner path (NOT IN over a
+    // nullable key is NOT a plain anti join: one null in the subquery
+    // legally empties the result, so Spark plans a null-aware variant).
+    // Expressed in SQL deliberately to exercise spark.sql + subquery
+    // planning end-to-end alongside the DataFrame-built shapes.
+    "tpch_q16_supplier_counts" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("g16_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g16_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("g16_supplier")
+      s.sql("""
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM g16_lineitem JOIN g16_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM g16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size""")
+    }),
+
     // TPC-H Q17 shape: correlated SCALAR subquery (per-part average
     // quantity) guarding a fact filter — decorrelated into a part-keyed
     // aggregate joined back onto the same filtered scan. The 0.2
@@ -389,6 +409,15 @@ object AnalyticsQueries {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 25""".stripMargin,
+
+    "tpch_q16_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
 
     "tpch_q22_idle_customers" ->
       """SELECT c_mktsegment, count(*) AS n_custs,

@@ -2179,6 +2179,19 @@ object LlmQueries {
     "events_user_lifetime" -> ((s, dir) =>
       EventOps.userLifetime(Tables.events(s, dir))),
 
+    // the GUARDED composition end-to-end: flood-capped stream (the same
+    // hot remap + hash-thinning as events_user_cap) -> sessionization.
+    // The oracle replays the identical thinning rule then sessionizes
+    // the kept events — proving the cap composes with downstream
+    // per-user analytics, not just that it counts correctly
+    "events_sessionize_capped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("user_id",
+        when(col("user_id") % 10 < 2, lit(7L)).otherwise(col("user_id")))
+      EventOps.sessionize(
+        EventOps.capUserEvents(ev.select("user_id", "event_type", "ts"),
+          maxPerUser = 50), gapMinutes = 30)
+    }),
+
     // the bot-flood guard's audit: ~20% of the event stream remapped
     // onto ONE hot user, then every over-cap user deterministically
     // hash-thinned toward 50 events with no per-user sort anywhere —
@@ -4853,6 +4866,36 @@ object LlmQueries {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
         |    AS trailing_avg_active
         |FROM a""".stripMargin,
+
+    "events_sessionize_capped" -> {
+      val thinHex = hexToLongSql(
+        "md5(CAST(user_id AS VARCHAR) || '|' || " +
+          "CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || '|' || " +
+          "event_type)", 1, 8)
+      s"""WITH e AS (SELECT
+         |    CASE WHEN user_id % 10 < 2 THEN 7 ELSE user_id END AS user_id,
+         |    event_type, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events),
+         |n AS (SELECT user_id, count(*) AS n_events FROM e
+         |      GROUP BY 1 HAVING count(*) > 50),
+         |kept AS (SELECT e.user_id, e.ts FROM e LEFT JOIN n USING (user_id)
+         |      WHERE n.user_id IS NULL
+         |         OR (CAST($thinHex AS BIGINT) % 10000) <
+         |            CAST(ceil(50 * 10000.0 / n.n_events) AS BIGINT)),
+         |f AS (SELECT user_id, ts,
+         |        CASE WHEN lag(ts) OVER w IS NULL
+         |               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         |             THEN 1 ELSE 0 END AS isnew
+         |      FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |s AS (SELECT user_id, ts,
+         |        CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts
+         |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |          AS session_id
+         |      FROM f)
+         |SELECT user_id, session_id, min(ts) AS session_start,
+         |       max(ts) AS session_end, count(*) AS n_events
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
 
     "events_user_cap" -> {
       val thinHex = hexToLongSql(

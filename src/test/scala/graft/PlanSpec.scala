@@ -494,6 +494,14 @@ class PlanSpec extends SparkSpec {
       s"q20 must not nested-loop:\n$p")
   }
 
+  test("q16 shape: NOT-IN exclusion plans as a broadcast anti join, never a loop") {
+    val p = planOf("tpch_q16_supplier_counts")
+    assert(p.contains("LeftAnti"), s"q16 NOT IN must anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q16:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q16 must not nested-loop:\n$p")
+  }
+
   test("q22 shape: one-row scalar broadcast + anti join, recency filter pushed") {
     val df = SparkEntry.queries("tpch_q22_idle_customers")(spark, sf0001)
     val p = df.queryExecution.explainString(
