@@ -315,6 +315,65 @@ object Corpus {
     * keys, no text moves), then a token-share window over the
     * slice-count-sized result — driver-trivial by definition.
     */
+  /** [[dataCard]]'s bounded-state face for the distinct counts: exact
+    * `countDistinct` shuffles every distinct 16-byte content hash into
+    * the slice's aggregation state — corpus-sized for a big slice. This
+    * face swaps in `approx_count_distinct` (HyperLogLog++: mergeable
+    * partials, state bounded by the relative-standard-deviation knob,
+    * not by cardinality) for `n_distinct_texts`/`dup_rate`; everything
+    * else is the identical card. The third rung of the distinct-count
+    * story: exact batch card / exact-mergeable streaming key sets
+    * ([[graft.streaming.StatsIngest]]) / bounded-state sketch (here).
+    * [[dataCardSketchAudit]] checks the error bound on a fixture.
+    */
+  def dataCardSketch(df: DataFrame, sourceCol: String, langCol: String,
+                     textCol: String = "text",
+                     rsd: Double = 0.05): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val lt = lower(col(textCol))
+    val rows = df.select(col(sourceCol), col(langCol),
+      length(col(textCol)).cast("long").as("__chars"),
+      size(call_function("graft_word_grams", lt, lit(1), lit(false),
+        lit(true))).cast("long").as("__toks"),
+      md5(lt).as("__h"))
+    val g = rows.groupBy(col(sourceCol), col(langCol)).agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col("__h"), rsd).as("n_distinct_texts"),
+      sum(col("__chars")).as("total_chars"),
+      sum(col("__toks")).as("total_tokens"),
+      min(col("__chars")).as("min_chars"),
+      max(col("__chars")).as("max_chars"),
+      round(avg(col("__toks")), 6).as("avg_tokens"))
+    g.withColumn("dup_rate",
+        round(lit(1.0) -
+          col("n_distinct_texts").cast("double") / col("n_docs"), 6))
+      .withColumn("token_share",
+        round(col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(Window.partitionBy()), 6))
+  }
+
+  /** Fixture-scale audit of [[dataCardSketch]]'s HLL estimates against
+    * the exact counts: per slice, `|approx - exact| <= 4 * rsd * exact`
+    * (HLL++ error is ~gaussian with relative std dev `rsd`; 4 sigma
+    * absorbs small-cardinality bias, where the sketch is exact anyway).
+    * All-true is the contract — a broken sketch flips slices red in the
+    * oracle gate.
+    */
+  def dataCardSketchAudit(df: DataFrame, sourceCol: String,
+                          langCol: String, textCol: String = "text",
+                          rsd: Double = 0.05): DataFrame = {
+    val lt = lower(col(textCol))
+    df.select(col(sourceCol), col(langCol), md5(lt).as("__h"))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("__exact"),
+        approx_count_distinct(col("__h"), rsd).as("__approx"))
+      .select(col(sourceCol), col(langCol), col("n_docs"),
+        (abs(col("__approx") - col("__exact")).cast("double") <=
+          lit(4 * rsd) * col("__exact").cast("double"))
+          .as("distinct_within_tol"))
+  }
+
   def dataCard(df: DataFrame, sourceCol: String, langCol: String,
                textCol: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

@@ -1724,6 +1724,13 @@ object LlmQueries {
     "corpus_data_card" -> ((s, dir) =>
       Corpus.dataCard(Tables.documents(s, dir), "source", "lang")),
 
+    // the card's bounded-state distinct face: HLL++ estimates audited
+    // against the exact counts per slice (|approx - exact| <= 4*rsd*
+    // exact) — the oracle predicts all-true
+    "corpus_data_card_sketch" -> ((s, dir) =>
+      Corpus.dataCardSketchAudit(Tables.documents(s, dir),
+        "source", "lang")),
+
     // deterministic train/val/test assignment (5% val, 5% test on the
     // md5 bucket — a doc's split never changes as the corpus grows)
     "corpus_split" -> ((s, dir) =>
@@ -4168,6 +4175,11 @@ object LlmQueries {
         |  round(CAST(total_tokens AS DOUBLE)
         |        / (sum(total_tokens) OVER ()), 6) AS token_share
         |FROM g""".stripMargin,
+
+    "corpus_data_card_sketch" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  true AS distinct_within_tol
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // packed sequences: the pack_bins window carried through to the
     // concatenated per-bin text (string_agg in doc_id order = the

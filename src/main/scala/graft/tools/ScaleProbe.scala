@@ -155,6 +155,18 @@ object ScaleProbe {
     t("length_stats_sketch")(
       graft.ops.TextAnalysis.lengthStatsSketch(lenGrouped, "grp", "len"))
 
+    // the data card's distinct-count faces: exact countDistinct carries
+    // every distinct 16-byte hash in aggregation state (corpus-sized
+    // for a hot slice); the HLL sketch's state is rsd-bounded — cost
+    // must track the scan and stay at-or-under the exact row
+    val cardDocs = docs
+      .withColumn("source", concat(lit("src"), col("doc_id") % 5))
+      .withColumn("lang", lit("en"))
+    t("data_card_exact")(
+      graft.ops.Corpus.dataCard(cardDocs, "source", "lang"))
+    t("data_card_sketch")(
+      graft.ops.Corpus.dataCardSketch(cardDocs, "source", "lang"))
+
     // BM25 over the k-fold corpus: hit volume grows linearly with the
     // corpus; the top-k stays k-sized (TakeOrderedAndProject)
     t("bm25_topk")(

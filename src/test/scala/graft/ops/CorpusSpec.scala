@@ -169,6 +169,32 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(shareSum - 1.0) < 1e-5, s"shares sum to $shareSum")
   }
 
+  test("dataCardSketch: HLL distincts within 4*rsd of exact, card otherwise identical") {
+    // 600 docs; each parity slice cycles i%200 over its parity, so
+    // every slice holds exactly 100 distinct texts by construction
+    val df = (0 until 600).map { i =>
+      (i.toLong, s"src${i % 2}", "en", s"text body ${i % 200} (${i % 2})")
+    }.toDF("doc_id", "source", "lang", "text")
+    val exact = Corpus.dataCard(df, "source", "lang")
+      .select("source", "lang", "n_docs", "total_chars", "total_tokens",
+        "min_chars", "max_chars", "avg_tokens", "token_share")
+      .collect().map(_.toSeq).toSet
+    val sk = Corpus.dataCardSketch(df, "source", "lang")
+    assert(sk.select("source", "lang", "n_docs", "total_chars",
+        "total_tokens", "min_chars", "max_chars", "avg_tokens",
+        "token_share")
+      .collect().map(_.toSeq).toSet == exact,
+      "non-distinct columns must be identical to the exact card")
+    val approx = sk.select("source", "n_distinct_texts")
+      .as[(String, Long)].collect().toMap
+    approx.values.foreach(a =>
+      assert(math.abs(a - 100L) <= 4 * 0.05 * 100, s"approx $a vs 100"))
+    // the audit face agrees
+    val audit = Corpus.dataCardSketchAudit(df, "source", "lang")
+      .select("distinct_within_tol").as[Boolean].collect()
+    assert(audit.length == 2 && audit.forall(identity))
+  }
+
   test("publishRelease: write + read-back manifest verifies; tampering flips its shard red") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pub_").toString
     val release = (1L to 40L).map(i => (i, s"document number $i body"))
