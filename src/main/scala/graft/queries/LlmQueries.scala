@@ -910,6 +910,34 @@ object LlmQueries {
           .otherwise(0), dim = 64)
     }
 
+  /** The full release chain (guarded fuzzy dedup -> decon -> Gopher ->
+    * classifier top-half -> curation), shared by `llm_corpus_prep_full`
+    * and the publish capstone. Scores ride the RAW corpus (the
+    * decon-flags trick) so the expensive dedup subtree never re-executes
+    * inside the scoring pass; the feature sketch is the session memo
+    * shared with `text_qclf_*` — one tokenize+hash pass per SESSION.
+    */
+  private def prepFullReleased(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
+    val flagged = TextAnalysis.contaminationReport(docs,
+      docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+    val clean = TextAnalysis.removeFlagged(kept, flagged, "doc_id")
+    val gated = TextAnalysis.gopherFilter(clean, "doc_id", "text",
+      requireStopWords = false)
+    val sk = qclfSketch(s, dir)
+    val w = QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5,
+      iters = 3)
+    val top = QualityModel.keepTopScoredWith(docs, "doc_id", sk, w,
+      quantile = 0.5).select(col("doc_id"))
+    val released = gated.join(top, Seq("doc_id"), "left_semi")
+    TextAnalysis.curationFilter(released, "doc_id", "text",
+      minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+      maxRepetition = 0.2, keepLang = "en")
+  }
+
   private def residualServed(s: org.apache.spark.sql.SparkSession,
                              dir: String, queryRes: Int)
       : org.apache.spark.sql.DataFrame = {
@@ -2062,32 +2090,21 @@ object LlmQueries {
     // -> Gopher format gate (stopword rule off: synthetic fixture text
     // has no natural English) -> classifier top-half gate (kept-fraction
     // deploy) -> curation
-    "llm_corpus_prep_full" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
-        numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
-      val flagged = TextAnalysis.contaminationReport(docs,
-        docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
-      val clean = TextAnalysis.removeFlagged(kept, flagged, "doc_id")
-      val gated = TextAnalysis.gopherFilter(clean, "doc_id", "text",
-        requireStopWords = false)
-      // scores are dedup-independent (the decon-flags trick): score the
-      // RAW corpus — so the expensive dedup+decon+gopher subtree never
-      // re-executes inside the scoring pass, and intersect once. Median
-      // over the raw distribution is also the deployed shape (score the
-      // whole crawl, keep the top fraction). The checkpointed feature
-      // sketch comes from the session memo shared with text_qclf_* —
-      // one tokenize+hash pass over the raw corpus per SESSION, not one
-      // per phase or per query.
-      val sk = qclfSketch(s, dir)
-      val w = QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5,
-        iters = 3)
-      val top = QualityModel.keepTopScoredWith(docs, "doc_id", sk, w,
-        quantile = 0.5).select(col("doc_id"))
-      val released = gated.join(top, Seq("doc_id"), "left_semi")
-      TextAnalysis.curationFilter(released, "doc_id", "text",
-        minTokens = 20, maxTokens = 2000, minQuality = 0.1,
-        maxRepetition = 0.2, keepLang = "en")
+    "llm_corpus_prep_full" -> ((s, dir) => prepFullReleased(s, dir)),
+
+    // THE release capstone: the full curated chain's survivors
+    // physically published as a shard-partitioned parquet release with
+    // read-back manifest verification — what a data team actually ships.
+    // The oracle replays the whole chain, then states the per-shard
+    // manifest with readback_match TRUE: a wrong survivor set, a
+    // dropped row in the write, or an encoding drift each break it.
+    "llm_corpus_prep_publish" -> ((s, dir) => {
+      val ids = prepFullReleased(s, dir).select(col("doc_id"))
+      val rel = Tables.documents(s, dir)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      Corpus.publishRelease(rel, "doc_id", "text", nShards = 8,
+        ParityQueries.scratch("llm_corpus_prep_publish"))
     }),
 
     // one Lloyd iteration from the deterministic seed codebook (exploded
@@ -4593,6 +4610,57 @@ object LlmQueries {
          |         WHERE qsc.score >= qcut.c),
          |${curationCtes("topd")}
          |$CurationSelect""".stripMargin
+    },
+
+    "llm_corpus_prep_publish" -> {
+      val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
+      val h60 = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |dg AS (${ngramRowsSql("kept", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
+         |fl AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (s)),
+         |decon AS (SELECT * FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+         |gated AS (SELECT * FROM ${gopherGateSql("decon")}),
+         |${qclfCtes(3)},
+         |sb0 AS (SELECT DISTINCT doc_id, $feat AS feature
+         |        FROM (SELECT doc_id,
+         |                unnest(string_split(lower(text), ' ')) AS w
+         |              FROM documents)),
+         |sb AS (SELECT * FROM sb0
+         |       UNION ALL
+         |       SELECT DISTINCT doc_id, -1 AS feature FROM sb0),
+         |scd AS (SELECT sb.doc_id,
+         |          ${grid6Sql("sum(coalesce(w3.w, 0.0))")} AS dot
+         |        FROM sb LEFT JOIN w3 USING (feature) GROUP BY 1),
+         |qsc AS (SELECT doc_id, ${grid6Sql("1.0 / (1.0 + exp(-dot))")} AS score
+         |        FROM scd),
+         |qcut AS (SELECT ${grid6Sql("quantile_cont(score, 0.5)")} AS c FROM qsc),
+         |topd AS (SELECT g.* FROM gated g JOIN qsc USING (doc_id), qcut
+         |         WHERE qsc.score >= qcut.c),
+         |${curationCtes("topd")},
+         |curated AS ($CurationSelect),
+         |rel AS (SELECT d.doc_id, d.text FROM documents d
+         |        JOIN curated USING (doc_id)),
+         |sm AS (SELECT doc_id,
+         |    CAST(CAST($h60 AS BIGINT) % 8 AS INT) AS shard,
+         |    md5(text) AS h, CAST(length(text) AS BIGINT) AS len
+         |  FROM rel),
+         |m AS (SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS n_chars,
+         |    md5(string_agg(h, ',' ORDER BY doc_id)) AS checksum
+         |  FROM sm GROUP BY 1)
+         |SELECT shard, n_docs, n_chars, checksum,
+         |  checksum AS rb_checksum, true AS readback_match
+         |FROM m""".stripMargin
     },
 
     "text_pack_bins" ->

@@ -494,6 +494,14 @@ class PlanSpec extends SparkSpec {
       s"q20 must not nested-loop:\n$p")
   }
 
+  test("value-carrying as-of: still one shuffle + window, zero join operators") {
+    val p = planOf("events_asof_join_value")
+    // the whole point of union-and-carry: the value columns ride the
+    // SAME single exchange as the timestamps — no join appears at all
+    assert(!p.contains("Join"), s"asof value carry grew a join:\n$p")
+    assert(p.contains("Window"), s"asof value carry lost its window:\n$p")
+  }
+
   test("q16 shape: NOT-IN exclusion plans as a broadcast anti join, never a loop") {
     val p = planOf("tpch_q16_supplier_counts")
     assert(p.contains("LeftAnti"), s"q16 NOT IN must anti-join:\n$p")
