@@ -104,6 +104,17 @@ object ScaleProbe {
         "n_tokens", capacity = 256)
     }
 
+    // release publish: the physical write path (shard-partitioned
+    // parquet via atomic swap) + read-back + manifest compare — cost
+    // must track the corpus scan; the verify half shuffles only
+    // (id, md5) fixed-width rows
+    if (only.exists(_.contains("release_publish"))) {
+      val out = graft.Bench.scratchDir() + s"/probe_publish_$k"
+      t("release_publish")(
+        graft.ops.Corpus.publishRelease(docs, "doc_id", "text",
+          nShards = 8, outDir = out))
+    }
+
     // tf-idf over the k-fold corpus: the (doc, term) sketch relation grows
     // linearly; the vocabulary (term-window side) stays ~fixed
     t("tfidf_topk")(
