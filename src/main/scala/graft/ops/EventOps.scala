@@ -193,11 +193,24 @@ object EventOps {
     * engines. One (type, bucket) aggregate; the z window runs per type
     * over the bucket-count-sized series.
     */
-  def anomalyScores(events: DataFrame, lookback: Int): DataFrame = {
-    val counted = events
+  def anomalyScores(events: DataFrame, lookback: Int): DataFrame =
+    anomalyScoresOver(hourlyCounts(events), lookback)
+
+  /** The (window_start, event_type, n) hourly series both faces share —
+    * batch computes it inline; the streaming ingest persists exactly
+    * these rows as windows finalize.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** [[anomalyScores]]' scoring half over a prepared hourly series —
+    * shared VERBATIM by the batch face and the streaming ingest's
+    * report, so stream-vs-batch parity is by construction.
+    */
+  def anomalyScoresOver(counted: DataFrame, lookback: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("window_start")).rowsBetween(-lookback, -1)
     // a single-row trailing frame yields stddev NaN on Spark but NULL
@@ -220,11 +233,17 @@ object EventOps {
     * rank over the WINDOW-COUNT-sized result; the rank's partition key
     * is the window, so WindowGroupLimit prunes before its exchange).
     */
-  def windowedTopK(events: DataFrame, width: String, k: Int): DataFrame = {
-    val counted = events
-      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+  def windowedTopK(events: DataFrame, width: String, k: Int): DataFrame =
+    windowedTopKOver(
+      events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n")), k)
+
+  /** [[windowedTopK]]'s ranking half over a prepared per-window count
+    * series — shared with the streaming ingest's report.
+    */
+  def windowedTopKOver(counted: DataFrame, k: Int): DataFrame = {
     val rn = row_number().over(Window.partitionBy(col("window_start"))
       .orderBy(col("n").desc, col("event_type")))
     counted.withColumn("rank", rn).filter(col("rank") <= k)

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.EventOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
+import java.sql.Timestamp
+
+/** Stream-vs-batch parity for the windowed analytics that need history
+  * (anomaly z-scores, per-window top-k): the ingest persists finalized
+  * hourly counts; the reports replay the batch scoring functions.
+  */
+class WindowCountsIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("anomaly + top-k reports equal the batch operators on finalized windows, replay-safe") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wc_").toString
+    val countsDir = s"$tmp/counts"
+    // 2 types over 4 hours; a volume spike for clicks in hour 3
+    val rows: Seq[(String, Timestamp, Double)] =
+      (for {
+        h <- 0 until 4
+        i <- 0 until (if (h == 3) 9 else if (h == 1) 4 else 3)
+      } yield ("click",
+        new Timestamp(ts(s"2024-01-01 0$h:00:00").getTime + i * 60000L),
+        1.0)) ++
+      (for { h <- 0 until 4; i <- 0 until 2 }
+        yield ("view",
+          new Timestamp(ts(s"2024-01-01 0$h:00:00").getTime +
+            i * 60000L + 10000L), 1.0))
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val q = WindowCountsIngest.start(
+      input.toDF().toDF("event_type", "ts", "value"),
+      countsDir, s"$tmp/ckpt")
+    try {
+      // feed in event-time order (a replayed archive / ordered ingest):
+      // rows older than the moving watermark would be DROPPED by design
+      rows.sortBy(_._2.getTime).grouped(9).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // a far-future sentinel advances the watermark past every real
+      // window; its own window stays open and never lands in the series
+      input.addData(("sentinel", ts("2024-01-02 12:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(("sentinel", ts("2024-01-02 13:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = rows.toDF("event_type", "ts", "value")
+    val batchAnomaly = EventOps.anomalyScores(batch, lookback = 2)
+      .collect().map(_.toSeq).toSet
+    val batchTopK = EventOps.windowedTopK(batch, "1 hour", 1)
+      .collect().map(_.toSeq).toSet
+    def reports() = (
+      WindowCountsIngest.anomalyReport(spark, countsDir, 2)
+        .collect().map(_.toSeq).toSet,
+      WindowCountsIngest.topKReport(spark, countsDir, 1)
+        .collect().map(_.toSeq).toSet)
+    val (sa, st) = reports()
+    assert(sa == batchAnomaly, "anomaly stream-vs-batch parity")
+    assert(st == batchTopK, "top-k stream-vs-batch parity")
+    // the spike hour scored hot: z for clicks at 03:00 is large
+    val spikeZ = WindowCountsIngest.anomalyReport(spark, countsDir, 2)
+      .filter(col("event_type") === "click" &&
+        col("window_start") === lit(ts("2024-01-01 03:00:00")))
+      .select("z").as[Option[Double]].head()
+    assert(spikeZ.exists(_ > 2.0), s"spike z was $spikeZ")
+    // crash-replay of an epoch: re-appending the same finalized rows
+    // (new epoch id) must not move either report
+    val replay = spark.read.parquet(countsDir).limit(4)
+      .withColumn("epoch_id", lit(999L)).localCheckpoint(true)
+    replay.write.mode("append").parquet(countsDir)
+    val (ra, rt) = reports()
+    assert(ra == batchAnomaly && rt == batchTopK, "replay moved a report")
+  }
+}
