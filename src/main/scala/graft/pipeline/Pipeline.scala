@@ -101,6 +101,27 @@ object Pipeline {
     if (hadPrev) fs.delete(old, true)
   }
 
+  /** Small-files compaction — the maintenance job every long-lived
+    * 100 TB table needs: streaming/incremental appends accumulate
+    * thousands of KB-sized parquet files whose per-file open/footer
+    * cost eventually dominates scans. Rewrites the table to
+    * `numFiles` files per partition-or-table through the same
+    * crash-safe [[atomicOverwrite]] swap — readers see the old or the
+    * new COMPLETE table, never a half-compacted mix. Content is
+    * byte-identical by construction (a pure repartition, no
+    * column/row change).
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int,
+              partitionBy: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(path)
+    val laid =
+      if (partitionBy.nonEmpty)
+        df.repartition(numFiles, partitionBy.map(org.apache.spark.sql
+          .functions.col): _*)
+      else df.repartition(numFiles)
+    atomicOverwrite(spark, laid, path, partitionBy)
+  }
+
   /** Full run against the driver fixtures: the fixture source replays the
     * bronze-shaped rows as paginated JSON (offline stand-in for the REST
     * connector — swap in [[graft.sources.HttpBrewerySource]] online).

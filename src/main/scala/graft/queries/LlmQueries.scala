@@ -2188,6 +2188,24 @@ object LlmQueries {
           Seq("view", "click", "purchase"), horizonMinutes = 1440),
         Seq("view", "click", "purchase"))),
 
+    // the 100 TB layout mechanic end-to-end: events physically written
+    // PARTITIONED BY epoch-day (atomic swap), then one day read back
+    // through partition PRUNING — the scan touches exactly one
+    // directory regardless of table size (PlanSpec pins the
+    // PartitionFilters). Oracle recomputes the day slice from the raw
+    // table.
+    "events_partitioned_prune" -> ((s, dir) => {
+      val out = ParityQueries.scratch("events_by_day")
+      val ev = Tables.events(s, dir).withColumn("day",
+        floor(unix_timestamp(col("ts")) / 86400).cast("int"))
+      Pipeline.atomicOverwrite(s, ev, out, partitionBy = Seq("day"))
+      s.read.parquet(out)
+        .filter(col("day") === 19724) // 2024-01-02
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6)
+          .as("sum_value"))
+    }),
+
     // daily active users + events with the trailing-week smoothed
     // series — the top-line engagement chart
     "events_dau_rolling" -> ((s, dir) =>
@@ -4932,6 +4950,14 @@ object LlmQueries {
         |  count(DISTINCT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP)))
         |        / 86400) AS INT)) AS n_active_days
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_partitioned_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events
+        |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+        |      AS INT) = 19724
+        |GROUP BY 1""".stripMargin,
 
     "events_dau_rolling" ->
       """WITH d AS (SELECT

@@ -494,6 +494,18 @@ class PlanSpec extends SparkSpec {
       s"q20 must not nested-loop:\n$p")
   }
 
+  test("partitioned layout: the day filter prunes to PartitionFilters, not data filters") {
+    val df = SparkEntry.queries("events_partitioned_prune")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters: [isnotnull(day") ||
+      p.contains("PartitionFilters: [(day"),
+      s"day predicate must prune partitions at the scan:\n$p")
+    // the day column never appears as a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(day"),
+      s"day is a partition column, not a data column:\n$p")
+  }
+
   test("value-carrying as-of: still one shuffle + window, zero join operators") {
     val p = planOf("events_asof_join_value")
     // the whole point of union-and-carry: the value columns ride the

@@ -69,6 +69,38 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(path + ".__tmp").exists())
   }
 
+  test("compact: small files collapse to the target count, content byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft_compact_").toString + "/t"
+    // 32 tiny appends — the streaming-ingest small-files shape
+    (1 to 32).foreach(i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "v")
+        .write.mode("append").parquet(path))
+    def dataFiles() = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() >= 32)
+    val before = spark.read.parquet(path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    Pipeline.compact(spark, path, numFiles = 4)
+    assert(dataFiles() <= 4, s"still ${dataFiles()} files")
+    val after = spark.read.parquet(path)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    // partitioned table: compaction preserves the directory layout
+    val p2 = Files.createTempDirectory("graft_compact2_").toString + "/t"
+    (1 to 16).foreach(i =>
+      Seq((i.toLong, i % 2, s"row$i")).toDF("id", "part", "v")
+        .write.mode("append").partitionBy("part").parquet(p2))
+    Pipeline.compact(spark, p2, numFiles = 2, partitionBy = Seq("part"))
+    val dirs = new java.io.File(p2).listFiles()
+      .filter(_.getName.startsWith("part="))
+    assert(dirs.length == 2)
+    dirs.foreach(d => assert(
+      d.listFiles().count(_.getName.endsWith(".parquet")) <= 2))
+    assert(spark.read.parquet(p2).filter(col("part") === 1).count() == 8)
+  }
+
   test("retry wrapper: retries with delay then surfaces the final failure") {
     var tries = 0
     var sleeps = 0
