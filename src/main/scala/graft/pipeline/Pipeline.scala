@@ -112,8 +112,14 @@ object Pipeline {
     * column/row change).
     */
   def compact(spark: SparkSession, path: String, numFiles: Int,
-              partitionBy: Seq[String] = Nil): Unit = {
-    val df = spark.read.parquet(path)
+              partitionBy: Seq[String] = Nil,
+              mergeSchema: Boolean = false): Unit = {
+    // mergeSchema for tables whose appended generations evolved the
+    // schema: a single-footer read could silently drop a late column
+    // from the ENTIRE rewritten table — the one way compaction can
+    // destroy data
+    val df = spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(path)
     val laid =
       if (partitionBy.nonEmpty)
         df.repartition(numFiles, partitionBy.map(org.apache.spark.sql

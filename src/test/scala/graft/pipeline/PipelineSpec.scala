@@ -101,6 +101,31 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(p2).filter(col("part") === 1).count() == 8)
   }
 
+  test("schema evolution: mergeSchema unifies appended generations, old rows null-extend") {
+    import spark.implicits._
+    // a long-lived ingest table: generation 2 adds a column — the
+    // 100 TB reality where old files are never rewritten
+    val path = Files.createTempDirectory("graft_evo_").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(path)
+    Seq((3L, "c", 0.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.schema.fieldNames.toSet == Set("id", "v", "score"))
+    val rows = merged.select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5))))
+    // compaction of the evolved table goes through the merged schema
+    // (plain read would resolve a single footer and could drop the
+    // new column depending on file order — compact must not)
+    Pipeline.compact(spark,  path, numFiles = 1,
+      mergeSchema = true)
+    val after = spark.read.parquet(path)
+    assert(after.schema.fieldNames.toSet == Set("id", "v", "score"))
+    assert(after.count() == 3)
+  }
+
   test("retry wrapper: retries with delay then surfaces the final failure") {
     var tries = 0
     var sleeps = 0
