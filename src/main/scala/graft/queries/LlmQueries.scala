@@ -2206,6 +2206,22 @@ object LlmQueries {
           .as("sum_value"))
     }),
 
+    // multi-granularity reporting in ONE pass: (type, day) / (type) /
+    // grand-total via ROLLUP — Spark's Expand produces all three
+    // granularities off a single scan instead of three jobs; subtotal
+    // rows carry sentinels so every output column stays non-null for
+    // the hash compare
+    "events_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("day",
+        floor(unix_timestamp(col("ts")) / 86400).cast("int"))
+      ev.rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit(-1)).as("day"),
+          col("n"), col("sum_value"))
+    }),
+
     // daily active users + events with the trailing-week smoothed
     // series — the top-line engagement chart
     "events_dau_rolling" -> ((s, dir) =>
@@ -4958,6 +4974,16 @@ object LlmQueries {
         |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
         |      AS INT) = 19724
         |GROUP BY 1""".stripMargin,
+
+    "events_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
+        |      AS day, value
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(day, -1) AS day,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM e GROUP BY ROLLUP(event_type, day)""".stripMargin,
 
     "events_dau_rolling" ->
       """WITH d AS (SELECT
