@@ -128,6 +128,65 @@ object Pipeline {
     atomicOverwrite(spark, laid, path, partitionBy)
   }
 
+  /** Partition-scoped UPSERT — the parquet-lake answer to MERGE INTO
+    * for a day/shard-partitioned table: only the partitions the updates
+    * actually touch are rewritten (each through its own crash-safe
+    * [[atomicOverwrite]] swap); every other partition's files are left
+    * PHYSICALLY untouched. At 100 TB this is the difference between a
+    * maintenance job proportional to the day's changes and one
+    * proportional to the table. Update rows replace current rows on
+    * `keyCols` within their partition; new partition values create new
+    * directories. The affected-partition list is `collect`ed — it is
+    * change-sized (days touched), never table-sized.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String,
+                        updates: DataFrame, keyCols: Seq[String],
+                        partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val affected = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { pv =>
+      val pdir = s"$path/$partitionCol=$pv"
+      val up = updates.filter(col(partitionCol) === lit(pv))
+        .drop(partitionCol)
+      val merged =
+        if (fs.exists(new HPath(pdir))) {
+          val cur = spark.read.parquet(pdir)
+          cur.join(up.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(up)
+        } else up
+      // materialize BEFORE the swap: the merged plan reads the very
+      // files the overwrite replaces
+      atomicOverwrite(spark, merged.localCheckpoint(true), pdir)
+    }
+  }
+
+  /** Partition-scoped DELETE — targeted row purge (the GDPR/right-to-be-
+    * forgotten maintenance job): partitions containing matches are
+    * rewritten without the matching rows; all other partitions' files
+    * are left physically untouched. Affected partitions are found
+    * through a partition-pruned scan when `predicate` constrains
+    * `partitionCol`, a full scan of the predicate columns otherwise.
+    */
+  def deleteWherePartitioned(spark: SparkSession, path: String,
+                             predicate: org.apache.spark.sql.Column,
+                             partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val affected = spark.read.parquet(path).filter(predicate)
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    affected.foreach { pv =>
+      val pdir = s"$path/$partitionCol=$pv"
+      // the partition-dir read has no partition column; re-attach it so
+      // the predicate (which may reference it) evaluates correctly
+      val cur = spark.read.parquet(pdir)
+        .withColumn(partitionCol,
+          org.apache.spark.sql.functions.lit(pv))
+      val kept = cur.filter(!predicate).drop(partitionCol)
+      atomicOverwrite(spark, kept.localCheckpoint(true), pdir)
+    }
+  }
+
   /** Full run against the driver fixtures: the fixture source replays the
     * bronze-shaped rows as paginated JSON (offline stand-in for the REST
     * connector — swap in [[graft.sources.HttpBrewerySource]] online).

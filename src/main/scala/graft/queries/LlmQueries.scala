@@ -2222,6 +2222,30 @@ object LlmQueries {
           col("n"), col("sum_value"))
     }),
 
+    // partition-scoped MERGE INTO end-to-end: base events written
+    // day-partitioned, one day's rows upserted by key (values flipped
+    // to a sentinel), table read back and summarized — only the touched
+    // day's directory was rewritten (PipelineSpec pins the physical
+    // untouched-partitions contract; this query gates the semantics)
+    "events_upsert_roundtrip" -> ((s, dir) => {
+      val out = ParityQueries.scratch("events_upsert_rt")
+      val ev = Tables.events(s, dir).withColumn("day",
+          floor(unix_timestamp(col("ts")) / 86400).cast("int"))
+        .select(col("event_id"), col("day"), col("value"))
+      Pipeline.atomicOverwrite(s, ev, out, partitionBy = Seq("day"))
+      val updates = ev.filter(col("day") === 19724 &&
+          col("event_id") % 7 === 0)
+        .withColumn("value", lit(-1.0))
+      Pipeline.upsertPartitioned(s, out, updates,
+        keyCols = Seq("event_id"), partitionCol = "day")
+      s.read.parquet(out)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"),
+          sum(when(col("value") === -1.0, 1L).otherwise(0L))
+            .as("n_updated"))
+    }),
+
     // daily active users + events with the trailing-week smoothed
     // series — the top-line engagement chart
     "events_dau_rolling" -> ((s, dir) =>
@@ -4974,6 +4998,21 @@ object LlmQueries {
         |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
         |      AS INT) = 19724
         |GROUP BY 1""".stripMargin,
+
+    "events_upsert_roundtrip" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
+        |      AS day, value
+        |  FROM events),
+        |m AS (SELECT event_id, day, value FROM e
+        |      WHERE NOT (day = 19724 AND event_id % 7 = 0)
+        |      UNION ALL
+        |      SELECT event_id, day, -1.0 AS value FROM e
+        |      WHERE day = 19724 AND event_id % 7 = 0)
+        |SELECT day, count(*) AS n, round(sum(value), 6) AS sum_value,
+        |  CAST(sum(CASE WHEN value = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM m GROUP BY 1""".stripMargin,
 
     "events_rollup" ->
       """WITH e AS (SELECT event_type,

@@ -126,6 +126,41 @@ class PipelineSpec extends SparkSpec {
     assert(after.count() == 3)
   }
 
+  test("upsert/delete rewrite ONLY the touched partitions, others physically untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft_maint_").toString + "/t"
+    Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"), (4L, 3, "d"))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    def files(day: Int) = new java.io.File(s"$path/day=$day").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sorted.toSeq
+    val (d1Before, d3Before) = (files(1), files(3))
+
+    // upsert: replace id=3 in day 2, add id=5 in brand-new day 4
+    Pipeline.upsertPartitioned(spark, path,
+      Seq((3L, 2, "c2"), (5L, 4, "e")).toDF("id", "day", "v"),
+      keyCols = Seq("id"), partitionCol = "day")
+    val afterUp = spark.read.parquet(path)
+      .select("id", "day", "v").as[(Long, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(afterUp == Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c2"),
+      (4L, 3, "d"), (5L, 4, "e")))
+    assert(files(1) == d1Before, "day 1 files must be untouched")
+    assert(files(3) == d3Before, "day 3 files must be untouched")
+
+    // delete: purge id=2 (lives in day 1) — day 3 still untouched
+    Pipeline.deleteWherePartitioned(spark, path, col("id") === 2L, "day")
+    val afterDel = spark.read.parquet(path)
+      .select("id", "day", "v").as[(Long, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(afterDel == Seq((1L, 1, "a"), (3L, 2, "c2"),
+      (4L, 3, "d"), (5L, 4, "e")))
+    assert(files(3) == d3Before, "day 3 files must survive both ops")
+    assert(files(1) != d1Before, "day 1 was rewritten by the delete")
+  }
+
   test("retry wrapper: retries with delay then surfaces the final failure") {
     var tries = 0
     var sleeps = 0
