@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Corpus, Dedup, EventOps, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Dimensions, EventOps, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
 import graft.pipeline.{Breweries, Pipeline}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -2220,6 +2220,37 @@ object LlmQueries {
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("day"), lit(-1)).as("day"),
           col("n"), col("sum_value"))
+    }),
+
+    // SCD2 dimension history end-to-end: bootstrap from the customer
+    // dimension, apply two change batches (the second with an in-batch
+    // flicker that latest-wins must collapse), then audit the history
+    // and time-travel to two instants — all four faces in one labeled
+    // union the oracle replays row-for-row
+    "scd2_customer_segments" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val h0 = Dimensions.scd2Init(cust, lit(0L))
+      val ch1 = cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .withColumn("ts", lit(1000L))
+      val h1 = Dimensions.scd2Apply(h0, ch1, Seq("c_custkey"), "ts")
+      val ch2 = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("MOVEDX"))
+        .withColumn("ts", lit(1800L))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("MOVED2"))
+          .withColumn("ts", lit(2000L)))
+      val h2 = Dimensions.scd2Apply(h1, ch2, Seq("c_custkey"), "ts")
+        .localCheckpoint(true) // four faces read it; build once
+      def face(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(name).as("face"), col("c_mktsegment"), col("n"))
+      face("rows", h2)
+        .unionByName(face("open", h2.filter(col("valid_to").isNull)))
+        .unionByName(face("snap1500", Dimensions.snapshotAt(h2, lit(1500L))))
+        .unionByName(face("snap2500", Dimensions.snapshotAt(h2, lit(2500L))))
     }),
 
     // partition-scoped MERGE INTO end-to-end: base events written
@@ -4998,6 +5029,38 @@ object LlmQueries {
         |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
         |      AS INT) = 19724
         |GROUP BY 1""".stripMargin,
+
+    "scd2_customer_segments" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |h1 AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+        |    CASE WHEN c_custkey % 5 = 0 THEN CAST(1000 AS BIGINT)
+        |         ELSE NULL END AS valid_to
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED', 1000, NULL FROM cust
+        |  WHERE c_custkey % 5 = 0),
+        |h2 AS (
+        |  SELECT c_custkey, c_mktsegment, valid_from,
+        |    CASE WHEN valid_to IS NULL AND c_custkey % 10 = 0
+        |         THEN CAST(2000 AS BIGINT) ELSE valid_to END AS valid_to
+        |  FROM h1
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED2', 2000, NULL FROM cust
+        |  WHERE c_custkey % 10 = 0)
+        |SELECT 'rows' AS face, c_mktsegment, count(*) AS n
+        |FROM h2 GROUP BY 2
+        |UNION ALL
+        |SELECT 'open', c_mktsegment, count(*) FROM h2
+        |WHERE valid_to IS NULL GROUP BY 2
+        |UNION ALL
+        |SELECT 'snap1500', c_mktsegment, count(*) FROM h2
+        |WHERE valid_from <= 1500 AND (valid_to IS NULL OR valid_to > 1500)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'snap2500', c_mktsegment, count(*) FROM h2
+        |WHERE valid_from <= 2500 AND (valid_to IS NULL OR valid_to > 2500)
+        |GROUP BY 2""".stripMargin,
 
     "events_upsert_roundtrip" ->
       """WITH e AS (SELECT event_id,
