@@ -65,4 +65,35 @@ object Dimensions {
     current.withColumn("valid_from", from)
       .withColumn("valid_to", lit(null).cast(
         current.select(from.as("__f")).schema("__f").dataType))
+
+  /** Fact-to-SCD2 temporal join — every fact row enriched with the
+    * dimension attributes that were valid AT THE FACT'S TIME (the
+    * canonical warehouse query over versioned dimensions). This is
+    * exactly a value-carrying as-of join on `valid_from`
+    * ([[Joins.asofBackwardValues]]: one shuffle on the key, one
+    * within-partition sort, NO range predicate ever reaching a join
+    * operator — a naive `valid_from <= ts < valid_to` theta join plans
+    * a nested loop), plus an expiry guard: a carried version whose
+    * `valid_to` has passed (the key was closed with no successor)
+    * null-extends instead of leaking stale attributes.
+    *
+    * Facts' time column and the history key must share names with the
+    * dimension (`keyCol`, `tsCol` on the fact side).
+    */
+  def temporalJoin(facts: DataFrame, history: DataFrame, keyCol: String,
+                   tsCol: String, attrCols: Seq[String],
+                   prefix: String = "dim_"): DataFrame = {
+    val hist = history.select(
+      (col(keyCol) +: col("valid_from").as(tsCol) +:
+        col("valid_to").as("__vto") +: attrCols.map(col)): _*)
+    val joined = Joins.asofBackwardValues(facts, hist, keyCol, tsCol,
+      "__vto" +: attrCols, prefix)
+    val expired = col(s"${prefix}__vto").isNotNull &&
+      col(s"${prefix}__vto") <= col(tsCol)
+    attrCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"$prefix$c",
+        when(expired, lit(null).cast(df.schema(s"$prefix$c").dataType))
+          .otherwise(col(s"$prefix$c")))
+    }.drop(s"${prefix}__vto", s"$prefix$tsCol")
+  }
 }

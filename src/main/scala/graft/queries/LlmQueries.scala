@@ -2253,6 +2253,34 @@ object LlmQueries {
         .unionByName(face("snap2500", Dimensions.snapshotAt(h2, lit(2500L))))
     }),
 
+    // fact-to-SCD2 temporal join: every event enriched with the segment
+    // its user's dimension row carried AT THE EVENT'S TIME (two change
+    // batches land mid-stream), then rolled up per segment — the
+    // canonical versioned-dimension warehouse query, planned as the
+    // value-carrying as-of (no range predicate near a join operator)
+    "events_scd2_temporal_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val t1 = 1704500000L; val t2 = 1705000000L
+      val h1 = Dimensions.scd2Apply(Dimensions.scd2Init(cust, lit(0L)),
+        cust.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("MOVED"))
+          .withColumn("ts", lit(t1)), Seq("c_custkey"), "ts")
+      val h2 = Dimensions.scd2Apply(h1,
+        cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", lit("MOVED2"))
+          .withColumn("ts", lit(t2)), Seq("c_custkey"), "ts")
+      val facts = Tables.events(s, dir).select(
+        col("event_id"), col("user_id").as("c_custkey"),
+        unix_timestamp(col("ts")).as("tsec"))
+      Dimensions.temporalJoin(facts, h2, "c_custkey", "tsec",
+          Seq("c_mktsegment"))
+        .groupBy(coalesce(col("dim_c_mktsegment"), lit("NONE"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("c_custkey")).as("n_users"))
+    }),
+
     // partition-scoped MERGE INTO end-to-end: base events written
     // day-partitioned, one day's rows upserted by key (values flipped
     // to a sentinel), table read back and summarized — only the touched
@@ -5029,6 +5057,37 @@ object LlmQueries {
         |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
         |      AS INT) = 19724
         |GROUP BY 1""".stripMargin,
+
+    "events_scd2_temporal_join" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |h1 AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+        |    CASE WHEN c_custkey % 5 = 0 THEN CAST(1704500000 AS BIGINT)
+        |         ELSE NULL END AS valid_to
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED', 1704500000, NULL FROM cust
+        |  WHERE c_custkey % 5 = 0),
+        |h2 AS (
+        |  SELECT c_custkey, c_mktsegment, valid_from,
+        |    CASE WHEN valid_to IS NULL AND c_custkey % 10 = 0
+        |         THEN CAST(1705000000 AS BIGINT) ELSE valid_to END
+        |      AS valid_to
+        |  FROM h1
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED2', 1705000000, NULL FROM cust
+        |  WHERE c_custkey % 10 = 0),
+        |f AS (SELECT event_id, user_id AS c_custkey,
+        |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+        |      FROM events),
+        |j AS (SELECT f.event_id, f.c_custkey, f.tsec,
+        |        CASE WHEN h2.valid_to IS NOT NULL AND h2.valid_to <= f.tsec
+        |             THEN NULL ELSE h2.c_mktsegment END AS seg
+        |      FROM f ASOF LEFT JOIN h2
+        |        ON f.c_custkey = h2.c_custkey AND f.tsec >= h2.valid_from)
+        |SELECT coalesce(seg, 'NONE') AS segment, count(*) AS n_events,
+        |  count(DISTINCT c_custkey) AS n_users
+        |FROM j GROUP BY 1""".stripMargin,
 
     "scd2_customer_segments" ->
       """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),

@@ -44,4 +44,25 @@ class DimensionsSpec extends SparkSpec {
       .groupBy(col("id")).count().as[(Long, Long)].collect().toMap
     assert(opens.values.forall(_ == 1L))
   }
+
+  test("temporalJoin: version valid at fact time, expiry guard, unknown keys null") {
+    val history = Seq(
+      (1L, "gold", 0L, Some(100L)),
+      (1L, "platinum", 100L, None),
+      (2L, "silver", 0L, Some(50L))) // closed, NO successor (deleted key)
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, 99L),   // before the change: gold
+      (11L, 1L, 100L),  // at the change boundary: platinum (from <= ts)
+      (12L, 2L, 40L),   // inside the closed version: silver
+      (13L, 2L, 60L),   // AFTER deletion: expiry guard -> null
+      (14L, 9L, 10L))   // unknown key -> null
+      .toDF("event_id", "id", "tsec")
+    val out = Dimensions.temporalJoin(facts, history, "id", "tsec",
+        Seq("tier"))
+      .select("event_id", "dim_tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(10L -> Some("gold"), 11L -> Some("platinum"),
+      12L -> Some("silver"), 13L -> None, 14L -> None))
+  }
 }
