@@ -66,6 +66,26 @@ object Dimensions {
       .withColumn("valid_to", lit(null).cast(
         current.select(from.as("__f")).schema("__f").dataType))
 
+  /** [[scd2Apply]] for AT-LEAST-ONCE delivery (the CDC-stream face):
+    * change rows whose time is not strictly after the key's current
+    * `valid_from` are dropped first — a replayed batch re-delivers
+    * changes the history already absorbed, and re-applying one would
+    * close the current row AT ITS OWN `valid_from` and insert a
+    * duplicate. With the guard, replay is a no-op BY CONSTRUCTION
+    * (same contract as the ingest indexes: idempotent, not merely
+    * usually-harmless). The guard is one key-keyed join against the
+    * current rows (key-count-sized).
+    */
+  def scd2ApplyIdempotent(history: DataFrame, changes: DataFrame,
+                          keyCols: Seq[String], tsCol: String): DataFrame = {
+    val curFrom = history.filter(col("valid_to").isNull)
+      .select(keyCols.map(col) :+ col("valid_from").as("__curf"): _*)
+    val fresh = changes.join(curFrom, keyCols, "left")
+      .filter(col("__curf").isNull || col(tsCol) > col("__curf"))
+      .drop("__curf")
+    scd2Apply(history, fresh, keyCols, tsCol)
+  }
+
   /** Fact-to-SCD2 temporal join — every fact row enriched with the
     * dimension attributes that were valid AT THE FACT'S TIME (the
     * canonical warehouse query over versioned dimensions). This is

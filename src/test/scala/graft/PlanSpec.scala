@@ -506,6 +506,15 @@ class PlanSpec extends SparkSpec {
       s"day is a partition column, not a data column:\n$p")
   }
 
+  test("temporal SCD2 join: version resolution never nested-loops") {
+    val p = planOf("events_scd2_temporal_join")
+    // the valid_from <= ts < valid_to resolution rides the as-of window,
+    // never a range join condition
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"temporal join plan:\n$p")
+    assert(p.contains("Window"), s"temporal join lost its as-of window:\n$p")
+  }
+
   test("value-carrying as-of: still one shuffle + window, zero join operators") {
     val p = planOf("events_asof_join_value")
     // the whole point of union-and-carry: the value columns ride the
