@@ -115,6 +115,18 @@ object ScaleProbe {
           nShards = 8, outDir = out))
     }
 
+    // interleaved multimodal packing: the doc<->media join reduces the
+    // payload to octet_length map-side, then one window per shard —
+    // must track the corpus scan like training_layout
+    if (only.exists(_.contains("interleaved_pack"))) {
+      val media = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("media"))
+      t("interleaved_pack")(
+        graft.ops.Multimodal.interleavedPack(docs, media, nShards = 8,
+          capacity = 512))
+    }
+
     // tf-idf over the k-fold corpus: the (doc, term) sketch relation grows
     // linearly; the vocabulary (term-window side) stays ~fixed
     t("tfidf_topk")(
