@@ -297,6 +297,273 @@ object AnalyticsQueries {
           .as("dec_sum"), count(lit(1)).as("n_lines"))
         .select(round(col("dec_sum").cast("double") / 7.0, 6)
           .as("avg_yearly"), col("n_lines"))
+    }),
+
+    // TPC-H Q4 shape: correlated EXISTS whose predicate compares columns
+    // from BOTH sides (l_shipdate > o_orderdate + 60 days — the fixture
+    // has no commit/receipt dates, so "late shipment" plays that role).
+    // Decorrelates to a left-semi hash join on the order key with the
+    // cross-side inequality riding as a residual — never a nested loop.
+    "tpch_q4_priority_count" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("__lok"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("__lok") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q12 shape: conditional (CASE) counting over a fact-fact join
+    // — high/low-priority line counts per return flag (the fixture has no
+    // l_shipmode; l_returnflag stands in as the grouping attribute, the
+    // planner shape is identical). Both CASE branches fold into ONE
+    // aggregation pass over the joined scan.
+    "tpch_q12_priority_lines" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution. The planner
+    // trap is the filtered LEFT OUTER join — the priority predicate
+    // belongs to the JOIN CONDITION (customers with zero qualifying
+    // orders must survive with c_count = 0), not to a WHERE clause that
+    // would silently turn the join inner. Double aggregation: per-customer
+    // count, then the histogram of counts.
+    "tpch_q13_order_distribution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey").as("__ck"), col("o_orderkey"))
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("__ck"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q14 shape: promo-revenue share — a conditional-aggregate
+    // RATIO over one joined scan; the part dimension broadcasts, both
+    // sums come out of a single aggregation (no second pass / self-join).
+    "tpch_q14_promo_share" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("rev", (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("dec_promo"),
+          sum(col("rev")).as("dec_total"))
+        .select(
+          round(lit(100.0) * col("dec_promo").cast("double") /
+            col("dec_total").cast("double"), 6).as("promo_share"),
+          round(col("dec_total").cast("double"), 6).as("total_revenue"))
+    }),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate
+    // compared against the MAX over the SAME aggregate (scalar-subquery
+    // equality). The decimal revenue is compared EXACTLY (decimal sums
+    // are exact in both engines), so ties are kept identically; the max
+    // is a one-row broadcast, never a re-aggregation per row.
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      // the explicit isNotNull keeps the shared aggregate subtree
+      // canonically IDENTICAL under both consumers (the later inner join
+      // would push a null filter into only the probe side otherwise),
+      // which is what lets ReuseExchange compute the aggregate once
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+          col("l_suppkey").isNotNull)
+        .withColumn("r", (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("r")).as("dec_rev"))
+      val mx = rev.agg(max(col("dec_rev")).as("__max"))
+      rev.join(broadcast(mx), col("dec_rev") === col("__max"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("dec_rev").cast("double"), 6).as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q7 shape: cross-nation shipping volume between two trading
+    // partners by year. The nation pair filter is pushed into the
+    // supplier/customer DIMENSIONS before they touch the fact join (a
+    // 2/25 prune ahead of the shuffle); the asymmetric-pair condition
+    // reduces to supp_nation <> cust_nation once both sides are limited
+    // to the two nations.
+    "tpch_q7_nation_volume" -> ((s, dir) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, dir)
+        .filter(col("n_name").isin(nations: _*))
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(n1), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("__nk2"), col("n_name").as("cust_nation"))
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(n2), col("c_nationkey") === col("__nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      l.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .withColumn("rev", (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("rev")).cast("double"), 6).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: market share — the fraction of a year's regional
+    // import revenue supplied by one nation, i.e. a conditional sum over
+    // the total sum from ONE aggregation pass. Customer region membership
+    // is a left-semi join (only existence matters); part/supplier/nation
+    // dimensions broadcast.
+    "tpch_q8_market_share" -> ((s, dir) => {
+      val amerNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val amerCust = Tables.customer(s, dir)
+        .join(broadcast(amerNations), col("c_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select(col("c_custkey"))
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev", (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(18,4)"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_5", col("rev"))
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(col("rev")).cast("double"), 6).as("mkt_share"),
+          round(sum(col("rev")).cast("double"), 6).as("total_rev"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape: product profit by supplier nation and year. The
+    // fixture has no partsupp/ps_supplycost, so cost is proxied by
+    // p_retailprice * l_quantity — the ARITHMETIC shape (per-line profit
+    // = revenue minus a part-priced cost, aggregated over a LIKE-filtered
+    // part dimension) is q9's. All money math stays in decimals: each
+    // product is one (18,4)x(18,4) multiply with a narrowing cast (exact,
+    // the q1 convention), so the grouped sums are engine-exact.
+    "tpch_q9_product_profit" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("amount",
+          (col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(18,4)") -
+          (col("p_retailprice").cast("decimal(18,4)") *
+            col("l_quantity").cast("decimal(18,4)")).cast("decimal(18,4)"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("amount")).cast("double"), 6).as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: grouped aggregate gated by a FRACTION of the
+    // global aggregate over the same input — the scalar subquery is a
+    // one-row broadcast multiplied into the HAVING threshold, and the
+    // comparison stays in exact decimals on both engines. (The fixture
+    // has no partsupp; customer balances by nation carry the shape.)
+    "tpch_q11_important_balances" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("bal", col("c_acctbal").cast("decimal(18,4)"))
+      val byNation = c
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("bal")).as("dec_val"))
+      val total = c.agg((sum(col("bal")) *
+        lit(0.04).cast("decimal(6,4)")).as("__threshold"))
+      byNation.join(broadcast(total))
+        .filter(col("dec_val") > col("__threshold"))
+        .select(col("n_name"),
+          round(col("dec_val").cast("double"), 6).as("total_bal"))
+        .orderBy(col("total_bal").desc)
+    }),
+
+    // TPC-H Q2 shape: minimum-cost supplier per part — a correlated
+    // scalar MIN decorrelated into a per-part aggregate equality-joined
+    // back onto the candidate set, over a region-filtered dimension
+    // chain. The fixture has no partsupp, so the part↔supplier relation
+    // is the DISTINCT (l_partkey, l_suppkey) bridge from lineitem and
+    // the minimized attribute is s_acctbal; min/equality on stored
+    // doubles is exact (both engines read identical bits), and ties are
+    // kept identically.
+    "tpch_q2_min_balance_supplier" -> ((s, dir) => {
+      val eur = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val es = Tables.supplier(s, dir)
+        .join(broadcast(eur), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables.part(s, dir).filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name"))
+      val cand = p.join(pairs, col("p_partkey") === col("l_partkey"))
+        .join(broadcast(es), col("l_suppkey") === col("s_suppkey"))
+      val minb = cand.groupBy(col("p_partkey").as("__pk"))
+        .agg(min(col("s_acctbal")).as("__minbal"))
+      cand.join(minb, col("p_partkey") === col("__pk") &&
+          col("s_acctbal") === col("__minbal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
     })
   )
 
@@ -464,6 +731,156 @@ object AnalyticsQueries {
         |JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#23'
         |  AND l_quantity * 5 < (SELECT avg(l2.l_quantity) FROM lineitem l2
-        |                        WHERE l2.l_partkey = p_partkey)""".stripMargin
+        |                        WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "tpch_q4_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')
+        |SELECT
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(rev) AS DOUBLE), 6) AS promo_share,
+        |  round(CAST(sum(rev) AS DOUBLE), 6) AS total_revenue
+        |FROM j""".stripMargin,
+
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4))) AS dec_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(dec_rev AS DOUBLE), 6) AS total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE dec_rev = (SELECT max(dec_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q7_nation_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "tpch_q8_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n.n_name AS supp_nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n ON s_nationkey = n.n_nationkey
+        |  WHERE p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND EXISTS (
+        |      SELECT 1 FROM customer
+        |      JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |      JOIN region ON nc.n_regionkey = r_regionkey
+        |      WHERE c_custkey = o_custkey AND r_name = 'AMERICA'))
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+        |  round(CAST(sum(rev) AS DOUBLE), 6) AS total_rev
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "tpch_q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) -
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,4)) *
+        |      CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4))
+        |  ) AS DOUBLE), 6) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "tpch_q11_important_balances" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6)
+        |    AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1
+        |HAVING sum(CAST(c_acctbal AS DECIMAL(18,4))) >
+        |  (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) *
+        |     CAST(0.04 AS DECIMAL(6,4)) FROM customer)""".stripMargin,
+
+    "tpch_q2_min_balance_supplier" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cand AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+        |  FROM part
+        |  JOIN pairs ON p_partkey = l_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM cand c
+        |WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+        |                   WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin
   )
 }

@@ -551,4 +551,69 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("partial_avg"))
   }
+
+  test("q2/q4/q7/q8/q9/q12/q13/q15 shapes: hash joins only, never a loop") {
+    // q11/q14/q22 are excluded on purpose: their one-row scalar broadcast
+    // legitimately plans a 1-row BroadcastNestedLoopJoin (constant cost)
+    for (name <- Seq("tpch_q2_min_balance_supplier", "tpch_q4_priority_count",
+      "tpch_q7_nation_volume", "tpch_q8_market_share",
+      "tpch_q9_product_profit", "tpch_q12_priority_lines",
+      "tpch_q13_order_distribution", "tpch_q15_top_supplier")) {
+      val p = planOf(name)
+      assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name plan regressed to a loop join:\n$p")
+    }
+  }
+
+  test("q4 shape: cross-side EXISTS rides a semi hash join as a residual") {
+    val p = planOf("tpch_q4_priority_count")
+    // the l_shipdate > o_orderdate + 60d correlate must be a residual on
+    // the orderkey-keyed semi join, not the join condition itself
+    assert(p.contains("LeftSemi"), s"q4 must semi-join:\n$p")
+    assert(p.contains("INTERVAL '60' DAY"),
+      s"q4 residual lost from the semi join:\n$p")
+  }
+
+  test("q13 shape: the priority filter must NOT turn the outer join inner") {
+    val p = planOf("tpch_q13_order_distribution")
+    // zero-order customers survive with c_count = 0 only while the join
+    // stays LeftOuter; a WHERE-placed filter would silently make it inner
+    assert(p.contains("LeftOuter"), s"q13 lost its outer join:\n$p")
+    assert(p.contains("partial_count"), s"q13 count must partial map-side:\n$p")
+  }
+
+  test("q15 shape: the max-revenue scalar is an equality broadcast, reusing the agg") {
+    val df = SparkEntry.queries("tpch_q15_top_supplier")(spark, sf0001)
+    // reuse is finalized by AQE at runtime — execute THIS QueryExecution
+    // in place, then audit only the finalized section
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the same per-supplier aggregate feeds both the max and the probe
+    // side — the exchange must be planned once and reused, and the max
+    // row joins back by decimal equality (a hash join, not a loop)
+    assert(p.contains("BroadcastHashJoin"), s"q15:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery"),
+      s"q15 per-supplier aggregate must not be computed twice:\n$p")
+  }
+
+  test("q7 shape: the nation-pair filter prunes both dimensions pre-shuffle") {
+    val df = SparkEntry.queries("tpch_q7_nation_volume")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the 2-of-25 nation prune must reach the nation scans, not sit as a
+    // post-join filter over the full fact join output
+    assert(p.contains("In(n_name, [NATION_1,NATION_2])"),
+      s"q7 nation prune lost from the dimension scan:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q8 shape: region membership is a semi join, share is ONE agg pass") {
+    val p = planOf("tpch_q8_market_share")
+    assert(p.contains("LeftSemi"), s"q8 region membership must semi-join:\n$p")
+    // conditional numerator and total come out of a single aggregation —
+    // exactly one partial_sum pair (two sum columns, one HashAggregate)
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"q8 share must be one partial+final agg pass:\n$p")
+  }
 }
