@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Corpus, Dedup, Dimensions, EventOps, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Dimensions, EventOps, HeavyHitters, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
 import graft.pipeline.{Breweries, Pipeline}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -1747,6 +1747,19 @@ object LlmQueries {
     "corpus_vocab" -> ((s, dir) =>
       Corpus.vocab(Tables.documents(s, dir), "doc_id", "text", topN = 20)),
 
+    // vocab's bounded-state face: Misra-Gries heavy tokens over the
+    // exploded token stream (k=28 < |vocab|, so partition counters
+    // actually evict). At 100 TB the exact vocab group-by shuffles
+    // billions of distinct tokens; the sketch shuffles k rows/partition.
+    "corpus_token_heavy_hitters" -> ((s, dir) => {
+      val s2 = s
+      graft.functions.GraftFunctions.register(s2)
+      val toks = Tables.documents(s2, dir).select(
+        explode(call_function("graft_word_grams", lower(col("text")),
+          lit(1), lit(false), lit(true))).as("tok"))
+      HeavyHitters.audit(toks, "tok", k = 28)
+    }),
+
     // the release data card: per (source, lang) slice — doc/distinct
     // counts, dup rate, char+token totals, length extremes, token share
     "corpus_data_card" -> ((s, dir) =>
@@ -2341,6 +2354,27 @@ object LlmQueries {
       val ev = Tables.events(s, dir).withColumn("user_id",
         when(col("user_id") % 10 < 2, lit(7L)).otherwise(col("user_id")))
       EventOps.capUserEventsAudit(ev, maxPerUser = 50)
+    }),
+
+    // Bounded-state heavy hitters (Misra-Gries, k counters/partition +
+    // one candidate-sized merge) — the sketch face of value_counts at
+    // 100 TB, where the exact group-by shuffles the whole keyspace.
+    // Audit contract: every key with true count > N/(k+1) is present
+    // with 0 <= exact - est <= N/(k+1); the oracle predicts all-true.
+    "events_type_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.audit(Tables.events(s, dir), "event_type", k = 8)),
+
+    // the decrement-heavy face: ~500 cold composite keys drown one
+    // planted flooded key (~25% of rows) — the sketch must keep the
+    // flooder through sustained counter evictions. The plant mirrors
+    // the hot-user ladder's scenario at the sketch layer.
+    "events_key_heavy_hitters_flood" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cold = ev.select(concat_ws("_", col("event_type"),
+        col("user_id") % 97).as("k"))
+      val hot = ev.filter(col("user_id") % 3 === 0)
+        .select(lit("flooded").as("k"))
+      HeavyHitters.audit(cold.unionByName(hot), "k", k = 16)
     }),
 
     // As-of join (operator Spark lacks; composed via union-and-carry, one
@@ -5210,6 +5244,39 @@ object LlmQueries {
          |  coalesce(k.n_kept, 0) AS n_kept
          |FROM n LEFT JOIN k USING (user_id)""".stripMargin
     },
+
+    // MG guarantee is a theorem: the oracle states the exact heavy set
+    // (count > N/(k+1)) with both audit flags true in closed form
+    "events_type_heavy_hitters" ->
+      """WITH e AS (SELECT CAST(event_type AS VARCHAR) AS key FROM events),
+        |x AS (SELECT key, count(*) AS exact_cnt FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM e)
+        |SELECT key, exact_cnt, true AS present_in_sketch,
+        |  true AS est_within_bound
+        |FROM x, n WHERE exact_cnt * 9 > n""".stripMargin,
+
+    "events_key_heavy_hitters_flood" ->
+      """WITH u AS (
+        |  SELECT event_type || '_' || CAST(user_id % 97 AS VARCHAR) AS key
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'flooded' AS key FROM events WHERE user_id % 3 = 0),
+        |x AS (SELECT key, count(*) AS exact_cnt FROM u GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM u)
+        |SELECT key, exact_cnt, true AS present_in_sketch,
+        |  true AS est_within_bound
+        |FROM x, n WHERE exact_cnt * 17 > n""".stripMargin,
+
+    "corpus_token_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS key
+        |  FROM documents),
+        |x AS (SELECT key, count(*) AS exact_cnt FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT key, exact_cnt, true AS present_in_sketch,
+        |  true AS est_within_bound
+        |FROM x, n WHERE exact_cnt * 29 > n""".stripMargin,
 
     "events_asof_nearest" ->
       """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
