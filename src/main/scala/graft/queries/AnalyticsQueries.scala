@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.DataProfile
 import org.apache.spark.sql.functions._
 
 /** TPC-H-shaped analytical queries over the fixture star schema — the
@@ -564,8 +565,37 @@ object AnalyticsQueries {
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"))
         .limit(100)
-    })
+    }),
+
+    // One-pass multi-column profiler (DESCRIBE surface): every column's
+    // n/nulls/distinct/range/mean from a SINGLE scan of the fact table —
+    // the naive per-column-job profiler reads a 100 TB table N times.
+    "stats_profile_lineitem" -> ((s, dir) =>
+      DataProfile.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_linestatus")))
   )
+
+  /** Oracle row for one profiled column (see [[DataProfile.profile]]). */
+  private def profileOracleRow(c: String, numeric: Boolean): String =
+    if (numeric)
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+         |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+         |  round(CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)
+         |        / count($c), 6) AS mean,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    else
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  CAST(NULL AS DOUBLE) AS mean,
+         |  min($c) AS min_str, max($c) AS max_str
+         |FROM lineitem""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -881,6 +911,12 @@ object AnalyticsQueries {
         |WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
         |                   WHERE c2.p_partkey = c.p_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "stats_profile_lineitem" -> Seq(
+      "l_orderkey" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+      "l_discount" -> true, "l_returnflag" -> false, "l_linestatus" -> false)
+      .map { case (c, num) => profileOracleRow(c, num) }
+      .mkString("", "\nUNION ALL\n", "")
   )
 }
