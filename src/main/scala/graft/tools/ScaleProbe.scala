@@ -731,6 +731,31 @@ object ScaleProbe {
         Similarity.bruteForceTopKQ8Indexed(qidx, col("vec_id") % 1000 === 0, 10))
       qidx.unpersist()
     }
+
+    // Heavy hitters: sketch vs exact in the regime the sketch exists
+    // for — a keyspace that GROWS with the corpus (cold keys ~unique
+    // per row; one flooded key at ~20%). The exact face shuffles every
+    // distinct key; Misra-Gries shuffles k_mg * numPartitions summary
+    // rows regardless of corpus size, so its gap must WIDEN with k.
+    if (only.forall(o => o.contains("hh_exact") || o.contains("hh_sketch"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val evK = (0 until k).map { r =>
+        ev0.select((col("event_id") + lit(r * 10000000L)).as("event_id"),
+          col("event_type"))
+      }.reduce(_ unionByName _)
+      val keyed = evK.select(
+        when(col("event_id") % 5 === 0, lit("flooded"))
+          .otherwise(concat_ws("_", col("event_type"), col("event_id")))
+          .as("k")).persist(sl)
+      val nTot = keyed.count()
+      t("hh_exact", keepCache = true)(
+        keyed.groupBy("k").agg(count(lit(1)).as("c"))
+          .filter(col("c") * 33 > lit(nTot)))
+      t("hh_sketch", keepCache = true)(
+        graft.ops.HeavyHitters.misraGries(keyed, "k", 32))
+      keyed.unpersist()
+    }
     spark.stop()
   }
 }
