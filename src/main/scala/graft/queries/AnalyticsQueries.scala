@@ -573,7 +573,46 @@ object AnalyticsQueries {
     "stats_profile_lineitem" -> ((s, dir) =>
       DataProfile.profile(Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
-          "l_returnflag", "l_linestatus")))
+          "l_returnflag", "l_linestatus"))),
+
+    // Pivot (crosstab) — per-nation counts spread over order priorities.
+    // The values list is EXPLICIT: at 100 TB, pivot without values runs
+    // a blocking collect-distinct over the pivot column before the real
+    // job; with values it is one Expand-free aggregation pass.
+    "events_pivot_priority" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("n_name"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("unspecified"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))),
+
+    // Set operations with bag semantics — INTERSECT (customers active in
+    // BOTH years) and EXCEPT (active in 1996 but gone by 1997): the
+    // dedicated set-op planner paths (both rewrite to aggregated
+    // semi/anti joins, never a loop), distinct from the semi-join
+    // family the TPC-H sweep covers.
+    "setop_customer_churn" -> ((s, dir) => {
+      def active(yr: Int) = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val retained = active(1996).intersect(active(1997))
+        .select(col("o_custkey"), lit("retained").as("cohort"))
+      val churned = active(1996).except(active(1997))
+        .select(col("o_custkey"), lit("churned").as("cohort"))
+      retained.unionByName(churned)
+    })
   )
 
   /** Oracle row for one profiled column (see [[DataProfile.profile]]). */
@@ -912,6 +951,36 @@ object AnalyticsQueries {
         |                   WHERE c2.p_partkey = c.p_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
+
+    "events_pivot_priority" ->
+      """SELECT n_name,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "setop_customer_churn" ->
+      """WITH a96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |a97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_custkey, 'retained' AS cohort
+        |FROM (SELECT o_custkey FROM a96 INTERSECT SELECT o_custkey FROM a97)
+        |UNION ALL
+        |SELECT o_custkey, 'churned' AS cohort
+        |FROM (SELECT o_custkey FROM a96 EXCEPT SELECT o_custkey FROM a97)""".stripMargin,
 
     "stats_profile_lineitem" -> Seq(
       "l_orderkey" -> true, "l_quantity" -> true, "l_extendedprice" -> true,

@@ -608,6 +608,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("pivot: explicit values list keeps it aggregation-only (no collect, no Expand)") {
+    val p = planOf("events_pivot_priority")
+    // an omitted values list would run a blocking collect-distinct job
+    // before planning; the explicit list plans straight to pivotfirst
+    // over map-side partial counts
+    assert(p.contains("pivotfirst"), s"pivot plan:\n$p")
+    assert(!p.contains("Expand"), s"pivot must not Expand rows:\n$p")
+    assert(p.contains("partial_count"), s"pivot count must partial map-side:\n$p")
+  }
+
+  test("set ops: INTERSECT/EXCEPT plan as aggregated semi/anti hash joins") {
+    val p = planOf("setop_customer_churn")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"setop:\n$p")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"setop must not loop:\n$p")
+  }
+
   test("q8 shape: region membership is a semi join, share is ONE agg pass") {
     val p = planOf("tpch_q8_market_share")
     assert(p.contains("LeftSemi"), s"q8 region membership must semi-join:\n$p")
