@@ -20,8 +20,10 @@ object SparkEntry {
     pipeline.Breweries.silver(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries
+    ParityQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries ++
+      ErQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle ++ LlmQueries.oracle ++ AnalyticsQueries.oracle
+    ParityQueries.oracle ++ LlmQueries.oracle ++ AnalyticsQueries.oracle ++
+      ErQueries.oracle
 }

@@ -756,6 +756,28 @@ object ScaleProbe {
         graft.ops.HeavyHitters.misraGries(keyed, "k", 32))
       keyed.unpersist()
     }
+
+    // Edit-distance join: blocked self-join over n = 20k*k DIVERSE
+    // 10-char names — digits scrambled by an odd multiplier coprime to
+    // 10^10 (injective, every position uniform), the shape of a real
+    // name/title corpus. Segment diversity is the governing parameter:
+    // a first cut used reversed-zero-padded ids, whose constant
+    // leading-zero half is exactly the flood segment of the module doc,
+    // and the ladder went quadratic (36 s -> 398 s for 4x) — kept as the
+    // recorded counterexample; with diverse segments the candidate
+    // volume is bucket-density-bound and the ladder must stay
+    // near-linear. The unblocked alternative is n^2/2 levenshtein calls
+    // (2e8 at k=1 — untimeable). Row count = distance<=1 pairs.
+    if (only.forall(_.contains("er_selfjoin"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val names = spark.range(20000L * k).selectExpr("id",
+        "translate(lpad(CAST(id * 1000003 % 10000000000 AS VARCHAR(20)), " +
+          "10, '0'), '0123456789', 'abcdefghij') AS nm").persist(sl)
+      names.count()
+      t("er_selfjoin", keepCache = true)(
+        graft.ops.EntityResolution.editDistanceSelfJoin(names, "id", "nm", 1))
+      names.unpersist()
+    }
     spark.stop()
   }
 }

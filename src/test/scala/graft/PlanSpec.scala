@@ -633,4 +633,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length == 2,
       s"q8 share must be one partial+final agg pass:\n$p")
   }
+
+  test("edit-distance join: segment blocking is a hash equi-join, never a loop") {
+    // the whole point of PassJoin-style blocking is that the levenshtein
+    // predicate NEVER appears as a join condition — it runs as a filter
+    // over hash-joined candidates. A nested-loop/cartesian here is the
+    // O(n^2) plan the operator exists to avoid.
+    Seq("er_dirty_link", "er_self_pairs", "er_link_best").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n must block via hash join:\n$p")
+      assert(p.contains("levenshtein"),
+        s"$n must verify candidates with levenshtein:\n$p")
+    }
+  }
 }

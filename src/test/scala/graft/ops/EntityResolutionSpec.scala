@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exactness of the segment-blocked edit-distance join: the blocked plan
+  * must return EXACTLY the brute-force cross-product result — the
+  * pigeonhole guarantees no false negatives, the levenshtein verify
+  * removes false positives. Randomized corpora over a small alphabet
+  * (seeded) force plenty of near-miss pairs at every threshold.
+  */
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomCorpus(n: Int, seed: Long, minLen: Int = 3,
+                           maxLen: Int = 9): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val alpha = "abc"
+    (0 until n).map { i =>
+      val len = minLen + rnd.nextInt(maxLen - minLen + 1)
+      (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("id", "s")
+  }
+
+  private def bruteSelf(df: DataFrame, d: Int): Set[(Long, Long, Int)] = {
+    val a = df.as("a"); val b = df.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("dist"))
+      .filter(col("dist") <= d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  private def bruteJoin(l: DataFrame, r: DataFrame, d: Int): Set[(Long, Long, Int)] = {
+    l.as("a").join(r.as("b"),
+        levenshtein(col("a.id2s"), col("b.s")) <= d)
+      .select(col("a.id2"), col("b.id"),
+        levenshtein(col("a.id2s"), col("b.s")).as("dist"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2))).toSet
+  }
+
+  test("self-join matches brute force at d=1 and d=2") {
+    val df = randomCorpus(70, seed = 42).cache()
+    for (d <- Seq(1, 2)) {
+      val got = EntityResolution.editDistanceSelfJoin(df, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = bruteSelf(df, d)
+      assert(got == want, s"d=$d: blocked=${got.size} brute=${want.size}")
+      assert(want.nonEmpty, s"d=$d fixture produced no pairs — test is vacuous")
+    }
+    df.unpersist()
+  }
+
+  test("two-relation join matches brute force across unequal lengths") {
+    val left = randomCorpus(60, seed = 7, minLen = 2, maxLen = 10)
+      .select(col("id").as("id2"), col("s").as("id2s")).cache()
+    val right = randomCorpus(60, seed = 8, minLen = 2, maxLen = 10).cache()
+    for (d <- Seq(1, 2)) {
+      val got = EntityResolution.editDistanceJoin(
+          left, "id2", "id2s", right, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = bruteJoin(left, right, d)
+      assert(got == want, s"d=$d: blocked=${got.size} brute=${want.size}")
+      assert(want.nonEmpty, s"d=$d fixture produced no pairs — test is vacuous")
+    }
+    left.unpersist(); right.unpersist()
+  }
+
+  test("identical strings and empty-segment edge cases") {
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "a"), (4L, "b"), (5L, ""))
+      .toDF("id", "s")
+    // d=1, k=2 segments: length-1 strings carry an empty first segment,
+    // and the empty string's index rows are ALL empty segments at l=0 —
+    // probes must include indexed length 0 (the greatest(m-d, 0) lower
+    // bound) or ("", "a") pairs vanish in the id-ordered direction.
+    val got = EntityResolution.editDistanceSelfJoin(df, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = bruteSelf(df, 1)
+    assert(got == want, s"blocked=$got brute=$want")
+    assert(want.contains((1L, 2L, 0)), "exact duplicates must pair at dist 0")
+  }
+
+  test("linkBest picks minimum distance with min-id tiebreak") {
+    val dirty = Seq((10L, "abca")).toDF("did", "ds")
+    val clean = Seq((1L, "abcd"), (2L, "abca"), (3L, "abcb"))
+      .toDF("cid", "cs")
+    val got = EntityResolution.linkBest(dirty, "did", "ds",
+        clean, "cid", "cs", d = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((10L, 2L, 0)))
+    // remove the exact match: now three dist-1 candidates? (1:"abcd" d1,
+    // 3:"abcb" d1) — tiebreak must pick cid 1
+    val got2 = EntityResolution.linkBest(dirty, "did", "ds",
+        clean.filter(col("cid") =!= 2), "cid", "cs", d = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got2.toSeq == Seq((10L, 1L, 1)))
+  }
+
+  test("flood segment: cap trades recall loudly, never precision") {
+    // every string shares a constant-prefix flood segment. A pair whose
+    // edit sits in the DIVERSE half blocks only via the flood segment,
+    // so capping it drops those pairs (recall); but every pair that DOES
+    // survive must still be a true pair (precision) — the LSH hot-bucket
+    // contract, restated for segments.
+    val df = (0 until 80).map(i => (i.toLong, f"Customer#$i%03d"))
+      .toDF("id", "s").cache()
+    val uncapped = EntityResolution.editDistanceSelfJoin(df, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = bruteSelf(df, 1)
+    assert(uncapped == want, "uncapped blocked join must be exact")
+    assert(want.nonEmpty)
+    val capped = EntityResolution.editDistanceSelfJoin(df, "id", "s", 1,
+        maxBucketSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(want), "cap must never produce a false pair")
+    assert(capped.size < want.size,
+      "flood fixture should actually lose pairs under the cap — " +
+        "otherwise this test exercises nothing")
+    df.unpersist()
+  }
+}
