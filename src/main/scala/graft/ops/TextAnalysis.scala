@@ -875,6 +875,44 @@ object TextAnalysis {
       "left_anti")
   }
 
+  /** [[decontaminate]] with a BLOOM PREFILTER on the corpus gram stream —
+    * same exact result, different scale posture. The exact path hash-joins
+    * EVERY corpus gram against the broadcast benchmark-gram set; at 100 TB
+    * that is ~10^12 probe rows carried into a join whose broadcast side is
+    * benchmark-gram-sized (easily GBs for a large eval suite). Here a
+    * fixed-size bit array (hundreds of KB, constant regardless of
+    * benchmark size once sized) drops ~all non-overlapping grams INSIDE
+    * the scan's codegen stage; only bloom survivors — true hits plus the
+    * bounded false-positive residue — reach the confirming exact join, so
+    * the join input shrinks from corpus-gram-sized to hit-sized. False
+    * positives are killed by that exact join, false negatives are
+    * impossible, hence: result == [[decontaminate]], bit for bit — the
+    * oracle gates this query against the EXACT path's SQL.
+    *
+    * A saturated filter (undersized bits) silently stops filtering but
+    * never breaks correctness; the fill ratio is reported loudly when it
+    * passes 50% so the trade stays visible.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         numBits: Int = 1 << 20,
+                         numHashes: Int = 5): DataFrame = {
+    val benchGrams = Dedup.shingleRows(benchmark, idCol, textCol, n)
+      .select(col("s")).distinct().localCheckpoint(true)
+    val f = Bloom.build(benchGrams, col("s"), numBits, numHashes)
+    if (f.fillRatio > 0.5)
+      System.err.println(f"[graft] decontaminateBloom: filter ${f.fillRatio * 100}%.1f%% " +
+        "full — FP rate is degrading toward pass-through; raise numBits")
+    val corpusGrams = Dedup.shingleRows(
+      Par.fanOut(corpus.select(col(idCol), col(textCol))), idCol, textCol, n)
+    val flagged = corpusGrams
+      .filter(Bloom.mightContain(f, col("s")))
+      .join(broadcast(benchGrams), "s")
+      .select(col("doc_id")).distinct().localCheckpoint(true)
+    corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
+      "left_anti")
+  }
+
   /** FUZZY benchmark contamination: corpus documents that are NEAR-
     * duplicates of a benchmark document — banded-MinHash LSH candidates
     * verified by exact shingle Jaccard — catching the leakage exact

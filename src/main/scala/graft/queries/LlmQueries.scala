@@ -1927,6 +1927,17 @@ object LlmQueries {
         docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
     }),
 
+    // the SAME decontamination through the constant-memory bloom
+    // prefilter — result must equal the exact path bit for bit (the
+    // oracle IS the exact path's SQL); the filter only changes how few
+    // grams reach the confirming join
+    "text_decon_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.decontaminateBloom(
+        docs.filter(col("source") =!= "src9"),
+        docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+    }),
+
     // document data-quality vet: the crawl-hygiene gate before any text
     // processing (decode-level invariants; clean fixture -> all ok=true,
     // planted mojibake/control/empty cases are spec-covered)
@@ -4532,6 +4543,18 @@ object LlmQueries {
          |FROM g JOIN bg USING (s) GROUP BY 1""".stripMargin,
 
     "text_decontaminated" ->
+      s"""WITH g AS (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source <> 'src9')", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
+         |fl AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (s))
+         |SELECT * FROM documents
+         |WHERE source <> 'src9'
+         |  AND doc_id NOT IN (SELECT doc_id FROM fl)""".stripMargin,
+
+    // bloom prefilter changes the PLAN, never the result: the oracle is
+    // the exact decontamination restated verbatim
+    "text_decon_bloom" ->
       s"""WITH g AS (
          |  ${ngramRowsSql("(SELECT * FROM documents WHERE source <> 'src9')", 8)}),
          |bg AS (SELECT DISTINCT s FROM (

@@ -142,6 +142,12 @@ object ScaleProbe {
       graft.ops.TextAnalysis.contaminationReport(docs, bench, "doc_id", "text", 8))
     t("decontaminate")(
       graft.ops.TextAnalysis.decontaminate(docs, bench, "doc_id", "text", 8))
+    // the bloom-prefiltered face: same result, but non-overlapping corpus
+    // grams die inside the scan instead of probing the exact join — the
+    // gap vs `decontaminate` should WIDEN with k (join input is hit-sized,
+    // not corpus-gram-sized)
+    t("decon_bloom")(
+      graft.ops.TextAnalysis.decontaminateBloom(docs, bench, "doc_id", "text", 8))
 
     // exact-substring (20-token-window) dedup: the window relation grows
     // linearly with the corpus (one row per token position), the
