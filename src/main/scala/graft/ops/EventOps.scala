@@ -273,6 +273,70 @@ object EventOps {
         round(avg(col("n_active")).over(w), 6))
   }
 
+  /** Dense daily series per event type: every (day, type) cell of the
+    * [min day, max day] x distinct-types grid, zero-filled where no
+    * events landed — the gap-fill/resample step every downstream
+    * time-series operator (EWMA, anomaly lookbacks, forecasting
+    * features) needs before positional arithmetic means anything.
+    *
+    * Shape: ONE corpus-sized aggregation to (day, type) cells; the
+    * scaffold is calendar-bounded (days since epoch) times the type
+    * dimension — both tiny at ANY corpus scale, so their cross join is
+    * a broadcast scaffold, not a data join, and the left join back onto
+    * the cells is scaffold-sized. Days are epoch arithmetic
+    * (`floor(epoch/86400)`, the [[dailyActive]] convention).
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val byDay = events.select(
+      floor(unix_timestamp(col("ts")) / 86400).cast("int").as("day"),
+      col("event_type"), col("value"))
+    val cells = byDay.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+    val days = byDay.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = byDay.select(col("event_type")).distinct()
+    days.crossJoin(broadcast(types))
+      .join(cells, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
+  /** Exponentially weighted moving average of the daily event count per
+    * type, over the ZERO-FILLED grid ([[gapFillDaily]] — EWMA over a
+    * sparse series would silently skip decay across gaps):
+    * `s_1 = n_1; s_t = alpha*n_t + (1-alpha)*s_{t-1}`.
+    *
+    * The recursion runs as ONE array fold per type
+    * (`functions.aggregate` over the sorted day series) — no window
+    * over an unbounded frame, no driver collect. Per-group state is the
+    * series itself, CALENDAR-bounded (days since the epoch fit in ~2^15
+    * rows no matter how many trillions of events fed them) — the same
+    * bounded-by-time argument as [[dailyActive]]'s day window. The
+    * oracle replays the identical recursion as a recursive CTE; both
+    * engines evaluate `alpha*n + (1-alpha)*prev` in the same order, and
+    * the output rides the 1e-6 grid.
+    */
+  def ewmaDaily(events: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val acc0 = array().cast("array<struct<day:int,ewma:double>>")
+    val step = (acc: Column, x: Column) => concat(acc, array(struct(
+      x("day").as("day"),
+      when(size(acc) === 0, x("n_events").cast("double"))
+        .otherwise(lit(alpha) * x("n_events") +
+          lit(1.0 - alpha) * element_at(acc, -1)("ewma"))
+        .as("ewma"))))
+    gapFillDaily(events)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("n_events"))))
+        .as("series"))
+      .select(col("event_type"),
+        explode(aggregate(col("series"), acc0, step)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        round(col("r.ewma"), 6).as("ewma"))
+  }
+
   /** Cohort retention: users cohorted by the WEEK of their first
     * `cohortType` event, then counted as active in each weekly offset
     * bucket after it — the classic retention triangle. Weeks are pure

@@ -2334,6 +2334,16 @@ object LlmQueries {
     "events_dau_rolling" -> ((s, dir) =>
       EventOps.dailyActive(Tables.events(s, dir))),
 
+    // dense (day x type) grid with zero-filled gaps — the resample step
+    // before any positional time-series arithmetic
+    "events_gapfill" -> ((s, dir) =>
+      EventOps.gapFillDaily(Tables.events(s, dir))),
+
+    // EWMA of the daily count per type over the zero-filled grid; the
+    // oracle replays the same recursion as a recursive CTE
+    "events_ewma" -> ((s, dir) =>
+      EventOps.ewmaDaily(Tables.events(s, dir), alpha = 0.3)),
+
     // cohort retention triangle: users cohorted by the week of their
     // first signup, counted as active per weekly offset after it
     "events_retention" -> ((s, dir) =>
@@ -5216,6 +5226,48 @@ object LlmQueries {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
         |    AS trailing_avg_active
         |FROM a""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH b AS (SELECT
+        |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
+        |      AS day, event_type, value
+        |  FROM events),
+        |a AS (SELECT day, event_type, count(*) AS n_events,
+        |        round(sum(value), 6) AS total_value
+        |      FROM b GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+        |d AS (SELECT CAST(unnest(generate_series(lo, hi)) AS INT) AS day
+        |     FROM bounds),
+        |t AS (SELECT DISTINCT event_type FROM b)
+        |SELECT d.day, t.event_type,
+        |  coalesce(a.n_events, 0) AS n_events,
+        |  coalesce(a.total_value, 0.0) AS total_value
+        |FROM d CROSS JOIN t
+        |LEFT JOIN a ON a.day = d.day AND a.event_type = t.event_type""".stripMargin,
+
+    "events_ewma" ->
+      """WITH RECURSIVE b AS (SELECT
+        |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
+        |      AS day, event_type
+        |  FROM events),
+        |a AS (SELECT day, event_type, count(*) AS n FROM b GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+        |d AS (SELECT CAST(unnest(generate_series(lo, hi)) AS INT) AS day
+        |     FROM bounds),
+        |t AS (SELECT DISTINCT event_type FROM b),
+        |g AS (SELECT d.day, t.event_type, coalesce(a.n, 0) AS n,
+        |        row_number() OVER (PARTITION BY t.event_type
+        |                           ORDER BY d.day) AS rn
+        |      FROM d CROSS JOIN t
+        |      LEFT JOIN a ON a.day = d.day AND a.event_type = t.event_type),
+        |s AS (SELECT day, event_type, rn, CAST(n AS DOUBLE) AS ewma
+        |      FROM g WHERE rn = 1
+        |      UNION ALL
+        |      SELECT g.day, g.event_type, g.rn,
+        |        0.3 * g.n + (1 - 0.3) * s.ewma
+        |      FROM g JOIN s ON g.event_type = s.event_type
+        |                   AND g.rn = s.rn + 1)
+        |SELECT event_type, day, round(ewma, 6) AS ewma FROM s""".stripMargin,
 
     "events_sessionize_capped" -> {
       val thinHex = hexToLongSql(

@@ -189,4 +189,42 @@ class EventOpsSpec extends SparkSpec {
       .filter(col("user_id") =!= 1L).collect().map(_.toSeq).toSet
     assert(sFull == sCapped)
   }
+
+  test("gapFillDaily zero-fills every (day, type) grid cell") {
+    // three-day span with day 2 empty for "click" and days 1,2 empty
+    // for "view" — the grid must carry explicit zeros there
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "click", 2.5, "{}"),
+      (3L, ts("2024-01-03 11:00:00"), 2L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.gapFillDaily(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == 6, s"3 days x 2 types = 6 cells, got ${got.size}")
+    val d0 = 19723 // 2024-01-01 as epoch days
+    assert(got((d0, "click")) == (1L, 1.5))
+    assert(got((d0 + 1, "click")) == (0L, 0.0))
+    assert(got((d0 + 2, "click")) == (1L, 2.5))
+    assert(got((d0, "view")) == (0L, 0.0))
+    assert(got((d0 + 1, "view")) == (0L, 0.0))
+    assert(got((d0 + 2, "view")) == (1L, 4.0))
+  }
+
+  test("ewmaDaily runs the recursion over the zero-filled series") {
+    // counts per day for "click": 2, 0, 1 -> s1=2, s2=.3*0+.7*2=1.4,
+    // s3=.3*1+.7*1.4=1.28 — the gap day DECAYS the average; a sparse
+    // formulation would have skipped straight from 2 to s=1.7
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-03 10:00:00"), 1L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.ewmaDaily(ev, alpha = 0.3).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val d0 = 19723
+    assert(got(d0) == 2.0)
+    assert(got(d0 + 1) == 1.4)
+    assert(got(d0 + 2) == 1.28)
+  }
 }
