@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Corpus, Dedup, Dimensions, EventOps, HeavyHitters, Joins, Multimodal, QualityModel, Similarity, TextAnalysis}
-import graft.pipeline.{Breweries, Pipeline}
+import graft.pipeline.{Breweries, Layout, Pipeline}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -2228,6 +2228,25 @@ object LlmQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6)
           .as("sum_value"))
+    }),
+
+    // Z-ORDER physical layout roundtrip: events z-clustered on
+    // (user_id, value-bucket) through the atomic swap, read back, and
+    // range-filtered on BOTH dimensions. Layout never changes results —
+    // the oracle is the same predicate over the unsorted table; the
+    // per-file bounding-box shrink is LayoutSpec's business
+    "events_zorder_scan" -> ((s, dir) => {
+      val out = ParityQueries.scratch("events_zorder")
+      val ev = Tables.events(s, dir)
+        .withColumn("vb", floor(col("value")).cast("int"))
+      Layout.zorderWrite(s, ev, out, "user_id", "vb",
+        bits = 10, numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("user_id").between(10, 25) &&
+          col("value") >= 4.0 && col("value") < 9.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))
     }),
 
     // multi-granularity reporting in ONE pass: (type, day) / (type) /
@@ -5123,6 +5142,16 @@ object LlmQueries {
         |FROM events
         |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
         |      AS INT) = 19724
+        |GROUP BY 1""".stripMargin,
+
+    // physical layout is invisible to semantics: the z-ordered roundtrip
+    // must return exactly what the raw table returns
+    "events_zorder_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 25
+        |  AND value >= 4.0 AND value < 9.0
         |GROUP BY 1""".stripMargin,
 
     "events_scd2_temporal_join" ->
