@@ -895,11 +895,24 @@ object TextAnalysis {
     */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int,
-                         numBits: Int = 1 << 20,
+                         numBits: Int = 0,
                          numHashes: Int = 5): DataFrame = {
     val benchGrams = Dedup.shingleRows(benchmark, idCol, textCol, n)
       .select(col("s")).distinct().localCheckpoint(true)
-    val f = Bloom.build(benchGrams, col("s"), numBits, numHashes)
+    // numBits <= 0 -> auto-size at ~10 bits/key (~1% FP with 5 hashes)
+    // from the materialized gram count: an oversized filter is pure
+    // constant overhead (its words array rides every task binary), an
+    // undersized one saturates toward pass-through — both are a sizing
+    // decision the engine can make itself here because the key count is
+    // already on hand
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val want = 10L * math.max(benchGrams.count(), 1L)
+        math.min(1L << 27, math.max(1L << 14,
+          java.lang.Long.highestOneBit(want - 1) << 1)).toInt
+      }
+    val f = Bloom.build(benchGrams, col("s"), bits, numHashes)
     if (f.fillRatio > 0.5)
       System.err.println(f"[graft] decontaminateBloom: filter ${f.fillRatio * 100}%.1f%% " +
         "full — FP rate is degrading toward pass-through; raise numBits")
