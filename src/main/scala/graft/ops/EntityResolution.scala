@@ -140,6 +140,53 @@ object EntityResolution {
       .select(col("__pid").as("id_a"), col("__rid").as("id_b"), col("dist"))
   }
 
+  /** The index relation for [[editDistanceJoinIndexed]] — build once
+    * over the reference corpus, persist/append, probe with every new
+    * batch (the incremental-ingest shape shared with
+    * [[Dedup.bandIndex]]): one row per (index_id, l, i, seg).
+    */
+  def indexSegments(df: DataFrame, idCol: String, strCol: String,
+                    d: Int): DataFrame =
+    segmentKeys(df, idCol, strCol, d)
+      .select(col("__rid").as("index_id"), col("__rstr").as("index_str"),
+        col("l"), col("i"), col("seg"))
+
+  /** Probe a PRE-BUILT segment index with a new batch — per-ingest cost
+    * is batch-fanout-sized plus the candidate join, independent of how
+    * the index was accumulated. Output: (leftId, index_id, dist).
+    */
+  def editDistanceJoinIndexed(index: DataFrame, left: DataFrame,
+                              leftId: String, leftStr: String, d: Int,
+                              maxBucketSize: Int = 0): DataFrame = {
+    require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
+    val probe = probeKeys(left, leftId, leftStr, d)
+    val (pc, ic) = Dedup.capBucketsPaired(probe, index, Seq("l", "i", "seg"),
+      maxBucketSize, "editDistanceJoinIndexed")
+    pc.join(ic, Seq("l", "i", "seg"))
+      .select(col("__pid"), col("__pstr"), col("index_id"), col("index_str"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__pstr"), col("index_str")))
+      .filter(col("dist") <= d)
+      .select(col("__pid").as(leftId), col("index_id"), col("dist"))
+  }
+
+  /** Entity clusters: connected components over the distance-<=d pair
+    * graph ([[Dedup.resolveClusters]] label propagation), every record
+    * labeled with its component's minimum id — singletons keep their own
+    * id. The canonical "which rows are the same real-world entity"
+    * output.
+    */
+  def clusterIds(df: DataFrame, idCol: String, strCol: String, d: Int,
+                 maxBucketSize: Int = 0): DataFrame = {
+    val pairs = editDistanceSelfJoin(df, idCol, strCol, d, maxBucketSize)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = Dedup.resolveClusters(pairs)
+    df.select(col(idCol))
+      .join(labels, df(idCol) === labels("node"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
+
   /** Record-linkage resolution: for each left record, its BEST match on
     * the right (minimum distance, ties broken by minimum right id) —
     * one aggregation over [[editDistanceJoin]]'s pair relation, no

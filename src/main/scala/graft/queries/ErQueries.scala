@@ -48,6 +48,18 @@ object ErQueries {
     s"""cl AS (SELECT c_custkey, $CleanNameSql AS nm FROM customer),
        |dr AS (SELECT c_custkey, $MutateSql AS nm FROM cl)""".stripMargin
 
+  /** SCRAMBLED 6-char name (odd multiplier, coprime to 10^6 — injective
+    * and uniform in every digit position). The reversed-digit universe
+    * above is DENSE — every name has many distance-1 neighbors, which is
+    * the right stress for pair volume but collapses clustering into one
+    * giant component; this one has essentially no accidental neighbors,
+    * so the cluster fixture's components are the PLANTED dirty<->clean
+    * links plus whatever the arithmetic genuinely creates.
+    */
+  private val ScrambledNameSql =
+    "translate(lpad(CAST(c_custkey * 8191 % 1000000 AS VARCHAR(16)), " +
+      "6, '0'), '0123456789', 'abcdefghij')"
+
   private def clean(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.customer(s, dir).selectExpr("c_custkey", s"$CleanNameSql AS nm")
 
@@ -80,7 +92,21 @@ object ErQueries {
         dirty(s, dir).select(col("c_custkey").as("dirty_id"), col("nm")),
         "dirty_id", "nm",
         clean(s, dir).select(col("c_custkey").as("clean_id"), col("nm")),
-        "clean_id", "nm", d = 1))
+        "clean_id", "nm", d = 1)),
+
+    // entity clusters over the scrambled universe: clean records union
+    // their dirty copies (ids offset +100000), connected components over
+    // the distance-1 graph, every record labeled with its component min —
+    // the oracle replays the closure as a recursive CTE over the same
+    // brute-force pair set
+    "er_clusters" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .selectExpr("c_custkey", s"$ScrambledNameSql AS nm")
+      val u = base.select(col("c_custkey").as("id"), col("nm"))
+        .unionByName(base.selectExpr("c_custkey", s"$MutateSql AS nm")
+          .select((col("c_custkey") + 100000L).as("id"), col("nm")))
+      EntityResolution.clusterIds(u, "id", "nm", d = 1)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -105,6 +131,23 @@ object ErQueries {
          |SELECT dirty_id, clean_id, dist FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn FROM pr)
-         |WHERE rn = 1""".stripMargin
+         |WHERE rn = 1""".stripMargin,
+
+    "er_clusters" ->
+      s"""WITH RECURSIVE
+         |s0 AS (SELECT c_custkey, $ScrambledNameSql AS nm FROM customer),
+         |u AS (SELECT c_custkey AS id, nm FROM s0
+         |      UNION ALL
+         |      SELECT c_custkey + 100000 AS id, $MutateSql AS nm
+         |      FROM (SELECT c_custkey, nm FROM s0) AS cl),
+         |pr AS (SELECT a.id AS ida, b.id AS idb
+         |       FROM u a JOIN u b ON a.id < b.id
+         |       WHERE levenshtein(a.nm, b.nm) <= 1),
+         |e AS (SELECT ida AS a, idb AS b FROM pr
+         |      UNION SELECT idb, ida FROM pr),
+         |r AS (SELECT id, id AS reach FROM u
+         |      UNION
+         |      SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT id, min(reach) AS cluster_id FROM r GROUP BY id""".stripMargin
   )
 }

@@ -97,6 +97,37 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got2.toSeq == Seq((10L, 1L, 1)))
   }
 
+  test("indexed probe equals the direct two-relation join") {
+    val left = randomCorpus(50, seed = 21).select(
+      col("id").as("id2"), col("s").as("id2s"))
+    val right = randomCorpus(50, seed = 22)
+    val idx = EntityResolution.indexSegments(right, "id", "s", 1)
+      .cache()
+    idx.count()
+    val viaIndex = EntityResolution
+      .editDistanceJoinIndexed(idx, left, "id2", "id2s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = EntityResolution
+      .editDistanceJoin(left, "id2", "id2s", right, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == direct)
+    assert(direct.nonEmpty, "fixture produced no pairs — test is vacuous")
+    idx.unpersist()
+  }
+
+  test("clusterIds labels components with their min id, singletons keep their own") {
+    // a-b-c chain (one component), d-e pair, f singleton
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aabb"),
+      (10L, "zzzz"), (11L, "zzzy"), (20L, "qqqq"))
+      .toDF("id", "s")
+    val got = EntityResolution.clusterIds(df, "id", "s", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "aabb" is distance 2 from "aaaa" but 1 from "aaab": transitive
+    // closure must place all three in component 1
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), s"got $got")
+  }
+
   test("flood segment: cap trades recall loudly, never precision") {
     // every string shares a constant-prefix flood segment. A pair whose
     // edit sits in the DIVERSE half blocks only via the flood segment,
