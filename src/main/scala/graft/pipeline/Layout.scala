@@ -67,4 +67,47 @@ object Layout {
       .agg(min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
         min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"),
         count(lit(1)).as("n_rows"))
+
+  /** Manifest path convention for [[zorderWriteIndexed]]. */
+  def manifestPath(path: String): String = path + "_manifest"
+
+  /** [[zorderWrite]] plus a persisted file-level min/max manifest — the
+    * Iceberg/Delta data-skipping planning layer on plain parquet. The
+    * manifest is file-count-sized and written ONCE at layout time
+    * (amortized over every later scan); [[skippingScan]] then plans
+    * against it instead of listing/opening data files.
+    */
+  def zorderWriteIndexed(spark: SparkSession, df: DataFrame, path: String,
+                         xCol: String, yCol: String, bits: Int,
+                         numFiles: Int): Unit = {
+    zorderWrite(spark, df, path, xCol, yCol, bits, numFiles)
+    Pipeline.atomicOverwrite(spark, fileBoxes(spark, path, xCol, yCol),
+      manifestPath(path))
+  }
+
+  /** Files whose bounding box intersects the query box — driver-side
+    * planning, manifest-sized (exactly how table formats plan scans).
+    */
+  def selectFiles(spark: SparkSession, path: String,
+                  xLo: Long, xHi: Long, yLo: Long, yHi: Long): Seq[String] =
+    spark.read.parquet(manifestPath(path))
+      .filter(!(col("x_max") < xLo || col("x_min") > xHi ||
+        col("y_max") < yLo || col("y_min") > yHi))
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Scan only the files that can contain rows in the 2-d range box,
+    * with the residual predicate still applied — result is EXACTLY the
+    * full-table filter (pruned files provably hold no matching rows).
+    */
+  def skippingScan(spark: SparkSession, path: String,
+                   xCol: String, yCol: String,
+                   xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val pred = col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi)
+    val files = selectFiles(spark, path, xLo, xHi, yLo, yHi)
+    if (files.isEmpty)
+      // keep the schema without reading data: footer-only scan of an
+      // always-false predicate over the table root
+      spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
 }

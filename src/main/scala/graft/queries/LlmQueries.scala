@@ -2249,6 +2249,22 @@ object LlmQueries {
           round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // manifest-planned scan over the z-layout: file-level min/max
+    // manifest written at layout time, scan planned against it (files
+    // whose box misses the query box are never opened), residual
+    // predicate re-applied — result is EXACTLY the full-table filter
+    "events_skipping_scan" -> ((s, dir) => {
+      val out = ParityQueries.scratch("events_skipidx")
+      val ev = Tables.events(s, dir)
+        .withColumn("vb", floor(col("value")).cast("int"))
+      Layout.zorderWriteIndexed(s, ev, out, "user_id", "vb",
+        bits = 10, numFiles = 8)
+      Layout.skippingScan(s, out, "user_id", "vb", 30, 60, 10, 15)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // multi-granularity reporting in ONE pass: (type, day) / (type) /
     // grand-total via ROLLUP — Spark's Expand produces all three
     // granularities off a single scan instead of three jobs; subtotal
@@ -5142,6 +5158,16 @@ object LlmQueries {
         |FROM events
         |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
         |      AS INT) = 19724
+        |GROUP BY 1""".stripMargin,
+
+    // manifest pruning is invisible to semantics: pruned files provably
+    // hold no matching rows, so the result equals the full-table filter
+    "events_skipping_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 30 AND 60
+        |  AND CAST(floor(value) AS INT) BETWEEN 10 AND 15
         |GROUP BY 1""".stripMargin,
 
     // physical layout is invisible to semantics: the z-ordered roundtrip

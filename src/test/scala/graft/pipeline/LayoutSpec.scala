@@ -51,4 +51,29 @@ class LayoutSpec extends SparkSpec {
       .agg(sum(col("x")), sum(col("y"))).collect().head ==
       df.agg(sum(col("x")), sum(col("y"))).collect().head)
   }
+
+  test("manifest skipping prunes files and returns exactly the full filter") {
+    val df = spark.range(30000).select(
+      (col("id") * 48271 % 256).cast("int").as("x"),
+      (col("id") * 69621 % 256).cast("int").as("y"),
+      col("id").as("payload"))
+    val path = graft.queries.ParityQueries.scratch("layout_skip")
+    Layout.zorderWriteIndexed(spark, df, path, "x", "y",
+      bits = 8, numFiles = 16)
+    val total = Layout.fileBoxes(spark, path, "x", "y").count()
+    val picked = Layout.selectFiles(spark, path, 10, 40, 200, 240)
+    assert(picked.size < total,
+      s"tile query must prune some of $total z-files, picked ${picked.size}")
+    assert(picked.nonEmpty, "the box is populated — some file must match")
+    val got = Layout.skippingScan(spark, path, "x", "y", 10, 40, 200, 240)
+      .agg(count(lit(1)), sum(col("payload"))).collect().head
+    val want = df.filter(col("x").between(10, 40) &&
+        col("y").between(200, 240))
+      .agg(count(lit(1)), sum(col("payload"))).collect().head
+    assert(got == want, s"pruned scan diverged: $got vs $want")
+    // empty box: schema preserved, zero rows, no file reads needed
+    val empty = Layout.skippingScan(spark, path, "x", "y", 300, 400, 300, 400)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("x", "y", "payload"))
+  }
 }
