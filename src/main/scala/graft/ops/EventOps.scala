@@ -318,7 +318,30 @@ object EventOps {
     * engines evaluate `alpha*n + (1-alpha)*prev` in the same order, and
     * the output rides the 1e-6 grid.
     */
-  def ewmaDaily(events: DataFrame, alpha: Double): DataFrame = {
+  def ewmaDaily(events: DataFrame, alpha: Double): DataFrame =
+    ewmaOver(gapFillDaily(events)
+      .select(col("day"), col("event_type"), col("n_events")), alpha)
+
+  /** Zero-fill a sparse (day, event_type, n_events) count series over
+    * its own [min, max] day span — [[gapFillDaily]]'s grid logic for a
+    * PREPARED series (the streaming ingest's persisted finalized
+    * windows reduce to exactly this relation).
+    */
+  def gapFillCounts(cells: DataFrame): DataFrame = {
+    val days = cells.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = cells.select(col("event_type")).distinct()
+    days.crossJoin(broadcast(types))
+      .join(cells, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** [[ewmaDaily]]'s recursion over a prepared ZERO-FILLED
+    * (day, event_type, n_events) series — shared with the streaming
+    * report so stream-vs-batch parity is by construction.
+    */
+  def ewmaOver(filled: DataFrame, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     val acc0 = array().cast("array<struct<day:int,ewma:double>>")
     val step = (acc: Column, x: Column) => concat(acc, array(struct(
@@ -327,7 +350,7 @@ object EventOps {
         .otherwise(lit(alpha) * x("n_events") +
           lit(1.0 - alpha) * element_at(acc, -1)("ewma"))
         .as("ewma"))))
-    gapFillDaily(events)
+    filled
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("day"), col("n_events"))))
         .as("series"))

@@ -62,4 +62,20 @@ object WindowCountsIngest {
     */
   def topKReport(spark: SparkSession, countsDir: String, k: Int): DataFrame =
     graft.ops.EventOps.windowedTopKOver(series(spark, countsDir), k)
+
+  /** Running EWMA of the daily count per type — identical to the batch
+    * [[graft.ops.EventOps.ewmaDaily]] over the events whose DAY windows
+    * the watermark has finalized (run [[start]] with `width = "1 day"`).
+    * The finalized series is zero-filled over its own span and folded by
+    * the SAME [[graft.ops.EventOps.ewmaOver]] the batch face uses —
+    * parity by construction, including the gap-day decay.
+    */
+  def ewmaReport(spark: SparkSession, countsDir: String,
+                 alpha: Double): DataFrame =
+    graft.ops.EventOps.ewmaOver(
+      graft.ops.EventOps.gapFillCounts(
+        series(spark, countsDir).select(
+          floor(unix_timestamp(col("window_start")) / 86400).cast("int")
+            .as("day"),
+          col("event_type"), col("n").as("n_events"))), alpha)
 }

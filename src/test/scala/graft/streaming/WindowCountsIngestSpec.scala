@@ -76,4 +76,47 @@ class WindowCountsIngestSpec extends SparkSpec {
     val (ra, rt) = reports()
     assert(ra == batchAnomaly && rt == batchTopK, "replay moved a report")
   }
+
+  test("EWMA report equals batch ewmaDaily on finalized day windows") {
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wce_").toString
+    val countsDir = s"$tmp/counts"
+    // three days, with day 2 EMPTY for "view" — the report must replay
+    // the zero-filled decay, not skip the gap
+    val rows: Seq[(String, Timestamp, Double)] =
+      (for { d <- Seq(1, 2, 3); i <- 0 until d + 1 }
+        yield ("click",
+          new Timestamp(ts(s"2024-01-0$d 06:00:00").getTime + i * 60000L),
+          1.0)) ++
+      (for { d <- Seq(1, 3); i <- 0 until 2 }
+        yield ("view",
+          new Timestamp(ts(s"2024-01-0$d 07:00:00").getTime + i * 60000L),
+          1.0))
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val q = WindowCountsIngest.start(
+      input.toDF().toDF("event_type", "ts", "value"),
+      countsDir, s"$tmp/ckpt", width = "1 day", watermark = "1 day")
+    try {
+      rows.sortBy(_._2.getTime).grouped(5).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+      // sentinels far past the last real day window (+ its watermark
+      // lag), both inside the SAME day window so the sentinel's own
+      // window is never finalized into the series
+      input.addData(("sentinel", ts("2024-01-10 12:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(("sentinel", ts("2024-01-10 13:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = EventOps.ewmaDaily(
+      rows.toDF("event_type", "ts", "value")
+        .select(lit(0L).as("event_id"), col("ts"), lit(0L).as("user_id"),
+          col("event_type"), col("value"), lit("{}").as("props")),
+      alpha = 0.3).collect().map(_.toSeq).toSet
+    val streamed = WindowCountsIngest.ewmaReport(spark, countsDir, 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"ewma stream-vs-batch parity:\n$streamed\nvs\n$batch")
+    assert(batch.nonEmpty)
+  }
 }
