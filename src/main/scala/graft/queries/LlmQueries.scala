@@ -2249,6 +2249,35 @@ object LlmQueries {
           round(sum(col("value")), 6).as("sum_value"))
     }),
 
+    // BUCKETED co-located join: fact and dimension written bucketBy(8)
+    // on the join key — the join consumes the bucket layout and runs
+    // with ZERO exchanges (PlanSpec-pinned). At 100 TB this is the
+    // difference between re-shuffling the fact table on every join and
+    // paying the layout once at write time. Results are layout-blind:
+    // the oracle derives the same dimension and joins in SQL
+    "events_bucketed_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 6).as("user_total"))
+      def writeBucketed(df: DataFrame, table: String): Unit =
+        df.write.mode("overwrite")
+          .bucketBy(8, "user_id").sortBy("user_id")
+          .option("path", ParityQueries.scratch(s"bucketed_$table"))
+          .format("parquet").saveAsTable(table)
+      writeBucketed(ev.select(col("user_id"), col("event_type"),
+        col("value")), "graft_ev_bkt")
+      writeBucketed(dim, "graft_dim_bkt")
+      // merge hint: at fixture scale AQE would broadcast the dimension
+      // (also exchange-free, but it bypasses the layout under test); at
+      // 100 TB the dimension does NOT broadcast and THIS is the plan —
+      // a sort-merge join consuming both bucket layouts with no shuffle
+      s.table("graft_ev_bkt")
+        .join(s.table("graft_dim_bkt").hint("merge"), "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("user_total")), 6).as("sum_user_total"))
+    }),
+
     // manifest-planned scan over the z-layout: file-level min/max
     // manifest written at layout time, scan planned against it (files
     // whose box misses the query box are never opened), residual
@@ -5158,6 +5187,16 @@ object LlmQueries {
         |FROM events
         |WHERE CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
         |      AS INT) = 19724
+        |GROUP BY 1""".stripMargin,
+
+    // bucket layout is invisible to semantics: same dimension derivation
+    // and join, restated in SQL
+    "events_bucketed_join" ->
+      """WITH dim AS (SELECT user_id, round(sum(value), 6) AS user_total
+        |            FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(sum(d.user_total), 6) AS sum_user_total
+        |FROM events e JOIN dim d USING (user_id)
         |GROUP BY 1""".stripMargin,
 
     // manifest pruning is invisible to semantics: pruned files provably

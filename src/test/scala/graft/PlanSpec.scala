@@ -634,6 +634,18 @@ class PlanSpec extends SparkSpec {
       s"q8 share must be one partial+final agg pass:\n$p")
   }
 
+  test("bucketed join: both sides consume the bucket layout, zero exchanges") {
+    val p = planOf("events_bucketed_join")
+    // the JOIN itself must be exchange-free (bucket layout = the
+    // pre-paid shuffle); the only exchange in the whole plan is the
+    // final event_type aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"bucketed join must not re-shuffle either side:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"bucketed join should be a non-broadcast equi-join:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan must report bucketing:\n$p")
+  }
+
   test("edit-distance join: segment blocking is a hash equi-join, never a loop") {
     // the whole point of PassJoin-style blocking is that the levenshtein
     // predicate NEVER appears as a join condition — it runs as a filter
