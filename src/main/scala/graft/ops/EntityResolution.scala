@@ -117,8 +117,11 @@ object EntityResolution {
     pc.join(ic, Seq("l", "i", "seg"))
       .select(col("__pid"), col("__pstr"), col("__rid"), col("__rstr"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__pstr"), col("__rstr")))
-      .filter(col("dist") <= d)
+      // thresholded levenshtein: banded O(d*n) DP with early abandon
+      // (returns -1 past the threshold) — the verify call is the hot
+      // loop on long strings, and the full O(n*m) matrix is wasted work
+      .withColumn("dist", levenshtein(col("__pstr"), col("__rstr"), d))
+      .filter(col("dist") >= 0)
       .select(col("__pid").as(leftId), col("__rid").as(rightId), col("dist"))
   }
 
@@ -135,8 +138,8 @@ object EntityResolution {
       .filter(col("__pid") < col("__rid"))
       .select(col("__pid"), col("__pstr"), col("__rid"), col("__rstr"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__pstr"), col("__rstr")))
-      .filter(col("dist") <= d)
+      .withColumn("dist", levenshtein(col("__pstr"), col("__rstr"), d))
+      .filter(col("dist") >= 0)
       .select(col("__pid").as("id_a"), col("__rid").as("id_b"), col("dist"))
   }
 
@@ -165,8 +168,8 @@ object EntityResolution {
     pc.join(ic, Seq("l", "i", "seg"))
       .select(col("__pid"), col("__pstr"), col("index_id"), col("index_str"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__pstr"), col("index_str")))
-      .filter(col("dist") <= d)
+      .withColumn("dist", levenshtein(col("__pstr"), col("index_str"), d))
+      .filter(col("dist") >= 0)
       .select(col("__pid").as(leftId), col("index_id"), col("dist"))
   }
 
