@@ -120,6 +120,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-sampling PLAN for video media: one row per (media_id,
+    * sample_ms, frame_idx) at `everyMs` steps across the parsed
+    * duration — the decode work-list a production pipeline hands its
+    * codec stage. The decode itself is environment-bound (no codecs in
+    * this container — the stubbed step, per SURVEY §2.6); the Spark
+    * side (header parse -> calendar of timestamps -> explode) is the
+    * real distributed plumbing and is oracle-gated in closed form.
+    * Per-row fan-out is duration/everyMs — bounded by clip length,
+    * never by corpus size.
+    */
+  def frameSamplePlan(headers: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    headers
+      // width present = a video track exists: audio-only M4A parses as
+      // the same ISO-BMFF 'mp4' container and must not be frame-sampled
+      .filter(col("format") === "mp4" && col("width").isNotNull &&
+        col("duration_ms").isNotNull)
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
+          .as("sample_ms"))
+      .withColumn("frame_idx",
+        floor(col("sample_ms") / everyMs).cast("int"))
+  }
+
   /** Embedding-join near-dup face: media items whose JOINED embedding
     * vectors (`media_id` = `vec_id` — the cross-modal key a production
     * pipeline carries from its encoder run) are near-duplicates, with

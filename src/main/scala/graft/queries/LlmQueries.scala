@@ -2310,6 +2310,21 @@ object LlmQueries {
           col("n"), col("sum_value"))
     }),
 
+    // CUBE completes the grouping-set family (grouping sets / rollup /
+    // cube): all FOUR granularities — (type, day), (type), (day), total
+    // — off one Expand pass; the per-day-across-types slice is the one
+    // ROLLUP cannot produce
+    "events_cube" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("day",
+        floor(unix_timestamp(col("ts")) / 86400).cast("int"))
+      ev.cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit(-1)).as("day"),
+          col("n"), col("sum_value"))
+    }),
+
     // SCD2 dimension history end-to-end: bootstrap from the customer
     // dimension, apply two change batches (the second with an in-batch
     // flicker that latest-wins must collapse), then audit the history
@@ -2696,6 +2711,14 @@ object LlmQueries {
       Multimodal.mediaHeaders(
         d.select(col("doc_id").as("media_id"), payload.as("media")))
     }),
+
+    // video frame-sampling plan over the SAME synthesized mp4 headers:
+    // the decode work-list (media_id, sample_ms, frame_idx) at 500 ms
+    // steps across each clip's parsed duration — the oracle states the
+    // planted durations in closed form and replays the calendar
+    "mm_frame_sample_plan" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(
+        LlmQueries.queries("mm_media_headers")(s, dir), everyMs = 500L)),
 
     // embedding-join near-dup face: media pairs whose joined vectors
     // (media_id = vec_id) are label-blocked cosine near-dups, with both
@@ -5307,6 +5330,16 @@ object LlmQueries {
         |  count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM e GROUP BY ROLLUP(event_type, day)""".stripMargin,
 
+    "events_cube" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
+        |      AS day, value
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(day, -1) AS day,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM e GROUP BY CUBE(event_type, day)""".stripMargin,
+
     "events_dau_rolling" ->
       """WITH d AS (SELECT
         |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
@@ -5591,6 +5624,17 @@ object LlmQueries {
         |       WHEN doc_id % 8 = 7 THEN CAST((doc_id % 100 + 1) * 100 AS BIGINT)
         |       END AS duration_ms
         |FROM documents""".stripMargin,
+
+    // frame plan only for REAL video (doc_id % 8 = 5): the audio-only
+    // m4a rows share the container format but carry no video track
+    "mm_frame_sample_plan" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |             CAST((n_chars % 600 + 1) * 10 AS BIGINT) AS duration_ms
+        |           FROM documents WHERE doc_id % 8 = 5)
+        |SELECT media_id, duration_ms,
+        |  CAST(u.s AS BIGINT) AS sample_ms,
+        |  CAST(floor(CAST(u.s AS DOUBLE) / 500) AS INT) AS frame_idx
+        |FROM v, unnest(generate_series(0, duration_ms, 500)) AS u(s)""".stripMargin,
 
     "mm_neardup_pairs" ->
       s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS media_md5
