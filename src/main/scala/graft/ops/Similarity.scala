@@ -77,6 +77,69 @@ object Similarity {
       .withColumn("q8", call_function("graft_q8", col(vecCol), col("q_scale")))
   }
 
+  /** Sign-bit BINARY quantization — the 32x rung below [[quantize]]'s
+    * int8: each dimension contributes one bit (positive -> 1), packed
+    * 32 per bigint word as columns `b1..bN` by unrolled
+    * constant-shift ORs (pure codegen, no HOF). 64-dim float32 vectors
+    * (256 B) become 8 logical bytes; Hamming distance over the words
+    * (`bit_count(xor)`) approximates angular distance well enough to
+    * CANDIDATE-GENERATE, never to rank finally — callers rerank the
+    * short list with exact float cosine ([[bruteForceTopKBinary]]).
+    */
+  def quantizeBinary(embeddings: DataFrame, dim: Int = 64,
+                     vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0 && dim % 32 == 0,
+      s"dim must be a positive multiple of 32, got $dim")
+    (0 until dim / 32).foldLeft(embeddings) { (df, w) =>
+      df.withColumn(s"b${w + 1}",
+        (0 until 32).map { j =>
+          when(element_at(col(vecCol), w * 32 + j + 1) > lit(0.0f),
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)))
+    }
+  }
+
+  /** Binary-candidate top-k: Hamming over the packed sign bits selects
+    * `rerank` candidates per query (16 bytes/vector scanned — the
+    * stage that touches EVERY vector), exact float cosine then ranks
+    * only that short list (floats fetched by an id join, rerank-sized —
+    * float embeddings never ride the full scoring scan). Ties break on
+    * vec_id at both stages, so the result is engine-deterministic.
+    */
+  def bruteForceTopKBinary(embeddings: DataFrame, queryPred: Column,
+                           k: Int, rerank: Int = 40,
+                           dim: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val words = dim / 32
+    val bq = quantizeBinary(embeddings.select(col("vec_id"),
+      col("embedding")), dim)
+      .select(col("vec_id") +: (1 to words).map(i => col(s"b$i")): _*)
+    val q = bq.filter(queryPred)
+      .select(col("vec_id").as("query_id") +:
+        (1 to words).map(i => col(s"b$i").as(s"qb$i")): _*)
+    val ham = (1 to words)
+      .map(i => bit_count(col(s"qb$i").bitwiseXOR(col(s"b$i"))))
+      .reduce(_ + _)
+    val cand = broadcast(q).join(bq, col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", ham.cast("int"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("vec_id"))))
+      .filter(col("rn") <= rerank)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+    // rerank-sized float fetches: one per candidate, one per query
+    val e = withNorm(embeddings)
+    val qe = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("nrm").as("qnrm"))
+    cand.join(e, "vec_id").join(broadcast(qe), "query_id")
+      .withColumn("sim",
+        fdot(col("qe"), col("embedding")) / (col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        round(col("sim"), 6).as("cosine"))
+  }
+
   /** Brute-force top-k over the QUANTIZED index: per pair one integer dot
     * ([[graft.functions.Int8DotProduct]], long accumulate — exact and
     * order-independent), descaled by the two scales into an approximate

@@ -1445,6 +1445,19 @@ object LlmQueries {
       Similarity.bruteForceTopKQ8(Tables.embeddings(s, dir),
         col("vec_id") % 100 === 0, k = 10)),
 
+    // BINARY sign-bit quantization: 64 dims -> two packed bigint words
+    // (the 32x rung below int8)
+    "vec_q1" -> ((s, dir) =>
+      Similarity.quantizeBinary(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("b1"), col("b2"))),
+
+    // hamming candidate generation over the sign bits (the stage that
+    // touches every vector reads 16 bytes of it), exact float cosine
+    // reranks only the 40-candidate short list fetched by id
+    "sim_topk_q1" -> ((s, dir) =>
+      Similarity.bruteForceTopKBinary(Tables.embeddings(s, dir),
+        col("vec_id") % 100 === 0, k = 10, rerank = 40)),
+
     // the production ANN shape: IVF cells bound the candidates, int8
     // sketches bound the bytes — float embeddings never stored or read
     "sim_ivf_topk_q8" -> ((s, dir) =>
@@ -3182,6 +3195,40 @@ object LlmQueries {
          |         ORDER BY score DESC, vec_id) AS rn FROM r)
          |SELECT query_id, vec_id, round(score, 6) AS q8_score
          |FROM rk WHERE rn <= 10""".stripMargin,
+
+    "vec_q1" ->
+      """SELECT vec_id,
+        |  CAST(list_aggregate(list_transform(range(1, 33),
+        |    i -> CASE WHEN embedding[i] > 0
+        |              THEN CAST(1 AS BIGINT) << (i - 1)
+        |              ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS b1,
+        |  CAST(list_aggregate(list_transform(range(33, 65),
+        |    i -> CASE WHEN embedding[i] > 0
+        |              THEN CAST(1 AS BIGINT) << (i - 33)
+        |              ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS b2
+        |FROM embeddings""".stripMargin,
+
+    // hamming over packed sign bits == count of sign mismatches, which
+    // is how the oracle states it (no bit packing needed to agree);
+    // candidate cut at (hamming, vec_id), final rank at (cosine, vec_id)
+    "sim_topk_q1" ->
+      s"""WITH h AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |        CAST(len(list_filter(range(1, 65),
+         |          i -> (q.embedding[i] > 0) <> (e.embedding[i] > 0)))
+         |          AS INT) AS hamming
+         |      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |      WHERE q.vec_id % 100 = 0),
+         |c AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hamming, vec_id) AS rn FROM h),
+         |r AS (SELECT c.query_id, c.vec_id, c.hamming,
+         |        ${cosSql("qq.embedding", "ee.embedding")} AS sim
+         |      FROM c JOIN embeddings qq ON c.query_id = qq.vec_id
+         |             JOIN embeddings ee ON c.vec_id = ee.vec_id
+         |      WHERE c.rn <= 40),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, vec_id) AS rnk FROM r)
+         |SELECT query_id, vec_id, hamming, round(sim, 6) AS cosine
+         |FROM rk WHERE rnk <= 10""".stripMargin,
 
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
