@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries ++
-      ErQueries.queries
+      ErQueries.queries ++ StatsQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracle ++ LlmQueries.oracle ++ AnalyticsQueries.oracle ++
-      ErQueries.oracle
+      ErQueries.oracle ++ StatsQueries.oracle
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -74,5 +75,154 @@ object DataProfile {
          else col(s"__maxs_$c")).as("max_str"))
     }
     one.select(inline(array(rows: _*)))
+  }
+
+  /** Pairwise Pearson correlation + population covariance over `cols`,
+    * from ONE aggregation pass (the naive per-pair `corr()` loop scans a
+    * 100 TB table O(k²) times). Moment sums accumulate as exact
+    * DECIMAL(38,8) — order-independent, so identical in any engine — and
+    * the closed-form corr/cov arithmetic is a FIXED sequence of IEEE
+    * double ops on those identical inputs: both engines produce the same
+    * bits, unlike the built-in `corr` aggregates whose incremental
+    * co-moment updates are merge-order-dependent.
+    *
+    * Rows where ANY profiled column is null are excluded (the standard
+    * complete-case convention, and the only way `n` is consistent across
+    * every pair from a single pass).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def d(c: String): Column = col(c).cast("decimal(18,4)")
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      (cols.flatMap(c => Seq(
+        sum(d(c)).cast("decimal(38,8)").as(s"__s_$c"),
+        sum((d(c) * d(c)).cast("decimal(38,8)")).as(s"__ss_$c"))) ++
+       pairs.map { case (a, b) =>
+         sum((d(a) * d(b)).cast("decimal(38,8)")).as(s"__sp_${a}_$b")
+       })
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val one = complete.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val sx  = col(s"__s_$a").cast("double")
+      val sy  = col(s"__s_$b").cast("double")
+      val sxx = col(s"__ss_$a").cast("double")
+      val syy = col(s"__ss_$b").cast("double")
+      val sxy = col(s"__sp_${a}_$b").cast("double")
+      val cov = n * sxy - sx * sy
+      val vx  = n * sxx - sx * sx
+      val vy  = n * syy - sy * sy
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), col("__n").as("n"),
+        round(cov / sqrt(vx * vy), 6).as("corr"),
+        round(cov / (n * n), 6).as("covar_pop"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
+  /** Per-group simple OLS regression of `y` on `x` — slope, intercept
+    * and r² in closed form from the same exact-decimal moment sums as
+    * [[corrMatrix]] (one partial-aggregating pass, engine-identical
+    * arithmetic). The grouped twin of a `regr_slope`/`regr_intercept`
+    * call, without depending on any engine's internal update order.
+    */
+  def regression(df: DataFrame, groupCol: String, x: String, y: String)
+      : DataFrame = {
+    def d(c: String): Column = col(c).cast("decimal(18,4)")
+    val g = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(d(x)).cast("decimal(38,8)").as("__sx"),
+        sum(d(y)).cast("decimal(38,8)").as("__sy"),
+        sum((d(x) * d(x)).cast("decimal(38,8)")).as("__sxx"),
+        sum((d(y) * d(y)).cast("decimal(38,8)")).as("__syy"),
+        sum((d(x) * d(y)).cast("decimal(38,8)")).as("__sxy"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val cov = n * sxy - sx * sy
+    val vx  = n * sxx - sx * sx
+    val vy  = n * syy - sy * sy
+    val slope = cov / vx
+    g.select(col(groupCol), col("__n").as("n"),
+      round(slope, 6).as("slope"),
+      round((sy - cov / vx * sx) / n, 6).as("intercept"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
+  /** Equi-width histogram with FIXED bounds — bucket assignment is a
+    * map-side projection (one floor per row), the aggregation is
+    * `nBuckets`-sized. Out-of-range values clamp into the end buckets.
+    * `(hi - lo) % nBuckets == 0` is required so the bucket width is an
+    * exact integer and the floor arithmetic is engine-identical.
+    */
+  def equiWidthHistogram(df: DataFrame, c: String, lo: Long, hi: Long,
+      nBuckets: Int): DataFrame = {
+    require(hi > lo && (hi - lo) % nBuckets == 0,
+      s"bucket width must be integral: ($lo, $hi, $nBuckets)")
+    val width = (hi - lo) / nBuckets
+    val b = greatest(lit(0), least(lit(nBuckets - 1),
+      floor((col(c) - lo) / width.toDouble))).cast("int")
+    df.filter(col(c).isNotNull)
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col(c)), 6).as("min_v"),
+        round(max(col(c)), 6).as("max_v"))
+      .withColumn("bucket_lo", (col("bucket").cast("long") * width + lo))
+  }
+
+  /** Equi-depth (quantile-bucket) histogram WITHOUT a global sort.
+    * `ntile()` over an unpartitioned window — the textbook formulation —
+    * funnels the entire table through ONE task; this computes the exact
+    * value-grouped CDF distributedly instead:
+    *
+    *   1. count per distinct value (distinct-value-sized, partial-agg);
+    *   2. coarse fixed-range buckets over the values; per-bucket totals
+    *      (tiny) roll into broadcast cumulative offsets;
+    *   3. the rank of each distinct value = its coarse offset + a
+    *      within-bucket running sum — the window is PARTITIONED by the
+    *      coarse bucket, so no single task ever sees the whole domain;
+    *   4. bucket = (rank_before * q) div N, exact integer arithmetic.
+    *
+    * Ties stay together (all rows of one value share a bucket — the
+    * value-grouped convention), so buckets can be uneven exactly where
+    * duplicates force them to be. Deterministic: counts and ranks are
+    * integers end-to-end.
+    */
+  def equiDepthHistogram(df: DataFrame, c: String, lo: Long, hi: Long,
+      q: Int, coarse: Int = 64): DataFrame = {
+    require(hi > lo && (hi - lo) % coarse == 0,
+      s"coarse width must be integral: ($lo, $hi, $coarse)")
+    val cw = (hi - lo) / coarse
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", greatest(lit(0), least(lit(coarse - 1),
+        floor((col("v") - lo) / cw.toDouble))).cast("int"))
+    val offsets = counts.groupBy(col("cb").as("__cb"))
+      .agg(sum(col("cnt")).as("__bn"))
+      // `coarse` rows total — the single-partition window is bounded by
+      // the coarse-bucket count, not by the data
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        Window.orderBy(col("__cb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cb"), col("__off"))
+    val within = Window.partitionBy(col("cb")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .join(broadcast(offsets), col("cb") === col("__cb"))
+      .withColumn("rank_before",
+        col("__off") + coalesce(sum(col("cnt")).over(within), lit(0L)))
+    val total = ranked.agg(sum(col("cnt")).as("__n"))
+    ranked.join(broadcast(total))
+      .withColumn("bucket",
+        expr(s"(rank_before * $q) div __n").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_values"),
+        round(min(col("v")), 6).as("min_v"),
+        round(max(col("v")), 6).as("max_v"))
   }
 }

@@ -396,6 +396,80 @@ object EventOps {
         round(col("n_active").cast("double") / col("cohort_size"), 6))
   }
 
+  /** Marketing attribution: credit each conversion event to the FIRST
+    * and LAST touch event by the same user inside a trailing lookback
+    * window. One union-free pass: conversions and touches ride the SAME
+    * user-keyed range window (the as-of family's single-shuffle posture),
+    * so the conversion×touch pair set is never materialized — at 100 TB
+    * the naive pair join is quadratic in per-user activity, this is one
+    * shuffle + one sort. Ties on the touch timestamp break by event_type
+    * (the struct ordering), so first/last are total-order deterministic.
+    */
+  def attribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackHours: Int): DataFrame = {
+    val tagged = events
+      .filter(col("event_type") === convType ||
+        col("event_type").isin(touchTypes: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"),
+        (col("event_type") =!= convType).as("is_touch"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"))
+      .rangeBetween(-lookbackHours * 3600L, 0L)
+    // null for conversion rows, so min/max/count see only touches
+    val touch = when(col("is_touch"), struct(col("tsec"), col("event_type")))
+    tagged
+      .withColumn("ft", min(touch).over(w))
+      .withColumn("lt", max(touch).over(w))
+      .withColumn("nt", count(touch).over(w))
+      .filter(!col("is_touch"))
+      .select(col("event_id").as("conv_event_id"), col("user_id"),
+        col("tsec").as("conv_tsec"),
+        col("ft.event_type").as("first_touch"),
+        col("ft.tsec").as("first_touch_tsec"),
+        col("lt.event_type").as("last_touch"),
+        col("lt.tsec").as("last_touch_tsec"),
+        col("nt").as("n_touches"))
+  }
+
+  /** Linear (fractional) attribution rolled up per channel: every touch
+    * inside a conversion's lookback window earns 1/n_touches of that
+    * conversion. Computed WITHOUT the pair join — per conversion, one
+    * windowed count per channel (the channel list is small and static),
+    * then one aggregation. Each fractional credit is snapped to the
+    * 1e-12 grid and summed as an exact decimal, so the per-channel total
+    * is independent of both engine and shuffle order.
+    */
+  def attributionCredit(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackHours: Int): DataFrame = {
+    val tagged = events
+      .filter(col("event_type") === convType ||
+        col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"))
+      .rangeBetween(-lookbackHours * 3600L, 0L)
+    val perChannel = touchTypes.map { t =>
+      count(when(col("event_type") === t, lit(1))).over(w).as(s"__n_$t")
+    }
+    val convs = tagged
+      .select(col("*") +: perChannel: _*)
+      .filter(col("event_type") === convType)
+      .withColumn("__nt",
+        touchTypes.map(t => col(s"__n_$t")).reduce(_ + _))
+    val channelRows = touchTypes.map { t =>
+      struct(lit(t).as("channel"),
+        when(col("__nt") > 0,
+          round(col(s"__n_$t").cast("double") / col("__nt"), 12))
+          .otherwise(lit(0.0)).cast("decimal(28,12)").as("credit"),
+        (col(s"__n_$t") > 0).as("touched"))
+    }
+    convs.select(explode(array(channelRows: _*)).as("c"))
+      .groupBy(col("c.channel").as("channel"))
+      .agg(round(sum(col("c.credit")).cast("double"), 6).as("credit"),
+        sum(when(col("c.touched"), 1L).otherwise(0L))
+          .as("n_convs_touched"))
+  }
+
   /** The funnel chart over [[funnel]]'s per-user output: one row per
     * step with the users reaching AT LEAST that step and the
     * conversion rate vs step 1. Both sides of the join are

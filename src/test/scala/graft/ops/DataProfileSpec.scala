@@ -40,4 +40,79 @@ class DataProfileSpec extends SparkSpec {
       DataProfile.profile(Tables.lineitem(spark, sf0001), Seq("l_shipdate"))
     }
   }
+
+  test("corrMatrix: exact +1/-1 on linear columns, hand value on a third") {
+    import spark.implicits._
+    // z chosen so corr(x, z) is hand-computable: x=1..4, z=(1,3,2,4)
+    val df = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0),
+      (4.0, 8.0, 4.0)).toDF("x", "y", "z")
+    val m = DataProfile.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xy = m(("x", "y"))
+    assert(xy.getLong(2) == 4 && xy.getDouble(3) == 1.0)
+    assert(xy.getDouble(4) == 2.5) // cov_pop(x, 2x) = 2*var_pop(x) = 2*1.25
+    // corr(x,z): n=4 sx=10 sz=10 sxz=(1+6+6+16)=29 sxx=30 szz=30
+    // cov=4*29-100=16, vx=vz=4*30-100=20 -> corr=16/20=0.8
+    assert(m(("x", "z")).getDouble(3) == 0.8)
+  }
+
+  test("corrMatrix: one aggregation pass — a single scan for all pairs") {
+    val p = DataProfile.corrMatrix(Tables.lineitem(spark, sf0001),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"corrMatrix must be one-pass, got:\n$p")
+  }
+
+  test("regression recovers an exact linear law per group") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 5.0), ("a", 2.0, 7.0), ("a", 3.0, 9.0),
+      ("b", 1.0, 10.0), ("b", 2.0, 8.0), ("b", 4.0, 4.0))
+      .toDF("g", "x", "y")
+    val r = DataProfile.regression(df, "g", "x", "y")
+      .collect().map(row => row.getString(0) -> row).toMap
+    // a: y = 2x + 3 exactly
+    assert(r("a").getDouble(2) == 2.0 && r("a").getDouble(3) == 3.0 &&
+      r("a").getDouble(4) == 1.0)
+    // b: y = -2x + 12 exactly
+    assert(r("b").getDouble(2) == -2.0 && r("b").getDouble(3) == 12.0 &&
+      r("b").getDouble(4) == 1.0)
+  }
+
+  test("equiWidthHistogram clamps out-of-range values into end buckets") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 140.0).toDF("v")
+    val h = DataProfile.equiWidthHistogram(df, "v", 0L, 100L, 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(h(0).getLong(1) == 3)           // -5 clamps down, 0, 9.9
+    assert(h(0).getDouble(2) == -5.0)
+    assert(h(1).getLong(1) == 1 && h(2).getLong(1) == 1)
+    assert(h(9).getLong(1) == 2)           // 99 plus clamped 140
+    assert(h(9).getDouble(3) == 140.0)
+    assert(h(0).getLong(4) == 0L && h(9).getLong(4) == 90L) // bucket_lo
+  }
+
+  test("equiDepthHistogram: ties stay together, totals conserved, " +
+      "matches the single-partition rank rule") {
+    import spark.implicits._
+    // 100 rows over few distinct values with heavy ties
+    val vals = (1 to 100).map(i => (i % 7).toDouble * 10 + 5)
+    val df = vals.toDF("v")
+    val h = DataProfile.equiDepthHistogram(df, "v", 0L, 100L, 4, coarse = 4)
+      .collect().sortBy(_.getInt(0))
+    assert(h.map(_.getLong(1)).sum == 100)
+    // brute-force oracle: value-grouped rank_before, bucket = rb*4 div n
+    val counts = vals.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+    var rb = 0L
+    val expect = counts.map { case (v, c) =>
+      val b = (rb * 4) / 100; rb += c; (v, b)
+    }.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    h.foreach { r =>
+      val b = r.getInt(0)
+      assert(expect(b).min == r.getDouble(3) && expect(b).max == r.getDouble(4),
+        s"bucket $b bounds mismatch")
+    }
+    // every distinct value appears in exactly one bucket
+    assert(h.map(_.getLong(2)).sum == counts.size)
+  }
 }

@@ -227,4 +227,49 @@ class EventOpsSpec extends SparkSpec {
     assert(got(d0 + 1) == 1.4)
     assert(got(d0 + 2) == 1.28)
   }
+
+  test("attribution: lookback bounds, tie-break, zero-touch conversions") {
+    val ev = Seq(
+      // user 1: touch outside lookback, two touches inside (tie on ts),
+      // one touch after the conversion (ignored)
+      (10L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (11L, ts("2024-01-05 09:00:00"), 1L, "click", 0.0, "{}"),
+      (12L, ts("2024-01-05 09:00:00"), 1L, "view", 0.0, "{}"),
+      (13L, ts("2024-01-05 10:00:00"), 1L, "purchase", 0.0, "{}"),
+      (14L, ts("2024-01-05 11:00:00"), 1L, "click", 0.0, "{}"),
+      // user 2: conversion with no touch at all
+      (20L, ts("2024-01-05 10:00:00"), 2L, "purchase", 0.0, "{}"),
+      // an error event must never count as a touch
+      (21L, ts("2024-01-05 09:30:00"), 2L, "error", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.attribution(ev, "purchase", Seq("click", "view"), 72)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(13L)
+    // tie at 09:00 breaks lexicographically: click < view
+    assert(c1.getString(3) == "click" && c1.getString(5) == "view")
+    assert(c1.getLong(7) == 2) // the 00:00 view is 106h back, outside 72h
+    val c2 = out(20L)
+    assert(c2.isNullAt(3) && c2.isNullAt(5) && c2.getLong(7) == 0)
+  }
+
+  test("attributionCredit: fractional credits sum exactly per channel") {
+    val ev = Seq(
+      // conv A: 1 click + 1 view -> 0.5 each
+      (1L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 09:30:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "purchase", 0.0, "{}"),
+      // conv B: 2 clicks -> click 1.0
+      (4L, ts("2024-01-02 09:00:00"), 2L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-02 09:30:00"), 2L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-02 10:00:00"), 2L, "purchase", 0.0, "{}"),
+      // conv C: nothing -> no credit
+      (7L, ts("2024-01-03 10:00:00"), 3L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps
+      .attributionCredit(ev, "purchase", Seq("click", "view"), 72)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(out("click") == (1.5, 2L)) // 0.5 + 1.0, touched convs A and B
+    assert(out("view") == (0.5, 1L))
+  }
 }
