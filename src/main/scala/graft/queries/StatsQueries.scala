@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{DataProfile, EventOps}
+import graft.ops.{CountMin, DataProfile, EventOps, Graph}
 import org.apache.spark.sql.functions._
 
 /** Statistical-analysis and attribution queries — the "data science on
@@ -53,8 +53,91 @@ object StatsQueries {
     // distributed-CDF formulation (see DataProfile.equiDepthHistogram)
     "stats_hist_depth" -> ((s, dir) =>
       DataProfile.equiDepthHistogram(Tables.lineitem(s, dir),
-        "l_extendedprice", 0L, 120000L, 10))
+        "l_extendedprice", 0L, 120000L, 10)),
+
+    // Count-Min sketch build over the event-actor stream — the DuckDB
+    // oracle rebuilds the IDENTICAL counter table (md5 buckets)
+    "sketch_countmin" -> ((s, dir) =>
+      CountMin.build(Tables.events(s, dir), "user_id")),
+
+    // per-key point queries against the sketch, with the one-sided
+    // guarantee emitted as a gated fact: est >= exact for EVERY key
+    "sketch_countmin_estimate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      val est = CountMin.estimate(exact.select("user_id"), "user_id",
+        CountMin.build(ev, "user_id"))
+      exact.join(est, "user_id")
+        .select(col("user_id"), col("exact_n"), col("est"),
+          (col("est") >= col("exact_n")).as("ok"))
+    }),
+
+    // PageRank over the symmetrized customer-supplier trade graph —
+    // the iterative join+aggregate pattern with per-round lineage cuts
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val fwd = pairs.select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+      val rev = pairs.select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("c"), col("ck")).as("dst"))
+      Graph.pagerank(fwd.unionByName(rev), iterations = 8)
+    })
   )
+
+  /** 32-bit integer from the first 8 hex digits of `hexExpr` — the
+    * per-digit strpos polynomial (DuckDB has no hex->int conv), the
+    * LlmQueries convention restated for the sketch oracles.
+    */
+  private def hex8(hexExpr: String): String = {
+    val terms = (0 until 8).map { j =>
+      val pow = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${j + 1}, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
+  /** The CMS cell set per (hash row, key) — shared by both sketch
+    * oracles. `rel` must expose a `user_id` column.
+    */
+  private def cmsCells(rel: String): String =
+    s"""SELECT i, user_id,
+       |  ${hex8("md5(concat_ws('|', CAST(i AS VARCHAR), " +
+                 "CAST(user_id AS VARCHAR)))")} % 2048 AS bucket
+       |FROM $rel CROSS JOIN range(5) t(i)""".stripMargin
+
+  /** The unrolled PageRank recurrence (the same 1e-12-gridded decimal
+    * accumulation as [[Graph.pagerank]]) over the customer-supplier
+    * trade graph.
+    */
+  private def pagerankSql(iterations: Int): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""pr$k AS (SELECT d.src AS node,
+         |  round(0.15 + 0.85 * CAST(coalesce(c.s,
+         |    CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 12) AS rank
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS dst,
+         |      sum(CAST(round(p.rank / dd.deg, 12) AS DECIMAL(28,12))) AS s
+         |    FROM pr${k - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN deg dd ON dd.src = p.node
+         |    GROUP BY 1) c ON c.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+       |         's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+       |         'c' || CAST(ck AS VARCHAR) AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+       |$steps
+       |SELECT node, round(rank, 6) AS rank FROM pr$iterations""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
 
@@ -191,6 +274,27 @@ object StatsQueries {
         |  round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
         |  CAST(bucket AS BIGINT) * 5000 + 0 AS bucket_lo
         |FROM f GROUP BY 1""".stripMargin,
+
+    "sketch_countmin" ->
+      s"""WITH cells AS (${cmsCells("events")})
+         |SELECT CAST(i AS INT) AS row_i, CAST(bucket AS INT) AS bucket,
+         |  count(*) AS cnt
+         |FROM cells GROUP BY 1, 2""".stripMargin,
+
+    "sketch_countmin_estimate" ->
+      s"""WITH k AS (SELECT user_id, count(*) AS exact_n FROM events
+         |  GROUP BY 1),
+         |cells AS (${cmsCells("k")}),
+         |s AS (SELECT c.i, c.bucket, CAST(sum(k.exact_n) AS BIGINT) AS cnt
+         |  FROM cells c JOIN k ON k.user_id = c.user_id
+         |  GROUP BY 1, 2),
+         |e AS (SELECT c.user_id, min(s.cnt) AS est
+         |  FROM cells c JOIN s ON s.i = c.i AND s.bucket = c.bucket
+         |  GROUP BY 1)
+         |SELECT k.user_id, k.exact_n, e.est, e.est >= k.exact_n AS ok
+         |FROM k JOIN e ON e.user_id = k.user_id""".stripMargin,
+
+    "graph_pagerank" -> pagerankSql(8),
 
     "stats_hist_depth" ->
       """WITH c AS (SELECT l_extendedprice AS v, count(*) AS cnt
