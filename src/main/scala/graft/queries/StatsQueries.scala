@@ -72,6 +72,27 @@ object StatsQueries {
           (col("est") >= col("exact_n")).as("ok"))
     }),
 
+    // the transaction-log table end-to-end: overwrite, append, a bad
+    // overwrite, rollback — the final read must see exactly the v2
+    // content (view + click events), with no data ever copied
+    "events_versioned_rollback" -> ((s, dir) => {
+      import graft.pipeline.VersionedTable
+      val root = ParityQueries.scratch("events_vt")
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      VersionedTable.commit(s, ev.filter(col("event_type") === "view"), root)
+      VersionedTable.append(s, ev.filter(col("event_type") === "click"), root)
+      VersionedTable.commit(s, ev.filter(col("event_type") === "error"), root)
+      VersionedTable.rollback(s, root, to = 2)
+      VersionedTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+    }),
+
     // PageRank over the symmetrized customer-supplier trade graph —
     // the iterative join+aggregate pattern with per-round lineage cuts
     "graph_pagerank" -> ((s, dir) => {
@@ -293,6 +314,12 @@ object StatsQueries {
          |  GROUP BY 1)
          |SELECT k.user_id, k.exact_n, e.est, e.est >= k.exact_n AS ok
          |FROM k JOIN e ON e.user_id = k.user_id""".stripMargin,
+
+    "events_versioned_rollback" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_type IN ('view', 'click')
+        |GROUP BY 1""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(8),
 
