@@ -47,6 +47,45 @@ object Corpus {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Curriculum ordering: the GLOBAL training order that presents
+    * tier 1 (lowest quality quartile) first and tier 4 last, with a
+    * deterministic md5 shuffle WITHIN each tier — the quality-ramp
+    * schedule over [[TextAnalysis.qualityTiers]]' output (any
+    * `(idCol, tier)` relation works).
+    *
+    * The global position is assigned WITHOUT a global sort — the
+    * `row_number() OVER (ORDER BY tier, key)` formulation funnels the
+    * corpus through one task. Instead: 256 order-preserving range
+    * buckets over the 60-bit shuffle key (top 8 bits, monotone in the
+    * key), per-(tier, bucket) counts roll into broadcast cumulative
+    * offsets, and each bucket sorts independently — the same
+    * distributed-rank shape as [[DataProfile.equiDepthHistogram]].
+    * Deterministic: md5 keys, integer offsets, total (tier, key, id)
+    * order.
+    */
+  def curriculum(tiers: DataFrame, idCol: String): DataFrame = {
+    val key = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast("long")
+    val base = tiers.select(col(idCol), col("tier"))
+      .withColumn("shuffle_key", key)
+      .withColumn("__b", shiftright(col("shuffle_key"), 52).cast("int"))
+    val offsets = base
+      .groupBy(col("tier").as("__t"), col("__b").as("__bb"))
+      .agg(count(lit(1)).as("__n"))
+      // at most 4 tiers x 256 buckets — the unpartitioned window is
+      // bounded by the bucket grid, not the corpus
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__t"), col("__bb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__t"), col("__bb"), col("__off"))
+    val within = Window.partitionBy(col("tier"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    base.join(broadcast(offsets),
+        col("tier") === col("__t") && col("__b") === col("__bb"))
+      .withColumn("position", col("__off") + row_number().over(within))
+      .select(col(idCol), col("tier"), col("shuffle_key"), col("position"))
+  }
+
   // ---- Text normalization ------------------------------------------
 
   /** Whitespace/control normalization for raw crawl text: lowercase,

@@ -266,6 +266,35 @@ object LlmQueries {
        |         / len(__ws), 6) >= 0.8$stopRule)""".stripMargin
   }
 
+  /** Shared quality-tier CTE chain (terminal relation
+    * `tiers(doc_id, quality_score, tier)`), mirroring
+    * [[TextAnalysis.qualityTiers]] — reused by the tier query itself and
+    * the curriculum schedule built on top of it.
+    */
+  private def qualityTiersSql(finalSelect: String): String = {
+    val en = sqlList(StopEn)
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |           FROM documents),
+       |x AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nt,
+       |        CAST(len(list_filter(ws, w -> list_contains($en, w)))
+       |          AS DOUBLE) AS hits
+       |      FROM t),
+       |s AS (SELECT doc_id,
+       |        round(least(nt / 100, CAST(1 AS DOUBLE)) *
+       |              (1 - abs(hits / nt - 0.4)), 6) AS quality_score
+       |      FROM x),
+       |c AS (SELECT round(quantile_cont(quality_score, 0.25), 6) AS t1,
+       |             round(quantile_cont(quality_score, 0.5), 6) AS t2,
+       |             round(quantile_cont(quality_score, 0.75), 6) AS t3
+       |      FROM s),
+       |tiers AS (SELECT doc_id, quality_score,
+       |  CAST(CASE WHEN quality_score <= t1 THEN 1
+       |            WHEN quality_score <= t2 THEN 2
+       |            WHEN quality_score <= t3 THEN 3 ELSE 4 END AS INT) AS tier
+       |  FROM s, c)
+       |$finalSelect""".stripMargin
+  }
+
   /** 32-bit integer from `n` hex digits of `hexExpr` starting at 1-based
     * `start` — the per-digit strpos polynomial (DuckDB has no hex->int
     * conv), shared by [[SimhashCtes]] and [[HashBucketSql]].
@@ -1559,6 +1588,14 @@ object LlmQueries {
     // 6-place grid, broadcast into a map-only assignment)
     "text_quality_tiers" -> ((s, dir) =>
       TextAnalysis.qualityTiers(Tables.documents(s, dir), "doc_id", "text")),
+
+    // the full curriculum schedule over those tiers: a global training
+    // order (tier ascending, md5-shuffled within tier) whose position
+    // is assigned via range-bucket offsets, never a global sort
+    "llm_curriculum" -> ((s, dir) =>
+      graft.ops.Corpus.curriculum(
+        TextAnalysis.qualityTiers(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id")),
 
     "text_length_stats" -> ((s, dir) =>
       TextAnalysis.lengthStats(Tables.documents(s, dir), "lang", "n_chars")),
@@ -2963,28 +3000,18 @@ object LlmQueries {
          |    AS token_share
          |FROM a""".stripMargin,
 
-    "text_quality_tiers" -> {
-      val en = sqlList(StopEn)
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-         |           FROM documents),
-         |x AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nt,
-         |        CAST(len(list_filter(ws, w -> list_contains($en, w)))
-         |          AS DOUBLE) AS hits
-         |      FROM t),
-         |s AS (SELECT doc_id,
-         |        round(least(nt / 100, CAST(1 AS DOUBLE)) *
-         |              (1 - abs(hits / nt - 0.4)), 6) AS quality_score
-         |      FROM x),
-         |c AS (SELECT round(quantile_cont(quality_score, 0.25), 6) AS t1,
-         |             round(quantile_cont(quality_score, 0.5), 6) AS t2,
-         |             round(quantile_cont(quality_score, 0.75), 6) AS t3
-         |      FROM s)
-         |SELECT doc_id, quality_score,
-         |  CAST(CASE WHEN quality_score <= t1 THEN 1
-         |            WHEN quality_score <= t2 THEN 2
-         |            WHEN quality_score <= t3 THEN 3 ELSE 4 END AS INT) AS tier
-         |FROM s, c""".stripMargin
-    },
+    "text_quality_tiers" -> qualityTiersSql(
+      "SELECT doc_id, quality_score, tier FROM tiers"),
+
+    "llm_curriculum" -> qualityTiersSql(
+      s"""SELECT doc_id, tier,
+         |  ${hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)}
+         |    AS shuffle_key,
+         |  CAST(row_number() OVER (
+         |    ORDER BY tier,
+         |      ${hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)},
+         |      doc_id) AS BIGINT) AS position
+         |FROM tiers""".stripMargin),
 
     // the incremental operator's result set is, by construction, the full
     // candidate set restricted to pairs touching the new batch

@@ -222,4 +222,25 @@ class CorpusSpec extends SparkSpec {
     assert(audit.filter(_._1 != victim).values.forall(identity),
       "untouched shards must still verify")
   }
+
+  test("curriculum: bucketed positions equal the global (tier, key, id) " +
+      "rank — a dense 1..n permutation, tiers in ascending blocks") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val spark2 = spark; import spark2.implicits._
+    val tiers = (1L to 400L).toDF("doc_id")
+      .withColumn("tier",
+        when(col("doc_id") % 4 === 0, 1).when(col("doc_id") % 4 === 1, 2)
+          .when(col("doc_id") % 4 === 2, 3).otherwise(4))
+    val out = Corpus.curriculum(tiers, "doc_id")
+      .as[(Long, Int, Long, Long)].collect()
+    // dense permutation
+    assert(out.map(_._4).sorted.toSeq == (1L to 400L).toSeq)
+    // position order IS the (tier, shuffle_key, doc_id) order
+    val byPos = out.sortBy(_._4).map(r => (r._2, r._3, r._1)).toSeq
+    assert(byPos == byPos.sorted)
+    // tier blocks are contiguous: max position of tier t < min of t+1
+    val ranges = out.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._4).min, rs.map(_._4).max)).toMap
+    (1 to 3).foreach(t => assert(ranges(t)._2 < ranges(t + 1)._1))
+  }
 }
