@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{CountMin, DataProfile, EventOps, Graph}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical-analysis and attribution queries — the "data science on
@@ -70,6 +71,94 @@ object StatsQueries {
       exact.join(est, "user_id")
         .select(col("user_id"), col("exact_n"), col("est"),
           (col("est") >= col("exact_n")).as("ok"))
+    }),
+
+    // time-weighted average value per (type, day): each reading is
+    // weighted by the seconds it was "current" (until the next reading
+    // of the same type that day; the last holds to midnight). The
+    // window partitions by (type, day) — bounded state, never one task
+    // per type — and the weighted sum accumulates as exact decimal.
+    "events_twap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"), col("value"))
+        .withColumn("day", floor(col("tsec") / 86400).cast("long"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("tsec"), col("event_id"))
+      ev.withColumn("nxt",
+          coalesce(lead(col("tsec"), 1).over(w), (col("day") + 1) * 86400))
+        .withColumn("wt", col("nxt") - col("tsec"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("wt")).as("total_sec"),
+          round(sum((col("value").cast("decimal(18,4)") *
+              col("wt").cast("decimal(18,4)")).cast("decimal(38,8)"))
+            .cast("double") /
+            sum(col("wt")).cast("double"), 6).as("twap"))
+    }),
+
+    // inter-arrival-time distribution per (type, day): gaps between
+    // consecutive events, fixed 60 s buckets capped at an hour — the
+    // latency-profile view of the stream
+    "events_interarrival_hist" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("day", floor(col("tsec") / 86400).cast("long"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("tsec"), col("event_id"))
+      ev.withColumn("gap", col("tsec") - lag(col("tsec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"),
+          least(floor(col("gap") / 60), lit(59L)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          max(col("gap")).as("max_gap_sec"))
+    }),
+
+    // referential-integrity audit across the star schema: orphan
+    // foreign keys per relationship in one pass each (anti joins; the
+    // dimension side broadcasts). The report every warehouse load
+    // gate runs before publishing.
+    "quality_ref_integrity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      def audit(name: String, fact: org.apache.spark.sql.DataFrame,
+          fk: String, dim: org.apache.spark.sql.DataFrame, pk: String) = {
+        val orphans = fact.join(broadcast(dim.select(col(pk))),
+          fact(fk) === col(pk), "left_anti")
+        orphans.agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("relationship"), col("n_orphans"))
+      }
+      audit("lineitem->orders", li, "l_orderkey",
+          o.select(col("o_orderkey")), "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionByName(audit("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        .unionByName(audit("orders->customer", o, "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .unionByName(audit("customer->nation", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+    }),
+
+    // per-customer running revenue over their order history — the
+    // cumulative-window shape (customer-partitioned, exact decimal
+    // accumulation; the frame never spans customers)
+    "analytics_running_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,4)").as("p"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("order_seq", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .withColumn("cum_rev", round(sum(col("p")).over(w)
+          .cast("double"), 6))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("order_seq"), round(col("p").cast("double"), 6).as("price"),
+          col("cum_rev"))
     }),
 
     // the transaction-log table end-to-end: overwrite, append, a bad
@@ -314,6 +403,65 @@ object StatsQueries {
          |  GROUP BY 1)
          |SELECT k.user_id, k.exact_n, e.est, e.est >= k.exact_n AS ok
          |FROM k JOIN e ON e.user_id = k.user_id""".stripMargin,
+
+    "events_twap" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
+        |    value FROM events),
+        |d AS (SELECT *, CAST(floor(tsec / 86400) AS BIGINT) AS day FROM e),
+        |w AS (SELECT event_type, day, tsec, value,
+        |    coalesce(lead(tsec) OVER (PARTITION BY event_type, day
+        |      ORDER BY tsec, event_id), (day + 1) * 86400) AS nxt
+        |  FROM d)
+        |SELECT event_type, day, count(*) AS n,
+        |  CAST(sum(nxt - tsec) AS BIGINT) AS total_sec,
+        |  round(CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) *
+        |      CAST(nxt - tsec AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+        |      AS DOUBLE) / CAST(sum(nxt - tsec) AS DOUBLE), 6) AS twap
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "events_interarrival_hist" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+        |  FROM events),
+        |d AS (SELECT *, CAST(floor(tsec / 86400) AS BIGINT) AS day FROM e),
+        |g AS (SELECT event_type,
+        |    tsec - lag(tsec) OVER (PARTITION BY event_type, day
+        |      ORDER BY tsec, event_id) AS gap
+        |  FROM d)
+        |SELECT event_type, CAST(least(floor(gap / 60), 59) AS INT) AS bucket,
+        |  count(*) AS n, CAST(max(gap) AS BIGINT) AS max_gap_sec
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "quality_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relationship, count(*) AS n_orphans
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem->supplier', count(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l.l_suppkey)
+        |UNION ALL
+        |SELECT 'orders->customer', count(*) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customer->nation', count(*) FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM nation
+        |                  WHERE n_nationkey = c.c_nationkey)""".stripMargin,
+
+    "analytics_running_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq,
+        |  round(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE), 6)
+        |    AS price,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |    AS cum_rev
+        |FROM orders""".stripMargin,
 
     "events_versioned_rollback" ->
       """SELECT event_type, count(*) AS n,
