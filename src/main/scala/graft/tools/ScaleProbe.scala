@@ -784,6 +784,68 @@ object ScaleProbe {
         graft.ops.EntityResolution.editDistanceSelfJoin(names, "id", "nm", 1))
       names.unpersist()
     }
+    // Distributed-CDF equi-depth histogram: distinct-value volume grows
+    // with k (per-replica price salt), the rank assignment must stay
+    // bucket-parallel. The contrast row is the textbook global-window
+    // formulation (ntile shape) — one task owns every distinct value.
+    if (only.forall(o => o.contains("hist_depth") ||
+        o.contains("hist_depth_global"))) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val prices = (0 until k).map { r =>
+        li.select((col("l_extendedprice") + lit(r * 0.0001)).as("v"))
+      }.reduce(_ unionByName _).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prices.count()
+      t("hist_depth", keepCache = true)(
+        graft.ops.DataProfile.equiDepthHistogram(prices, "v",
+          0L, 120000L, 10))
+      t("hist_depth_global", keepCache = true) {
+        val c = prices.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        c.withColumn("rb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .join(c.agg(sum(col("cnt")).as("n")))
+          .groupBy(expr("(rb * 10) div n").as("bucket"))
+          .agg(sum(col("cnt")).as("n_rows"))
+      }
+      prices.unpersist()
+    }
+
+    // Curriculum rank assignment: bucketed offsets vs the naive global
+    // row_number (single-task sort over the whole corpus).
+    if (only.forall(o => o.contains("curriculum") ||
+        o.contains("curriculum_global"))) {
+      val ids = spark.range(500000L * k).select(col("id").as("doc_id"))
+        .withColumn("tier", (col("doc_id") % 4 + 1).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ids.count()
+      t("curriculum", keepCache = true)(
+        graft.ops.Corpus.curriculum(ids, "doc_id"))
+      t("curriculum_global", keepCache = true) {
+        val key = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        ids.withColumn("shuffle_key", key)
+          .withColumn("position", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("tier"), col("shuffle_key"), col("doc_id"))))
+      }
+      ids.unpersist()
+    }
+
+    // PageRank ladder: synthetic bipartite trade graph, nodes and edges
+    // both scaling with k; 8 iterations of join+aggregate with
+    // per-round lineage cuts must stay linear in the edge count.
+    if (only.forall(_.contains("pagerank"))) {
+      val e = spark.range(100000L * k).select(
+        concat(lit("c"), col("id") % (20000L * k)).as("src"),
+        concat(lit("s"), (col("id") * 1000003L) % (2000L * k)).as("dst"))
+        .distinct()
+      val sym = e.unionByName(e.select(col("dst").as("src"),
+        col("src").as("dst")))
+      t("pagerank")(graft.ops.Graph.pagerank(sym, iterations = 8))
+    }
+
     spark.stop()
   }
 }
