@@ -192,8 +192,43 @@ object DataProfile {
     * duplicates force them to be. Deterministic: counts and ranks are
     * integers end-to-end.
     */
-  def equiDepthHistogram(df: DataFrame, c: String, lo: Long, hi: Long,
-      q: Int, coarse: Int = 64): DataFrame = {
+  /** EXACT quantiles without a global sort and without `percentile`'s
+    * buffer-the-group memory profile: the distributed value-grouped CDF
+    * (same plumbing as [[equiDepthHistogram]]) answers "the smallest
+    * value whose cumulative count reaches ceil(p*n)" — the classic
+    * type-1 quantile — with integer arithmetic end-to-end. `ps` are
+    * percents (e.g. 50 for the median) so the target rank
+    * `(n*p + 99) div 100` stays exact in both engines.
+    *
+    * This is the third rung of the percentile story: exact-but-unsafe
+    * `percentile` (oracle convention), bounded-state
+    * `percentile_approx` (the 100 TB default), and this — exact AND
+    * bounded: state is distinct-value-sized per partition, the only
+    * single-task structure is the coarse-bucket offset table.
+    */
+  def quantilesExact(df: DataFrame, c: String, lo: Long, hi: Long,
+      ps: Seq[Int], coarse: Int = 64): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      s"percents must be in (0, 100]: $ps")
+    val ranked = cdf(df, c, lo, hi, coarse)
+      .withColumn("cum", col("rank_before") + col("cnt"))
+    val total = ranked.agg(sum(col("cnt")).as("__n"))
+    val pRows = ps.map(p => struct(lit(p).as("p")))
+    ranked.join(broadcast(total))
+      .select(col("v"), col("cum"), col("__n"),
+        explode(array(pRows: _*)).as("pp"))
+      .withColumn("target", expr("(__n * pp.p + 99) div 100"))
+      .groupBy(col("pp.p").as("p"))
+      .agg(min(when(col("cum") >= col("target"), col("v"))).as("value"),
+        max(col("target")).as("rank"))
+  }
+
+  /** Value-grouped distributed CDF: one row per distinct value of `c`
+    * with its count and the count of strictly-smaller rows — shared by
+    * [[equiDepthHistogram]] and [[quantilesExact]].
+    */
+  private def cdf(df: DataFrame, c: String, lo: Long, hi: Long,
+      coarse: Int): DataFrame = {
     require(hi > lo && (hi - lo) % coarse == 0,
       s"coarse width must be integral: ($lo, $hi, $coarse)")
     val cw = (hi - lo) / coarse
@@ -211,10 +246,14 @@ object DataProfile {
       .select(col("__cb"), col("__off"))
     val within = Window.partitionBy(col("cb")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = counts
-      .join(broadcast(offsets), col("cb") === col("__cb"))
+    counts.join(broadcast(offsets), col("cb") === col("__cb"))
       .withColumn("rank_before",
         col("__off") + coalesce(sum(col("cnt")).over(within), lit(0L)))
+  }
+
+  def equiDepthHistogram(df: DataFrame, c: String, lo: Long, hi: Long,
+      q: Int, coarse: Int = 64): DataFrame = {
+    val ranked = cdf(df, c, lo, hi, coarse)
     val total = ranked.agg(sum(col("cnt")).as("__n"))
     ranked.join(broadcast(total))
       .withColumn("bucket",

@@ -56,6 +56,12 @@ object StatsQueries {
       DataProfile.equiDepthHistogram(Tables.lineitem(s, dir),
         "l_extendedprice", 0L, 120000L, 10)),
 
+    // EXACT quantiles from the distributed CDF — no global sort, no
+    // percentile() group buffer; integer rank arithmetic end-to-end
+    "stats_quantiles" -> ((s, dir) =>
+      DataProfile.quantilesExact(Tables.lineitem(s, dir),
+        "l_extendedprice", 0L, 120000L, Seq(25, 50, 75, 90, 99))),
+
     // Count-Min sketch build over the event-actor stream — the DuckDB
     // oracle rebuilds the IDENTICAL counter table (md5 buckets)
     "sketch_countmin" -> ((s, dir) =>
@@ -384,6 +390,19 @@ object StatsQueries {
         |  round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
         |  CAST(bucket AS BIGINT) * 5000 + 0 AS bucket_lo
         |FROM f GROUP BY 1""".stripMargin,
+
+    "stats_quantiles" ->
+      """WITH c AS (SELECT l_extendedprice AS v, count(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |r AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS p)
+        |SELECT p,
+        |  min(CASE WHEN cum >= (n * p + 99) // 100 THEN v END) AS value,
+        |  CAST(max((n * p + 99) // 100) AS BIGINT) AS rank
+        |FROM r, t, ps GROUP BY p""".stripMargin,
 
     "sketch_countmin" ->
       s"""WITH cells AS (${cmsCells("events")})

@@ -115,4 +115,25 @@ class DataProfileSpec extends SparkSpec {
     // every distinct value appears in exactly one bucket
     assert(h.map(_.getLong(2)).sum == counts.size)
   }
+
+  test("quantilesExact matches the sorted-sequence type-1 definition") {
+    import spark.implicits._
+    val vals = (1 to 97).map(_.toDouble * 1.5) // 97 rows, hits odd ranks
+    val df = vals.toDF("v")
+    val qs = DataProfile.quantilesExact(df, "v", 0L, 200L,
+      Seq(1, 25, 50, 75, 100), coarse = 8)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val sorted = vals.sorted
+    def expect(p: Int) = sorted(((97L * p + 99) / 100 - 1).toInt)
+    Seq(1, 25, 50, 75, 100).foreach { p =>
+      assert(qs(p)._1 == expect(p), s"p$p")
+      assert(qs(p)._2 == (97L * p + 99) / 100)
+    }
+    // heavy ties: all-equal column -> every quantile is that value
+    val tied = Seq.fill(50)(7.0).toDF("v")
+    val tq = DataProfile.quantilesExact(tied, "v", 0L, 8L, Seq(50, 99),
+      coarse = 4)
+    assert(tq.collect().forall(_.getDouble(1) == 7.0))
+  }
 }
