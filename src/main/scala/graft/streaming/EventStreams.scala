@@ -256,6 +256,94 @@ object EventStreams {
       }
   }
 
+  final case class AttrEvent(event_id: Long, user_id: Long,
+                             event_type: String, ts: java.sql.Timestamp)
+  final case class AttrTouch(tsec: Long, typ: String)
+  final case class AttrPending(id: Long, tsec: Long)
+  final case class AttrState(touches: Seq[AttrTouch],
+                             pending: Seq[AttrPending])
+  final case class AttributionRow(conv_event_id: Long, user_id: Long,
+      conv_tsec: Long,
+      first_touch: Option[String], first_touch_tsec: Option[Long],
+      last_touch: Option[String], last_touch_tsec: Option[Long],
+      n_touches: Long)
+
+  /** Streaming face of [[graft.ops.EventOps.attribution]]: per user,
+    * touch events buffer until a conversion becomes FINAL — the
+    * watermark has passed its second, so no admissible touch can still
+    * land inside its window — and the attribution row is emitted
+    * exactly once, identical to the batch rule over admitted events
+    * (parity spec-pinned, including the tie-break on (second, type)).
+    *
+    * The funnelStream late-data lesson applies verbatim: rows below the
+    * current watermark are dropped INSIDE the state function, so a late
+    * touch can neither resurrect a finalized conversion nor change its
+    * already-emitted row. All window arithmetic runs on SECONDS (the
+    * batch operator's `unix_timestamp` grid), so sub-second arrival
+    * order can never split batch and stream.
+    *
+    * State per active user is bounded: touches older than
+    * `min(watermark, oldest pending conversion) - lookback` can never
+    * join a window again and are trimmed every invocation; pending
+    * conversions leave state the moment they finalize. Event-time
+    * timeouts fire finalization for users who go quiet.
+    */
+  def attributionStream(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackHours: Int,
+      watermark: String = "1 hour"): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    val lookbackSec = lookbackHours * 3600L
+    eventTime(events, "ts")
+      .filter(col("event_type") === convType ||
+        col("event_type").isin(touchTypes: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[AttrEvent]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttributionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[AttrState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AttrState(Nil, Nil))
+          // the hard late-data drop (see funnelStream)
+          val fresh = it.filter(_.ts.getTime >= wm).toSeq
+          val touches = prev.touches ++ fresh
+            .filter(_.event_type != convType)
+            .map(e => AttrTouch(e.ts.getTime / 1000, e.event_type))
+          val pending = prev.pending ++ fresh
+            .filter(_.event_type == convType)
+            .map(e => AttrPending(e.event_id, e.ts.getTime / 1000))
+          // a conversion is final once the watermark clears its second:
+          // any touch with tsec <= conv_tsec would now be dropped above
+          val (ready, waiting) =
+            pending.partition(p => (p.tsec + 1) * 1000 <= wm)
+          val out = ready.sortBy(p => (p.tsec, p.id)).map { p =>
+            val inWin = touches
+              .filter(t => t.tsec <= p.tsec && t.tsec >= p.tsec - lookbackSec)
+            val ordered = inWin.sortBy(t => (t.tsec, t.typ))
+            AttributionRow(p.id, uid, p.tsec,
+              ordered.headOption.map(_.typ),
+              ordered.headOption.map(_.tsec),
+              ordered.lastOption.map(_.typ),
+              ordered.lastOption.map(_.tsec),
+              inWin.size.toLong)
+          }
+          // trim: a touch can only ever join a window anchored at
+          // tsec >= min(wm, oldest waiting conversion)
+          val floorSec =
+            (waiting.map(_.tsec) :+ (wm / 1000)).min - lookbackSec
+          val keepT = touches.filter(_.tsec >= floorSec)
+          if (keepT.isEmpty && waiting.isEmpty) state.remove()
+          else {
+            state.update(AttrState(keepT, waiting))
+            val next = waiting.map(p => (p.tsec + 1) * 1000)
+              .minOption.getOrElse(wm + 1)
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   final case class CapEvent(user_id: Long, event_type: String,
                             ts: java.sql.Timestamp)
   final case class CapState(admitted: Long)

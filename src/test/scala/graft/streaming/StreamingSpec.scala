@@ -447,4 +447,90 @@ class StreamingSpec extends SparkSpec {
         (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
     } finally q.stop()
   }
+
+  type AttrTuple = (Long, Long, Long, Option[String], Option[Long],
+    Option[String], Option[Long], Long)
+
+  test("streaming attribution: finalized at the watermark, batch parity " +
+      "under cross-batch reordering") {
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      // user 1, conv 10:00: click+view inside the 2 h lookback; the
+      // 10:30 click counts only for the 11:00 conversion
+      (10L, 1L, "click", ts("2024-01-01 09:00:00")),
+      (13L, 1L, "purchase", ts("2024-01-01 10:00:00")),
+      (14L, 1L, "click", ts("2024-01-01 10:30:00")),
+      (15L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 2: conversion with zero touches
+      (20L, 2L, "purchase", ts("2024-01-01 10:00:00")))
+    // the 09:30 view is delivered in a LATER batch than the 10:00
+    // conversion (admissible: above the watermark) — event-time rules
+    // must still credit it
+    val reordered = (11L, 1L, "view", ts("2024-01-01 09:30:00"))
+
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = EventStreams.attributionStream(
+      input.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      "purchase", Seq("click", "view"), lookbackHours = 2,
+      watermark = "2 hours")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*); q.processAllAvailable()
+      input.addData(reordered); q.processAllAvailable()
+      assert(spark.table("attr_test").count() == 0) // all still open
+      input.addData((90L, 9L, "click", ts("2024-01-01 16:00:00")))
+      q.processAllAvailable() // watermark -> 14:00
+      input.addData((91L, 9L, "click", ts("2024-01-01 17:00:00")))
+      q.processAllAvailable() // timeouts fire
+      val got = spark.table("attr_test").as[AttrTuple].collect()
+        .map(r => r._1 -> r).toMap
+
+      val batch = EventOps.attribution(
+        (events :+ reordered)
+          .toDF("event_id", "user_id", "event_type", "ts"),
+        "purchase", Seq("click", "view"), 2)
+        .as[AttrTuple].collect().map(r => r._1 -> r).toMap
+      assert(got.keySet == Set(13L, 15L, 20L))
+      got.keySet.foreach(id => assert(got(id) == batch(id), s"conv $id"))
+      // spot-check the interesting one: conv 13 sees click 09:00 first,
+      // view 09:30 last, NOT the 10:30 click
+      assert(got(13L)._4.contains("click") && got(13L)._6.contains("view")
+        && got(13L)._8 == 2L)
+      assert(got(20L)._4.isEmpty && got(20L)._8 == 0L)
+    } finally q.stop()
+  }
+
+  test("streaming attribution: a below-watermark touch cannot change " +
+      "an emitted row or resurrect state") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = EventStreams.attributionStream(
+      input.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      "purchase", Seq("click", "view"), lookbackHours = 2,
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("attr_late_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 7L, "click", ts("2024-01-01 10:00:00")),
+        (2L, 7L, "purchase", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      input.addData((3L, 9L, "view", ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      input.addData((4L, 9L, "view", ts("2024-01-01 16:00:00")))
+      q.processAllAvailable() // user 7's conversion finalized
+      val before = spark.table("attr_late_test").as[AttrTuple].collect()
+      assert(before.count(_._1 == 2L) == 1)
+      assert(before.find(_._1 == 2L).get._8 == 1L)
+      // a late touch below the 15:00 watermark, inside the conversion's
+      // lookback — must be dropped inside the state function
+      input.addData((5L, 7L, "view", ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      input.addData((6L, 9L, "view", ts("2024-01-01 17:00:00")))
+      q.processAllAvailable()
+      val after = spark.table("attr_late_test").as[AttrTuple].collect()
+      assert(after.count(_._1 == 2L) == 1, "no double emission")
+      assert(after.find(_._1 == 2L).get._8 == 1L, "row unchanged")
+    } finally q.stop()
+  }
 }
