@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ LlmQueries.queries ++ AnalyticsQueries.queries ++
-      ErQueries.queries ++ StatsQueries.queries
+      ErQueries.queries ++ StatsQueries.queries ++ MiningQueries.queries
 
   def oracleSql: Map[String, String] =
     ParityQueries.oracle ++ LlmQueries.oracle ++ AnalyticsQueries.oracle ++
-      ErQueries.oracle ++ StatsQueries.oracle
+      ErQueries.oracle ++ StatsQueries.oracle ++ MiningQueries.oracle
 }

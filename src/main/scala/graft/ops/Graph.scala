@@ -55,4 +55,67 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED edge set given as
+    * distinct (a, b) rows with a < b — the degree-ordered orientation
+    * of Suri & Vassilvitskii 2011 ("the curse of the last reducer"):
+    * orient every edge toward its higher-(degree, id) endpoint, so each
+    * node's out-degree is O(√m) regardless of how skewed the raw degree
+    * distribution is, and each triangle is enumerated EXACTLY once as a
+    * wedge at its lowest-ordered corner closed by one oriented edge.
+    *
+    * That orientation is the whole scale story: the naive wedge join
+    * keys wedges at the hub, so one celebrity node with degree 10^6
+    * emits 10^12 wedges from a single key; degree-ordering caps every
+    * node's wedge fanout at C(out-deg, 2) ≤ O(m). Both joins below are
+    * hash equi-joins (the order predicate rides as a residual).
+    *
+    * Returns (node, n_tri) for every node in at least one triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient toward the higher-(deg, id) endpoint; carry the dst's
+    // degree for the wedge-side ordering below
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("dega") < col("degb") ||
+           (col("dega") === col("degb") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("d"), col("degb").as("dd")))
+        .otherwise(
+        struct(col("b").as("s"), col("a").as("d"), col("dega").as("dd")))
+        .as("o"))
+      .select(col("o.s").as("s"), col("o.d").as("d"), col("o.dd").as("dd"))
+    val w1 = oriented.select(col("s"), col("d").as("v"), col("dd").as("dv"))
+    val w2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
+    val wedges = w1.join(w2, Seq("s"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    // close the wedge: {v,w} ordered below means an existing edge is
+    // oriented v->w, so one more equi-join decides membership
+    val closing = oriented.select(col("s").as("v"), col("d").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select(col("s").as("x"), col("v").as("y"), col("w").as("z"))
+    tris.select(col("x").as("node"))
+      .unionAll(tris.select(col("y").as("node")))
+      .unionAll(tris.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Degree histogram of an undirected (a < b) edge set: one row per
+    * occurring degree with the node count — the shape check (power-law
+    * vs uniform) every graph job starts with. Two map-side-combined
+    * aggregations, nothing node-pair-sized.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("a"), col("b")).distinct()
+      .select(col("a").as("node")).unionAll(
+        edges.select(col("a"), col("b")).distinct()
+          .select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
 }

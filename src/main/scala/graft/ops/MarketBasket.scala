@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket mining — frequent item pairs, association rules and an
+  * item-item cosine recommender over (basket, item) memberships, the
+  * Agrawal & Srikant (1994) Apriori formulation restricted to pairs
+  * (where the candidate lattice is a single self-join and the downward-
+  * closure prune is exact).
+  *
+  * Scale shape, in order of what kills a naive formulation at 100 TB:
+  *
+  *  1. '''Per-basket pair blowup.''' A basket of n items emits C(n,2)
+  *     pairs; one degenerate mega-basket (a crawler session, a bulk
+  *     order) emits 10^10 pairs from a single input group. Baskets
+  *     over `maxBasketSize` are dropped BEFORE the self-join, and
+  *     [[basketSizeAudit]] reports exactly what was dropped — the loud
+  *     companion, the repo's hot-bucket convention
+  *     (`Dedup.scala` LSH cap).
+  *  2. '''Downward closure.''' A pair can only reach `minSupport` if
+  *     BOTH items do; item supports are one map-side-combined count,
+  *     and the (typically catalog-sized, heavy-tailed) infrequent item
+  *     set never enters the pair join. On a retail-shaped corpus this
+  *     removes most of the tail before any pair exists.
+  *  3. '''The pair join shuffles baskets, not pairs.''' The self-join
+  *     keys on the basket id, so the shuffle moves each (basket, item)
+  *     row once; pairs materialize join-side and immediately partial-
+  *     aggregate (map-side combine on (a, b)) before the second,
+  *     pair-keyed shuffle.
+  *
+  * Determinism: all supports are exact integer counts; derived doubles
+  * (confidence/lift/cosine) are the same fixed IEEE op sequence on
+  * identical integers in both engines, rounded to the 1e-6 grid at the
+  * boundary (the repo convention).
+  */
+object MarketBasket {
+
+  /** Distinct (basket, item) memberships with the mega-basket guard
+    * applied — the shared front of every miner here.
+    */
+  private def memberships(baskets: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame = {
+    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+    val sizes = b.groupBy(col("basket")).agg(count(lit(1)).as("basket_n"))
+    b.join(sizes.filter(col("basket_n") <= maxBasketSize).select("basket"),
+      Seq("basket"))
+  }
+
+  /** The loud face of the mega-basket cap: per dropped basket its size —
+    * run this alongside any mining call so a cap never silently reshapes
+    * the result (c.f. the LSH hot-bucket audit).
+    */
+  def basketSizeAudit(baskets: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame =
+    baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .filter(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+      .groupBy(col("basket")).agg(count(lit(1)).as("basket_n"))
+      .filter(col("basket_n") > maxBasketSize)
+
+  /** Frequent item pairs: (item_a < item_b, support counts). Returns
+    * `(item_a, item_b, n_a, n_b, co_n)` for every pair co-occurring in
+    * at least `minSupport` baskets, with both items' basket supports
+    * carried (broadcast join — the frequent-item set is catalog-sized
+    * by construction).
+    */
+  def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 100000): DataFrame = {
+    val b = memberships(baskets, basketCol, itemCol, maxBasketSize)
+    val support = b.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    // downward closure: only items that are themselves frequent can
+    // participate in a frequent pair
+    val freq = support.filter(col("n") >= minSupport)
+    val fb = b.join(broadcast(freq.select("item")), Seq("item"))
+    val pairs = fb.select(col("basket"), col("item").as("item_a"))
+      .join(fb.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("co_n"))
+      .filter(col("co_n") >= minSupport)
+    pairs
+      .join(broadcast(freq.select(col("item").as("item_a"), col("n").as("n_a"))),
+        Seq("item_a"))
+      .join(broadcast(freq.select(col("item").as("item_b"), col("n").as("n_b"))),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("co_n"))
+  }
+
+  /** Association rules from the frequent pairs, both directions:
+    * `(antecedent, consequent, co_n, support, confidence, lift)` with
+    * support = co/N baskets, confidence = co/n(antecedent),
+    * lift = co·N / (n_a·n_b). One extra scalar (the basket count)
+    * broadcast into a pair-sized relation.
+    */
+  def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 100000): DataFrame = {
+    val b = memberships(baskets, basketCol, itemCol, maxBasketSize)
+    val nBaskets = b.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = frequentPairs(baskets, basketCol, itemCol, minSupport,
+      maxBasketSize)
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_a").as("n_ante"),
+        col("n_b").as("n_cons"), col("co_n"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_b").as("n_ante"),
+        col("n_a").as("n_cons"), col("co_n")))
+    directed.crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("co_n"),
+        round(col("co_n").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("co_n").cast("double") / col("n_ante"), 6).as("confidence"),
+        round(col("co_n").cast("double") * col("n_baskets") /
+          (col("n_ante").cast("double") * col("n_cons")), 6).as("lift"))
+  }
+
+  /** Item-item cosine neighbors: sim(a,b) = co(a,b) / sqrt(n_a · n_b)
+    * over basket co-membership, top `k` per item (both directions, so
+    * every frequent item gets its neighbor list). The rank orders on
+    * the 1e-6-gridded similarity with the neighbor id as tiebreak —
+    * engine-reproducible. The window partitions by item over a
+    * pair-sized (not corpus-sized) relation.
+    */
+  def itemNeighbors(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, k: Int, maxBasketSize: Int = 100000): DataFrame = {
+    val pairs = frequentPairs(baskets, basketCol, itemCol, minSupport,
+      maxBasketSize)
+    val directed = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("n_a").as("n_item"),
+        col("n_b").as("n_nbr"), col("co_n"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("n_b").as("n_item"),
+        col("n_a").as("n_nbr"), col("co_n")))
+    val scored = directed.withColumn("cosine",
+      round(col("co_n").cast("double") /
+        sqrt(col("n_item").cast("double") * col("n_nbr")), 6))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("item"), col("neighbor"), col("co_n"), col("cosine"),
+        col("rk"))
+  }
+}

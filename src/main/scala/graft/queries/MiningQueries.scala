@@ -1,0 +1,518 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Graph, Ivm, Kmv, MarketBasket}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Session-5 mining surface: market-basket analysis (Apriori pairs /
+  * rules / item-item cosine), KMV distinct sketches with set
+  * operations, incremental aggregate maintenance, degree-ordered
+  * triangle counting, Markov event transitions and k-fold carving.
+  *
+  * Shared determinism rules (see StatsQueries): exact integer counts
+  * everywhere, derived doubles as the same fixed IEEE op sequence in
+  * both engines, 1e-6 grid at the output boundary.
+  */
+object MiningQueries {
+
+  private val MinSupport = 2L
+  private val KmvK = 64
+  private val IvmSplit = "1998-01-01"
+
+  /** Co-purchase memberships: distinct (order, part). */
+  private def baskets(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir)
+
+  /** Co-purchase item graph: distinct part pairs sharing an order. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
+      .distinct()
+    b.select(col("k"), col("i").as("a"))
+      .join(b.select(col("k"), col("i").as("b")), Seq("k"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  val queries: Map[String, Query] = Map(
+
+    // frequent co-purchased part pairs, Apriori-pruned before the
+    // basket self-join (downward closure; mega-basket cap on)
+    "basket_frequent_pairs" -> ((s, dir) =>
+      MarketBasket.frequentPairs(baskets(s, dir), "l_orderkey", "l_partkey",
+        MinSupport)),
+
+    // both-direction association rules with support/confidence/lift
+    "basket_rules" -> ((s, dir) =>
+      MarketBasket.associationRules(baskets(s, dir), "l_orderkey",
+        "l_partkey", MinSupport)),
+
+    // top-5 cosine neighbors per part over co-purchase counts
+    "basket_item_cosine" -> ((s, dir) =>
+      MarketBasket.itemNeighbors(baskets(s, dir), "l_orderkey", "l_partkey",
+        MinSupport, k = 5)),
+
+    // per-event-type distinct-user estimates from the k=64 KMV sketch,
+    // audited against the exact distinct count in the same row
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = Kmv.distinctEstimate(
+        Kmv.sketch(ev, "event_type", "user_id", KmvK), KmvK)
+      val exact = ev.groupBy(col("event_type").as("slice"))
+        .agg(countDistinct(col("user_id")).as("exact_d"))
+      est.join(exact, Seq("slice"))
+        .select(col("slice"), col("n_seen"), col("est"), col("exact_d"),
+          round(abs(col("est") - col("exact_d")) / col("exact_d"), 6)
+            .as("rel_err"))
+    }),
+
+    // clicker-vs-viewer audience overlap WITHOUT joining the audiences:
+    // Jaccard + intersection estimated from the two 64-row sketches,
+    // exact intersection carried for the audit
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sk = Kmv.sketch(ev, "event_type", "user_id", KmvK)
+      val users = (t: String) => ev.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+      val exact = users("click").intersect(users("view"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      Kmv.overlapEstimate(sk, "click", "view", KmvK)
+        .crossJoin(broadcast(exact))
+    }),
+
+    // the maintained gold view: base partials (orders before the split)
+    // merged with delta partials (orders after) — history never
+    // rescanned; result must equal the full recompute
+    "agg_incremental_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val grp = Seq("o_orderstatus", "o_orderpriority")
+      val base = Ivm.partials(o.filter(col("o_orderdate") < lit(IvmSplit)),
+        grp, "o_totalprice")
+      val delta = Ivm.partials(o.filter(col("o_orderdate") >= lit(IvmSplit)),
+        grp, "o_totalprice")
+      Ivm.readView(Ivm.merge(Seq(base, delta), grp))
+    }),
+
+    // per-part triangle participation in the co-purchase graph,
+    // degree-ordered enumeration (each triangle once, fanout O(sqrt m))
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(copurchaseEdges(s, dir))),
+
+    // degree histogram of the same graph
+    "graph_degrees" -> ((s, dir) =>
+      Graph.degreeHistogram(copurchaseEdges(s, dir))),
+
+    // first-order Markov transition matrix over each user's event
+    // sequence: counts + row-normalized probabilities
+    "events_markov" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      val trans = ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+    }),
+
+    // connected components of the STRONG co-purchase graph (pair
+    // support >= 3): product communities via the shared min-label
+    // propagation (Dedup.resolveClusters — the ER clustering engine
+    // applied to a product graph). Label = min item id in the component.
+    "graph_components" -> ((s, dir) => {
+      val edges = MarketBasket.frequentPairs(baskets(s, dir), "l_orderkey",
+          "l_partkey", minSupport = 3)
+        .select(col("item_a").as("doc_a"), col("item_b").as("doc_b"))
+      graft.ops.Dedup.resolveClusters(edges)
+        .select(col("node").as("item"), col("label").as("component_id"))
+    }),
+
+    // adjacent-token collocations: bigrams whose observed co-occurrence
+    // beats the unigram-independence expectation (the PMI family, kept
+    // as a lift RATIO — log is libm, not IEEE-fixed, so the oracle
+    // could drift on the last ulp; the ratio is exact multiplication).
+    "text_collocations" -> ((s, dir) => {
+      val ws = expr("filter(split(lower(text), ' '), x -> x != '')")
+      val d = Tables.documents(s, dir).select(ws.as("ws"))
+      val uni = d.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val nUni = uni.agg(sum(col("n")).as("n_tokens"))
+      val bg = d.select(explode(arrays_zip(
+          expr("slice(ws, 1, size(ws) - 1)"),
+          expr("slice(ws, 2, size(ws) - 1)"))).as("bg"))
+        .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      val nBi = bg.agg(count(lit(1)).as("n_bigrams"))
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("co_n"))
+        .filter(col("co_n") >= 20)
+        .join(uni.select(col("w").as("w1"), col("n").as("n1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("n").as("n2")), Seq("w2"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("w1"), col("w2"), col("co_n"), col("n1"), col("n2"),
+          round((col("co_n").cast("double") / col("n_bigrams")) /
+            ((col("n1").cast("double") / col("n_tokens")) *
+             (col("n2").cast("double") / col("n_tokens"))), 6).as("lift"))
+    }),
+
+    // RFM customer segmentation: recency/frequency/monetary quartile
+    // scores with thresholds from the distributed-CDF exact quantiles
+    // (broadcast scalars — no global-sort ntile); integer end-to-end,
+    // so the whole result hash-gates with zero float surface
+    "analytics_rfm" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val cust = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("monetary_cents"))
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+      val m = cust.crossJoin(broadcast(anchor))
+        .withColumn("recency_days",
+          datediff(col("anchor"), col("last_order")).cast("long"))
+        .select(col("custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"))
+      def quartiles(c: String, hi: Long, tag: String) = broadcast(
+        graft.ops.DataProfile.quantilesExact(m, c, 0L, hi, Seq(25, 50, 75))
+          .agg(max(when(col("p") === 25, col("value"))).as(s"${tag}25"),
+            max(when(col("p") === 50, col("value"))).as(s"${tag}50"),
+            max(when(col("p") === 75, col("value"))).as(s"${tag}75")))
+      val scored = m
+        .crossJoin(quartiles("recency_days", 4096L, "r"))
+        .crossJoin(quartiles("frequency", 256L, "f"))
+        .crossJoin(quartiles("monetary_cents", 1L << 32, "m"))
+      def up(v: String, t: String) = (lit(1) +
+        (col(v) > col(s"${t}25")).cast("int") +
+        (col(v) > col(s"${t}50")).cast("int") +
+        (col(v) > col(s"${t}75")).cast("int"))
+      val down = (lit(1) +
+        (col("recency_days") <= col("r75")).cast("int") +
+        (col("recency_days") <= col("r50")).cast("int") +
+        (col("recency_days") <= col("r25")).cast("int"))
+      scored.select(col("custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          down.as("r_score"),
+          up("frequency", "f").as("f_score"),
+          up("monetary_cents", "m").as("m_score"))
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    }),
+
+    // deterministic 5-fold carving of the documents corpus (the
+    // cross-validation face of corpus_split) + per-fold balance stats
+    "corpus_kfold" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("fold",
+          (graft.ops.Dedup.hashBucket(col("doc_id")) % 5).cast("int"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      d.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          countDistinct(col("lang")).as("n_langs"))
+        .crossJoin(broadcast(total))
+        .select(col("fold"), col("n_docs"), col("n_chars_total"),
+          col("n_langs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
+    })
+  )
+
+  /** 32-bit integer from the first 8 md5 hex digits of `e` — the
+    * engine-shared hash (StatsQueries.hex8 restated).
+    */
+  private def hex8(e: String): String = {
+    val terms = (0 until 8).map { j =>
+      val pow = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr($e, ${j + 1}, 1)) - 1) * $pow"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
+  /** Frequent-pairs CTE chain shared by the three basket oracles:
+    * terminal relation `fp(item_a, item_b, n_a, n_b, co_n)`.
+    */
+  private val FreqPairsCtes: String =
+    s"""b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+       |  FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |sup AS (SELECT item, count(*) AS n FROM b GROUP BY 1),
+       |freq AS (SELECT item, n FROM sup WHERE n >= $MinSupport),
+       |fb AS (SELECT b.basket, b.item FROM b JOIN freq USING (item)),
+       |p AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS co_n
+       |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+       |fp AS (SELECT p.item_a, p.item_b, fa.n AS n_a, fb2.n AS n_b, p.co_n
+       |  FROM p JOIN freq fa ON fa.item = p.item_a
+       |         JOIN freq fb2 ON fb2.item = p.item_b)""".stripMargin
+
+  /** Degree-ordered triangle CTE chain over the co-purchase graph:
+    * terminal relation `tri(x, y, z)` — the same orientation rule as
+    * [[Graph.triangleCounts]].
+    */
+  private val TriangleCtes: String =
+    """bk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+      |e AS (SELECT DISTINCT x.i AS a, y.i AS b
+      |  FROM bk x JOIN bk y ON x.k = y.k AND x.i < y.i),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1),
+      |o AS (SELECT CASE WHEN da.deg < db.deg
+      |        OR (da.deg = db.deg AND e.a < e.b) THEN e.a ELSE e.b END AS s,
+      |      CASE WHEN da.deg < db.deg
+      |        OR (da.deg = db.deg AND e.a < e.b) THEN e.b ELSE e.a END AS d,
+      |      CASE WHEN da.deg < db.deg
+      |        OR (da.deg = db.deg AND e.a < e.b) THEN db.deg ELSE da.deg
+      |      END AS dd
+      |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+      |tri AS (SELECT w1.s AS x, w1.d AS y, w2.d AS z
+      |  FROM o w1 JOIN o w2 ON w2.s = w1.s
+      |    AND (w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.d < w2.d))
+      |  JOIN o c ON c.s = w1.d AND c.d = w2.d)""".stripMargin
+
+  /** Per-slice KMV sketch CTE over event users: terminal `sk(slice,
+    * pos, h)` with pos = 1..k by ascending 32-bit hash.
+    */
+  private val KmvCtes: String =
+    s"""du AS (SELECT DISTINCT event_type AS slice,
+       |    CAST(${hex8("md5(CAST(user_id AS VARCHAR))")} AS BIGINT) AS h
+       |  FROM events WHERE event_type IS NOT NULL),
+       |sk AS (SELECT slice, pos, h FROM (
+       |    SELECT slice, h, row_number() OVER (
+       |      PARTITION BY slice ORDER BY h) AS pos
+       |    FROM du) WHERE pos <= $KmvK)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "basket_frequent_pairs" ->
+      s"""WITH $FreqPairsCtes
+         |SELECT item_a, item_b, n_a, n_b, co_n FROM fp""".stripMargin,
+
+    "basket_rules" ->
+      s"""WITH $FreqPairsCtes,
+         |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+         |d AS (SELECT item_a AS antecedent, item_b AS consequent,
+         |    n_a AS n_ante, n_b AS n_cons, co_n FROM fp
+         |  UNION ALL
+         |  SELECT item_b, item_a, n_b, n_a, co_n FROM fp)
+         |SELECT antecedent, consequent, co_n,
+         |  round(CAST(co_n AS DOUBLE) / n_baskets, 6) AS support,
+         |  round(CAST(co_n AS DOUBLE) / n_ante, 6) AS confidence,
+         |  round(CAST(co_n AS DOUBLE) * n_baskets /
+         |    (CAST(n_ante AS DOUBLE) * n_cons), 6) AS lift
+         |FROM d, nb""".stripMargin,
+
+    "basket_item_cosine" ->
+      s"""WITH $FreqPairsCtes,
+         |d AS (SELECT item_a AS item, item_b AS neighbor,
+         |    n_a AS n_item, n_b AS n_nbr, co_n FROM fp
+         |  UNION ALL
+         |  SELECT item_b, item_a, n_b, n_a, co_n FROM fp),
+         |sc AS (SELECT item, neighbor, co_n,
+         |    round(CAST(co_n AS DOUBLE) /
+         |      sqrt(CAST(n_item AS DOUBLE) * n_nbr), 6) AS cosine
+         |  FROM d)
+         |SELECT item, neighbor, co_n, cosine, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+         |    ORDER BY cosine DESC, neighbor) AS INT) AS rk FROM sc)
+         |WHERE rk <= 5""".stripMargin,
+
+    "sketch_kmv_distinct" ->
+      s"""WITH $KmvCtes,
+         |est AS (SELECT slice, count(*) AS n_seen,
+         |    max(CASE WHEN pos = $KmvK THEN h END) AS hk
+         |  FROM sk GROUP BY 1),
+         |ex AS (SELECT event_type AS slice,
+         |    count(DISTINCT user_id) AS exact_d
+         |  FROM events GROUP BY 1)
+         |SELECT e.slice, e.n_seen,
+         |  CASE WHEN e.n_seen < $KmvK THEN CAST(e.n_seen AS DOUBLE)
+         |    ELSE round(${(KmvK - 1).toDouble} * 4294967296.0 /
+         |      CAST(e.hk + 1 AS DOUBLE), 6) END AS est,
+         |  ex.exact_d,
+         |  round(abs((CASE WHEN e.n_seen < $KmvK
+         |      THEN CAST(e.n_seen AS DOUBLE)
+         |      ELSE round(${(KmvK - 1).toDouble} * 4294967296.0 /
+         |        CAST(e.hk + 1 AS DOUBLE), 6) END) - ex.exact_d)
+         |    / ex.exact_d, 6) AS rel_err
+         |FROM est e JOIN ex ON ex.slice = e.slice""".stripMargin,
+
+    "sketch_kmv_overlap" ->
+      s"""WITH $KmvCtes,
+         |t AS (SELECT h, max(CASE WHEN slice = 'click' THEN 1 ELSE 0 END)
+         |      AS in_a,
+         |    max(CASE WHEN slice = 'view' THEN 1 ELSE 0 END) AS in_b
+         |  FROM sk WHERE slice IN ('click', 'view') GROUP BY 1),
+         |m AS (SELECT * FROM (
+         |    SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS pos
+         |    FROM t) WHERE pos <= $KmvK),
+         |agg AS (SELECT count(*) AS n_merged,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         |    max(CASE WHEN pos = $KmvK THEN h END) AS hk
+         |  FROM m),
+         |ex AS (SELECT count(*) AS exact_intersection FROM (
+         |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         |    INTERSECT
+         |    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'))
+         |SELECT 'click' AS slice_a, 'view' AS slice_b, n_both,
+         |  round(CAST(n_both AS DOUBLE) / n_merged, 6) AS jaccard_est,
+         |  round((CAST(n_both AS DOUBLE) / n_merged) *
+         |    (CASE WHEN n_merged < $KmvK THEN CAST(n_merged AS DOUBLE)
+         |      ELSE ${(KmvK - 1).toDouble} * 4294967296.0 /
+         |        CAST(hk + 1 AS DOUBLE) END), 6) AS intersection_est,
+         |  exact_intersection
+         |FROM agg, ex""".stripMargin,
+
+    // the oracle is the FULL recompute — equality with the merged
+    // partials IS the maintenance-correctness statement
+    "agg_incremental_merge" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(o_totalprice) AS n,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DOUBLE), 6) AS sum_v,
+         |  round(CAST(min(o_totalprice) AS DOUBLE), 6) AS min_v,
+         |  round(CAST(max(o_totalprice) AS DOUBLE), 6) AS max_v,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         |    AS DOUBLE) / count(o_totalprice), 6) AS avg_v
+         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $TriangleCtes
+         |SELECT node, count(*) AS n_tri FROM (
+         |  SELECT x AS node FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri)
+         |GROUP BY 1""".stripMargin,
+
+    "graph_degrees" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM bk x JOIN bk y ON x.k = y.k AND x.i < y.i),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1)
+        |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+
+    "graph_components" ->
+      """WITH RECURSIVE
+        |b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |      FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sup AS (SELECT item, count(*) AS n FROM b GROUP BY 1),
+        |freq AS (SELECT item FROM sup WHERE n >= 3),
+        |fb AS (SELECT b.basket, b.item FROM b JOIN freq USING (item)),
+        |p AS (SELECT x.item AS a, y.item AS bb, count(*) AS co_n
+        |      FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT a, bb AS b FROM p UNION SELECT bb, a FROM p),
+        |nodes AS (SELECT DISTINCT a AS node FROM e),
+        |r AS (SELECT node AS id, node AS reach FROM nodes
+        |      UNION
+        |      SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+        |SELECT id AS item, min(reach) AS component_id
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "text_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '') AS ws FROM documents),
+        |u AS (SELECT unnest(ws) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS n FROM u GROUP BY 1),
+        |nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM uni),
+        |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1,
+        |         len(ws) - 1)) AS i) g),
+        |nb AS (SELECT count(*) AS n_bigrams FROM bg),
+        |co AS (SELECT w1, w2, count(*) AS co_n FROM bg GROUP BY 1, 2
+        |       HAVING count(*) >= 20)
+        |SELECT co.w1, co.w2, co.co_n, a.n AS n1, b.n AS n2,
+        |  round((CAST(co.co_n AS DOUBLE) / nb.n_bigrams) /
+        |    ((CAST(a.n AS DOUBLE) / nu.n_tokens) *
+        |     (CAST(b.n AS DOUBLE) / nu.n_tokens)), 6) AS lift
+        |FROM co JOIN uni a ON a.w = co.w1
+        |        JOIN uni b ON b.w = co.w2, nu, nb""".stripMargin,
+
+    "analytics_rfm" -> {
+      // type-1 quantile per metric: smallest value whose cumulative
+      // count reaches (n*p + 99) div 100 — quantilesExact restated
+      def q(metric: String, tag: String) =
+        s"""q$tag AS (SELECT ps.p, min(s.v) AS value FROM
+           |    (SELECT $metric AS v,
+           |       row_number() OVER (ORDER BY $metric) AS rn FROM m) s,
+           |    (SELECT unnest([25, 50, 75]) AS p) ps, n
+           |  WHERE s.rn >= (n.n * ps.p + 99) // 100 GROUP BY 1),
+           |p$tag AS (SELECT
+           |    max(CASE WHEN p = 25 THEN value END) AS ${tag}25,
+           |    max(CASE WHEN p = 50 THEN value END) AS ${tag}50,
+           |    max(CASE WHEN p = 75 THEN value END) AS ${tag}75
+           |  FROM q$tag)""".stripMargin
+      s"""WITH o AS (SELECT o_custkey, o_orderdate,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |a AS (SELECT max(o_orderdate) AS anchor FROM o),
+         |m AS (SELECT o_custkey AS custkey,
+         |    CAST(date_diff('day', max(o_orderdate),
+         |      (SELECT anchor FROM a)) AS BIGINT) AS recency_days,
+         |    count(*) AS frequency,
+         |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+         |  FROM o GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM m),
+         |${q("recency_days", "r")},
+         |${q("frequency", "f")},
+         |${q("monetary_cents", "mm")},
+         |sc AS (SELECT m.*,
+         |    CAST(1 + CASE WHEN recency_days <= r75 THEN 1 ELSE 0 END
+         |           + CASE WHEN recency_days <= r50 THEN 1 ELSE 0 END
+         |           + CASE WHEN recency_days <= r25 THEN 1 ELSE 0 END
+         |      AS INT) AS r_score,
+         |    CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+         |           + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+         |           + CASE WHEN frequency > f75 THEN 1 ELSE 0 END
+         |      AS INT) AS f_score,
+         |    CAST(1 + CASE WHEN monetary_cents > mm25 THEN 1 ELSE 0 END
+         |           + CASE WHEN monetary_cents > mm50 THEN 1 ELSE 0 END
+         |           + CASE WHEN monetary_cents > mm75 THEN 1 ELSE 0 END
+         |      AS INT) AS m_score
+         |  FROM m, pr, pf, pmm)
+         |SELECT custkey, recency_days, frequency, monetary_cents,
+         |  r_score, f_score, m_score,
+         |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+         |FROM sc""".stripMargin
+    },
+
+    "events_markov" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+        |  FROM events),
+        |s AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tsec, event_id) AS to_type
+        |  FROM e),
+        |tr AS (SELECT from_type, to_type, count(*) AS n FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS n_from FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |  round(CAST(tr.n AS DOUBLE) / tot.n_from, 6) AS p
+        |FROM tr JOIN tot ON tot.from_type = tr.from_type""".stripMargin,
+
+    "corpus_kfold" -> {
+      val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +
+        "AS BIGINT) % 100)"
+      s"""WITH d AS (SELECT doc_id, lang, n_chars,
+         |    CAST($bucket % 5 AS INT) AS fold
+         |  FROM documents),
+         |t AS (SELECT count(*) AS n_total FROM d)
+         |SELECT fold, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |  count(DISTINCT lang) AS n_langs,
+         |  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+         |FROM d, t GROUP BY fold, n_total""".stripMargin
+    }
+  )
+}
