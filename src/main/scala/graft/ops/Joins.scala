@@ -193,4 +193,39 @@ object Joins {
     right.join(broadcast(hits), Seq(rightId), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
   }
+
+  /** Bloom-pruned semi join: `big`'s rows whose `bigKey` appears in
+    * `small`'s `smallKey` — an explicit runtime-filter operator for the
+    * regime where the small side is too large to broadcast but its KEY
+    * SET compresses into a few hundred KB of bits.
+    *
+    * Why it exists: a plain shuffle semi join moves the ENTIRE big side
+    * through the exchange to discover that most rows match nothing. The
+    * bloom prefilter (built by a fixed-state `treeAggregate`, probed as
+    * codegen'd bit tests INSIDE the big side's scan stage — see
+    * [[Bloom]]) kills non-members before they ever reach the shuffle;
+    * only (matches + false positives) rows move. The exact semi join
+    * over the survivors then removes the false positives, so the result
+    * equals the plain semi join BIT FOR BIT — the bloom changes the
+    * data volume, never the answer (the `decontaminateBloom` contract,
+    * generalized to any key join).
+    *
+    * The filter auto-sizes at ~`bitsPerKey` bits per distinct small key
+    * (rounded up to a power of two; ~1% false positives at 10), priced
+    * by one count over the small side's key set — the same honest
+    * auto-sizing `decontaminateBloom` uses.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String,
+                    small: DataFrame, smallKey: String,
+                    bitsPerKey: Int = 10, numHashes: Int = 5): DataFrame = {
+    val keys = small.select(col(smallKey).cast("string").as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+    val nKeys = math.max(1L, keys.count())
+    var bits = 1 << 16
+    while (bits.toLong < nKeys * bitsPerKey && bits < (1 << 28)) bits <<= 1
+    val f = Bloom.build(keys, col("__k"), bits, numHashes)
+    big.filter(Bloom.mightContain(f, col(bigKey).cast("string")))
+      .join(keys.select(col("__k").as("__sk")),
+        col(bigKey).cast("string") === col("__sk"), "left_semi")
+  }
 }

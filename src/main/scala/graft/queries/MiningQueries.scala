@@ -206,6 +206,106 @@ object MiningQueries {
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     }),
 
+    // bloom-pruned semi join: high-value order lines, with the big
+    // side's shuffle cut by a few hundred KB of bits instead of a
+    // corpus-sized broadcast — result provably equals the plain semi
+    // join (false positives removed by the exact survivor join)
+    "join_bloom_semi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val hi = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 450000.0).select(col("o_orderkey"))
+      graft.ops.Joins.bloomSemiJoin(li, "l_orderkey", hi, "o_orderkey")
+    }),
+
+    // top-10 three-step event paths: the order-2 extension of the
+    // Markov face — two leads over the same per-user window, exact
+    // counts, total-order tiebreak so the limit is deterministic
+    "events_top_paths" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      ev.withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("p1"), col("t2").as("p2"),
+          col("t3").as("p3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+        .limit(10)
+    }),
+
+    // chi-square independence of event_type x day-of-week: expected
+    // counts in closed form from exact integer marginals, per-cell
+    // terms rounded to the 1e-6 grid THEN summed as exact decimals —
+    // a 35-double sum would otherwise drift with shuffle order
+    "stats_chi2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      val cells = ev.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("ntot"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("dow")).as("nc"))
+      cells.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("dow"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e",
+          (col("rt") * col("ct")).cast("double") / col("ntot"))
+        .withColumn("cell", round((col("o") - col("e")) *
+          (col("o") - col("e")) / col("e"), 6).cast("decimal(18,6)"))
+        .agg(max(col("ntot")).as("n"),
+          max((col("nr") - 1) * (col("nc") - 1)).cast("int").as("dof"),
+          round(sum(col("cell")).cast("double"), 6).as("chi2"))
+    }),
+
+    // two-proportion A/B z-test: cohorts carved by the shared md5
+    // bucket, conversion = a purchase within 3 days of the user's
+    // FIRST event (any-purchase converts EVERYONE at fixture density —
+    // pooled variance 0, z undefined; the time-boxed rule is both the
+    // realistic funnel metric and a non-degenerate one). Every input
+    // an exact integer; the statistic one fixed IEEE op sequence (sqrt
+    // is IEEE-exact, unlike log — the text_collocations lesson); the
+    // degenerate p∈{0,1} case still yields NULL z via the guard, never
+    // an ANSI divide-by-zero.
+    "stats_ab_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("tsec")).as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .filter(col("tsec") <= col("t0") + lit(3L * 86400))
+        .select(col("user_id")).distinct().withColumn("converted", lit(1))
+      val cohort = first.select(col("user_id"))
+        .withColumn("grp", (graft.ops.Dedup.hashBucket(col("user_id")) % 2)
+          .cast("int"))
+      val g = cohort.join(conv, Seq("user_id"), "left")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("converted"), lit(0))).as("k"))
+      val w = g.agg(
+          max(when(col("grp") === 0, col("n"))).as("n_a"),
+          max(when(col("grp") === 0, col("k"))).as("k_a"),
+          max(when(col("grp") === 1, col("n"))).as("n_b"),
+          max(when(col("grp") === 1, col("k"))).as("k_b"))
+        .withColumn("pp", (col("k_a") + col("k_b")).cast("double") /
+          (col("n_a") + col("n_b")))
+        .withColumn("den", sqrt(col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      w.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+          round(col("k_a").cast("double") / col("n_a"), 6).as("p_a"),
+          round(col("k_b").cast("double") / col("n_b"), 6).as("p_b"),
+          round(when(col("den") > 0,
+            ((col("k_a").cast("double") / col("n_a")) -
+             (col("k_b").cast("double") / col("n_b"))) / col("den")), 6)
+            .as("z"))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -500,6 +600,82 @@ object MiningQueries {
         |SELECT tr.from_type, tr.to_type, tr.n,
         |  round(CAST(tr.n AS DOUBLE) / tot.n_from, 6) AS p
         |FROM tr JOIN tot ON tot.from_type = tr.from_type""".stripMargin,
+
+    "join_bloom_semi" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice > 450000)""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+        |  FROM events),
+        |s AS (SELECT event_type AS p1,
+        |    lead(event_type, 1) OVER w AS p2,
+        |    lead(event_type, 2) OVER w AS p3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |c AS (SELECT p1, p2, p3, count(*) AS n FROM s
+        |  WHERE p2 IS NOT NULL AND p3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT p1, p2, p3, n FROM c
+        |ORDER BY n DESC, p1, p2, p3 LIMIT 10""".stripMargin,
+
+    "stats_chi2" ->
+      """WITH e AS (SELECT event_type,
+        |    dayofweek(CAST(ts AS TIMESTAMP)) AS dow FROM events),
+        |cells AS (SELECT event_type, dow, count(*) AS o FROM e
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells
+        |  GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS ntot,
+        |    count(DISTINCT event_type) AS nr,
+        |    count(DISTINCT dow) AS nc FROM cells),
+        |x AS (SELECT cells.o,
+        |    CAST(rt.rt * ct.ct AS DOUBLE) / tot.ntot AS e,
+        |    tot.ntot, tot.nr, tot.nc
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tot)
+        |SELECT max(ntot) AS n,
+        |  CAST(max((nr - 1) * (nc - 1)) AS INT) AS dof,
+        |  round(CAST(sum(CAST(round((o - e) * (o - e) / e, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 6) AS chi2
+        |FROM x""".stripMargin,
+
+    "stats_ab_test" -> {
+      val grp = s"CAST(CAST(${hex8("md5(CAST(user_id AS VARCHAR))")} " +
+        "AS BIGINT) % 100 % 2 AS INT)"
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+         |  FROM events),
+         |f AS (SELECT user_id, min(tsec) AS t0 FROM e GROUP BY 1),
+         |conv AS (SELECT DISTINCT e.user_id FROM e JOIN f USING (user_id)
+         |  WHERE e.event_type = 'purchase'
+         |    AND e.tsec <= f.t0 + 3 * 86400),
+         |cohort AS (SELECT user_id, $grp AS grp FROM f),
+         |g AS (SELECT cohort.grp, count(*) AS n,
+         |    CAST(sum(CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS k
+         |  FROM cohort LEFT JOIN conv USING (user_id) GROUP BY 1),
+         |w0 AS (SELECT
+         |    max(CASE WHEN grp = 0 THEN n END) AS n_a,
+         |    max(CASE WHEN grp = 0 THEN k END) AS k_a,
+         |    max(CASE WHEN grp = 1 THEN n END) AS n_b,
+         |    max(CASE WHEN grp = 1 THEN k END) AS k_b
+         |  FROM g),
+         |w AS (SELECT *,
+         |    sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+         |         (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+         |         (1.0 / n_a + 1.0 / n_b)) AS den
+         |  FROM w0)
+         |SELECT n_a, k_a, n_b, k_b,
+         |  round(CAST(k_a AS DOUBLE) / n_a, 6) AS p_a,
+         |  round(CAST(k_b AS DOUBLE) / n_b, 6) AS p_b,
+         |  round(CASE WHEN den > 0 THEN
+         |    (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) / den
+         |  END, 6) AS z
+         |FROM w""".stripMargin
+    },
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +

@@ -147,4 +147,48 @@ class JoinsSpec extends SparkSpec {
     val out = Joins.rangeJoin(rows, "ts", ivals, "s", "e", 300000L)
     assert(out.count() == 1) // start inclusive, end exclusive
   }
+
+  test("bloom semi join equals the plain semi join exactly") {
+    // big side 0..9999; small side: 500 scattered keys — with ~10
+    // bits/key the bloom passes false positives, which the survivor
+    // join must remove
+    val big = spark.range(10000L).select($"id".as("k"), ($"id" * 3).as("v"))
+    val small = spark.range(500L).select(($"id" * 17 + 3).as("sk"))
+    val pruned = Joins.bloomSemiJoin(big, "k", small, "sk")
+      .as[(Long, Long)].collect().toSet
+    val plain = big.join(small, $"k" === $"sk", "left_semi")
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == plain && plain.size == 500)
+  }
+
+  test("bloom semi join: null keys never match; empty small side is empty") {
+    val big = Seq(Some(1L), Some(2L), None).toDF("k")
+    val small = Seq(1L).toDF("sk")
+    val out = Joins.bloomSemiJoin(big, "k", small, "sk").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val none = Joins.bloomSemiJoin(big, "k", Seq.empty[Long].toDF("sk"), "sk")
+    assert(none.count() == 0)
+  }
+
+  test("bloom prefilter sits below the exchange (the shuffle is pruned)") {
+    // the whole point of the operator: the codegen'd getbit conjunction
+    // must run in the big side's scan stage, BEFORE rows reach any
+    // exchange — not after the shuffle it exists to shrink
+    val big = spark.range(50000L).select($"id".as("k"))
+    val small = spark.range(100L).select(($"id" * 7).as("sk"))
+    val plan = Joins.bloomSemiJoin(big, "k", small, "sk")
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("getbit"))
+    assert(filterIdx >= 0, s"no getbit filter in plan:\n$plan")
+    // every exchange ABOVE the filter line (smaller index = nearer the
+    // root in toString) is allowed; there must be NO exchange printed
+    // BELOW the getbit filter on the big-side branch — i.e. the filter
+    // consumes the range/scan directly
+    val below = lines.drop(filterIdx + 1)
+      .takeWhile(l => !l.trim.startsWith("+-") || l.contains("Range"))
+    assert(lines(filterIdx + 1).contains("Range") ||
+      below.exists(_.contains("Range")),
+      s"getbit filter does not sit on the scan:\n$plan")
+  }
 }
