@@ -115,6 +115,69 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Fixed-round k-core peel over an undirected (a < b) edge set:
+    * `rounds` iterations of "drop every node with current degree < k,
+    * restrict edges to surviving endpoints" — the standard peeling
+    * recurrence with EXPLICIT round semantics (the pagerank convention:
+    * a fixed, engine-reproducible iteration count instead of a
+    * convergence test, so a DuckDB oracle can unroll the identical
+    * rounds). When a round removes nothing the result IS the true
+    * k-core and further rounds are no-ops (spec-pinned on graphs whose
+    * fixpoint arrives early).
+    *
+    * Returns (node, deg) for surviving nodes with their degree in the
+    * peeled subgraph. Each round is two map-side-combined degree
+    * aggregations + two semi joins, lineage cut per round (plan depth
+    * constant; a retry can never replay the whole peel history).
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+      r += 1
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
+  /** Hop distances from `source` over an undirected (a < b) edge set,
+    * bounded at `maxHops`: `(node, dist)` for every node reachable in
+    * at most `maxHops` hops (the source itself at 0). Frontier-style
+    * rounds — each joins ONLY the current frontier (not the visited
+    * set) against the adjacency, so per-round cost is frontier-degree-
+    * bound; visited nodes never re-expand. Lineage cut per round.
+    */
+  def bfsDistances(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var visited = adj.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0).as("dist")).localCheckpoint()
+    var frontier = visited
+    var h = 0
+    while (h < maxHops) {
+      val next = frontier.join(adj, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+        .join(visited.select(col("node").as("__seen")),
+          col("node") === col("__seen"), "left_anti")
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    visited
+  }
+
   /** Degree histogram of an undirected (a < b) edge set: one row per
     * occurring degree with the node count — the shape check (power-law
     * vs uniform) every graph job starts with. Two map-side-combined

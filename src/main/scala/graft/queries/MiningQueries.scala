@@ -206,6 +206,26 @@ object MiningQueries {
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     }),
 
+    // fixed-round k-core peel (k=3, 8 rounds — the pagerank fixed-
+    // iteration convention so the oracle unrolls identical rounds) on
+    // the support>=2 co-purchase graph: the repeatedly-co-bought
+    // product backbone
+    "graph_kcore" -> ((s, dir) =>
+      Graph.kcorePeel(MarketBasket.frequentPairs(baskets(s, dir),
+          "l_orderkey", "l_partkey", 2)
+        .select(col("item_a").as("a"), col("item_b").as("b")), 3, 8)),
+
+    // hop distances from the lowest item id in the same graph, 4 hops:
+    // frontier expansion joins ONLY the frontier per round
+    "graph_bfs_dist" -> ((s, dir) => {
+      val e = MarketBasket.frequentPairs(baskets(s, dir),
+          "l_orderkey", "l_partkey", 2)
+        .select(col("item_a").as("a"), col("item_b").as("b"))
+        .localCheckpoint()
+      val src = e.agg(min(col("a"))).head.getLong(0)
+      Graph.bfsDistances(e, src, 4)
+    }),
+
     // bloom-pruned semi join: high-value order lines, with the big
     // side's shuffle cut by a few hundred KB of bits instead of a
     // corpus-sized broadcast — result provably equals the plain semi
@@ -600,6 +620,40 @@ object MiningQueries {
         |SELECT tr.from_type, tr.to_type, tr.n,
         |  round(CAST(tr.n AS DOUBLE) / tot.n_from, 6) AS p
         |FROM tr JOIN tot ON tot.from_type = tr.from_type""".stripMargin,
+
+    "graph_kcore" -> {
+      // 8 unrolled peel rounds over the fp edge set (same rounds the
+      // Spark operator runs) — generated, not hand-written
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each round
+      // references its predecessor three times — 3^8 copies of the
+      // base scan without the hint (observed as an fd exhaustion)
+      val rounds = (0 until 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+           |  GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+           |e${i + 1} AS MATERIALIZED (SELECT e$i.a, e$i.b FROM e$i
+           |  JOIN k$i x ON x.node = e$i.a
+           |  JOIN k$i y ON y.node = e$i.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $FreqPairsCtes,
+         |e0 AS MATERIALIZED (SELECT item_a AS a, item_b AS b FROM fp),
+         |$rounds
+         |SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin
+    },
+
+    "graph_bfs_dist" ->
+      s"""WITH RECURSIVE $FreqPairsCtes,
+         |e AS (SELECT item_a AS a, item_b AS b FROM fp),
+         |adj AS (SELECT a AS u, b AS v FROM e
+         |        UNION ALL SELECT b, a FROM e),
+         |r AS (SELECT (SELECT min(a) FROM e) AS node, 0 AS dist
+         |      UNION
+         |      SELECT adj.v, r.dist + 1 FROM r JOIN adj ON adj.u = r.node
+         |      WHERE r.dist < 4)
+         |SELECT node, min(dist) AS dist FROM r GROUP BY 1""".stripMargin,
 
     "join_bloom_semi" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

@@ -659,4 +659,41 @@ class PlanSpec extends SparkSpec {
         s"$n must verify candidates with levenshtein:\n$p")
     }
   }
+
+  test("basket pairs: closure prune broadcast, no cartesian anywhere") {
+    val p = planOf("basket_frequent_pairs")
+    // the frequent-item set and the support carries ride broadcasts;
+    // the pair join itself is basket-keyed hash — never nested-loop
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("triangles: every join a hash equi-join, order predicates residual") {
+    val p = planOf("graph_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("rfm: quartile thresholds broadcast, no corpus-wide window sort") {
+    val p = planOf("analytics_rfm")
+    // three quartile relations arrive as broadcasts over the scored rows
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3)
+    // the only Window operators allowed are the coarse-bucket offset
+    // tables inside quantilesExact (bounded by the 64-bucket grid and
+    // the per-bucket value groups) — no window may partition by the
+    // customer key, which would mean a global rank crept back in
+    assert(!p.contains("windowspecdefinition(custkey"))
+  }
+
+  test("bloom semi join: getbit probes run before the exchange") {
+    val p = planOf("join_bloom_semi")
+    val lines = p.linesIterator.toSeq
+    val gi = lines.indexWhere(_.contains("getbit"))
+    assert(gi >= 0, "bloom conjunction missing from the plan")
+    // the filter's child must be the parquet scan itself — the probe
+    // prunes the scan stage, not some post-shuffle stage
+    assert(lines.drop(gi + 1).take(3).exists(_.contains("FileScan parquet")),
+      s"getbit filter not on the scan:\n$p")
+  }
 }

@@ -48,4 +48,40 @@ class GraphSpec extends SparkSpec {
     assert(r.contains("a") && r.contains("b"))
     assert(r("a") >= 0.15 && r("b") >= 0.15)
   }
+
+  private def ed(pairs: (Long, Long)*) =
+    pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+
+  test("k-core peel strips the pendant chain and keeps the clique") {
+    // K4 {1,2,3,4} + chain 4-5-6: the chain must peel away over two
+    // rounds (6 first, then 5), leaving exactly the 3-core K4
+    val g = ed(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val core = Graph.kcorePeel(g, 3, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // converged: more rounds change nothing
+    val more = Graph.kcorePeel(g, 3, 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == core)
+    // k above the max degree empties the graph
+    assert(Graph.kcorePeel(g, 5, 8).count() == 0)
+  }
+
+  test("bfs distances: shortest hop counts, bounded horizon") {
+    // path 1-2-3-4-5-6 plus shortcut 1-4: node 4 is 1 hop, 5 is 2, 6 is 3
+    val g = ed(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 1L -> 4L)
+    val d = Graph.bfsDistances(g, 1L, 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2, 6L -> 3))
+    // horizon 1: only direct neighbors
+    val d1 = Graph.bfsDistances(g, 1L, 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // disconnected node never appears
+    val g2 = ed(1L -> 2L, 8L -> 9L)
+    val d2 = Graph.bfsDistances(g2, 1L, 4).collect().map(_.getLong(0)).toSet
+    assert(d2 == Set(1L, 2L))
+  }
 }
