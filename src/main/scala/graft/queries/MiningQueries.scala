@@ -326,6 +326,47 @@ object MiningQueries {
             .as("z"))
     }),
 
+    // half-life-decayed engagement per event type: each event
+    // contributes 2^-age_days, age capped at 30 (a floor of ~1e-9 per
+    // ancient event keeps the shift in integer range). The weight is
+    // 1.0 / (1 << age) — an EXACT IEEE division by a power of two, so
+    // both engines produce bit-identical terms (pow() is libm and
+    // would drift); terms accumulate as exact decimals so shuffle
+    // order cannot move the sum.
+    "events_decayed_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+      val anchor = ev.agg(max(col("tsec")).as("t_max"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("age", least(floor((col("t_max") - col("tsec")) /
+          86400L).cast("int"), lit(30)))
+        .withColumn("wt", (lit(1.0) / expr("shiftleft(1L, age)"))
+          .cast("decimal(38,30)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("wt")).cast("double"), 6).as("decayed"))
+    }),
+
+    // 5/95-winsorized mean of line prices: clip thresholds from the
+    // distributed-CDF exact quantiles (broadcast scalars), mean from
+    // exact decimal cents — the robust-statistics face of the CDF
+    // machinery
+    "stats_winsorized_mean" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val q = broadcast(graft.ops.DataProfile.quantilesExact(
+          li, "v", 0L, 1L << 24, Seq(5, 95))
+        .agg(max(when(col("p") === 5, col("value"))).as("q05"),
+          max(when(col("p") === 95, col("value"))).as("q95")))
+      li.crossJoin(q)
+        .withColumn("clipped", least(greatest(col("v"), col("q05")),
+          col("q95")))
+        .agg(count(lit(1)).as("n"), max(col("q05")).as("q05_cents"),
+          max(col("q95")).as("q95_cents"),
+          round(sum(col("clipped").cast("decimal(18,0)")).cast("double") /
+            count(lit(1)) / 100.0, 6).as("mean_winsorized"))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -730,6 +771,38 @@ object MiningQueries {
          |  END, 6) AS z
          |FROM w""".stripMargin
     },
+
+    "events_decayed_counts" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec
+        |  FROM events),
+        |a AS (SELECT max(tsec) AS t_max FROM e),
+        |w AS (SELECT event_type,
+        |    CAST(1.0 / (CAST(1 AS BIGINT) << least(
+        |      CAST(floor((t_max - tsec) / 86400.0) AS INT), 30))
+        |      AS DECIMAL(38,30)) AS wt
+        |  FROM e, a)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(wt) AS DOUBLE), 6) AS decayed
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "stats_winsorized_mean" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    AS v FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |q AS (SELECT ps.p, min(s.v) AS value FROM
+        |    (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v) s,
+        |    (SELECT unnest([5, 95]) AS p) ps, n
+        |  WHERE s.rn >= (n.n * ps.p + 99) // 100 GROUP BY 1),
+        |t AS (SELECT max(CASE WHEN p = 5 THEN value END) AS q05,
+        |    max(CASE WHEN p = 95 THEN value END) AS q95 FROM q),
+        |c AS (SELECT least(greatest(v.v, t.q05), t.q95) AS clipped,
+        |    t.q05, t.q95 FROM v, t)
+        |SELECT count(*) AS n, max(q05) AS q05_cents,
+        |  max(q95) AS q95_cents,
+        |  round(CAST(sum(CAST(clipped AS DECIMAL(18,0))) AS DOUBLE) /
+        |    count(*) / 100.0, 6) AS mean_winsorized
+        |FROM c""".stripMargin,
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +
