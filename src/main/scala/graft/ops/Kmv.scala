@@ -24,11 +24,9 @@ import org.apache.spark.sql.types.StringType
   * fixed-width (slice, hash) rows; the k-smallest step is a sort-based
   * window (external sort — spills, never buffers a group in memory,
   * unlike `percentile`'s in-memory group buffer) over the per-slice
-  * DISTINCT hashes, emitting k rows per slice. A further rung for
-  * billion-distinct slices is the salt-two-phase refinement (top-k per
-  * (slice, h%32), then top-k of the 32k survivors) — same result by
-  * construction since the global k-minimum survives any partition; not
-  * wired here because the sort face is already spill-safe.
+  * DISTINCT hashes, emitting k rows per slice. [[sketchSalted]] is the
+  * further rung for billion-distinct slices — the salt-two-phase
+  * refinement, bit-identical by the k-minimum merge property.
   */
 object Kmv {
 
@@ -50,6 +48,33 @@ object Kmv {
       .distinct()
     val w = Window.partitionBy(col("slice")).orderBy(col("h"))
     d.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= k)
+      .select(col("slice"), col("pos"), col("h"))
+  }
+
+  /** Two-phase salted variant of [[sketch]] for billion-distinct
+    * slices: phase 1 takes the k smallest within each (slice, h % 32)
+    * salt partition — 32 bounded windows instead of one slice-wide
+    * sort — and phase 2 re-selects the k smallest of the ≤ 32k
+    * survivors. IDENTICAL output to [[sketch]] by construction: every
+    * global k-minimum is a k-minimum of its own salt partition (fewer
+    * than k hashes sit below it globally, so fewer do in its
+    * partition) — the same merge property [[graft.streaming.KmvIngest]]
+    * relies on, applied spatially instead of temporally. Spec-pinned
+    * bit-for-bit equal.
+    */
+  def sketchSalted(df: DataFrame, sliceCol: String, keyCol: String,
+      k: Int, salts: Int = 32): DataFrame = {
+    val d = df.select(col(sliceCol).as("slice"),
+        hash32(col(keyCol)).as("h"))
+      .filter(col("slice").isNotNull)
+      .distinct()
+      .withColumn("salt", pmod(col("h"), lit(salts)))
+    val w1 = Window.partitionBy(col("slice"), col("salt")).orderBy(col("h"))
+    val survivors = d.withColumn("p1", row_number().over(w1))
+      .filter(col("p1") <= k)
+    val w2 = Window.partitionBy(col("slice")).orderBy(col("h"))
+    survivors.withColumn("pos", row_number().over(w2))
       .filter(col("pos") <= k)
       .select(col("slice"), col("pos"), col("h"))
   }

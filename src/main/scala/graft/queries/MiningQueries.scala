@@ -25,14 +25,23 @@ object MiningQueries {
   private def baskets(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.lineitem(s, dir)
 
-  /** Co-purchase item graph: distinct part pairs sharing an order. */
+  /** Co-purchase item graph: distinct part pairs sharing an order,
+    * with the mega-basket guard the pair self-join always needs (one
+    * degenerate 10^5-item order would emit C(10^5, 2) pairs from a
+    * single key — the `MarketBasket.memberships` hazard, mirrored in
+    * the oracle CTE so the two engines cap identically).
+    */
+  private val MaxBasketForEdges = 1000
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
       .distinct()
-    b.select(col("k"), col("i").as("a"))
-      .join(b.select(col("k"), col("i").as("b")), Seq("k"))
+    val sizes = b.groupBy(col("k")).agg(count(lit(1)).as("kn"))
+    val kept = b.join(sizes.filter(col("kn") <= MaxBasketForEdges)
+      .select("k"), Seq("k"))
+    kept.select(col("k"), col("i").as("a"))
+      .join(kept.select(col("k"), col("i").as("b")), Seq("k"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
@@ -418,7 +427,8 @@ object MiningQueries {
     * [[Graph.triangleCounts]].
     */
   private val TriangleCtes: String =
-    """bk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+    """bk0 AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+      |bk AS (SELECT k, i FROM bk0 QUALIFY count(*) OVER (PARTITION BY k) <= 1000),
       |e AS (SELECT DISTINCT x.i AS a, y.i AS b
       |  FROM bk x JOIN bk y ON x.k = y.k AND x.i < y.i),
       |deg AS (SELECT node, count(*) AS deg FROM (
@@ -552,8 +562,10 @@ object MiningQueries {
          |GROUP BY 1""".stripMargin,
 
     "graph_degrees" ->
-      """WITH bk AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
+      """WITH bk0 AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i
         |  FROM lineitem),
+        |bk AS (SELECT k, i FROM bk0
+        |  QUALIFY count(*) OVER (PARTITION BY k) <= 1000),
         |e AS (SELECT DISTINCT x.i AS a, y.i AS b
         |  FROM bk x JOIN bk y ON x.k = y.k AND x.i < y.i),
         |deg AS (SELECT node, count(*) AS deg FROM (

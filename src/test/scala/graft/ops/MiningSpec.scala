@@ -177,4 +177,20 @@ class MiningSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h == Map(4L -> 1L, 3L -> 4L))
   }
+
+  test("salted two-phase sketch is bit-identical to the plain sketch") {
+    val df = ((1L to 3000L).map(i => ("x", i)) ++
+      (1L to 40L).map(i => ("y", i * 11))).toDF("slice", "key")
+    for (k <- Seq(16, 64)) {
+      val plain = Kmv.sketch(df, "slice", "key", k).collect()
+        .map(_.toSeq).toSet
+      val salted = Kmv.sketchSalted(df, "slice", "key", k).collect()
+        .map(_.toSeq).toSet
+      assert(salted == plain)
+      // and under a different salt fan-out
+      val salted8 = Kmv.sketchSalted(df, "slice", "key", k, salts = 8)
+        .collect().map(_.toSeq).toSet
+      assert(salted8 == plain)
+    }
+  }
 }
