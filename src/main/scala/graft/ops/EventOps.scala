@@ -360,6 +360,68 @@ object EventOps {
         round(col("r.ewma"), 6).as("ewma"))
   }
 
+  /** Holt double-exponential smoothing over a zero-filled daily count
+    * series — the trend-carrying extension of [[ewmaOver]], the same
+    * ONE-array-aggregate-per-type fold (state bounded by the calendar,
+    * not the corpus):
+    *
+    *   level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+    *   trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+    *
+    * initialized level_1 = x_1, trend_1 = 0. With α = β = 0.5 every
+    * multiplication is an exact power-of-two scale and the fold order
+    * is the day order, so the unrounded state is bit-identical to a
+    * DuckDB recursive CTE running the same recurrence; outputs round
+    * at the boundary only.
+    */
+  def holtOver(filled: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"alpha/beta must be in (0,1]: $alpha, $beta")
+    val acc0 = array().cast("array<struct<day:int,level:double,trend:double>>")
+    val step = (acc: Column, x: Column) => {
+      val prev = element_at(acc, -1)
+      val lvl = when(size(acc) === 0, x("n_events").cast("double"))
+        .otherwise(lit(alpha) * x("n_events") +
+          lit(1.0 - alpha) * (prev("level") + prev("trend")))
+      concat(acc, array(struct(
+        x("day").as("day"),
+        lvl.as("level"),
+        when(size(acc) === 0, lit(0.0))
+          .otherwise(lit(beta) * (lvl - prev("level")) +
+            lit(1.0 - beta) * prev("trend")).as("trend"))))
+    }
+    filled
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("n_events"))))
+        .as("series"))
+      .select(col("event_type"),
+        explode(aggregate(col("series"), acc0, step)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        round(col("r.level"), 6).as("level"),
+        round(col("r.trend"), 6).as("trend"))
+  }
+
+  def holtDaily(events: DataFrame, alpha: Double, beta: Double): DataFrame =
+    holtOver(gapFillDaily(events)
+      .select(col("day"), col("event_type"), col("n_events")), alpha, beta)
+
+  /** h-step-ahead forecasts off a [[holtOver]] series: the LAST state
+    * per type extrapolated as level + h·trend for h = 1..horizon.
+    * Forecasts derive from the ROUNDED terminal state, so both engines
+    * extrapolate identical numbers (the centroidDrift lesson: grid
+    * BEFORE deriving, not after).
+    */
+  def holtForecast(holt: DataFrame, horizon: Int): DataFrame = {
+    val last = holt.groupBy(col("event_type"))
+      .agg(max(struct(col("day"), col("level"), col("trend"))).as("s"))
+    last.select(col("event_type"), col("s.day").as("last_day"),
+        explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("s.level").as("level"), col("s.trend").as("trend"))
+      .select(col("event_type"), (col("last_day") + col("h")).as("day"),
+        col("h"),
+        round(col("level") + col("h") * col("trend"), 6).as("forecast"))
+  }
+
   /** Cohort retention: users cohorted by the WEEK of their first
     * `cohortType` event, then counted as active in each weekly offset
     * bucket after it — the classic retention triangle. Weeks are pure

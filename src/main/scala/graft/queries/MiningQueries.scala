@@ -376,6 +376,18 @@ object MiningQueries {
             count(lit(1)) / 100.0, 6).as("mean_winsorized"))
     }),
 
+    // Holt double-exponential smoothing of the daily count series:
+    // the trend-carrying EWMA (α = β = 0.5 — exact power-of-two
+    // scales, so the unrolled DuckDB recurrence is bit-identical)
+    "events_holt" -> ((s, dir) =>
+      graft.ops.EventOps.holtDaily(Tables.events(s, dir), 0.5, 0.5)),
+
+    // 7-day-ahead forecast off the ROUNDED terminal Holt state (grid
+    // before deriving — the centroidDrift lesson)
+    "events_holt_forecast" -> ((s, dir) =>
+      graft.ops.EventOps.holtForecast(
+        graft.ops.EventOps.holtDaily(Tables.events(s, dir), 0.5, 0.5), 7)),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -393,6 +405,39 @@ object MiningQueries {
           round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
     })
   )
+
+  /** Holt recurrence over the zero-filled daily grid (the events_ewma
+    * oracle's grid chain with a two-variable state): terminal relation
+    * `s(day, event_type, rn, level, trend)`, UNROUNDED — consumers
+    * round at their boundary. The trend row restates the level
+    * expression verbatim; identical expressions produce identical
+    * doubles, so no drift.
+    */
+  private val HoltCtes: String =
+    """b AS (SELECT
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
+      |      AS day, event_type
+      |  FROM events),
+      |a AS (SELECT day, event_type, count(*) AS n FROM b GROUP BY 1, 2),
+      |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+      |d AS (SELECT CAST(unnest(generate_series(lo, hi)) AS INT) AS day
+      |     FROM bounds),
+      |t AS (SELECT DISTINCT event_type FROM b),
+      |g AS (SELECT d.day, t.event_type, coalesce(a.n, 0) AS n,
+      |        row_number() OVER (PARTITION BY t.event_type
+      |                           ORDER BY d.day) AS rn
+      |      FROM d CROSS JOIN t
+      |      LEFT JOIN a ON a.day = d.day AND a.event_type = t.event_type),
+      |s AS (SELECT day, event_type, rn, CAST(n AS DOUBLE) AS level,
+      |        CAST(0 AS DOUBLE) AS trend
+      |      FROM g WHERE rn = 1
+      |      UNION ALL
+      |      SELECT g.day, g.event_type, g.rn,
+      |        0.5 * g.n + 0.5 * (s.level + s.trend),
+      |        0.5 * ((0.5 * g.n + 0.5 * (s.level + s.trend)) - s.level)
+      |          + 0.5 * s.trend
+      |      FROM g JOIN s ON g.event_type = s.event_type
+      |                   AND g.rn = s.rn + 1)""".stripMargin
 
   /** 32-bit integer from the first 8 md5 hex digits of `e` — the
     * engine-shared hash (StatsQueries.hex8 restated).
@@ -815,6 +860,23 @@ object MiningQueries {
         |  round(CAST(sum(CAST(clipped AS DECIMAL(18,0))) AS DOUBLE) /
         |    count(*) / 100.0, 6) AS mean_winsorized
         |FROM c""".stripMargin,
+
+    "events_holt" ->
+      s"""WITH RECURSIVE $HoltCtes
+         |SELECT event_type, day, round(level, 6) AS level,
+         |  round(trend, 6) AS trend FROM s""".stripMargin,
+
+    "events_holt_forecast" ->
+      s"""WITH RECURSIVE $HoltCtes,
+         |f AS (SELECT event_type, day, level, trend, rn,
+         |    max(rn) OVER (PARTITION BY event_type) AS mx FROM s),
+         |lastrow AS (SELECT event_type, day AS last_day,
+         |    round(level, 6) AS rl, round(trend, 6) AS rt
+         |  FROM f WHERE rn = mx),
+         |hs AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS h)
+         |SELECT event_type, last_day + h AS day, h,
+         |  round(rl + h * rt, 6) AS forecast
+         |FROM lastrow, hs""".stripMargin,
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +

@@ -272,4 +272,24 @@ class EventOpsSpec extends SparkSpec {
     assert(out("click") == (1.5, 2L)) // 0.5 + 1.0, touched convs A and B
     assert(out("view") == (0.5, 1L))
   }
+
+  test("holt fold matches the hand recurrence; forecast extrapolates") {
+    import spark.implicits._
+    // one type, days 0..2, counts 4, 8, 2 at alpha = beta = 0.5:
+    // d0: level 4.0,  trend 0.0
+    // d1: level .5*8 + .5*(4+0)   = 6.0;  trend .5*(6-4)+.5*0   = 1.0
+    // d2: level .5*2 + .5*(6+1)   = 4.5;  trend .5*(4.5-6)+.5*1 = -0.25
+    val filled = Seq((0, "t", 4L), (1, "t", 8L), (2, "t", 2L))
+      .toDF("day", "event_type", "n_events")
+    val h = EventOps.holtOver(filled, 0.5, 0.5)
+      .collect().map(r => r.getInt(1) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(h == Map(0 -> ((4.0, 0.0)), 1 -> ((6.0, 1.0)),
+      2 -> ((4.5, -0.25))))
+    // forecast h steps from the terminal state: 4.5 - 0.25*h
+    val f = EventOps.holtForecast(EventOps.holtOver(filled, 0.5, 0.5), 3)
+      .collect().map(r => r.getInt(2) -> (r.getInt(1), r.getDouble(3)))
+      .toMap
+    assert(f == Map(1 -> ((3, 4.25)), 2 -> ((4, 4.0)), 3 -> ((5, 3.75))))
+  }
 }
