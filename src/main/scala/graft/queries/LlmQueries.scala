@@ -1516,6 +1516,24 @@ object LlmQueries {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")),
 
+    // the classifier EVAL face: predicted vs labeled language as a
+    // confusion matrix with per-label shares — the quality report any
+    // lang-ID deployment ships with (cell counts exact, shares on the
+    // 1e-6 grid)
+    "text_langid_confusion" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pred = TextAnalysis.langId(d, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      val cells = d.select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      cells.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("predicted_lang"), col("n"),
+          round(col("n").cast("double") / col("n_lang"), 6).as("share"))
+    }),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -3920,6 +3938,28 @@ object LlmQueries {
          |SELECT doc_id, ${TextAnalysis.LangPriority.map("s_" + _).mkString(", ")},
          |  ${argmaxSql("s_")} AS predicted_lang
          |FROM s""".stripMargin
+    },
+
+    "text_langid_confusion" -> {
+      val scoreCols = TextAnalysis.LangPriority.map { l =>
+        s"CAST(len(list_filter(ws, w -> list_contains(" +
+          s"${sqlList(TextAnalysis.Stopwords(l))}, w))) AS INT) AS s_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             string_split(lower(text), ' ') AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM t),
+         |p AS (SELECT doc_id, lang, ${argmaxSql("s_")} AS predicted_lang
+         |      FROM s),
+         |cells AS (SELECT lang, predicted_lang, count(*) AS n FROM p
+         |          GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells
+         |        GROUP BY 1)
+         |SELECT cells.lang, cells.predicted_lang, cells.n,
+         |  round(CAST(cells.n AS DOUBLE) / tot.n_lang, 6) AS share
+         |FROM cells JOIN tot ON tot.lang = cells.lang""".stripMargin
     },
 
     "text_gopher_rules" -> {

@@ -388,6 +388,33 @@ object MiningQueries {
       graft.ops.EventOps.holtForecast(
         graft.ops.EventOps.holtDaily(Tables.events(s, dir), 0.5, 0.5), 7)),
 
+    // corpus embedding diversity: 1 − ‖mean(unit vectors)‖² — the
+    // closed-form estimate of mean pairwise cosine (E[cos] over pairs
+    // equals the centroid's squared norm), computed WITHOUT any pair
+    // join. Centroid components ride the 1e-6 grid BEFORE the norm
+    // (the centroidDrift convention), so both engines square identical
+    // gridded numbers.
+    "vec_diversity" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dotc = (a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) =>
+        call_function("graft_fdot", a, b)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("nrm", sqrt(dotc(col("embedding"), col("embedding"))))
+        .filter(col("nrm") > 0)
+        .select(lit(0).as("g"),
+          transform(col("embedding").cast("array<double>"),
+            x => x / col("nrm")).as("embedding"))
+      val c = graft.ops.Similarity.centroids(e, "g")
+        .select(transform(col("centroid"), v => round(v, 6)).as("cv"))
+      val n = e.agg(count(lit(1)).as("n_vecs"))
+      c.crossJoin(broadcast(n))
+        .select(col("n_vecs"),
+          round(dotc(col("cv"), col("cv")), 6).as("centroid_norm_sq"),
+          round(lit(1.0) - round(dotc(col("cv"), col("cv")), 6), 6)
+            .as("diversity"))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -877,6 +904,22 @@ object MiningQueries {
          |SELECT event_type, last_day + h AS day, h,
          |  round(rl + h * rt, 6) AS forecast
          |FROM lastrow, hs""".stripMargin,
+
+    "vec_diversity" ->
+      """WITH nrm AS (SELECT vec_id, embedding,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |         CAST(embedding AS DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x / nv) AS ue FROM nrm WHERE nv > 0),
+        |c AS (SELECT list(av ORDER BY i) AS cv, max(nu) AS n_vecs FROM (
+        |    SELECT i, round(avg(ue[i]), 6) AS av,
+        |      CAST(count(*) AS BIGINT) AS nu
+        |    FROM u, unnest(range(1, len(ue) + 1)) t(i) GROUP BY i))
+        |SELECT n_vecs,
+        |  round(list_dot_product(cv, cv), 6) AS centroid_norm_sq,
+        |  round(1 - round(list_dot_product(cv, cv), 6), 6) AS diversity
+        |FROM c""".stripMargin,
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +
