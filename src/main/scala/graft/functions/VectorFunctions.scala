@@ -519,6 +519,9 @@ object GraftFunctions {
       "graft_bpe_tokens", bpeTokensBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe_merge", bpeMergeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)),
+      "built-in")
   }
 }
 

@@ -94,6 +94,26 @@ object ErQueries {
         clean(s, dir).select(col("c_custkey").as("clean_id"), col("nm")),
         "clean_id", "nm", d = 1)),
 
+    // Jaro-Winkler re-rank of the blocked candidate pairs: the
+    // record-linkage two-stage (block exactly, score finely) — the
+    // native graft_jaro_winkler expression is byte-for-byte pinned to
+    // DuckDB's jaro_winkler_similarity, so the SCORES hash-gate, not
+    // just the pair set
+    "er_jw_rerank" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = dirty(s, dir).select(col("c_custkey").as("dirty_id"),
+        col("nm").as("dn"))
+      val c = clean(s, dir).select(col("c_custkey").as("clean_id"),
+        col("nm").as("cn"))
+      EntityResolution.editDistanceJoin(d, "dirty_id", "dn",
+          c, "clean_id", "cn", d = 1)
+        .join(d, Seq("dirty_id")).join(c, Seq("clean_id"))
+        .select(col("dirty_id"), col("clean_id"), col("dist"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.call_function(
+              "graft_jaro_winkler", col("dn"), col("cn")), 6).as("jw"))
+    }),
+
     // entity clusters over the scrambled universe: clean records union
     // their dirty copies (ids offset +100000), connected components over
     // the distance-1 graph, every record labeled with its component min —
@@ -121,6 +141,13 @@ object ErQueries {
       s"""WITH $FixtureCtes
          |SELECT d.c_custkey AS dirty_id, c.c_custkey AS clean_id,
          |       CAST(levenshtein(d.nm, c.nm) AS INT) AS dist
+         |FROM dr d JOIN cl c ON levenshtein(d.nm, c.nm) <= 1""".stripMargin,
+
+    "er_jw_rerank" ->
+      s"""WITH $FixtureCtes
+         |SELECT d.c_custkey AS dirty_id, c.c_custkey AS clean_id,
+         |       CAST(levenshtein(d.nm, c.nm) AS INT) AS dist,
+         |       round(jaro_winkler_similarity(d.nm, c.nm), 6) AS jw
          |FROM dr d JOIN cl c ON levenshtein(d.nm, c.nm) <= 1""".stripMargin,
 
     "er_link_best" ->
