@@ -223,6 +223,48 @@ object DataProfile {
         max(col("target")).as("rank"))
   }
 
+  /** Per-group [[quantilesExact]]: the same distributed value-grouped
+    * CDF with the group key riding every stage — per-(group, bucket)
+    * counts, a per-group 64-row offset window, per-(group, bucket)
+    * within-bucket ranks — so no task ever owns more than one coarse
+    * bucket's distinct values of one group, and the quantile of a
+    * billion-row group costs the same plan as a thousand-row one.
+    * Returns `(group, p, value, rank)`.
+    */
+  def quantilesExactBy(df: DataFrame, g: String, c: String, lo: Long,
+      hi: Long, ps: Seq[Int], coarse: Int = 64): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      s"percents must be in (0, 100]: $ps")
+    require(hi > lo && (hi - lo) % coarse == 0,
+      s"coarse width must be integral: ($lo, $hi, $coarse)")
+    val cw = (hi - lo) / coarse
+    val counts = df.filter(col(c).isNotNull && col(g).isNotNull)
+      .groupBy(col(g), col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", greatest(lit(0), least(lit(coarse - 1),
+        floor((col("v") - lo) / cw.toDouble))).cast("int"))
+    val offsets = counts.groupBy(col(g), col("cb"))
+      .agg(sum(col("cnt")).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        Window.partitionBy(col(g)).orderBy(col("cb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(g), col("cb"), col("__off"))
+    val within = Window.partitionBy(col(g), col("cb")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts.join(offsets, Seq(g, "cb"))
+      .withColumn("rank_before",
+        col("__off") + coalesce(sum(col("cnt")).over(within), lit(0L)))
+      .withColumn("cum", col("rank_before") + col("cnt"))
+    val totals = ranked.groupBy(col(g)).agg(sum(col("cnt")).as("__n"))
+    val pRows = ps.map(p => struct(lit(p).as("p")))
+    ranked.join(broadcast(totals), Seq(g))
+      .select(col(g), col("v"), col("cum"), col("__n"),
+        explode(array(pRows: _*)).as("pp"))
+      .withColumn("target", expr("(__n * pp.p + 99) div 100"))
+      .groupBy(col(g), col("pp.p").as("p"))
+      .agg(min(when(col("cum") >= col("target"), col("v"))).as("value"),
+        max(col("target")).as("rank"))
+  }
+
   /** Value-grouped distributed CDF: one row per distinct value of `c`
     * with its count and the count of strictly-smaller rows — shared by
     * [[equiDepthHistogram]] and [[quantilesExact]].

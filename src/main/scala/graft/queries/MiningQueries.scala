@@ -415,6 +415,34 @@ object MiningQueries {
             .as("diversity"))
     }),
 
+    // per-type daily-volume quantiles off the GROUPED distributed CDF
+    // (group key rides every stage — no task owns a whole type)
+    "stats_quantiles_by_type" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.DataProfile.quantilesExactBy(daily, "event_type", "n",
+        0L, 1L << 20, Seq(50, 95))
+    }),
+
+    // cumulative distinct users per day WITHOUT an expanding distinct:
+    // each user reduces to a first-seen day (one user-keyed aggregate),
+    // per-day newcomer counts fold under a calendar-bounded running-sum
+    // window (day-series-sized — the dau_rolling argument)
+    "events_cumulative_users" -> ((s, dir) => {
+      val first = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      val perDay = first.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perDay.withColumn("n_cumulative", sum(col("n_new")).over(w))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -920,6 +948,35 @@ object MiningQueries {
         |  round(list_dot_product(cv, cv), 6) AS centroid_norm_sq,
         |  round(1 - round(list_dot_product(cv, cv), 6), 6) AS diversity
         |FROM c""".stripMargin,
+
+    "stats_quantiles_by_type" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |d AS (SELECT event_type, day, count(*) AS n FROM daily
+        |      GROUP BY 1, 2),
+        |nn AS (SELECT event_type, count(*) AS n_days FROM d GROUP BY 1),
+        |r AS (SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn
+        |  FROM d)
+        |SELECT r.event_type, ps.p, min(r.n) AS value,
+        |  CAST(max((nn.n_days * ps.p + 99) // 100) AS BIGINT) AS rank
+        |FROM r JOIN nn USING (event_type),
+        |  (SELECT unnest([50, 95]) AS p) ps
+        |WHERE r.rn >= (nn.n_days * ps.p + 99) // 100
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_cumulative_users" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+        |      AS BIGINT)) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
+        |FROM d""".stripMargin,
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +

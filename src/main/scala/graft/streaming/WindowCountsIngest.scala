@@ -78,4 +78,18 @@ object WindowCountsIngest {
           floor(unix_timestamp(col("window_start")) / 86400).cast("int")
             .as("day"),
           col("event_type"), col("n").as("n_events"))), alpha)
+
+  /** Holt level+trend over the same finalized windows — the batch
+    * [[graft.ops.EventOps.holtOver]] replayed VERBATIM on the persisted
+    * series, so stream-vs-batch parity holds by construction (the
+    * ewmaReport argument, with two state variables).
+    */
+  def holtReport(spark: SparkSession, countsDir: String,
+                 alpha: Double, beta: Double): DataFrame =
+    graft.ops.EventOps.holtOver(
+      graft.ops.EventOps.gapFillCounts(
+        series(spark, countsDir).select(
+          floor(unix_timestamp(col("window_start")) / 86400).cast("int")
+            .as("day"),
+          col("event_type"), col("n").as("n_events"))), alpha, beta)
 }

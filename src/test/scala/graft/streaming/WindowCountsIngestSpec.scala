@@ -118,5 +118,14 @@ class WindowCountsIngestSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch, s"ewma stream-vs-batch parity:\n$streamed\nvs\n$batch")
     assert(batch.nonEmpty)
+    // the Holt face rides the identical finalized series — same parity
+    val batchHolt = EventOps.holtDaily(
+      rows.toDF("event_type", "ts", "value")
+        .select(lit(0L).as("event_id"), col("ts"), lit(0L).as("user_id"),
+          col("event_type"), col("value"), lit("{}").as("props")),
+      0.5, 0.5).collect().map(_.toSeq).toSet
+    val streamedHolt = WindowCountsIngest.holtReport(spark, countsDir, 0.5, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(streamedHolt == batchHolt)
   }
 }
