@@ -443,6 +443,60 @@ object MiningQueries {
       perDay.withColumn("n_cumulative", sum(col("n_new")).over(w))
     }),
 
+    // Benford first-digit audit of order totals: observed digit shares
+    // vs the Benford expectation — the classic fabricated-numbers
+    // screen. The log10 constants are LITERALS (log is libm; baking
+    // the nine values in keeps both engines on identical doubles).
+    "stats_benford" -> ((s, dir) => {
+      val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910,
+        0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+      // first digit via integer CENTS: double→string formatting is
+      // engine-specific (scientific notation thresholds differ), but
+      // long→string is plain digits everywhere, and the first
+      // significant digit of 100·x equals that of x
+      val d = Tables.orders(s, dir)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .filter(col("digit").between(1, 9))
+      val n = d.agg(count(lit(1)).as("n_total"))
+      val exp = benford.zipWithIndex
+        .map { case (e, i) => struct(lit(i + 1).as("digit"),
+          lit(e).as("expected")) }
+      val expected = d.sparkSession.range(1)
+        .select(explode(array(exp: _*)).as("e"))
+        .select(col("e.digit").as("digit"), col("e.expected").as("expected"))
+      d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .join(broadcast(expected), Seq("digit"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("n_total"), 6).as("share"),
+          col("expected"),
+          round(abs(col("n").cast("double") / col("n_total") -
+            col("expected")), 6).as("abs_dev"))
+    }),
+
+    // IQR outlier screen per return flag: quartiles from the GROUPED
+    // distributed CDF, fences at 1.5·IQR, exact outlier counts — the
+    // robust-statistics audit composed from quantilesExactBy
+    "stats_outlier_iqr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val q = graft.ops.DataProfile.quantilesExactBy(li, "flag", "v",
+          0L, 1L << 24, Seq(25, 75))
+        .groupBy(col("flag"))
+        .agg(max(when(col("p") === 25, col("value"))).as("q25"),
+          max(when(col("p") === 75, col("value"))).as("q75"))
+      li.join(broadcast(q), Seq("flag"))
+        .withColumn("iqr", col("q75") - col("q25"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("q25")).as("q25_cents"), max(col("q75")).as("q75_cents"),
+          sum(when(col("v") < col("q25") - lit(1.5) * col("iqr") ||
+                   col("v") > col("q75") + lit(1.5) * col("iqr"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -977,6 +1031,50 @@ object MiningQueries {
         |  CAST(sum(n_new) OVER (ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
         |FROM d""".stripMargin,
+
+    "stats_benford" -> {
+      val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910,
+        0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+      val expRows = benford.zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, CAST($e AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(
+         |      CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+         |      1, 1) AS INT) AS digit
+         |  FROM orders),
+         |f AS (SELECT digit FROM d WHERE digit BETWEEN 1 AND 9),
+         |n AS (SELECT count(*) AS n_total FROM f),
+         |exp(digit, expected) AS (VALUES $expRows),
+         |c AS (SELECT digit, count(*) AS n FROM f GROUP BY 1)
+         |SELECT c.digit, c.n,
+         |  round(CAST(c.n AS DOUBLE) / n.n_total, 6) AS share,
+         |  exp.expected,
+         |  round(abs(CAST(c.n AS DOUBLE) / n.n_total - exp.expected), 6)
+         |    AS abs_dev
+         |FROM c JOIN exp USING (digit), n""".stripMargin
+    },
+
+    "stats_outlier_iqr" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |nn AS (SELECT flag, count(*) AS n FROM li GROUP BY 1),
+        |r AS (SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn
+        |  FROM li),
+        |q AS (SELECT r.flag, ps.p, min(r.v) AS value
+        |  FROM r JOIN nn USING (flag), (SELECT unnest([25, 75]) AS p) ps
+        |  WHERE r.rn >= (nn.n * ps.p + 99) // 100 GROUP BY 1, 2),
+        |t AS (SELECT flag,
+        |    max(CASE WHEN p = 25 THEN value END) AS q25,
+        |    max(CASE WHEN p = 75 THEN value END) AS q75 FROM q GROUP BY 1)
+        |SELECT li.flag, count(*) AS n,
+        |  max(t.q25) AS q25_cents, max(t.q75) AS q75_cents,
+        |  CAST(sum(CASE WHEN li.v < t.q25 - 1.5 * (t.q75 - t.q25)
+        |             OR li.v > t.q75 + 1.5 * (t.q75 - t.q25)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM li JOIN t USING (flag)
+        |GROUP BY 1""".stripMargin,
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +
