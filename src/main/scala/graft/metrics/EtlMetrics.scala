@@ -79,6 +79,23 @@ final class EtlMetrics(sink: String => Unit = s => System.err.println(s"[metrics
   def snapshot(): Map[String, Double] =
     counters.asScala.map { case ((n, l), v) => s"$n$l" -> v }.toMap ++
       gauges.asScala.map { case ((n, l), v) => s"$n$l" -> v }.toMap
+
+  /** The registry rendered in the Prometheus text exposition format —
+    * deterministic (sorted families and label sets), spec'd
+    * byte-for-byte in MetricsSpec.
+    */
+  def textExposition(): String = Pushgateway.textExposition(
+    counters.asScala.toSeq.map { case ((n, l), v) => (n, l, v) },
+    gauges.asScala.toSeq.map { case ((n, l), v) => (n, l, v) },
+    durations.asScala.toSeq.map { case ((n, l), v) => (n, l, v) })
+
+  /** Push the registry to a pushgateway — the reference's
+    * `push_metrics(job)` (metrics.py:66-73), real network client
+    * included ([[Pushgateway]]). Returns false rather than throwing:
+    * observability must never take down the pipeline.
+    */
+  def pushTo(host: String, job: String): Boolean =
+    Pushgateway.push(host, job, textExposition())
 }
 
 object EtlMetrics {
