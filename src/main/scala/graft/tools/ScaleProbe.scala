@@ -876,7 +876,8 @@ object ScaleProbe {
     // OUT-degree (which the ordering makes minimal), so the hub run
     // must land near the plain run, not 1000x over it.
     if (only.exists(o => o.contains("triangles") ||
-        o.contains("triangles_hub"))) {
+        o.contains("triangles_hub") || o.contains("kcore") ||
+        o.contains("bfs"))) {
       val n = 20000L * k
       val m = 200000L * k
       val e0 = spark.range(m).select(
@@ -890,6 +891,12 @@ object ScaleProbe {
       e0.count()
       if (only.forall(_.contains("triangles")))
         t("triangles", keepCache = true)(graft.ops.Graph.triangleCounts(e0))
+      // peel + frontier families on the same graph: both must track
+      // the edge count (8 bounded rounds each), never the pair space
+      if (only.forall(_.contains("kcore")))
+        t("kcore", keepCache = true)(graft.ops.Graph.kcorePeel(e0, 5, 8))
+      if (only.forall(_.contains("bfs")))
+        t("bfs", keepCache = true)(graft.ops.Graph.bfsDistances(e0, 0L, 4))
       if (only.forall(_.contains("triangles_hub"))) {
         val hub = spark.range(50000L)
           .select(lit(n).as("a"), (col("id") % n).as("b"))
