@@ -218,14 +218,49 @@ object Joins {
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     small: DataFrame, smallKey: String,
                     bitsPerKey: Int = 10, numHashes: Int = 5): DataFrame = {
+    val (keys, f) = smallSideFilter(big, small, smallKey, bitsPerKey,
+      numHashes)
+    big.filter(Bloom.mightContain(f, col(bigKey).cast("string")))
+      .join(keys.select(col("__k").as("__sk")),
+        col(bigKey).cast("string") === col("__sk"), "left_semi")
+  }
+
+  /** The ANTI dual of [[bloomSemiJoin]]: `big`'s rows whose `bigKey`
+    * does NOT appear in `small` — and here the bloom is even stronger,
+    * because a MISS is a proof: a row the filter rejects is definitely
+    * not a member and is emitted DIRECTLY, without ever touching a
+    * shuffle. Only the maybe-members (matches + false positives — a
+    * sliver of the big side when the anti join is selective the usual
+    * way) go through the exact anti join that disposes of the false
+    * positives. Result equals the plain left-anti join bit-for-bit.
+    *
+    * Null big-side keys follow Spark's left_anti NULL rule: a null key
+    * never equals anything, so the row is KEPT (the filter branch
+    * routes nulls to the definite-keep side explicitly — `mightContain`
+    * on null is null, not false, and a null-valued predicate would
+    * silently drop them).
+    */
+  def bloomAntiJoin(big: DataFrame, bigKey: String,
+                    small: DataFrame, smallKey: String,
+                    bitsPerKey: Int = 10, numHashes: Int = 5): DataFrame = {
+    val (keys, f) = smallSideFilter(big, small, smallKey, bitsPerKey,
+      numHashes)
+    val maybe = Bloom.mightContain(f, col(bigKey).cast("string"))
+    val definiteOut = big.filter(col(bigKey).isNull || !maybe)
+    val candidates = big.filter(col(bigKey).isNotNull && maybe)
+      .join(keys.select(col("__k").as("__sk")),
+        col(bigKey).cast("string") === col("__sk"), "left_anti")
+    definiteOut.unionByName(candidates)
+  }
+
+  private def smallSideFilter(big: DataFrame, small: DataFrame,
+      smallKey: String, bitsPerKey: Int,
+      numHashes: Int): (DataFrame, Bloom.Filter) = {
     val keys = small.select(col(smallKey).cast("string").as("__k"))
       .filter(col("__k").isNotNull).distinct()
     val nKeys = math.max(1L, keys.count())
     var bits = 1 << 16
     while (bits.toLong < nKeys * bitsPerKey && bits < (1 << 28)) bits <<= 1
-    val f = Bloom.build(keys, col("__k"), bits, numHashes)
-    big.filter(Bloom.mightContain(f, col(bigKey).cast("string")))
-      .join(keys.select(col("__k").as("__sk")),
-        col(bigKey).cast("string") === col("__sk"), "left_semi")
+    (keys, Bloom.build(keys, col("__k"), bits, numHashes))
   }
 }

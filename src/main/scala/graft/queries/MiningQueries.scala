@@ -247,6 +247,17 @@ object MiningQueries {
       graft.ops.Joins.bloomSemiJoin(li, "l_orderkey", hi, "o_orderkey")
     }),
 
+    // the anti dual: order lines NOT belonging to a high-value order —
+    // a bloom MISS is a proof of non-membership, so ~90% of the big
+    // side is emitted straight from the scan; only maybe-members shuffle
+    "join_bloom_anti" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val hi = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 450000.0).select(col("o_orderkey"))
+      graft.ops.Joins.bloomAntiJoin(li, "l_orderkey", hi, "o_orderkey")
+    }),
+
     // top-10 three-step event paths: the order-2 extension of the
     // Markov face — two leads over the same per-user window, exact
     // counts, total-order tiebreak so the limit is deterministic
@@ -867,6 +878,17 @@ object MiningQueries {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_totalprice > 450000)""".stripMargin,
+
+    // NOT EXISTS, not NOT IN: the operator follows Spark's left_anti
+    // rule (a null key never equals anything -> the row is KEPT), and
+    // NOT EXISTS keeps null-keyed rows too, while NOT IN would drop
+    // them under three-valued logic
+    "join_bloom_anti" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_quantity, l.l_extendedprice
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = l.l_orderkey
+        |                    AND o.o_totalprice > 450000)""".stripMargin,
 
     "events_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -191,4 +191,22 @@ class JoinsSpec extends SparkSpec {
       below.exists(_.contains("Range")),
       s"getbit filter does not sit on the scan:\n$plan")
   }
+
+  test("bloom anti join equals the plain anti join; nulls are kept") {
+    val big = spark.range(10000L).select($"id".as("k"), ($"id" * 3).as("v"))
+    val small = spark.range(500L).select(($"id" * 17 + 3).as("sk"))
+    val pruned = Joins.bloomAntiJoin(big, "k", small, "sk")
+      .as[(Long, Long)].collect().toSet
+    val plain = big.join(small, $"k" === $"sk", "left_anti")
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == plain && plain.size == 9500)
+    // null big-side keys survive (Spark's left_anti rule), and an empty
+    // small side keeps everything
+    val withNull = Seq(Some(1L), Some(3L), None).toDF("k")
+    val out = Joins.bloomAntiJoin(withNull, "k", Seq(3L).toDF("sk"), "sk")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(out == Set(1L, -1L))
+    assert(Joins.bloomAntiJoin(withNull, "k",
+      Seq.empty[Long].toDF("sk"), "sk").count() == 3)
+  }
 }
