@@ -94,6 +94,44 @@ object Kmv {
           .otherwise(round(lit((k - 1).toDouble) * lit(4294967296.0) /
             (col("hk") + 1).cast("double"), 6)).as("est"))
 
+  /** All-pairs overlap matrix from ONE sketch relation: [[overlapEstimate]]
+    * for every unordered slice pair simultaneously, fully relationally —
+    * tag each sketch row into every pair it participates in (slice-pair
+    * cross of k-row sketches: |slices|²·k rows, sketch-sized not
+    * corpus-sized), merge per pair, re-rank, estimate. The audiences
+    * themselves are never touched: the entire |slices|×|slices| overlap
+    * report costs a few thousand rows of arithmetic.
+    */
+  def overlapMatrix(sk: DataFrame, k: Int): DataFrame = {
+    val a = sk.select(col("slice").as("slice_a"), col("h"))
+    val b = sk.select(col("slice").as("slice_b"), col("h").as("hb"))
+    val slices = sk.select(col("slice")).distinct()
+    val pairs = slices.select(col("slice").as("slice_a"))
+      .join(slices.select(col("slice").as("slice_b")),
+        col("slice_a") < col("slice_b"))
+    val tagged = pairs.join(a, Seq("slice_a"))
+      .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+      .unionByName(pairs.join(b.withColumnRenamed("hb", "h"), Seq("slice_b"))
+        .withColumn("in_a", lit(0)).withColumn("in_b", lit(1)))
+      .groupBy(col("slice_a"), col("slice_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("slice_a"), col("slice_b"))
+      .orderBy(col("h"))
+    tagged.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= k)
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        max(when(col("pos") === k, col("h"))).as("hk"))
+      .select(col("slice_a"), col("slice_b"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_merged"), 6)
+          .as("jaccard_est"),
+        round((col("n_both").cast("double") / col("n_merged")) *
+          when(col("n_merged") < k, col("n_merged").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              (col("hk") + 1).cast("double")), 6).as("intersection_est"))
+  }
+
   /** Jaccard + intersection estimate between two slices of one sketch
     * relation, the Beyer et al. combined-sketch rule: K = the k
     * smallest hashes of sketchA ∪ sketchB; J = |{h ∈ K: h in both

@@ -92,6 +92,14 @@ object MiningQueries {
         .crossJoin(broadcast(exact))
     }),
 
+    // the full audience-overlap matrix from the per-type sketches alone
+    // — every unordered event-type pair's Jaccard + intersection
+    // estimate, the audiences never joined
+    "sketch_kmv_overlap_matrix" -> ((s, dir) =>
+      Kmv.overlapMatrix(
+        Kmv.sketch(Tables.events(s, dir), "event_type", "user_id", KmvK),
+        KmvK)),
+
     // the maintained gold view: base partials (orders before the split)
     // merged with delta partials (orders after) — history never
     // rescanned; result must equal the full recompute
@@ -508,6 +516,26 @@ object MiningQueries {
             .otherwise(0L)).as("n_outliers"))
     }),
 
+    // month-over-12-months revenue growth: exact decimal monthly sums,
+    // one lag over the month-count-sized series (calendar-bounded
+    // window — the dau_rolling argument), growth gridded at the
+    // boundary with a NULL guard for the first year
+    "analytics_yoy_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          col("o_totalprice"))
+      val monthly = o.groupBy(col("y"), col("m"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+      val w = Window.orderBy(col("y"), col("m"))
+      monthly.withColumn("prev_year_cents", lag(col("rev_cents"), 12).over(w))
+        .select(col("y"), col("m"), col("rev_cents"),
+          round(when(col("prev_year_cents").isNotNull,
+            (col("rev_cents") - col("prev_year_cents")).cast("double") /
+              col("prev_year_cents") * 100.0), 6).as("yoy_pct"))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -704,6 +732,32 @@ object MiningQueries {
          |        CAST(hk + 1 AS DOUBLE) END), 6) AS intersection_est,
          |  exact_intersection
          |FROM agg, ex""".stripMargin,
+
+    "sketch_kmv_overlap_matrix" ->
+      s"""WITH $KmvCtes,
+         |pairs AS (SELECT a.slice AS slice_a, b.slice AS slice_b
+         |  FROM (SELECT DISTINCT slice FROM sk) a
+         |  JOIN (SELECT DISTINCT slice FROM sk) b ON a.slice < b.slice),
+         |t AS (SELECT p.slice_a, p.slice_b, s.h,
+         |    max(CASE WHEN s.slice = p.slice_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.slice = p.slice_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.slice IN (p.slice_a, p.slice_b)
+         |  GROUP BY 1, 2, 3),
+         |m AS (SELECT * FROM (
+         |    SELECT slice_a, slice_b, h, in_a, in_b, row_number() OVER (
+         |      PARTITION BY slice_a, slice_b ORDER BY h) AS pos
+         |    FROM t) WHERE pos <= $KmvK),
+         |agg AS (SELECT slice_a, slice_b, count(*) AS n_merged,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         |    max(CASE WHEN pos = $KmvK THEN h END) AS hk
+         |  FROM m GROUP BY 1, 2)
+         |SELECT slice_a, slice_b, n_both,
+         |  round(CAST(n_both AS DOUBLE) / n_merged, 6) AS jaccard_est,
+         |  round((CAST(n_both AS DOUBLE) / n_merged) *
+         |    (CASE WHEN n_merged < $KmvK THEN CAST(n_merged AS DOUBLE)
+         |      ELSE ${(KmvK - 1).toDouble} * 4294967296.0 /
+         |        CAST(hk + 1 AS DOUBLE) END), 6) AS intersection_est
+         |FROM agg""".stripMargin,
 
     // the oracle is the FULL recompute — equality with the merged
     // partials IS the maintenance-correctness statement
@@ -1097,6 +1151,24 @@ object MiningQueries {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM li JOIN t USING (flag)
         |GROUP BY 1""".stripMargin,
+
+    // lag(12) is ROWS-based on the month series in both engines — on a
+    // fixture with missing months both lag identically (the comparison
+    // is "12 observed months earlier", stated identically)
+    "analytics_yoy_revenue" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |    CAST(month(o_orderdate) AS INT) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT y, m, rev_cents,
+        |    lag(rev_cents, 12) OVER (ORDER BY y, m) AS prev
+        |  FROM m)
+        |SELECT y, m, rev_cents,
+        |  round(CASE WHEN prev IS NOT NULL THEN
+        |    CAST(rev_cents - prev AS DOUBLE) / prev * 100.0 END, 6)
+        |    AS yoy_pct
+        |FROM l""".stripMargin,
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +
