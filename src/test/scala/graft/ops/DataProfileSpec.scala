@@ -35,6 +35,23 @@ class DataProfileSpec extends SparkSpec {
       s"profiler must be one-pass, got multiple scans:\n$p")
   }
 
+  test("profileSplit equals profile and contains no Expand") {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_linestatus")
+    val li = Tables.lineitem(spark, sf0001)
+    val a = DataProfile.profile(li, cols).collect().map(_.toSeq).toSet
+    val b = DataProfile.profileSplit(li, cols).collect().map(_.toSeq).toSet
+    assert(a == b)
+    // the one-agg face Expands the corpus once per distinct; the split
+    // face must not Expand anywhere
+    val pSplit = DataProfile.profileSplit(li, cols)
+      .queryExecution.executedPlan.toString
+    assert(!pSplit.contains("Expand"), pSplit)
+    val pOne = DataProfile.profile(li, cols)
+      .queryExecution.executedPlan.toString
+    assert(pOne.contains("Expand")) // the contrast the split face removes
+  }
+
   test("unsupported column type fails loudly") {
     intercept[RuntimeException] {
       DataProfile.profile(Tables.lineitem(spark, sf0001), Seq("l_shipdate"))

@@ -193,4 +193,20 @@ class MiningSpec extends SparkSpec {
       assert(salted8 == plain)
     }
   }
+
+  test("overlap matrix agrees with the pairwise estimate on every pair") {
+    val df = ((1L to 40L).map(i => ("A", i)) ++ (30L to 70L).map(i => ("B", i))
+      ++ (1L to 10L).map(i => ("C", i * 7))).toDF("slice", "key")
+    val k = 16
+    val sk = Kmv.sketch(df, "slice", "key", k)
+    val matrix = Kmv.overlapMatrix(sk, k).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((a, b) <- Seq(("A", "B"), ("A", "C"), ("B", "C"))) {
+      val pw = Kmv.overlapEstimate(sk, a, b, k).collect().head
+      assert(matrix((a, b)) == ((pw.getLong(2), pw.getDouble(3),
+        pw.getDouble(4))), s"pair ($a,$b)")
+    }
+    assert(matrix.size == 3)
+  }
 }
