@@ -536,6 +536,33 @@ object MiningQueries {
               col("prev_year_cents") * 100.0), 6).as("yoy_pct"))
     }),
 
+    // k-anonymity audit over quasi-identifiers (nation, segment,
+    // account-balance percentile band): every equivalence class below
+    // k=5 members is a re-identification risk — the privacy gate a
+    // training-data release runs before shipping row-level data. One
+    // map-side-combined group count; the risky-class relation is
+    // class-sized, never row-sized.
+    "quality_k_anonymity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / 1000.0)).cast("long").as("bal_band"))
+      val classes = c.groupBy(col("c_nationkey"), col("c_mktsegment"),
+          col("bal_band"))
+        .agg(count(lit(1)).as("class_n"))
+      val tot = c.agg(count(lit(1)).as("n_rows"))
+      classes.agg(count(lit(1)).as("n_classes"),
+          sum(when(col("class_n") < 5, 1L).otherwise(0L))
+            .as("n_risky_classes"),
+          sum(when(col("class_n") < 5, col("class_n")).otherwise(0L))
+            .as("n_risky_rows"),
+          min(col("class_n")).as("min_class_n"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_classes"), col("n_risky_classes"),
+          col("n_risky_rows"), col("min_class_n"),
+          round(col("n_risky_rows").cast("double") / col("n_rows"), 6)
+            .as("risky_share"))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -1169,6 +1196,24 @@ object MiningQueries {
         |    CAST(rev_cents - prev AS DOUBLE) / prev * 100.0 END, 6)
         |    AS yoy_pct
         |FROM l""".stripMargin,
+
+    "quality_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    count(*) AS class_n
+        |  FROM c GROUP BY 1, 2, 3),
+        |t AS (SELECT count(*) AS n_rows FROM c)
+        |SELECT count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_classes,
+        |  CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)
+        |    AS BIGINT) AS n_risky_rows,
+        |  min(class_n) AS min_class_n,
+        |  round(CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)
+        |    AS DOUBLE) / max(t.n_rows), 6) AS risky_share
+        |FROM cls, t""".stripMargin,
 
     "corpus_kfold" -> {
       val bucket = s"(CAST(${hex8("md5(CAST(doc_id AS VARCHAR))")} " +
