@@ -78,6 +78,32 @@ object Pipeline {
     * quarantine keep plain append mode — schema evolution across versions
     * is the caller's concern there.)
     */
+  /** Right-to-be-forgotten purge: rewrite the parquet table at `path`
+    * dropping every row whose value in ANY of `idCols` appears in
+    * `ids` (single column, any name), through the crash-safe atomic
+    * swap. Returns the number of rows removed. The anti joins
+    * broadcast the purge list — a purge request is user-sized, never
+    * corpus-sized — so the rewrite is one scan of the table. A
+    * missing/empty table purges zero rows (idempotent by nature:
+    * purging twice is the same rewrite).
+    */
+  def purgeIds(spark: SparkSession, path: String, ids: DataFrame,
+               idCols: Seq[String], numFiles: Int = 0): Long = {
+    require(idCols.nonEmpty, "purgeIds needs at least one id column")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new HPath(path))) return 0L
+    val purge = org.apache.spark.sql.functions.broadcast(
+      ids.toDF("__purge_id").distinct().localCheckpoint())
+    val before = spark.read.parquet(path).localCheckpoint()
+    val keep = idCols.foldLeft(before) { (d, c) =>
+      d.join(purge, d(c) === org.apache.spark.sql.functions.col("__purge_id"), "left_anti")
+    }
+    val kept = if (numFiles > 0) keep.repartition(numFiles) else keep
+    val nBefore = before.count()
+    atomicOverwrite(spark, kept, path)
+    nBefore - spark.read.parquet(path).count()
+  }
+
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 5000000): Unit = {

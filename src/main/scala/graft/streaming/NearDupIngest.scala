@@ -71,6 +71,30 @@ object NearDupIngest {
     bNew.unpersist()
   }
 
+  /** Right-to-be-forgotten purge across a near-dup deployment's
+    * persisted stores: drop every index row, pair row and stored
+    * document referencing any of `ids` (a one-column relation of doc
+    * ids), each store rewritten through the atomic swap
+    * ([[graft.pipeline.Pipeline.purgeIds]]). After the purge the
+    * stores are indistinguishable from a deployment that NEVER
+    * ingested those documents: future batches cannot pair against
+    * them, reports cannot mention them, and re-ingesting a copy of a
+    * purged text is treated as brand new (spec-pinned). Returns rows
+    * removed per store path.
+    */
+  def purge(spark: org.apache.spark.sql.SparkSession,
+            ids: DataFrame,
+            indexDirs: Seq[String] = Nil,
+            pairsDirs: Seq[String] = Nil,
+            docsDirs: Seq[String] = Nil): Map[String, Long] = {
+    val byDoc = (indexDirs ++ docsDirs).map(d =>
+      d -> graft.pipeline.Pipeline.purgeIds(spark, d, ids, Seq("doc_id")))
+    val byPair = pairsDirs.map(d =>
+      d -> graft.pipeline.Pipeline.purgeIds(spark, d, ids,
+        Seq("doc_a", "doc_b")))
+    (byDoc ++ byPair).toMap
+  }
+
   /** Compact an append-grown table (band index, pairs, or document
     * store): every micro-batch appends its own small file set, so a
     * long-running ingest accumulates thousands of tiny files and each

@@ -193,4 +193,43 @@ class NearDupIngestSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("purge forgets a document: index, pairs, and future ingestion") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndi_p_").toString
+    val (indexDir, pairsDir) = (s"$tmp/index", s"$tmp/pairs")
+    // two near-identical docs plus an unrelated one, ingested as a batch
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, t1), (2L, t1 + " extra"),
+      (3L, "completely unrelated content about spark physical plans"))
+    NearDupIngest.ingestBatch(docs.toDF("doc_id", "text"), indexDir,
+      pairsDir, "doc_id", 16, 4, "text", 3)
+    val pairs0 = spark.read.parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs0.contains((1L, 2L)))
+    // purge doc 1: nothing in any store may reference it
+    val removed = NearDupIngest.purge(spark, Seq(1L).toDF("id"),
+      indexDirs = Seq(indexDir), pairsDirs = Seq(pairsDir))
+    assert(removed(indexDir) == 4L) // its 4 band rows
+    assert(removed(pairsDir) >= 1L)
+    assert(spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 1L).count() == 0)
+    assert(spark.read.parquet(pairsDir)
+      .filter(col("doc_a") === 1L || col("doc_b") === 1L).count() == 0)
+    // doc 3 and the 2<->? relationships of OTHER docs are untouched
+    assert(spark.read.parquet(indexDir)
+      .select("doc_id").distinct().count() == 2)
+    // a re-ingested copy of the purged text is treated as NEVER SEEN:
+    // it pairs with the surviving near-dup 2, and with nothing else
+    NearDupIngest.ingestBatch(Seq((9L, t1)).toDF("doc_id", "text"),
+      indexDir, pairsDir, "doc_id", 16, 4, "text", 3)
+    val pairsAfter = spark.read.parquet(pairsDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfter.contains((2L, 9L)))
+    assert(!pairsAfter.exists(p => p._1 == 1L || p._2 == 1L))
+    // purging an id that is absent is a no-op, not an error
+    val again = NearDupIngest.purge(spark, Seq(1L).toDF("id"),
+      indexDirs = Seq(indexDir), pairsDirs = Seq(pairsDir))
+    assert(again.values.forall(_ == 0L))
+  }
 }
