@@ -691,6 +691,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT verification over LSH candidates — the
+    * quote/boilerplate detector Jaccard misses: a short document fully
+    * embedded in a long one has containment(short in long) ≈ 1 while
+    * the symmetric Jaccard stays low (the size skew drowns the
+    * overlap), so a pure-Jaccard dedup ships both, including the pure
+    * quote. Emits every candidate pair whose LARGER containment
+    * reaches `threshold`: `(doc_a, doc_b, jaccard, cont_a_in_b,
+    * cont_b_in_a, quote_like)`, with `quote_like` = max containment
+    * ≥ 0.8 while jaccard < 0.5 — the asymmetric signature. Same plan
+    * shape as [[jaccardVerify]]: candidate-sized relations end-to-end,
+    * the corpus touched only by the candidate semi-join.
+    */
+  def containmentPairs(docs: DataFrame, candidates: DataFrame, idCol: String,
+                       k: Int, threshold: Double,
+                       textCol: String = "text"): DataFrame = {
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // serial materialization — see lshCandidatePairs
+    val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
+      .distinct()
+    val needed = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
+    val sh = shingleRows(needed, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("ca") + col("cb") - col("inter")).cast("double")
+    val ca = col("inter").cast("double") / col("ca")
+    val cb = col("inter").cast("double") / col("cb")
+    inter
+      .join(sizes.select(col("doc_id"), col("c").as("ca")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("c").as("cb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(greatest(ca, cb) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"),
+        round(ca, 6).as("cont_a_in_b"), round(cb, 6).as("cont_b_in_a"),
+        (greatest(ca, cb) >= 0.8 && jac < 0.5).cast("int").as("quote_like"))
+  }
+
   /** Full fuzzy-dedup pipeline: banded-LSH candidates, then exact Jaccard
     * verification (the canonical two-phase near-dup shape at scale).
     * `maxBucketSize` > 0 enables the hot-bucket backstop ([[capBuckets]]).

@@ -1091,6 +1091,16 @@ object LlmQueries {
       Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4)),
 
+    // asymmetric containment over the same LSH candidates: the
+    // quote/boilerplate detector Jaccard misses (a short doc fully
+    // embedded in a long one has containment ~1, jaccard low)
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.containmentPairs(docs,
+        Dedup.lshCandidatePairs(docs, "doc_id", 16, 4),
+        "doc_id", k = 3, threshold = 0.5)
+    }),
+
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
@@ -3047,6 +3057,26 @@ object LlmQueries {
     "dedup_fuzzy" ->
       s"""WITH $FuzzyCtes
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ver""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH ${minhashCtes("documents")},
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |       FROM cand c
+         |       JOIN sh x ON x.doc_id = c.doc_a
+         |       JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+         |       GROUP BY 1, 2),
+         |m AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac,
+         |        CAST(inter AS DOUBLE) / sa.c AS ca,
+         |        CAST(inter AS DOUBLE) / sb.c AS cb
+         |      FROM iv JOIN sz sa ON doc_a = sa.doc_id
+         |              JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+         |  round(ca, 6) AS cont_a_in_b, round(cb, 6) AS cont_b_in_a,
+         |  CAST(CASE WHEN greatest(ca, cb) >= 0.8 AND jac < 0.5
+         |       THEN 1 ELSE 0 END AS INT) AS quote_like
+         |FROM m WHERE greatest(ca, cb) >= 0.5""".stripMargin,
 
     "dedup_fuzzy_resolved" ->
       s"""WITH RECURSIVE $ClusterCtes

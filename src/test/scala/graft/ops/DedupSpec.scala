@@ -286,4 +286,27 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(first == Set(1L, 4L, 5L))
   }
+
+  test("containment flags the embedded quote that jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (20 to 29).map(i => s"w$i").mkString(" ") // pure quote
+    val near = long + " tail" // symmetric near-dup of the long doc
+    val docs = Seq((1L, long), (2L, short), (3L, near)).toDF("doc_id", "text")
+    // all-pairs candidates: the op under test is the verifier
+    val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.containmentPairs(docs, cand, "doc_id", k = 3,
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    // the quote: fully contained, low jaccard -> quote_like
+    val q = out((1L, 2L))
+    assert(q._3 == 1.0 && q._1 < 0.5 && q._4 == 1)
+    // the symmetric near-dup: high jaccard -> NOT quote_like
+    val n = out((1L, 3L))
+    assert(n._1 > 0.9 && n._4 == 0)
+    // unrelated-enough pair below the containment threshold is absent
+    // (short vs near IS contained too — both contain the quote window)
+    assert(out.contains((2L, 3L)) && out((2L, 3L))._4 == 1)
+  }
 }
