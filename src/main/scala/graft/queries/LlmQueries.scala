@@ -299,6 +299,42 @@ object LlmQueries {
     * `start` — the per-digit strpos polynomial (DuckDB has no hex->int
     * conv), shared by [[SimhashCtes]] and [[HashBucketSql]].
     */
+  /** Planted-quote corpus: documents plus a 150-char window of every
+    * 5th long document (id offset +1e6) — the containment family's
+    * fixture, derived identically in [[AugQuoteCte]] so the engines
+    * cannot disagree about the plant.
+    */
+  private def augmentedQuotes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(col("doc_id") % 5 === 0 && col("n_chars") >= 450)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          substring(col("text"), 31, 150).as("text")))
+  }
+
+  private val AugQuoteCte: String =
+    """aug AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 31, 150) FROM documents
+      |  WHERE doc_id % 5 = 0 AND n_chars >= 450)""".stripMargin
+
+  /** Bottom-`n` shingle-anchor candidate CTE over shingle relation `sh`:
+    * terminal `cand(doc_a, doc_b)` — [[Dedup.anchorCandidatePairs]]
+    * restated (hash32 of the shingle, per-doc bottom-n, anchor-keyed
+    * self-join).
+    */
+  private def anchorCandCtes(n: Int): String =
+    s"""hh AS (SELECT doc_id, s,
+       |    CAST(${hexToLongSql("md5(s)", 1, 8)} AS BIGINT) AS ah
+       |  FROM sh),
+       |an AS (SELECT ah, doc_id FROM (
+       |    SELECT ah, doc_id, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY ah, s) AS rn FROM hh)
+       |  WHERE rn <= $n),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM an a JOIN an b ON a.ah = b.ah AND a.doc_id < b.doc_id)""".stripMargin
+
   private def hexToLongSql(hexExpr: String, start: Int, n: Int): String = {
     val terms = (0 until n).map { j =>
       val pow = 1L << (4 * (n - 1 - j))
@@ -1099,6 +1135,34 @@ object LlmQueries {
       Dedup.containmentPairs(docs,
         Dedup.lshCandidatePairs(docs, "doc_id", 16, 4),
         "doc_id", k = 3, threshold = 0.5)
+    }),
+
+    // quote-pair report on the PLANTED-quote corpus (documents + a
+    // 150-char window of every 5th long doc, id +1e6 — both engines
+    // derive the same augmentation), candidates from bottom-8 anchor
+    // blocking: banded LSH would miss these pairs (~jac 0.25 sits at
+    // ~1.6% catch for 16/4 bands; anchors catch 18/18 on this fixture)
+    "dedup_quote_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(augmentedQuotes(s, dir),
+          Dedup.anchorCandidatePairs(augmentedQuotes(s, dir), "doc_id", 8),
+          "doc_id", k = 3, threshold = 0.5)
+        .filter(col("quote_like") === 1)),
+
+    // the containment family's keep rule on the same planted corpus:
+    // drop every flagged quote (the side with the HIGHER containment —
+    // its shingles are the intersection; ties by higher id)
+    "dedup_quotes_removed" -> ((s, dir) => {
+      val docs = augmentedQuotes(s, dir)
+      val pairs = Dedup.containmentPairs(docs,
+        Dedup.anchorCandidatePairs(docs, "doc_id", 8),
+        "doc_id", k = 3, threshold = 0.5)
+        .filter(col("quote_like") === 1)
+      val drop = pairs.select(
+        when(col("cont_a_in_b") > col("cont_b_in_a"), col("doc_a"))
+          .when(col("cont_b_in_a") > col("cont_a_in_b"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      docs.join(drop, Seq("doc_id"), "left_anti")
     }),
 
     "dedup_fuzzy" -> ((s, dir) =>
@@ -3057,6 +3121,59 @@ object LlmQueries {
     "dedup_fuzzy" ->
       s"""WITH $FuzzyCtes
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ver""".stripMargin,
+
+    "dedup_quote_pairs" ->
+      s"""WITH $AugQuoteCte,
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM aug),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+         |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+         |${anchorCandCtes(8)},
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |       FROM cand c
+         |       JOIN sh x ON x.doc_id = c.doc_a
+         |       JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+         |       GROUP BY 1, 2),
+         |m AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac,
+         |        CAST(inter AS DOUBLE) / sa.c AS ca,
+         |        CAST(inter AS DOUBLE) / sb.c AS cb
+         |      FROM iv JOIN sz sa ON doc_a = sa.doc_id
+         |              JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+         |  round(ca, 6) AS cont_a_in_b, round(cb, 6) AS cont_b_in_a,
+         |  CAST(1 AS INT) AS quote_like
+         |FROM m WHERE greatest(ca, cb) >= 0.8 AND jac < 0.5
+         |  AND greatest(ca, cb) >= 0.5""".stripMargin,
+
+    "dedup_quotes_removed" ->
+      s"""WITH $AugQuoteCte,
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM aug),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+         |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+         |${anchorCandCtes(8)},
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |       FROM cand c
+         |       JOIN sh x ON x.doc_id = c.doc_a
+         |       JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+         |       GROUP BY 1, 2),
+         |m AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac,
+         |        CAST(inter AS DOUBLE) / sa.c AS ca,
+         |        CAST(inter AS DOUBLE) / sb.c AS cb
+         |      FROM iv JOIN sz sa ON doc_a = sa.doc_id
+         |              JOIN sz sb ON doc_b = sb.doc_id),
+         |ql AS (SELECT * FROM m
+         |       WHERE greatest(ca, cb) >= 0.8 AND jac < 0.5
+         |         AND greatest(ca, cb) >= 0.5),
+         |dropped AS (SELECT DISTINCT CASE
+         |    WHEN ca > cb THEN doc_a
+         |    WHEN cb > ca THEN doc_b
+         |    ELSE greatest(doc_a, doc_b) END AS doc_id
+         |  FROM ql)
+         |SELECT * FROM aug
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH ${minhashCtes("documents")},

@@ -309,4 +309,31 @@ class DedupSpec extends SparkSpec {
     // (short vs near IS contained too — both contain the quote window)
     assert(out.contains((2L, 3L)) && out((2L, 3L))._4 == 1)
   }
+
+  test("anchor blocking catches the quote pair banded LSH misses") {
+    import spark.implicits._
+    // quote = a 10-word window of a 60-word doc: jaccard ~0.15, far
+    // below any 16/4 banding's reach — the bottom-k anchor argument is
+    // exactly for this shape
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val short = (25 to 34).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val anchored = Dedup.anchorCandidatePairs(docs, "doc_id", nAnchors = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(anchored.contains((1L, 2L)))
+    // a disjoint doc never pairs
+    val three = docs.unionByName(
+      Seq((3L, (100 to 140).map(i => s"z$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val a3 = Dedup.anchorCandidatePairs(three, "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!a3.exists(p => p._1 == 3L || p._2 == 3L))
+    // the hot-bucket cap drops a flooded anchor LOUDLY (pair set shrinks)
+    val flood = (10L to 40L).map(i => (i, "common phrase here " + i))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.anchorCandidatePairs(flood, "doc_id", 8).count()
+    val capped = Dedup.anchorCandidatePairs(flood, "doc_id", 8,
+      maxBucketSize = 5).count()
+    assert(capped < uncapped)
+  }
 }
