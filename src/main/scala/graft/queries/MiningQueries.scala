@@ -563,6 +563,22 @@ object MiningQueries {
             .as("risky_share"))
     }),
 
+    // weekly seasonality profile: per (type, day-of-week) activity with
+    // within-type shares — the chi2 query's contingency table exposed
+    // as the report itself (the shape check behind every staffing /
+    // anomaly-threshold decision)
+    "events_dow_profile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      val cells = ev.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_type"))
+      cells.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n"),
+          round(col("n").cast("double") / col("n_type"), 6).as("share"))
+    }),
+
     // deterministic 5-fold carving of the documents corpus (the
     // cross-validation face of corpus_split) + per-fold balance stats
     "corpus_kfold" -> ((s, dir) => {
@@ -1196,6 +1212,17 @@ object MiningQueries {
         |    CAST(rev_cents - prev AS DOUBLE) / prev * 100.0 END, 6)
         |    AS yoy_pct
         |FROM l""".stripMargin,
+
+    "events_dow_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow
+        |  FROM events),
+        |c AS (SELECT event_type, dow, count(*) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM c
+        |      GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.n_type, 6) AS share
+        |FROM c JOIN t USING (event_type)""".stripMargin,
 
     "quality_k_anonymity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,
