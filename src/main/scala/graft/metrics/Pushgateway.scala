@@ -63,6 +63,29 @@ object Pushgateway {
     sb.toString
   }
 
+  /** Encode one URL path segment. URLEncoder is form-encoding: it maps
+    * ' ' to '+', which a pushgateway decodes as a literal plus and
+    * silently re-targets the job grouping — so '+' is rewritten to the
+    * path escape %20. '/' cannot be percent-escaped in this position
+    * either (gateways split the raw path first); the pushgateway's own
+    * convention for slash-bearing values is the base64 segment form
+    * `job@base64/<urlsafe-b64>`, which we emit whenever the name
+    * contains '/'.
+    */
+  private[metrics] def pathSegment(job: String): String =
+    if (job.contains("/"))
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(job.getBytes(StandardCharsets.UTF_8))
+    else
+      URLEncoder.encode(job, StandardCharsets.UTF_8).replace("+", "%20")
+
+  /** Full job path fragment: plain segment, or the @base64 form for
+    * names containing '/'.
+    */
+  private[metrics] def jobPath(job: String): String =
+    if (job.contains("/")) "job@base64/" + pathSegment(job)
+    else "job/" + pathSegment(job)
+
   /** PUT the payload for `job` to the gateway at `host` (host:port, no
     * scheme). Returns true on 2xx; false (with a stderr line) on any
     * failure — the reference's push_metrics contract: observability
@@ -71,8 +94,7 @@ object Pushgateway {
   def push(host: String, job: String, body: String,
       timeoutMs: Int = 5000): Boolean =
     try {
-      val url = new URI(s"http://$host/metrics/job/" +
-        URLEncoder.encode(job, StandardCharsets.UTF_8)).toURL
+      val url = new URI(s"http://$host/metrics/" + jobPath(job)).toURL
       val conn = url.openConnection().asInstanceOf[HttpURLConnection]
       conn.setRequestMethod("PUT")
       conn.setConnectTimeout(timeoutMs)

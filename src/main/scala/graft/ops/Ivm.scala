@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * stored — stored averages don't merge); the same algebra carries
   * any algebraic aggregate whose partial state is bounded.
   *
-  * Determinism: partial sums accumulate as exact DECIMAL(38,4) (the
-  * repo's decimal-accumulation rule), so merge order cannot move a
-  * bit; doubles appear only at the rounded read-time boundary.
+  * Determinism: input values are cast to exact DECIMAL(18,4) and the
+  * sums Spark widens to DECIMAL(28,4) at the partial tier and
+  * DECIMAL(38,4) at the merge tier (the repo's decimal-accumulation
+  * rule), so merge order cannot move a bit; doubles appear only at the
+  * rounded read-time boundary. Headroom: a single input value must fit
+  * 14 integer digits, a single partial's group sum 24, the merged sum
+  * 34 — beyond that Spark nulls the sum rather than rounding it.
   */
 object Ivm {
 

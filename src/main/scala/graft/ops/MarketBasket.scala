@@ -98,9 +98,15 @@ object MarketBasket {
     */
   def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, maxBasketSize: Int = 100000): DataFrame = {
-    val b = memberships(baskets, basketCol, itemCol, maxBasketSize)
-    val nBaskets = b.select(col("basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+    // N counts ALL baskets, not the capped memberships: a mega-basket
+    // the guard excludes from pair mining is still a transaction, so it
+    // belongs in the support/lift denominators — and this is the
+    // definition the DuckDB oracle uses, so parity holds even when the
+    // cap fires (it cannot fire on the fixtures, but the contract
+    // shouldn't depend on that).
+    val nBaskets = baskets
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .agg(countDistinct(col(basketCol)).as("n_baskets"))
     val pairs = frequentPairs(baskets, basketCol, itemCol, minSupport,
       maxBasketSize)
     val directed = pairs.select(col("item_a").as("antecedent"),

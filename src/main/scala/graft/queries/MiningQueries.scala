@@ -164,9 +164,12 @@ object MiningQueries {
       val uni = d.select(explode(col("ws")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
       val nUni = uni.agg(sum(col("n")).as("n_tokens"))
+      // greatest(..., 0): slice throws on a negative length, so an empty
+      // or whitespace-only document (size(ws) = 0) must degrade to zero
+      // bigrams exactly like the oracle's generate_series(1, len-1) does.
       val bg = d.select(explode(arrays_zip(
-          expr("slice(ws, 1, size(ws) - 1)"),
-          expr("slice(ws, 2, size(ws) - 1)"))).as("bg"))
+          expr("slice(ws, 1, greatest(size(ws) - 1, 0))"),
+          expr("slice(ws, 2, greatest(size(ws) - 1, 0))"))).as("bg"))
         .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
       val nBi = bg.agg(count(lit(1)).as("n_bigrams"))
       bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("co_n"))

@@ -889,17 +889,24 @@ object ScaleProbe {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e0.count()
-      if (only.forall(_.contains("triangles")))
+      // exact-name gates (Set membership, None = run all): requesting
+      // "triangles_hub" must NOT also fire the plain triangles probe
+      def wants(n: String) = only.forall(_.contains(n))
+      if (wants("triangles"))
         t("triangles", keepCache = true)(graft.ops.Graph.triangleCounts(e0))
       // peel + frontier families on the same graph: both must track
       // the edge count (8 bounded rounds each), never the pair space
-      if (only.forall(_.contains("kcore")))
+      if (wants("kcore"))
         t("kcore", keepCache = true)(graft.ops.Graph.kcorePeel(e0, 5, 8))
-      if (only.forall(_.contains("bfs")))
+      if (wants("bfs"))
         t("bfs", keepCache = true)(graft.ops.Graph.bfsDistances(e0, 0L, 4))
-      if (only.forall(_.contains("triangles_hub"))) {
-        val hub = spark.range(50000L)
-          .select(lit(n).as("a"), (col("id") % n).as("b"))
+      if (wants("triangles_hub")) {
+        // range over min(50k, n) distinct neighbors: (id % n) over 50k
+        // ids collapses to n distinct edges at small rungs, silently
+        // weakening the planted degree the ladder advertises
+        val hubDeg = math.min(50000L, n)
+        val hub = spark.range(hubDeg)
+          .select(lit(n).as("a"), col("id").as("b"))
           .distinct()
         val withHub = e0.unionByName(hub)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

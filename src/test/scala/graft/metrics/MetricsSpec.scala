@@ -76,9 +76,21 @@ class MetricsSpec extends AnyFunSuite {
       assert(m.pushTo(host, "brewery etl"))
       val (method, path, body) = received.get()
       assert(method == "PUT") // replace-the-grouping semantics, not merge
-      assert(path == "/metrics/job/brewery+etl") // job url-encoded
+      // '%20', not '+': form-encoding's '+' decodes on the gateway as a
+      // literal plus and silently re-targets the job grouping. The
+      // HttpServer hands back the DECODED path, so a correct escape
+      // round-trips to the original space.
+      assert(path == "/metrics/job/brewery etl")
       assert(body == m.textExposition() && body.contains(
         """brewery_etl_records_processed_total{operation="extract"} 42.0"""))
+      // slash-bearing job names use the pushgateway's @base64 segment
+      // convention — '/' can't be percent-escaped in a path position
+      // (gateways split the raw path first)
+      assert(m.pushTo(host, "team/etl"))
+      val expected = "job@base64/" + java.util.Base64.getUrlEncoder
+        .withoutPadding.encodeToString(
+          "team/etl".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(received.get()._2 == s"/metrics/$expected")
     } finally server.stop(0)
   }
 

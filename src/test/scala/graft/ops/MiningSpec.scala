@@ -209,4 +209,21 @@ class MiningSpec extends SparkSpec {
     }
     assert(matrix.size == 3)
   }
+
+  test("collocations survive empty and whitespace-only documents") {
+    // slice(ws, 1, size(ws) - 1) threw 'length must be >= 0' on a doc
+    // whose filtered word list is empty; the guarded form must degrade
+    // to zero bigrams exactly like the oracle's generate_series
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("colloc").toString
+    Seq((1L, ""), (2L, "   "), (3L, "one"),
+      (4L, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.MiningQueries.queries("text_collocations")(
+      spark, tmp)
+    // min co-occurrence threshold (20) filters the toy bigrams away; the
+    // point is the plan EXECUTES — degenerate docs contribute nothing
+    assert(out.count() == 0)
+  }
 }
