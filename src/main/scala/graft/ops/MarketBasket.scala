@@ -97,18 +97,29 @@ object MarketBasket {
     * broadcast into a pair-sized relation.
     */
   def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, maxBasketSize: Int = 100000): DataFrame = {
-    // N counts ALL baskets, not the capped memberships: a mega-basket
-    // the guard excludes from pair mining is still a transaction, so it
-    // belongs in the support/lift denominators — and this is the
-    // definition the DuckDB oracle uses, so parity holds even when the
-    // cap fires (it cannot fire on the fixtures, but the contract
-    // shouldn't depend on that).
-    val nBaskets = baskets
+      minSupport: Long, maxBasketSize: Int = 100000): DataFrame =
+    associationRulesFrom(
+      frequentPairs(baskets, basketCol, itemCol, minSupport, maxBasketSize),
+      basketCount(baskets, basketCol, itemCol))
+
+  /** N counts ALL baskets, not the capped memberships: a mega-basket
+    * the guard excludes from pair mining is still a transaction, so it
+    * belongs in the support/lift denominators — and this is the
+    * definition the DuckDB oracle uses, so parity holds even when the
+    * cap fires (it cannot fire on the fixtures, but the contract
+    * shouldn't depend on that).
+    */
+  def basketCount(baskets: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    baskets
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .agg(countDistinct(col(basketCol)).as("n_baskets"))
-    val pairs = frequentPairs(baskets, basketCol, itemCol, minSupport,
-      maxBasketSize)
+
+  /** Rules from a PREBUILT `frequentPairs` relation — the face the
+    * session memo serves (the pair relation is an index-grade artifact
+    * several miners share; only the rule derivation is per-query work).
+    */
+  def associationRulesFrom(pairs: DataFrame, nBaskets: DataFrame): DataFrame = {
     val directed = pairs.select(col("item_a").as("antecedent"),
         col("item_b").as("consequent"), col("n_a").as("n_ante"),
         col("n_b").as("n_cons"), col("co_n"))
@@ -131,9 +142,14 @@ object MarketBasket {
     * pair-sized (not corpus-sized) relation.
     */
   def itemNeighbors(baskets: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, k: Int, maxBasketSize: Int = 100000): DataFrame = {
-    val pairs = frequentPairs(baskets, basketCol, itemCol, minSupport,
-      maxBasketSize)
+      minSupport: Long, k: Int, maxBasketSize: Int = 100000): DataFrame =
+    itemNeighborsFrom(
+      frequentPairs(baskets, basketCol, itemCol, minSupport, maxBasketSize), k)
+
+  /** Neighbors from a PREBUILT `frequentPairs` relation (see
+    * [[associationRulesFrom]]).
+    */
+  def itemNeighborsFrom(pairs: DataFrame, k: Int): DataFrame = {
     val directed = pairs.select(col("item_a").as("item"),
         col("item_b").as("neighbor"), col("n_a").as("n_item"),
         col("n_b").as("n_nbr"), col("co_n"))

@@ -305,13 +305,25 @@ object LlmQueries {
     * cannot disagree about the plant.
     */
   private def augmentedQuotes(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val d = Tables.documents(s, dir)
-    d.select(col("doc_id"), col("text")).unionByName(
-      d.filter(col("doc_id") % 5 === 0 && col("n_chars") >= 450)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          substring(col("text"), 31, 150).as("text")))
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    BuildMemo.df(s, dir, "augQuotes") {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(col("doc_id") % 5 === 0 && col("n_chars") >= 450)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            substring(col("text"), 31, 150).as("text")))
+    }
+
+  /** Session memo of the bottom-8 anchor candidate set over the
+    * planted-quote corpus — candidate generation is the index-grade
+    * blocking artifact both quote queries share; only the containment
+    * VERIFY stays per-query work (the BuildMemo convention).
+    */
+  private def quoteAnchorCands(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    BuildMemo.df(s, dir, "quoteAnchorCands") {
+      Dedup.anchorCandidatePairs(augmentedQuotes(s, dir), "doc_id", 8)
+    }
 
   private val AugQuoteCte: String =
     """aug AS (SELECT doc_id, text FROM documents
@@ -898,16 +910,10 @@ object LlmQueries {
     * Results are bit-identical to the inline builds (same plans, same
     * determinism grid), so every oracle stays hash-green.
     */
-  private val buildMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String, String),
-      org.apache.spark.sql.DataFrame]()
-
   private def memoDf(s: org.apache.spark.sql.SparkSession, dir: String,
                      key: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    buildMemo.computeIfAbsent((s, dir, key),
-      { _ => build.localCheckpoint(true) })
+    BuildMemo.df(s, dir, key)(build)
 
   /** The 2-step-Lloyd learned coarse book — shared by the fully-learned
     * m=4 rungs AND the residual m=8 build.
@@ -1144,7 +1150,7 @@ object LlmQueries {
     // ~1.6% catch for 16/4 bands; anchors catch 18/18 on this fixture)
     "dedup_quote_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(augmentedQuotes(s, dir),
-          Dedup.anchorCandidatePairs(augmentedQuotes(s, dir), "doc_id", 8),
+          quoteAnchorCands(s, dir),
           "doc_id", k = 3, threshold = 0.5)
         .filter(col("quote_like") === 1)),
 
@@ -1154,7 +1160,7 @@ object LlmQueries {
     "dedup_quotes_removed" -> ((s, dir) => {
       val docs = augmentedQuotes(s, dir)
       val pairs = Dedup.containmentPairs(docs,
-        Dedup.anchorCandidatePairs(docs, "doc_id", 8),
+        quoteAnchorCands(s, dir),
         "doc_id", k = 3, threshold = 0.5)
         .filter(col("quote_like") === 1)
       val drop = pairs.select(

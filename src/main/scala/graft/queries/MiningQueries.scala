@@ -33,7 +33,7 @@ object MiningQueries {
     */
   private val MaxBasketForEdges = 1000
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = BuildMemo.df(s, dir, "copurchaseEdges") {
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
       .distinct()
@@ -46,23 +46,33 @@ object MiningQueries {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Session memo of the support-2 frequent-pair relation — rebuilt
+    * identically by five miners (`basket_frequent_pairs`,
+    * `basket_rules`, `basket_item_cosine`, `graph_kcore`,
+    * `graph_bfs_dist`) before r16; an index-grade artifact per the
+    * BuildMemo convention.
+    */
+  private def freqPairs2(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = BuildMemo.df(s, dir, "freqPairs2") {
+    MarketBasket.frequentPairs(baskets(s, dir), "l_orderkey", "l_partkey",
+      MinSupport)
+  }
+
   val queries: Map[String, Query] = Map(
 
     // frequent co-purchased part pairs, Apriori-pruned before the
     // basket self-join (downward closure; mega-basket cap on)
-    "basket_frequent_pairs" -> ((s, dir) =>
-      MarketBasket.frequentPairs(baskets(s, dir), "l_orderkey", "l_partkey",
-        MinSupport)),
+    "basket_frequent_pairs" -> ((s, dir) => freqPairs2(s, dir)),
 
     // both-direction association rules with support/confidence/lift
     "basket_rules" -> ((s, dir) =>
-      MarketBasket.associationRules(baskets(s, dir), "l_orderkey",
-        "l_partkey", MinSupport)),
+      MarketBasket.associationRulesFrom(freqPairs2(s, dir),
+        MarketBasket.basketCount(baskets(s, dir), "l_orderkey",
+          "l_partkey"))),
 
     // top-5 cosine neighbors per part over co-purchase counts
     "basket_item_cosine" -> ((s, dir) =>
-      MarketBasket.itemNeighbors(baskets(s, dir), "l_orderkey", "l_partkey",
-        MinSupport, k = 5)),
+      MarketBasket.itemNeighborsFrom(freqPairs2(s, dir), k = 5)),
 
     // per-event-type distinct-user estimates from the k=64 KMV sketch,
     // audited against the exact distinct count in the same row
@@ -231,17 +241,15 @@ object MiningQueries {
     // the support>=2 co-purchase graph: the repeatedly-co-bought
     // product backbone
     "graph_kcore" -> ((s, dir) =>
-      Graph.kcorePeel(MarketBasket.frequentPairs(baskets(s, dir),
-          "l_orderkey", "l_partkey", 2)
+      Graph.kcorePeel(freqPairs2(s, dir)
         .select(col("item_a").as("a"), col("item_b").as("b")), 3, 8)),
 
     // hop distances from the lowest item id in the same graph, 4 hops:
-    // frontier expansion joins ONLY the frontier per round
+    // frontier expansion joins ONLY the frontier per round (the memo
+    // already materialized the pair relation, so no extra checkpoint)
     "graph_bfs_dist" -> ((s, dir) => {
-      val e = MarketBasket.frequentPairs(baskets(s, dir),
-          "l_orderkey", "l_partkey", 2)
+      val e = freqPairs2(s, dir)
         .select(col("item_a").as("a"), col("item_b").as("b"))
-        .localCheckpoint()
       val src = e.agg(min(col("a"))).head.getLong(0)
       Graph.bfsDistances(e, src, 4)
     }),
