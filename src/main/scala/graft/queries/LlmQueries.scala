@@ -347,6 +347,46 @@ object LlmQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM an a JOIN an b ON a.ah = b.ah AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Quote-drop CTE chain over `base` (q-prefixed names — the chain
+    * oracles already bind w/sh/cand to the minhash CTEs): bottom-8
+    * anchor candidates -> containment verify -> the
+    * `dedup_quotes_removed` drop rule. Terminal relation
+    * `qdrop(doc_id)`.
+    */
+  private def quoteDropCtes(base: String, n: Int = 8): String =
+    s"""qw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $base),
+       |qsh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+       |       FROM qw, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+       |qhh AS (SELECT doc_id, s,
+       |    CAST(${hexToLongSql("md5(s)", 1, 8)} AS BIGINT) AS ah
+       |  FROM qsh),
+       |qan AS (SELECT ah, doc_id FROM (
+       |    SELECT ah, doc_id, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY ah, s) AS rn FROM qhh)
+       |  WHERE rn <= $n),
+       |qcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM qan a JOIN qan b ON a.ah = b.ah AND a.doc_id < b.doc_id),
+       |qsz AS (SELECT doc_id, count(*) AS c FROM qsh GROUP BY 1),
+       |qiv AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |       FROM qcand c
+       |       JOIN qsh x ON x.doc_id = c.doc_a
+       |       JOIN qsh y ON y.doc_id = c.doc_b AND x.s = y.s
+       |       GROUP BY 1, 2),
+       |qm AS (SELECT doc_a, doc_b,
+       |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac,
+       |        CAST(inter AS DOUBLE) / sa.c AS ca,
+       |        CAST(inter AS DOUBLE) / sb.c AS cb
+       |      FROM qiv JOIN qsz sa ON doc_a = sa.doc_id
+       |              JOIN qsz sb ON doc_b = sb.doc_id),
+       |qql AS (SELECT * FROM qm
+       |       WHERE greatest(ca, cb) >= 0.8 AND jac < 0.5
+       |         AND greatest(ca, cb) >= 0.5),
+       |qdrop AS (SELECT DISTINCT CASE
+       |    WHEN ca > cb THEN doc_a
+       |    WHEN cb > ca THEN doc_b
+       |    ELSE greatest(doc_a, doc_b) END AS doc_id
+       |  FROM qql)""".stripMargin
+
   private def hexToLongSql(hexExpr: String, start: Int, n: Int): String = {
     val terms = (0 until n).map { j =>
       val pow = 1L << (4 * (n - 1 - j))
@@ -996,6 +1036,47 @@ object LlmQueries {
     val flagged = TextAnalysis.contaminationReport(docs,
       docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
     val clean = TextAnalysis.removeFlagged(kept, flagged, "doc_id")
+    val gated = TextAnalysis.gopherFilter(clean, "doc_id", "text",
+      requireStopWords = false)
+    val sk = qclfSketch(s, dir)
+    val w = QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5,
+      iters = 3)
+    val top = QualityModel.keepTopScoredWith(docs, "doc_id", sk, w,
+      quantile = 0.5).select(col("doc_id"))
+    val released = gated.join(top, Seq("doc_id"), "left_semi")
+    TextAnalysis.curationFilter(released, "doc_id", "text",
+      minTokens = 20, maxTokens = 2000, minQuality = 0.1,
+      maxRepetition = 0.2, keepLang = "en")
+  }
+
+  /** The release chain WITH the quote-removal stage composed between
+    * fuzzy dedup and decon — where a real pretraining chain strips
+    * embedded quotes/boilerplate. The quote-drop set rides the RAW
+    * corpus (the decon-flags pattern: quote-ness is a corpus-level
+    * property — a doc embedded in a near-dup's keeper is still a quote
+    * — and flags-from-raw keep the chain ONE lazy plan with no
+    * re-execution of the dedup subtree). Drop rule = the
+    * `dedup_quotes_removed` rule: the side with the HIGHER containment
+    * (its shingles are the intersection), ties to the higher id.
+    */
+  private def prepQuotesReleased(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
+      numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
+    val qpairs = Dedup.containmentPairs(docs,
+        Dedup.anchorCandidatePairs(docs, "doc_id", 8),
+        "doc_id", k = 3, threshold = 0.5)
+      .filter(col("quote_like") === 1)
+    val qdrop = qpairs.select(
+      when(col("cont_a_in_b") > col("cont_b_in_a"), col("doc_a"))
+        .when(col("cont_b_in_a") > col("cont_a_in_b"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val unquoted = kept.join(qdrop, Seq("doc_id"), "left_anti")
+    val flagged = TextAnalysis.contaminationReport(docs,
+      docs.filter(col("source") === "src9"), "doc_id", "text", n = 8)
+    val clean = TextAnalysis.removeFlagged(unquoted, flagged, "doc_id")
     val gated = TextAnalysis.gopherFilter(clean, "doc_id", "text",
       requireStopWords = false)
     val sk = qclfSketch(s, dir)
@@ -2263,6 +2344,12 @@ object LlmQueries {
     // has no natural English) -> classifier top-half gate (kept-fraction
     // deploy) -> curation
     "llm_corpus_prep_full" -> ((s, dir) => prepFullReleased(s, dir)),
+
+    // the chain with quote/boilerplate removal composed between fuzzy
+    // dedup and decon (r15 verdict task 2): exact collapse -> guarded
+    // fuzzy keep-first -> containment quote drop (anchor blocking, raw-
+    // corpus flags) -> decon -> Gopher -> classifier top-half -> curation
+    "llm_corpus_prep_quotes" -> ((s, dir) => prepQuotesReleased(s, dir)),
 
     // THE release capstone: the full curated chain's survivors
     // physically published as a shard-partitioned parquet release with
@@ -5128,6 +5215,48 @@ object LlmQueries {
          |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
          |fl AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (s)),
          |decon AS (SELECT * FROM kept
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+         |gated AS (SELECT * FROM ${gopherGateSql("decon")}),
+         |${qclfCtes(3)},
+         |sb0 AS (SELECT DISTINCT doc_id, $feat AS feature
+         |        FROM (SELECT doc_id,
+         |                unnest(string_split(lower(text), ' ')) AS w
+         |              FROM documents)),
+         |sb AS (SELECT * FROM sb0
+         |       UNION ALL
+         |       SELECT DISTINCT doc_id, -1 AS feature FROM sb0),
+         |scd AS (SELECT sb.doc_id,
+         |          ${grid6Sql("sum(coalesce(w3.w, 0.0))")} AS dot
+         |        FROM sb LEFT JOIN w3 USING (feature) GROUP BY 1),
+         |qsc AS (SELECT doc_id, ${grid6Sql("1.0 / (1.0 + exp(-dot))")} AS score
+         |        FROM scd),
+         |qcut AS (SELECT ${grid6Sql("quantile_cont(score, 0.5)")} AS c FROM qsc),
+         |topd AS (SELECT g.* FROM gated g JOIN qsc USING (doc_id), qcut
+         |         WHERE qsc.score >= qcut.c),
+         |${curationCtes("topd")}
+         |$CurationSelect""".stripMargin
+    },
+
+    // prep_full with the quote-drop stage between fuzzy dedup and decon;
+    // the drop set derives from the RAW corpus on both sides
+    "llm_corpus_prep_quotes" -> {
+      val feat = s"${hexToLongSql("md5(w)", 1, 8)} % 64"
+      s"""WITH RECURSIVE x0 AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |${fuzzyCtes("x0")},
+         |${clusterWalkCtes("ver")},
+         |kept AS (SELECT * FROM x0
+         |         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> keeper)),
+         |${quoteDropCtes("documents")},
+         |unq AS (SELECT * FROM kept
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM qdrop)),
+         |dg AS (${ngramRowsSql("unq", 8)}),
+         |bg AS (SELECT DISTINCT s FROM (
+         |  ${ngramRowsSql("(SELECT * FROM documents WHERE source = 'src9')", 8)})),
+         |fl AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (s)),
+         |decon AS (SELECT * FROM unq
          |          WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
          |gated AS (SELECT * FROM ${gopherGateSql("decon")}),
          |${qclfCtes(3)},
