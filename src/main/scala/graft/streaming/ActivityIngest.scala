@@ -19,10 +19,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the honest floor for exact DAU; swap `approx_count_distinct` over
   * the same keys table for a bounded-state estimate.
   *
-  * Retention stays deliberately batch-only: its week offsets are
-  * anchored to each user's exact first-signup SECOND, which day-granular
-  * keys cannot reproduce — run [[graft.ops.EventOps.retention]] over
-  * the raw archive (the republish contract).
+  * Retention has its own streaming face since r16: week offsets anchor
+  * to each user's exact first-signup SECOND, which these day-granular
+  * keys cannot reproduce, but per-user-day (min, max) second state can
+  * — see [[RetentionIngest]] for the two-representative argument.
   */
 object ActivityIngest {
 
