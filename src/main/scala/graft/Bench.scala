@@ -9,6 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Failures are loud: the failing query is reported in an `errors` map and
   * the process exits non-zero — a broken query can never "improve" the
   * bench.
+  *
+  * After a clean full sweep, a fixed 10-query CANARY subset is re-timed
+  * so the artifact carries its own host-noise factor: each canary entry
+  * is `[first-pass median, end-of-sweep median]` and `canary_ratio` is
+  * their sum ratio — a ratio well above 1 means the measurement window
+  * drifted underneath the sweep (shared-host contention), not that the
+  * code regressed.
   */
 object Bench {
 
@@ -89,6 +96,51 @@ object Bench {
       }
     }
 
+    // Canary re-run (r15 verdict task 4): the fuzzy-dedup family twice
+    // inflated 2-3.7x in driver bench windows while same-code local runs
+    // stayed <=1.2x — ambient host contention, but each time it cost a
+    // cross-artifact adjudication. Re-timing a fixed 10-query subset
+    // (dedup/LSH, TPC-H, events, the pipeline) at the END of the sweep
+    // makes the artifact itself carry the window's noise: each canary
+    // records [first-pass, end-of-sweep] medians, and canary_ratio
+    // (sum end / sum first) >> 1 means the WINDOW drifted — same code,
+    // same data, minutes apart — not the queries.
+    val canaryNames = Seq("dedup_fuzzy", "dedup_fuzzy_keep_best",
+      "dedup_fuzzy_kept", "dedup_guarded_kept", "dedup_minhash_pairs",
+      "tpch_q1_pricing", "tpch_q5_region_volume", "events_funnel",
+      "events_asof_join", "pipeline_gold_readback")
+    val canaryEnd = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // SPARK_GRAFT_BENCH_CANARY=force exercises the canary on a filtered
+    // profiling run (normally it only runs after a clean FULL sweep)
+    if (errors.isEmpty &&
+        (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_CANARY"))) {
+      canaryNames.filter(times.contains).foreach { name =>
+        try {
+          System.gc()
+          val fn = SparkEntry.queries(name)
+          materialize(fn(spark, sfDir))
+          spark.catalog.clearCache()
+          val samples = Seq.fill(runs) {
+            val t = timeOnce(materialize(fn(spark, sfDir)))
+            spark.catalog.clearCache()
+            t
+          }
+          val median = samples.sorted.apply(samples.size / 2)
+          canaryEnd += name -> median
+          System.err.println(
+            s"[bench] canary $name first=${f3(times(name))} end=${f3(median)} s")
+        } catch { case e: Throwable =>
+          // a canary failure must not fail a clean sweep — the canary is
+          // noise METADATA; the sweep already proved the query runs
+          System.err.println(s"[bench] canary FAILED $name: $e")
+        }
+      }
+    }
+    val canaryRatio =
+      if (canaryEnd.isEmpty) 1.0
+      else canaryEnd.values.sum /
+        math.max(1e-9, canaryEnd.keys.map(times).sum)
+
     // escape ALL control chars: exception text regularly carries newlines,
     // which would break the one-line JSON contract exactly on failures
     def jstr(s: String) = "\"" + s.flatMap {
@@ -109,7 +161,12 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val rc = if (errors.nonEmpty) 1 else 0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
+    // canary block: per query [first-pass median, end-of-sweep median]
+    val canaryJs = canaryEnd.map { case (k, v) =>
+      s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+    val canaryFields =
+      s""""canary":$canaryJs,"canary_ratio":${f3(canaryRatio)}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
     // the UNTRUNCATED artifact of record: the driver's tail window cannot
     // hold ~96 query entries, so the full-precision JSON also lands in a
     // file next to the repo's BENCH_r{N}.json history. LASTRUN is always
@@ -142,7 +199,7 @@ object Bench {
       if (seen.isEmpty) 0 else seen.max + 1
     }
     val summaryJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
     def writeSummary(path: String): Unit =
       try {
         val out = new java.io.PrintWriter(path, "UTF-8")
@@ -158,7 +215,7 @@ object Bench {
     // carries the coverage count and the pointer to the full map. Metric
     // name is DISTINCT from the per-query line's "total" so a consumer
     // summing metric lines can never double-count the suite time.
-    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"canary_ratio":${f3(canaryRatio)},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
