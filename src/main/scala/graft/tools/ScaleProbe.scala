@@ -679,6 +679,48 @@ object ScaleProbe {
         .foreach(_.unpersist())
     }
 
+    // binary-cascade serve vs the IVF-probed server on the same prebuilt
+    // residual index (r15 verdict task 5): the cascade's hamming coarse
+    // stage scans 16 B/vector of the WHOLE corpus, so its serve cost
+    // must grow linearly with k while the IVF leg stays cell-bounded —
+    // this ladder is the adoption decision's scale evidence.
+    if (only.forall(_.exists(_.startsWith("cascade_serve")))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ivfCb = embP.filter(col("vec_id") % 50 === 0)
+        .select("vec_id", "embedding").persist(sl)
+      val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
+      val pqCbRes = Similarity.pqCodebookLearnedFrom(res,
+        Similarity.pqCodebookFixed(res, m = 8, dim = 64, k = 256),
+        m = 8, dim = 64, maxIters = 1).persist(sl)
+      val idx = Similarity.ivfPqResidualIndex(embP, ivfCb, pqCbRes,
+        m = 8, dim = 64).persist(sl)
+      val qrys = embP.filter(col("vec_id") % 1000 === 0).persist(sl)
+      val cc = Similarity.ivfPqCellCodes(idx).persist(sl)
+      val store = embP.persist(sl)
+      val bin = Similarity.quantizeBinary(embP)
+        .select(col("vec_id"), col("b1"), col("b2")).persist(sl)
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc, store, bin).foreach(_.count())
+      Similarity.ivfPqResidualTopKIndexedReranked(idx, ivfCb, pqCbRes,
+        qrys, store, m = 8, dim = 64, nprobe = 20, shortlist = 100,
+        k = 10, cellCodes = Some(cc)).write.format("noop")
+        .mode("overwrite").save()
+      Similarity.ivfPqResidualTopKBinaryCascade(idx, ivfCb, pqCbRes,
+        qrys, store, bin, m = 8, dim = 64, hammingList = 250,
+        shortlist = 100, k = 10).write.format("noop")
+        .mode("overwrite").save()
+      t("cascade_serve_ivf_np20", keepCache = true)(
+        Similarity.ivfPqResidualTopKIndexedReranked(idx, ivfCb, pqCbRes,
+          qrys, store, m = 8, dim = 64, nprobe = 20, shortlist = 100,
+          k = 10, cellCodes = Some(cc)))
+      for (h <- Seq(250, 400))
+        t(s"cascade_serve_bin_h$h", keepCache = true)(
+          Similarity.ivfPqResidualTopKBinaryCascade(idx, ivfCb, pqCbRes,
+            qrys, store, bin, m = 8, dim = 64, hammingList = h,
+            shortlist = 100, k = 10))
+      Seq(ivfCb, res, pqCbRes, idx, qrys, cc, store, bin)
+        .foreach(_.unpersist())
+    }
+
     // learned-PQ TRAINING cost per Lloyd iteration, production shape: a
     // FIXED-size sub-codebook (replica 0's seeds at any k) trained over
     // the full corpus — one iteration = one broadcast assign over the
