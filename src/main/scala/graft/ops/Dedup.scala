@@ -562,16 +562,30 @@ object Dedup {
   private[graft] def capBucketsPaired(a: DataFrame, b: DataFrame,
                                       keys: Seq[String], cap: Int,
                                       what: String): (DataFrame, DataFrame) = {
-    if (cap <= 0) (a, b)
+    val (ca, cb, _) = capBucketsPairedHot(a, b, keys, cap, what)
+    (ca, cb)
+  }
+
+  /** [[capBucketsPaired]] that ALSO hands back the hot-bucket key set
+    * (None when nothing was dropped) — for callers that re-block the
+    * dropped members through a second family instead of losing their
+    * recall (the ER flood rescue).
+    */
+  private[graft] def capBucketsPairedHot(a: DataFrame, b: DataFrame,
+                                         keys: Seq[String], cap: Int,
+                                         what: String)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    if (cap <= 0) (a, b, None)
     else {
       val kc = keys.map(col)
       val counted = a.select(kc: _*).unionAll(b.select(kc: _*))
         .groupBy(kc: _*).agg(count(lit(1)).as("__bsz"))
       hotBucketKeys(counted, keys, cap, what) match {
-        case None => (a, b)
+        case None => (a, b, None)
         case Some(hot) =>
           val h = broadcast(hot)
-          (a.join(h, keys, "left_anti"), b.join(h, keys, "left_anti"))
+          (a.join(h, keys, "left_anti"), b.join(h, keys, "left_anti"),
+            Some(hot))
       }
     }
   }

@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
-  private val SegSchema = "array<struct<l:int,i:int,seg:string>>"
+  private val SegSchema = "array<struct<l:int,i:int,seg:string,pos:int>>"
 
   /** Segment start offset (0-based) of segment `i` for a string of
     * length `l` split into `k` even segments: floor(i*l/k). Integer
@@ -62,12 +62,13 @@ object EntityResolution {
       val p = segStart(i, l, k)
       val len = segStart(i + 1, l, k) - p
       struct(l.as("l"), i.cast("int").as("i"),
-        col(strCol).substr(p + 1, len).as("seg"))
+        col(strCol).substr(p + 1, len).as("seg"), p.as("pos"))
     })
     df.select(col(idCol).as("__rid"), col(strCol).as("__rstr"),
         explode(segs).as("__s"))
       .select(col("__rid"), col("__rstr"),
-        col("__s.l").as("l"), col("__s.i").as("i"), col("__s.seg").as("seg"))
+        col("__s.l").as("l"), col("__s.i").as("i"), col("__s.seg").as("seg"),
+        col("__s.pos").as("pos"))
   }
 
   /** Probe-side blocking keys: for each probe string of length `m`,
@@ -91,13 +92,15 @@ object EntityResolution {
           when(hi >= lo,
             transform(sequence(lo, hi), j =>
               struct(l.cast("int").as("l"), i.cast("int").as("i"),
-                col(strCol).substr(j + 1, len).as("seg"))))
+                col(strCol).substr(j + 1, len).as("seg"),
+                j.cast("int").as("pos"))))
             .otherwise(array().cast(SegSchema))
         }))))
     df.select(col(idCol).as("__pid"), col(strCol).as("__pstr"),
         explode(subs).as("__s"))
       .select(col("__pid"), col("__pstr"),
-        col("__s.l").as("l"), col("__s.i").as("i"), col("__s.seg").as("seg"))
+        col("__s.l").as("l"), col("__s.i").as("i"), col("__s.seg").as("seg"),
+        col("__s.pos").as("pos"))
   }
 
   /** All (left, right) pairs with levenshtein(leftStr, rightStr) <= d —
@@ -141,6 +144,108 @@ object EntityResolution {
       .withColumn("dist", levenshtein(col("__pstr"), col("__rstr"), d))
       .filter(col("dist") >= 0)
       .select(col("__pid").as("id_a"), col("__rid").as("id_b"), col("dist"))
+  }
+
+  /** [[editDistanceSelfJoin]] with the hot-bucket recall RESTORED by a
+    * second blocking family (r15 verdict task 6). The cap alone trades
+    * recall silently beyond the loud audit: a pair whose only untouched
+    * segment IS the flood segment (the shared-constant-prefix corpus,
+    * d=1 with the edit in the diverse half) loses its one blocking key.
+    *
+    * The rescue re-blocks exactly the dropped members through a SECOND
+    * family: deletion neighborhoods of their COMPLEMENT strings. For a
+    * missed pair, the flood segment is the pigeonhole witness: both
+    * strings contain it verbatim (index side at home, probe side
+    * within d of home) and the witness alignment maps it to itself, so
+    * ALL d edits live outside it — the two complements (string with
+    * the matched occurrence excised) are within edit distance d of
+    * each other. Two strings within edit distance d always share a
+    * common string reachable by <= d single-character deletions from
+    * each (every substitution deletes one char on each side, every
+    * insert/delete one char on one side — the FastSS/deletion-
+    * neighborhood family, Bocek et al. 2007), so blocking on the
+    * <= d-deletion variants of the complements has zero false
+    * negatives. Deletion keys are POSITION-FREE, which is exactly what
+    * the layered-constant corpus ("Customer#000…", where the prefix
+    * would survive one segment excision as "er#0…" and flood again)
+    * needs — no iteration, one round. A deletion-key bucket can still
+    * flood (exact-duplicate complements, or complements shorter than
+    * d, whose empty deletion variant buckets everything — both truly
+    * quadratic pair sets), and then the same cap drops it LOUDLY,
+    * never silently. Precision is untouched: every rescued candidate
+    * is levenshtein-verified on the ORIGINAL strings. Cost: deletion
+    * fan-out is C(|complement|, <= d) per hot member — hot-member-
+    * scoped, nothing is paid when no bucket floods; at d = 1 it is
+    * linear in the complement length.
+    */
+  def editDistanceSelfJoinRescued(df: DataFrame, idCol: String,
+                                  strCol: String, d: Int,
+                                  maxBucketSize: Int): DataFrame = {
+    require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
+    require(maxBucketSize > 0,
+      "rescue only makes sense with the cap armed (maxBucketSize > 0)")
+    val keys = Seq("l", "i", "seg")
+    val probe = probeKeys(df, idCol, strCol, d)
+    val index = segmentKeys(df, idCol, strCol, d)
+    val (pc, ic, hotOpt) = Dedup.capBucketsPairedHot(probe, index, keys,
+      maxBucketSize, "editDistanceSelfJoinRescued")
+    val base = pc.join(ic, keys)
+      .filter(col("__pid") < col("__rid"))
+      .select(col("__pid"), col("__pstr"), col("__rid"), col("__rstr"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__pstr"), col("__rstr"), d))
+      .filter(col("dist") >= 0)
+      .select(col("__pid").as("id_a"), col("__rid").as("id_b"), col("dist"))
+    hotOpt match {
+      case None => base
+      case Some(hot0) =>
+        val h = broadcast(hot0)
+        // every (member, matched occurrence) of a dropped bucket, from
+        // BOTH sides; complement = the string with the occurrence excised
+        val comp = probe.join(h, keys)
+            .select(col("__pid").as("mid"), col("__pstr").as("mstr"),
+              col("pos"), length(col("seg")).as("slen"))
+          .unionByName(index.join(h, keys)
+            .select(col("__rid").as("mid"), col("__rstr").as("mstr"),
+              col("pos"), length(col("seg")).as("slen")))
+          .select(col("mid"), concat(
+            col("mstr").substr(lit(1), col("pos")),
+            col("mstr").substr(col("pos") + col("slen") + 1,
+              length(col("mstr")))).as("cstr"))
+          .distinct()
+        // deletion neighborhood U_{<=d}: every string reachable from the
+        // complement by 0..d single-character deletions. sequence(1, 0)
+        // DESCENDS in Spark, so empty strings are guarded explicitly.
+        val delOnce = "CASE WHEN length(v) >= 1 THEN " +
+          "transform(sequence(1, length(v)), " +
+          "p -> concat(substr(v, 1, p - 1), substr(v, p + 1, length(v)))) " +
+          "ELSE array() END"
+        val levels = (1 to d).scanLeft(
+          comp.select(col("mid"), col("cstr").as("v"))) { (prev, _) =>
+          prev.select(col("mid"), explode(expr(delOnce)).as("v"))
+        }
+        val nb = levels.reduce(_ unionByName _).distinct()
+        // the second-family candidate join, under the SAME cap: a
+        // deletion-key bucket that floods (exact-duplicate complements)
+        // is a truly quadratic pair set — dropped loudly, never silently
+        val nbc = Dedup.capBuckets(nb, Seq("v"), maxBucketSize,
+          "editDistanceRescue")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nbc.count()
+        val rcand = nbc.select(col("v"), col("mid").as("id_a"))
+          .join(nbc.select(col("v"), col("mid").as("id_b")), Seq("v"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+        val sA = df.select(col(idCol).as("id_a"), col(strCol).as("__sa"))
+        val sB = df.select(col(idCol).as("id_b"), col(strCol).as("__sb"))
+        val rescued = rcand
+          .join(sA, Seq("id_a")).join(sB, Seq("id_b"))
+          .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d))
+          .filter(col("dist") >= 0)
+          .select(col("id_a"), col("id_b"), col("dist"))
+        base.unionByName(rescued).dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** The index relation for [[editDistanceJoinIndexed]] — build once

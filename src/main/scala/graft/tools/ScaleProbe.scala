@@ -826,6 +826,35 @@ object ScaleProbe {
         graft.ops.EntityResolution.editDistanceSelfJoin(names, "id", "nm", 1))
       names.unpersist()
     }
+
+    // The recorded ER flood counterexample (the session-3 ladder's
+    // reversed-zero-padded ids: the constant trailing half IS the flood
+    // segment, 36 s -> 398 s quadratic uncapped). Three legs: uncapped
+    // (the wall — row count is the ground truth), capped (fast, recall
+    // silently gone — row count shows the loss), rescued (capped + the
+    // deletion-neighborhood second family — row count must return to
+    // the uncapped ground truth at near-capped cost).
+    if (only.forall(o => o.contains("er_flood_uncapped") ||
+        o.contains("er_flood_capped") || o.contains("er_flood_rescued"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val names = spark.range(20000L * k).selectExpr("id",
+        "translate(reverse(lpad(CAST(id AS VARCHAR(20)), 10, '0')), " +
+          "'0123456789', 'abcdefghij') AS nm").persist(sl)
+      names.count()
+      if (only.forall(_.contains("er_flood_uncapped")))
+        t("er_flood_uncapped", keepCache = true)(
+          graft.ops.EntityResolution.editDistanceSelfJoin(
+            names, "id", "nm", 1))
+      if (only.forall(_.contains("er_flood_capped")))
+        t("er_flood_capped", keepCache = true)(
+          graft.ops.EntityResolution.editDistanceSelfJoin(
+            names, "id", "nm", 1, maxBucketSize = 2000))
+      if (only.forall(_.contains("er_flood_rescued")))
+        t("er_flood_rescued", keepCache = true)(
+          graft.ops.EntityResolution.editDistanceSelfJoinRescued(
+            names, "id", "nm", 1, maxBucketSize = 2000))
+      names.unpersist()
+    }
     // Distributed-CDF equi-depth histogram: distinct-value volume grows
     // with k (per-replica price salt), the rank assignment must stay
     // bucket-parallel. The contrast row is the textbook global-window

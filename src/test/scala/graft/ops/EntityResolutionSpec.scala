@@ -150,4 +150,35 @@ class EntityResolutionSpec extends SparkSpec {
         "otherwise this test exercises nothing")
     df.unpersist()
   }
+
+  test("rescued self-join restores the recall the flood cap drops") {
+    // same flood shape as above: the complement re-blocking must give
+    // back EXACTLY the brute-force pair set while the cap stays armed
+    val df = (0 until 80).map(i => (i.toLong, f"Customer#$i%03d"))
+      .toDF("id", "s").cache()
+    val want = bruteSelf(df, 1)
+    val capped = EntityResolution.editDistanceSelfJoin(df, "id", "s", 1,
+        maxBucketSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.size < want.size, "fixture must flood for this test")
+    val rescued = EntityResolution.editDistanceSelfJoinRescued(df, "id",
+        "s", 1, maxBucketSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rescued == want,
+      s"rescue must restore exact recall: missing ${want -- rescued}, " +
+        s"extra ${rescued -- want}")
+    df.unpersist()
+  }
+
+  test("rescued self-join equals the capped join when nothing floods") {
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "bbbb"), (4L, "bbbc"),
+      (5L, "cdef")).toDF("id", "s")
+    val plain = EntityResolution.editDistanceSelfJoin(df, "id", "s", 1,
+        maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rescued = EntityResolution.editDistanceSelfJoinRescued(df, "id",
+        "s", 1, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rescued == plain && plain == bruteSelf(df, 1))
+  }
 }
