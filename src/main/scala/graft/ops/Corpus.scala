@@ -305,6 +305,52 @@ object Corpus {
           .as("readback_match"))
   }
 
+  /** [[publishRelease]] routed through the transaction log
+    * ([[graft.pipeline.VersionedTable]]) — the release root becomes a
+    * versioned table where every publish is a manifest COMMIT: a bad
+    * publish is undone by a metadata [[graft.pipeline.VersionedTable.rollback]]
+    * (O(1), no data rewritten — the atomic-swap publish would need the
+    * whole release re-written), past releases stay readable by version
+    * number (time travel for reproducing an old training run), and
+    * crashed writers leave the previous release intact. Returns the
+    * same per-shard readback-verification report, recomputed from the
+    * table's HEAD as the manifest resolves it.
+    */
+  def publishReleaseVersioned(release: DataFrame, idCol: String,
+                              textCol: String, nShards: Int,
+                              root: String): DataFrame = {
+    val sharded = withShard(release.select(col(idCol), col(textCol)),
+      idCol, nShards)
+    graft.pipeline.VersionedTable.commit(release.sparkSession, sharded, root)
+    verifyPublishedVersioned(release, idCol, textCol, nShards, root)
+  }
+
+  /** The verification half of [[publishReleaseVersioned]], standalone:
+    * recompute the manifest from the versioned table's bytes (HEAD, or
+    * a time-travel `version`) and compare against the manifest the
+    * release plans to. Writes nothing.
+    */
+  def verifyPublishedVersioned(release: DataFrame, idCol: String,
+                               textCol: String, nShards: Int, root: String,
+                               version: Option[Long] = None): DataFrame = {
+    val sharded = withShard(release.select(col(idCol), col(textCol)),
+      idCol, nShards)
+    val planned = shardManifestBy(sharded, "shard", idCol, textCol)
+      .select(col("shard"), col("n_docs"), col("n_chars"), col("checksum"))
+    val back = shardManifestBy(
+      graft.pipeline.VersionedTable.read(release.sparkSession, root, version),
+      "shard", idCol, textCol)
+      .select(col("shard"), col("n_docs").as("__rb_docs"),
+        col("n_chars").as("__rb_chars"), col("checksum").as("rb_checksum"))
+    planned.join(back, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_docs"), col("n_chars"), col("checksum"),
+        col("rb_checksum"),
+        coalesce(col("checksum") === col("rb_checksum") &&
+          col("n_docs") === col("__rb_docs") &&
+          col("n_chars") === col("__rb_chars"), lit(false))
+          .as("readback_match"))
+  }
+
   /** Vocabulary drift between two corpus releases — the token-level
     * companion of [[releaseDiff]]: for each token, its relative
     * frequency in the old and new corpus and the (6-grid) frequency

@@ -3011,6 +3011,29 @@ object LlmQueries {
         ParityQueries.scratch("llm_release_publish"))
     }),
 
+    // the publish routed through the transaction log (r15 verdict task
+    // 7): v1 = the good release, v2 = a BAD publish (every 3rd doc
+    // silently dropped — the regression a team ships by accident),
+    // then a metadata ROLLBACK to v1 — no data rewritten — and the
+    // head verified against the good release. All-true readback_match
+    // proves the rollback restored the exact published bytes.
+    "llm_release_publish_versioned" -> ((s, dir) => {
+      val root = ParityQueries.scratch("llm_release_publish_versioned")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val release = Dedup.exactKeepFirst(Tables.documents(s, dir),
+        "doc_id", "text")
+      Corpus.publishReleaseVersioned(release, "doc_id", "text",
+        nShards = 8, root).count() // v1: the good release
+      Corpus.publishReleaseVersioned(
+        release.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        nShards = 8, root).count() // v2: the bad publish
+      graft.pipeline.VersionedTable.rollback(s, root, to = 1L)
+      Corpus.verifyPublishedVersioned(release, "doc_id", "text",
+        nShards = 8, root)
+    }),
+
     "pipeline_gold_readback" -> ((s, dir) => {
       val out = ParityQueries.scratch("pipeline_run")
       // wipe the previous run: quarantine is APPEND by design, so reusing
@@ -6095,6 +6118,26 @@ object LlmQueries {
     },
 
     "llm_release_publish" -> {
+      val h60 = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)
+      s"""WITH x0 AS (SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |                   GROUP BY md5(lower(text)))),
+         |s AS (SELECT doc_id,
+         |    CAST(CAST($h60 AS BIGINT) % 8 AS INT) AS shard,
+         |    md5(text) AS h, CAST(length(text) AS BIGINT) AS len
+         |  FROM x0),
+         |m AS (SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS n_chars,
+         |    md5(string_agg(h, ',' ORDER BY doc_id)) AS checksum
+         |  FROM s GROUP BY 1)
+         |SELECT shard, n_docs, n_chars, checksum,
+         |  checksum AS rb_checksum, true AS readback_match
+         |FROM m""".stripMargin
+    },
+
+    // after the rollback the head IS the good release, so the oracle is
+    // the same planned manifest with both checksum columns equal
+    "llm_release_publish_versioned" -> {
       val h60 = hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 15)
       s"""WITH x0 AS (SELECT * FROM documents
          |  WHERE doc_id IN (SELECT min(doc_id) FROM documents

@@ -223,6 +223,64 @@ class CorpusSpec extends SparkSpec {
       "untouched shards must still verify")
   }
 
+  test("versioned publish: bad release rolls back by metadata; time travel " +
+      "reads every version; tamper flips the shard red") {
+    import graft.pipeline.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vpub_")
+      .toString + "/release"
+    val good = (1L to 40L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val bad = good.filter(col("doc_id") % 3 =!= 0)
+    def allMatch(out: Array[(Int, Long, Long, String, String, Boolean)]) =
+      out.forall(_._6)
+    // v1: good publish verifies
+    val v1 = Corpus.publishReleaseVersioned(good, "doc_id", "text", 4, root)
+      .as[(Int, Long, Long, String, String, Boolean)].collect()
+    assert(v1.length == 4 && allMatch(v1) && v1.map(_._2).sum == 40)
+    // v2: the bad publish verifies AGAINST ITSELF (the write is fine;
+    // the CONTENT is the regression) — and the head no longer matches
+    // the good release
+    val v2 = Corpus.publishReleaseVersioned(bad, "doc_id", "text", 4, root)
+      .as[(Int, Long, Long, String, String, Boolean)].collect()
+    assert(allMatch(v2))
+    val headVsGood = Corpus.verifyPublishedVersioned(good, "doc_id",
+        "text", 4, root)
+      .as[(Int, Long, Long, String, String, Boolean)].collect()
+    assert(!allMatch(headVsGood), "bad head must not verify as the good release")
+    // metadata rollback: the head is the good release again, nothing
+    // was rewritten (batch dirs are immutable)
+    VersionedTable.rollback(spark, root, to = 1L)
+    val afterRb = Corpus.verifyPublishedVersioned(good, "doc_id", "text",
+        4, root)
+      .as[(Int, Long, Long, String, String, Boolean)].collect()
+    assert(allMatch(afterRb), "rollback must restore the good release")
+    // time travel: v2 still reads as the bad release, by version number
+    assert(VersionedTable.read(spark, root, Some(2L)).count() ==
+      bad.count())
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    // tamper with a physical data file of v1's batch: the rolled-back
+    // head must flip exactly that shard red
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val batch1 = new org.apache.hadoop.fs.Path(s"$root/data/batch-00001")
+    val victimFile = fs.listStatus(batch1).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val vrows = spark.read.parquet(victimFile.toString).localCheckpoint(true)
+    assert(vrows.count() > 0)
+    val truncated = vrows.limit((vrows.count() - 1).toInt)
+      .localCheckpoint(true)
+    fs.delete(victimFile, false)
+    val tmp = victimFile.toString + ".rewrite"
+    truncated.coalesce(1).write.parquet(tmp)
+    val rewritten = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.rename(rewritten, victimFile)
+    val audit = Corpus.verifyPublishedVersioned(good, "doc_id", "text",
+        4, root)
+      .as[(Int, Long, Long, String, String, Boolean)].collect()
+    assert(audit.exists(!_._6), "tampered batch file must fail verification")
+  }
+
   test("curriculum: bucketed positions equal the global (tier, key, id) " +
       "rank — a dense 1..n permutation, tiers in ascending blocks") {
     import org.apache.spark.sql.functions.{col, lit, when}
