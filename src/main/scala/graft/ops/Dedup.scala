@@ -790,6 +790,93 @@ object Dedup {
       lshCandidatePairs(docs, idCol, numHashes, bands, textCol, k, maxBucketSize),
       idCol, k, threshold, textCol)
 
+  /** EXACT word-set similarity self-join via prefix filtering — the
+    * AllPairs/SSJoin family (Bayardo, Ma & Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW 2007; Chaudhuri, Ganti & Kaushik,
+    * ICDE 2006 — implemented from scratch on relational primitives):
+    * every unordered document pair whose token-SET Jaccard reaches
+    * `threshold`, with EXACT cross-product semantics — the
+    * deterministic companion to banded-LSH [[fuzzy]], which trades a
+    * tunable miss probability for its candidate bound.
+    *
+    * Prefix lemma: order the vocabulary globally (document frequency
+    * ascending, token text as tiebreak — rarest first, so prefixes are
+    * maximally selective) and keep each document's first
+    * p = s − ceil(t·s) + 1 tokens of its sorted set (s = set size). If
+    * jaccard(A, B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ ceil(t·|A|), so were the
+    * globally-smallest shared token outside A's prefix, the whole
+    * intersection would fit in A's suffix of ceil(t·|A|) − 1 tokens —
+    * contradiction; symmetrically for B. The prefix-prefix equi-join
+    * therefore has ZERO false negatives, and the exact Jaccard verify
+    * removes the false positives.
+    *
+    * Scale shape: token and prefix relations are corpus-linear; the
+    * candidate join keys on prefix tokens (rare by construction), with
+    * the standard hot-bucket cap for the degenerate corpus (tiny
+    * documents built entirely from the same frequent words); the
+    * verify join is candidate-sized (the [[jaccardVerify]] posture).
+    * The document-frequency relation is VOCABULARY-sized — the global
+    * order is a vocabulary artifact, like a codebook.
+    */
+  def setSimilarityPairs(docs: DataFrame, idCol: String, threshold: Double,
+                         textCol: String = "text", k: Int = 3,
+                         maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the set universe is k-shingles (k = 1 -> word sets). Prefix
+    // filtering needs a DIVERSE universe to prune: a tiny vocabulary
+    // (the 31-word synthetic corpus) makes every "rare" prefix token
+    // corpus-common and the candidate set near-quadratic — shingles are
+    // the repo's standard diverse unit (the same reason the LSH family
+    // sketches k = 3 grams, not words).
+    val tk = shingleRows(docs.select(col(idCol), col(textCol)),
+        idCol, textCol, k)
+      .select(col("doc_id"), col("s").as("w"))
+      .distinct()
+      .persist(sl)
+    tk.count()
+    val freq = tk.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // ceil over the RATIONAL t·s, guarded against float overshoot: for a
+    // threshold whose double sits just above its rational (0.8, 0.7 …),
+    // t*s can land epsilon ABOVE an exact integer k and ceil to k+1 —
+    // one token too few in the prefix, a silent false negative. The
+    // 1e-9 back-off restores k (real fractional parts are >= 1/s,
+    // orders of magnitude above it).
+    val docTokens = tk.join(freq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
+      .withColumn("s", size(col("ts")))
+      .withColumn("p",
+        col("s") -
+          ceil(lit(threshold) * col("s") - lit(1e-9)).cast("int") + 1)
+      .persist(sl)
+    docTokens.count()
+    val prefix = docTokens
+      .select(col("doc_id"), explode(expr("slice(ts, 1, p)")).as("pt"))
+      .select(col("doc_id"), col("pt.w").as("w"))
+    val pruned = capBuckets(prefix, Seq("w"), maxBucketSize,
+      "setSimilarityPairs")
+    val cand = pruned.select(col("w"), col("doc_id").as("doc_a"))
+      .join(pruned.select(col("w"), col("doc_id").as("doc_b")), Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .persist(sl)
+    cand.count()
+    val inter = cand
+      .join(tk.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sz = docTokens.select(col("doc_id"), col("s"))
+    val jac = col("inter").cast("double") /
+      (col("sa") + col("sb") - col("inter")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
   /** Connected-component resolution over verified near-dup PAIRS — the
     * step that turns a pair report into a dedup operator: A~B and B~C put
     * all three in one cluster whose keeper is the minimum doc id.

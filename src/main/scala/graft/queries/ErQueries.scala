@@ -60,6 +60,14 @@ object ErQueries {
     "translate(lpad(CAST(c_custkey * 8191 % 1000000 AS VARCHAR(16)), " +
       "6, '0'), '0123456789', 'abcdefghij')"
 
+  /** UN-reversed zero-padded name: the constant leading-zero half is one
+    * flood segment for every row — the degenerate corpus the cap spec
+    * and the rescued join exist for (shared Spark/DuckDB SQL).
+    */
+  private val FloodNameSql =
+    "translate(lpad(CAST(c_custkey AS VARCHAR(16)), 6, '0'), " +
+      "'0123456789', 'abcdefghij')"
+
   private def clean(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.customer(s, dir).selectExpr("c_custkey", s"$CleanNameSql AS nm")
 
@@ -114,6 +122,19 @@ object ErQueries {
               "graft_jaro_winkler", col("dn"), col("cn")), 6).as("jw"))
     }),
 
+    // the rescued self-join on the FLOODING name universe (plain
+    // zero-padded keys: the constant leading-zero half puts one segment
+    // of every row in one bucket — the recorded counterexample shape).
+    // The cap (64) genuinely fires here, so this query proves the
+    // deletion-neighborhood second family restores EXACT recall: the
+    // oracle is the plain brute-force cross product, no cap modeled
+    "er_self_pairs_rescued" -> ((s, dir) =>
+      EntityResolution.editDistanceSelfJoinRescued(
+        Tables.customer(s, dir).selectExpr("c_custkey",
+          s"$FloodNameSql AS nm"),
+        "c_custkey", "nm", d = 1, maxBucketSize = 64)
+        .select(col("id_a"), col("id_b"), col("dist"))),
+
     // entity clusters over the scrambled universe: clean records union
     // their dirty copies (ids offset +100000), connected components over
     // the distance-1 graph, every record labeled with its component min —
@@ -135,6 +156,13 @@ object ErQueries {
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
          |       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
          |FROM cl a JOIN cl b ON a.c_custkey < b.c_custkey
+         |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
+
+    "er_self_pairs_rescued" ->
+      s"""WITH fl AS (SELECT c_custkey, $FloodNameSql AS nm FROM customer)
+         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+         |FROM fl a JOIN fl b ON a.c_custkey < b.c_custkey
          |WHERE levenshtein(a.nm, b.nm) <= 1""".stripMargin,
 
     "er_dirty_link" ->

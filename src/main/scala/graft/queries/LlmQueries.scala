@@ -1256,6 +1256,16 @@ object LlmQueries {
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // EXACT shingle-set Jaccard self-join via prefix filtering
+    // (AllPairs/SSJoin): the same pair semantics as dedup_fuzzy (k=3
+    // shingles, jaccard >= 0.5) but with ZERO false negatives — banded
+    // LSH misses low-band-collision pairs; this result is the true
+    // superset. The oracle is the unfiltered cross product, so the
+    // prefix lemma itself is hash-gated.
+    "dedup_setsim_pairs" -> ((s, dir) =>
+      Dedup.setSimilarityPairs(Tables.documents(s, dir), "doc_id",
+        threshold = 0.5)),
+
     // cluster resolution over the verified pairs: every clustered doc with
     // its keeper (= min id reachable through the near-dup graph)
     "dedup_fuzzy_resolved" -> ((s, dir) => {
@@ -3237,6 +3247,25 @@ object LlmQueries {
     "dedup_fuzzy" ->
       s"""WITH $FuzzyCtes
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ver""".stripMargin,
+
+    // exact cross-product shingle-set jaccard — NO prefix filter
+    // modeled: the engine's prefix-pruned plan must reproduce it exactly
+    "dedup_setsim_pairs" ->
+      """WITH tw AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS ws FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS w
+        |       FROM tw, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+        |tsz AS (SELECT doc_id, count(*) AS c FROM tk GROUP BY 1),
+        |tiv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        count(*) AS inter
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |tj AS (SELECT doc_a, doc_b,
+        |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac
+        |      FROM tiv JOIN tsz sa ON doc_a = sa.doc_id
+        |               JOIN tsz sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+        |FROM tj WHERE jac >= 0.5""".stripMargin,
 
     "dedup_quote_pairs" ->
       s"""WITH $AugQuoteCte,

@@ -336,4 +336,53 @@ class DedupSpec extends SparkSpec {
       maxBucketSize = 5).count()
     assert(capped < uncapped)
   }
+
+  test("setSimilarityPairs equals the brute-force word-set jaccard join") {
+    // diverse word universes with planted overlaps at, above and below
+    // the threshold (incl. the exact boundary), repeated words (set
+    // semantics), and an empty doc
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),     // jac(1,2)=3/5=0.6
+      (3L, "alpha beta zeta eta theta"),    // jac(1,3)=2/7
+      (4L, "alpha beta gamma delta"),       // exact dup of 1 -> jac 1.0
+      (5L, "iota kappa lambda"),
+      (6L, "iota kappa lambda mu nu xi"),   // jac(5,6)=3/6=0.5 boundary
+      (7L, "alpha alpha beta beta gamma gamma delta"), // set == doc 1
+      (8L, "")
+    ).toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val tok = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSet).toMap
+      (for {
+        a <- tok.keys; b <- tok.keys if a < b
+        ia = tok(a); ib = tok(b) if ia.nonEmpty && ib.nonEmpty
+        j = ia.intersect(ib).size.toDouble / ia.union(ib).size
+        if j >= t
+      } yield (a, b, math.round(j * 1e6) / 1e6)).toSet
+    }
+    // k = 1 -> word-set mode, so the hand brute force stays word-based;
+    // 0.6/0.9 also exercise the float-ceil back-off in the prefix length
+    for (t <- Seq(0.5, 0.6, 0.9)) {
+      val got = Dedup.setSimilarityPairs(docs, "doc_id", t, k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == brute(t), s"threshold $t: got $got want ${brute(t)}")
+    }
+  }
+
+  test("setSimilarityPairs cap drops the frequent-word flood loudly, never precision") {
+    // every doc is two frequent words plus a unique one: at t=0.5 the
+    // frequent pair lands in every prefix and floods its buckets
+    val docs = (1L to 30L).map(i => (i, s"common words unique$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.setSimilarityPairs(docs, "doc_id", 0.5, k = 1)
+    // jac of any two = 2/4 = 0.5 -> all 435 pairs are true pairs
+    assert(uncapped.count() == 435)
+    val capped = Dedup.setSimilarityPairs(docs, "doc_id", 0.5, k = 1,
+      maxBucketSize = 10)
+    val cs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cs.size < 435, "cap should drop the flood")
+    assert(cs.forall { case (a, b) => a < b }, "surviving pairs well-formed")
+  }
 }
