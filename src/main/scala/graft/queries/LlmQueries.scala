@@ -1407,6 +1407,26 @@ object LlmQueries {
       Similarity.radiusSearch(Tables.embeddings(s, dir),
         col("vec_id") % 20 === 0, threshold = 0.25)),
 
+    // Matryoshka-style prefix-dimension ladder (Kusupati et al. 2022):
+    // recall@10 of brute-force cosine over only the FIRST 16/32 of 64
+    // dims vs the full-dim exact top-10 — the measurement behind
+    // serving truncated embeddings (4x/2x less memory and bandwidth at
+    // a measured recall cost). The exact ground truth is the session
+    // memo the recall family shares.
+    "sim_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val exact = exactTopK(s, dir, 0)
+      Seq(16, 32).map { dims =>
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(
+            e.select(col("vec_id"),
+              slice(col("embedding"), 1, dims).as("embedding")),
+            col("vec_id") % 100 === 0, k = 10),
+          exact, k = 10)
+          .select(lit(dims).as("dims"), col("query_id"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // metadata-equality-constrained top-k: rank only candidates sharing
     // the query's label (same-language retrieval); the equality key is
     // the partition pruning at scale
@@ -3589,6 +3609,36 @@ object LlmQueries {
          |FROM q, embeddings e
          |WHERE e.vec_id <> q.query_id
          |  AND ${cosSql("q.qe", "e.embedding")} >= 0.25""".stripMargin,
+
+    // prefix-dim recall vs the full-dim exact list, one block per rung
+    "sim_matryoshka_recall" -> {
+      def rung(d: Int): String =
+        s"""p$d AS (SELECT q.query_id, e.vec_id,
+           |        ${cosSql(s"q.qe[1:$d]", s"e.embedding[1:$d]")} AS sim
+           |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+           |a$d AS (SELECT query_id, vec_id FROM (
+           |      SELECT query_id, vec_id, row_number() OVER (
+           |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+           |      FROM p$d) WHERE rn <= 10),
+           |r$d AS (SELECT CAST($d AS INT) AS dims, ex.query_id,
+           |        round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS recall
+           |      FROM ex LEFT JOIN a$d a
+           |        ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id
+           |      GROUP BY 2)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |pf AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |      SELECT query_id, vec_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |      FROM pf) WHERE rn <= 10),
+         |${rung(16)},
+         |${rung(32)}
+         |SELECT * FROM r16 UNION ALL SELECT * FROM r32""".stripMargin
+    },
 
     // same-label top-k: the equality constraint joins query to its
     // label's candidates only

@@ -574,6 +574,34 @@ object MiningQueries {
             .as("risky_share"))
     }),
 
+    // l-diversity audit (Machanavajjhala et al. 2007) — the attribute-
+    // disclosure companion of quality_k_anonymity: a class can be
+    // k-anonymous yet expose its members' SENSITIVE value when every
+    // member shares it. Per (nation, segment) class: distinct sensitive
+    // bands; classes with < 3 distinct values are exposed. Same scale
+    // shape — one combined count + distinct aggregate, class-sized
+    // relations only.
+    "quality_l_diversity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      val classes = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_n"),
+          countDistinct(col("bal_band")).as("l_div"))
+      val tot = c.agg(count(lit(1)).as("n_rows"))
+      classes.agg(count(lit(1)).as("n_classes"),
+          sum(when(col("l_div") < 3, 1L).otherwise(0L))
+            .as("n_low_div_classes"),
+          sum(when(col("l_div") < 3, col("class_n")).otherwise(0L))
+            .as("n_exposed_rows"),
+          min(col("l_div")).as("min_l"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_classes"), col("n_low_div_classes"),
+          col("n_exposed_rows"), col("min_l"),
+          round(col("n_exposed_rows").cast("double") / col("n_rows"), 6)
+            .as("exposed_share"))
+    }),
+
     // weekly seasonality profile: per (type, day-of-week) activity with
     // within-type shares — the chi2 query's contingency table exposed
     // as the report itself (the shape check behind every staffing /
@@ -1251,6 +1279,25 @@ object MiningQueries {
         |  min(class_n) AS min_class_n,
         |  round(CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)
         |    AS DOUBLE) / max(t.n_rows), 6) AS risky_share
+        |FROM cls, t""".stripMargin,
+
+    "quality_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |    count(*) AS class_n,
+        |    count(DISTINCT bal_band) AS l_div
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS n_rows FROM c)
+        |SELECT count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_div_classes,
+        |  CAST(sum(CASE WHEN l_div < 3 THEN class_n ELSE 0 END)
+        |    AS BIGINT) AS n_exposed_rows,
+        |  min(l_div) AS min_l,
+        |  round(CAST(sum(CASE WHEN l_div < 3 THEN class_n ELSE 0 END)
+        |    AS DOUBLE) / max(t.n_rows), 6) AS exposed_share
         |FROM cls, t""".stripMargin,
 
     "corpus_kfold" -> {
