@@ -661,12 +661,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("basket pairs: closure prune broadcast, no cartesian anywhere") {
-    val p = planOf("basket_frequent_pairs")
+    // the declared query serves from the r16 session memo (an RDD-scan
+    // plan by design), so the pin inspects the BUILD plan directly
+    val p = graft.ops.MarketBasket.frequentPairs(
+        graft.Tables.lineitem(spark, sf0001), "l_orderkey", "l_partkey",
+        minSupport = 2L)
+      .queryExecution.executedPlan.toString
     // the frequent-item set and the support carries ride broadcasts;
     // the pair join itself is basket-keyed hash — never nested-loop
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("set-similarity join: prefix blocking is a hash equi-join, never a loop") {
+    // AllPairs prefix filtering, like PassJoin: the jaccard predicate
+    // must never be a join condition — candidates hash-join on prefix
+    // tokens, the exact verify runs as a filter after the intersection
+    // aggregate
+    val p = planOf("dedup_setsim_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix blocking must stay a hash join:\n$p")
   }
 
   test("triangles: every join a hash equi-join, order predicates residual") {
