@@ -284,6 +284,41 @@ object DataProfile {
         max(col("target")).as("rank"))
   }
 
+  /** Pre-join key-skew diagnosis for a prospective join/shuffle key —
+    * the report a pipeline reads BEFORE choosing broadcast vs salting
+    * vs AQE skew handling: the per-key count distribution (exact type-1
+    * p50/p90/p99 via the distributed CDF — no global sort), the hottest
+    * key and its share of all rows, and the max/mean skew ratio (the
+    * lower bound on how much longer the hottest reduce task runs than
+    * the average one). One key-count aggregate; every derived relation
+    * is key-count- or scalar-sized.
+    */
+  def joinKeySkew(df: DataFrame, keyCol: String,
+                  maxKeyN: Long = 1L << 32): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("kn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val base = counts.agg(sum(col("kn")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("kn")).as("max_key_n"))
+    val topKey = counts
+      .join(broadcast(base.select(col("max_key_n").as("__mx"))),
+        col("kn") === col("__mx"))
+      .agg(min(col("k")).as("top_key"))
+    val qs = quantilesExact(counts, "kn", 0L, maxKeyN, Seq(50, 90, 99))
+      .agg(max(when(col("p") === 50, col("value"))).as("p50_key_n"),
+        max(when(col("p") === 90, col("value"))).as("p90_key_n"),
+        max(when(col("p") === 99, col("value"))).as("p99_key_n"))
+    base.crossJoin(broadcast(topKey)).crossJoin(broadcast(qs))
+      .select(col("n_rows"), col("n_keys"), col("max_key_n"),
+        col("top_key"),
+        round(col("max_key_n").cast("double") / col("n_rows"), 6)
+          .as("top_share"),
+        round(col("max_key_n").cast("double") * col("n_keys") /
+          col("n_rows"), 6).as("skew_ratio"),
+        col("p50_key_n"), col("p90_key_n"), col("p99_key_n"))
+  }
+
   /** Per-group [[quantilesExact]]: the same distributed value-grouped
     * CDF with the group key riding every stage — per-(group, bucket)
     * counts, a per-group 64-row offset window, per-(group, bucket)

@@ -248,6 +248,73 @@ object EntityResolution {
     }
   }
 
+  /** [[editDistanceJoin]] with the hot-bucket recall restored — the
+    * two-relation (record-linkage) face of
+    * [[editDistanceSelfJoinRescued]]: the same deletion-neighborhood
+    * second family over flood-segment complements, with candidates
+    * oriented left-probe vs right-index.
+    */
+  def editDistanceJoinRescued(left: DataFrame, leftId: String,
+                              leftStr: String, right: DataFrame,
+                              rightId: String, rightStr: String, d: Int,
+                              maxBucketSize: Int): DataFrame = {
+    require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
+    require(maxBucketSize > 0,
+      "rescue only makes sense with the cap armed (maxBucketSize > 0)")
+    val keys = Seq("l", "i", "seg")
+    val probe = probeKeys(left, leftId, leftStr, d)
+    val index = segmentKeys(right, rightId, rightStr, d)
+    val (pc, ic, hotOpt) = Dedup.capBucketsPairedHot(probe, index, keys,
+      maxBucketSize, "editDistanceJoinRescued")
+    val base = pc.join(ic, keys)
+      .select(col("__pid"), col("__pstr"), col("__rid"), col("__rstr"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__pstr"), col("__rstr"), d))
+      .filter(col("dist") >= 0)
+      .select(col("__pid").as(leftId), col("__rid").as(rightId), col("dist"))
+    hotOpt match {
+      case None => base
+      case Some(hot0) =>
+        val h = broadcast(hot0)
+        def comp(rel: DataFrame, id: String, str: String): DataFrame =
+          rel.join(h, keys)
+            .select(col(id).as("mid"), col(str).as("mstr"),
+              col("pos"), length(col("seg")).as("slen"))
+            .select(col("mid"), concat(
+              col("mstr").substr(lit(1), col("pos")),
+              col("mstr").substr(col("pos") + col("slen") + 1,
+                length(col("mstr")))).as("cstr"))
+            .distinct()
+        val delOnce = "CASE WHEN length(v) >= 1 THEN " +
+          "transform(sequence(1, length(v)), " +
+          "p -> concat(substr(v, 1, p - 1), substr(v, p + 1, length(v)))) " +
+          "ELSE array() END"
+        def neighborhood(c: DataFrame): DataFrame =
+          (1 to d).scanLeft(c.select(col("mid"), col("cstr").as("v"))) {
+            (prev, _) =>
+              prev.select(col("mid"), explode(expr(delOnce)).as("v"))
+          }.reduce(_ unionByName _).distinct()
+        val (nbL, nbR) = Dedup.capBucketsPaired(
+          neighborhood(comp(probe, "__pid", "__pstr")),
+          neighborhood(comp(index, "__rid", "__rstr")),
+          Seq("v"), maxBucketSize, "editDistanceJoinRescue")
+        val rcand = nbL.select(col("v"), col("mid").as("__la"))
+          .join(nbR.select(col("v"), col("mid").as("__rb")), Seq("v"))
+          .select(col("__la"), col("__rb")).distinct()
+        val sL = left.select(col(leftId).as("__la"),
+          col(leftStr).as("__sa"))
+        val sR = right.select(col(rightId).as("__rb"),
+          col(rightStr).as("__sb"))
+        val rescued = rcand
+          .join(sL, Seq("__la")).join(sR, Seq("__rb"))
+          .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d))
+          .filter(col("dist") >= 0)
+          .select(col("__la").as(leftId), col("__rb").as(rightId),
+            col("dist"))
+        base.unionByName(rescued).dropDuplicates(leftId, rightId)
+    }
+  }
+
   /** The index relation for [[editDistanceJoinIndexed]] — build once
     * over the reference corpus, persist/append, probe with every new
     * batch (the incremental-ingest shape shared with

@@ -135,6 +135,26 @@ object ErQueries {
         "c_custkey", "nm", d = 1, maxBucketSize = 64)
         .select(col("id_a"), col("id_b"), col("dist"))),
 
+    // rescued record linkage on the flooding universe: dirty copies of
+    // the zero-padded names linked back to the clean relation with the
+    // cap armed — same contract as er_self_pairs_rescued (the oracle
+    // models no cap; green only because recall is exactly restored)
+    "er_dirty_link_rescued" -> ((s, dir) => {
+      val cl = Tables.customer(s, dir).selectExpr("c_custkey",
+        s"$FloodNameSql AS nm")
+      val dr = cl.selectExpr("c_custkey", s"$MutateSql AS nm")
+      // cap 256: the constant-prefix segment bucket (~1000+ members at
+      // sf0.01) still floods and is rescued; the rescue's own deletion
+      // keys (3-char complements over a 10-letter alphabet — a
+      // saturated space at this fixture size) stay under it, so the
+      // oracle's no-cap cross product is reproduced exactly
+      EntityResolution.editDistanceJoinRescued(
+        dr.select(col("c_custkey").as("dirty_id"), col("nm")),
+        "dirty_id", "nm",
+        cl.select(col("c_custkey").as("clean_id"), col("nm")),
+        "clean_id", "nm", d = 1, maxBucketSize = 256)
+    }),
+
     // entity clusters over the scrambled universe: clean records union
     // their dirty copies (ids offset +100000), connected components over
     // the distance-1 graph, every record labeled with its component min —
@@ -170,6 +190,14 @@ object ErQueries {
          |SELECT d.c_custkey AS dirty_id, c.c_custkey AS clean_id,
          |       CAST(levenshtein(d.nm, c.nm) AS INT) AS dist
          |FROM dr d JOIN cl c ON levenshtein(d.nm, c.nm) <= 1""".stripMargin,
+
+    "er_dirty_link_rescued" ->
+      s"""WITH fl AS (SELECT c_custkey, $FloodNameSql AS nm FROM customer),
+         |fd AS (SELECT c_custkey, $MutateSql AS nm
+         |       FROM (SELECT c_custkey, nm FROM fl) AS cl)
+         |SELECT d.c_custkey AS dirty_id, c.c_custkey AS clean_id,
+         |       CAST(levenshtein(d.nm, c.nm) AS INT) AS dist
+         |FROM fd d JOIN fl c ON levenshtein(d.nm, c.nm) <= 1""".stripMargin,
 
     "er_jw_rerank" ->
       s"""WITH $FixtureCtes

@@ -152,6 +152,37 @@ object MiningQueries {
           round(col("n").cast("double") / col("n_from"), 6).as("p"))
     }),
 
+    // sequential-pattern support: users whose history contains event
+    // type X strictly-before type Y (ANY gap — the non-adjacent
+    // companion of events_markov's adjacent transitions). The naive
+    // shape is a per-user self-join (events² per user — the hot-user
+    // quadratic); this one is per-(user, type) MIN/MAX occurrence
+    // aggregates joined per user — fanout |types|² per user, bounded by
+    // the type alphabet, NEVER by activity. "X before Y" for a user ⟺
+    // first(X) < last(Y) on the (ts, event_id) total order.
+    "events_seq_patterns" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id"))
+      val occ = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("tsec"), col("event_id"))).as("first_occ"),
+          max(struct(col("tsec"), col("event_id"))).as("last_occ"))
+      val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users_total"))
+      occ.select(col("user_id"), col("event_type").as("type_a"),
+          col("first_occ").as("fa"))
+        .join(occ.select(col("user_id"), col("event_type").as("type_b"),
+          col("last_occ").as("lb")), Seq("user_id"))
+        .filter(col("fa.tsec") < col("lb.tsec") ||
+          (col("fa.tsec") === col("lb.tsec") &&
+            col("fa.event_id") < col("lb.event_id")))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("n_users"),
+          round(col("n_users").cast("double") / col("n_users_total"), 6)
+            .as("support"))
+    }),
+
     // connected components of the STRONG co-purchase graph (pair
     // support >= 3): product communities via the shared min-label
     // propagation (Dedup.resolveClusters — the ER clustering engine
@@ -573,6 +604,13 @@ object MiningQueries {
           round(col("n_risky_rows").cast("double") / col("n_rows"), 6)
             .as("risky_share"))
     }),
+
+    // pre-join skew diagnosis on the order-key: the report that decides
+    // broadcast/salting/AQE-skew handling BEFORE the join runs (the
+    // measured face of the hot-key story every guard in this repo tells)
+    "profile_join_skew" -> ((s, dir) =>
+      graft.ops.DataProfile.joinKeySkew(Tables.lineitem(s, dir),
+        "l_orderkey")),
 
     // l-diversity audit (Machanavajjhala et al. 2007) — the attribute-
     // disclosure companion of quality_k_anonymity: a class can be
@@ -1280,6 +1318,49 @@ object MiningQueries {
         |  round(CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)
         |    AS DOUBLE) / max(t.n_rows), 6) AS risky_share
         |FROM cls, t""".stripMargin,
+
+    "profile_join_skew" ->
+      """WITH kc AS (SELECT l_orderkey AS k, count(*) AS kn
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |b AS (SELECT CAST(sum(kn) AS BIGINT) AS n_rows,
+        |    count(*) AS n_keys, max(kn) AS max_key_n FROM kc),
+        |tk AS (SELECT min(k) AS top_key FROM kc, b
+        |       WHERE kn = b.max_key_n),
+        |q AS (SELECT ps.p, min(s.kn) AS value FROM
+        |    (SELECT kn, row_number() OVER (ORDER BY kn) AS rn FROM kc) s,
+        |    (SELECT unnest([50, 90, 99]) AS p) ps, b
+        |  WHERE s.rn >= (b.n_keys * ps.p + 99) // 100 GROUP BY 1),
+        |qp AS (SELECT
+        |    max(CASE WHEN p = 50 THEN value END) AS p50_key_n,
+        |    max(CASE WHEN p = 90 THEN value END) AS p90_key_n,
+        |    max(CASE WHEN p = 99 THEN value END) AS p99_key_n FROM q)
+        |SELECT b.n_rows, b.n_keys, b.max_key_n, tk.top_key,
+        |  round(CAST(b.max_key_n AS DOUBLE) / b.n_rows, 6) AS top_share,
+        |  round(CAST(b.max_key_n AS DOUBLE) * b.n_keys / b.n_rows, 6)
+        |    AS skew_ratio,
+        |  qp.p50_key_n, qp.p90_key_n, qp.p99_key_n
+        |FROM b, tk, qp""".stripMargin,
+
+    "events_seq_patterns" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
+        |    event_id
+        |  FROM events),
+        |occ AS (SELECT user_id, event_type,
+        |    first(tsec ORDER BY tsec, event_id) AS fts,
+        |    first(event_id ORDER BY tsec, event_id) AS fid,
+        |    last(tsec ORDER BY tsec, event_id) AS lts,
+        |    last(event_id ORDER BY tsec, event_id) AS lid
+        |  FROM e GROUP BY 1, 2),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users_total FROM e),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_users
+        |  FROM occ a JOIN occ b ON a.user_id = b.user_id
+        |    AND (a.fts < b.lts OR (a.fts = b.lts AND a.fid < b.lid))
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_users,
+        |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
+        |FROM pr, nu""".stripMargin,
 
     "quality_l_diversity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,

@@ -170,6 +170,32 @@ class EntityResolutionSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rescued two-relation join restores flood recall exactly") {
+    val clean = (0 until 60).map(i => (i.toLong, f"Customer#$i%03d"))
+      .toDF("cid", "cn")
+    // dirty copies: one substitution in the digits (the diverse half) —
+    // exactly the pairs the flooded constant-prefix segment owns
+    val dirty = (0 until 60).map { i =>
+      val base = f"Customer#$i%03d"
+      (1000L + i, base.substring(0, 11) + 'z' + base.substring(12))
+    }.toDF("did", "dn")
+    val want = dirty.as("a").join(clean.as("b"),
+        levenshtein(col("a.dn"), col("b.cn")) <= 1)
+      .select(col("a.did"), col("b.cid"),
+        levenshtein(col("a.dn"), col("b.cn")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty)
+    val capped = EntityResolution.editDistanceJoin(dirty, "did", "dn",
+        clean, "cid", "cn", d = 1, maxBucketSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.size < want.size, "fixture must flood for this test")
+    val rescued = EntityResolution.editDistanceJoinRescued(dirty, "did",
+        "dn", clean, "cid", "cn", d = 1, maxBucketSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rescued == want,
+      s"missing ${want -- rescued}, extra ${rescued -- want}")
+  }
+
   test("rescued self-join equals the capped join when nothing floods") {
     val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "bbbb"), (4L, "bbbc"),
       (5L, "cdef")).toDF("id", "s")
