@@ -790,6 +790,71 @@ object Dedup {
       lshCandidatePairs(docs, idCol, numHashes, bands, textCol, k, maxBucketSize),
       idCol, k, threshold, textCol)
 
+  /** Incremental (batch-vs-index) face of [[setSimilarityPairs]] — the
+    * exact-similarity analogue of [[incrementalLshCandidates]]: every
+    * pair (new, old) and (new, new) with shingle-set Jaccard >=
+    * `threshold`; the old corpus is never self-joined. The vocabulary
+    * order is PINNED to the CORPUS-ONLY document frequencies: the
+    * prefix lemma holds under ANY total order (frequency is only the
+    * selectivity heuristic), so a production index can compute its
+    * prefixes once and serve every future batch without re-ordering —
+    * batch tokens unseen in the corpus order first (df 0, the rarest
+    * position, which is also the selective choice). Exactness is
+    * unaffected; only prefix selectivity ages with corpus drift.
+    */
+  def setSimilarityIncremental(corpus: DataFrame, batch: DataFrame,
+                               idCol: String, threshold: Double,
+                               textCol: String = "text", k: Int = 3,
+                               maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def shingles(d: DataFrame) =
+      shingleRows(d.select(col(idCol), col(textCol)), idCol, textCol, k)
+        .select(col("doc_id"), col("s").as("w")).distinct()
+    val tkOld = shingles(corpus).persist(sl); tkOld.count()
+    val tkNew = shingles(batch).persist(sl); tkNew.count()
+    val dfreq = tkOld.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    def prefixes(tk: DataFrame): DataFrame =
+      tk.join(dfreq, Seq("w"), "left")
+        .select(col("doc_id"), col("w"), coalesce(col("df"), lit(0L)).as("df"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
+        .withColumn("s", size(col("ts")))
+        .withColumn("p",
+          col("s") - ceil(lit(threshold) * col("s") - lit(1e-9)).cast("int") + 1)
+        .select(col("doc_id"), explode(expr("slice(ts, 1, p)")).as("pt"))
+        .select(col("doc_id"), col("pt.w").as("w"))
+    val (pn, po) = capBucketsPaired(prefixes(tkNew), prefixes(tkOld),
+      Seq("w"), maxBucketSize, "setSimilarityIncremental")
+    val pnP = pn.persist(sl); pnP.count()
+    val cross = pnP.select(col("w"), col("doc_id").as("na"))
+      .join(po.select(col("w"), col("doc_id").as("nb")), Seq("w"))
+    val self = pnP.select(col("w"), col("doc_id").as("na"))
+      .join(pnP.select(col("w"), col("doc_id").as("nb")), Seq("w"))
+      .filter(col("na") < col("nb"))
+    val cand = cross.unionByName(self)
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .persist(sl)
+    cand.count()
+    val tk = tkOld.unionByName(tkNew).persist(sl); tk.count()
+    val inter = cand
+      .join(tk.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sz = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val jac = col("inter").cast("double") /
+      (col("sa") + col("sb") - col("inter")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("c").as("sa")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("c").as("sb")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+  }
+
   /** EXACT word-set similarity self-join via prefix filtering — the
     * AllPairs/SSJoin family (Bayardo, Ma & Srikant, "Scaling Up All
     * Pairs Similarity Search", WWW 2007; Chaudhuri, Ganti & Kaushik,

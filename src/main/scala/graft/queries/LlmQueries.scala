@@ -1256,6 +1256,18 @@ object LlmQueries {
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
 
+    // the incremental face of the exact set-similarity join: 20% batch
+    // vs 80% corpus (the standard hash split), old side never
+    // self-joined; vocabulary order pinned to corpus-only frequencies
+    // (any total order satisfies the prefix lemma)
+    "dedup_setsim_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.setSimilarityIncremental(
+        docs.filter(Dedup.hashBucket(col("doc_id")) >= 20),
+        docs.filter(Dedup.hashBucket(col("doc_id")) < 20),
+        "doc_id", threshold = 0.5)
+    }),
+
     // EXACT shingle-set Jaccard self-join via prefix filtering
     // (AllPairs/SSJoin): the same pair semantics as dedup_fuzzy (k=3
     // shingles, jaccard >= 0.5) but with ZERO false negatives — banded
@@ -3267,6 +3279,28 @@ object LlmQueries {
     "dedup_fuzzy" ->
       s"""WITH $FuzzyCtes
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ver""".stripMargin,
+
+    // the full exact pair set restricted to pairs touching the batch
+    // (the dedup_incremental_pairs convention for the exact family)
+    "dedup_setsim_incremental" ->
+      s"""WITH tw AS (SELECT doc_id,
+         |    string_split(lower(text), ' ') AS ws FROM documents),
+         |tk AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS w
+         |       FROM tw, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+         |nw AS (SELECT doc_id FROM documents WHERE $HashBucketSql < 20),
+         |tsz AS (SELECT doc_id, count(*) AS c FROM tk GROUP BY 1),
+         |tiv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS inter
+         |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |tj AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac
+         |      FROM tiv JOIN tsz sa ON doc_a = sa.doc_id
+         |               JOIN tsz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM tj WHERE jac >= 0.5
+         |  AND (doc_a IN (SELECT doc_id FROM nw)
+         |    OR doc_b IN (SELECT doc_id FROM nw))""".stripMargin,
 
     // exact cross-product shingle-set jaccard — NO prefix filter
     // modeled: the engine's prefix-pruned plan must reproduce it exactly

@@ -371,6 +371,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental set-similarity equals the full join restricted to the batch") {
+    // overlapping word universes split old/new; the incremental result
+    // must be exactly the full self-join minus old-old pairs, under the
+    // PINNED corpus-only vocabulary order (any total order is
+    // lemma-valid — including for batch tokens the corpus never saw)
+    val old = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "iota kappa lambda"),
+      (4L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "alpha beta gamma delta"),          // dup of old 1
+      (12L, "iota kappa lambda mu nu xi"),      // 0.5 vs old 3
+      (13L, "brandnew words only here"),        // unseen tokens
+      (14L, "brandnew words only here too")     // 0.8 vs 13
+    ).toDF("doc_id", "text")
+    val all = old.unionByName(batch)
+    val full = Dedup.setSimilarityPairs(all, "doc_id", 0.5, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oldIds = Set(1L, 2L, 3L, 4L)
+    val want = full.filterNot(p => oldIds(p._1) && oldIds(p._2))
+    assert(want.nonEmpty && want.size < full.size)
+    val got = Dedup.setSimilarityIncremental(old, batch, "doc_id", 0.5,
+        k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("setSimilarityPairs cap drops the frequent-word flood loudly, never precision") {
     // every doc is two frequent words plus a unique one: at t=0.5 the
     // frequent pair lands in every prefix and floods its buckets
