@@ -840,7 +840,12 @@ object Dedup {
       .distinct()
       .persist(sl)
     cand.count()
-    val tk = tkOld.unionByName(tkNew).persist(sl); tk.count()
+    // distinct across the union, not just per side: under at-least-once
+    // delivery a REPLAYED document sits in both the index and the batch,
+    // and double-counted token rows would inflate inter AND the sizes —
+    // emitting a pair row with a DIFFERENT jaccard than the first
+    // delivery, which a value-keyed dedup downstream cannot absorb
+    val tk = tkOld.unionByName(tkNew).distinct().persist(sl); tk.count()
     val inter = cand
       .join(tk.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
       .join(tk.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
