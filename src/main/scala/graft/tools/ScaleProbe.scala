@@ -56,6 +56,11 @@ object ScaleProbe {
     t("fuzzy")(Dedup.fuzzy(docs, "doc_id", 16, 4, 0.5))
     t("simhash_pairs")(
       Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 3))
+    // the EXACT prefix-filtered join next to the LSH approximations: the
+    // candidate volume is prefix-token-density-bound, so the ladder must
+    // stay near the fuzzy family's slope (replicas are distinct docs —
+    // prefixes stay diverse as k grows)
+    t("setsim_pairs")(Dedup.setSimilarityPairs(docs, "doc_id", 0.5))
 
     // per-ingest serving cost: a FIXED batch (replica 0, n0 docs) joined
     // against a PRE-BUILT index over the rest — what a production ingest
