@@ -331,6 +331,38 @@ object LlmQueries {
       |  SELECT doc_id + 1000000, substr(text, 31, 150) FROM documents
       |  WHERE doc_id % 5 = 0 AND n_chars >= 450)""".stripMargin
 
+  /** Near-threshold planted corpus for the LSH miss audit: documents
+    * plus, for every 7th doc with >= 40 words, a twin carrying its
+    * first ceil(0.6·n) words (id + 2e6) — shingle jaccard ≈ 0.6, the
+    * band where a 16/4 LSH's catch probability bottoms out. ONE
+    * definition feeds both engines ([[NearThresholdCte]]).
+    */
+  private def plantedNearThreshold(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    BuildMemo.df(s, dir, "plantedNearThreshold") {
+      val d = Tables.documents(s, dir)
+      val ws = expr("filter(split(lower(text), ' '), x -> x != '')")
+      d.select(col("doc_id"), col("text")).unionByName(
+        d.select(col("doc_id"), ws.as("__ws"))
+          .filter(col("doc_id") % 7 === 0 && size(col("__ws")) >= 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(expr(
+              "slice(__ws, 1, CAST(ceil(size(__ws) * 0.6) AS INT))"),
+              " ").as("text")))
+    }
+
+  private val NearThresholdCte: String =
+    """aug2 AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(ws2[1:CAST(ceil(len(ws2) * 0.6) AS INT)], ' ')
+      |      AS text
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(lower(text), ' '),
+      |                      x -> x <> '') AS ws2
+      |        FROM documents)
+      |  WHERE doc_id % 7 = 0 AND len(ws2) >= 40)""".stripMargin
+
   /** Bottom-`n` shingle-anchor candidate CTE over shingle relation `sh`:
     * terminal `cand(doc_a, doc_b)` — [[Dedup.anchorCandidatePairs]]
     * restated (hash32 of the shingle, per-doc bottom-n, anchor-keyed
@@ -1255,6 +1287,22 @@ object LlmQueries {
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
+
+    // the pairs banded LSH MISSES: exact join minus the verified LSH
+    // result — the approximation error of the 16/4 banding at t=0.5 as
+    // a first-class auditable relation. The fixture corpus is too
+    // dissimilar-or-identical for misses (the ladder showed 0.7-1.0%
+    // only at replica scale), so the audit runs on a PLANTED
+    // near-threshold corpus: every 7th long doc gets a 60%-prefix twin
+    // (jaccard ≈ 0.6 — right where a 16/4 banding's catch probability
+    // bottoms out at ~43%), derived identically on both engines.
+    "dedup_lsh_missed" -> ((s, dir) => {
+      val docs = plantedNearThreshold(s, dir)
+      Dedup.setSimilarityPairs(docs, "doc_id", threshold = 0.5)
+        .join(Dedup.fuzzy(docs, "doc_id", numHashes = 16, bands = 4,
+            threshold = 0.5).select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_anti")
+    }),
 
     // the incremental face of the exact set-similarity join: 20% batch
     // vs 80% corpus (the standard hash split), old side never
@@ -3279,6 +3327,30 @@ object LlmQueries {
     "dedup_fuzzy" ->
       s"""WITH $FuzzyCtes
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM ver""".stripMargin,
+
+    // exact pair set minus the LSH-verified pair set over the planted
+    // near-threshold corpus (the fuzzy CTEs replayed verbatim on aug2)
+    "dedup_lsh_missed" ->
+      s"""WITH $NearThresholdCte,
+         |${fuzzyCtes("aug2")},
+         |stw AS (SELECT doc_id,
+         |    string_split(lower(text), ' ') AS wss FROM aug2),
+         |stk AS (SELECT DISTINCT doc_id,
+         |        array_to_string(wss[i:i+2], ' ') AS tw
+         |       FROM stw, unnest(range(1, greatest(len(wss)-2, 0)+1)) t(i)),
+         |stsz AS (SELECT doc_id, count(*) AS c FROM stk GROUP BY 1),
+         |stiv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS inter
+         |      FROM stk a JOIN stk b ON a.tw = b.tw AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |stj AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac
+         |      FROM stiv JOIN stsz sa ON doc_a = sa.doc_id
+         |                JOIN stsz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM stj WHERE jac >= 0.5
+         |  AND NOT EXISTS (SELECT 1 FROM ver v
+         |    WHERE v.doc_a = stj.doc_a AND v.doc_b = stj.doc_b)""".stripMargin,
 
     // the full exact pair set restricted to pairs touching the batch
     // (the dedup_incremental_pairs convention for the exact family)
