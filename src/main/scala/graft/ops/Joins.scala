@@ -174,6 +174,50 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Interval-OVERLAP join: every (left, right) pair whose half-open
+    * integer intervals `[ls, le)` and `[rs, re)` intersect — the
+    * interval×interval companion of the point-in-interval [[rangeJoin]]
+    * (campaign windows vs shipping windows, downtime vs sessions). Same
+    * grid strategy: both sides explode into the `bucketWidth` cells they
+    * touch, the join is an EQUI join on the cell, a pair overlapping
+    * several cells dedups, and the exact predicate `ls < re && rs < le`
+    * filters the per-cell candidates — no range condition ever reaches a
+    * join operator.
+    *
+    * Scale posture: cells per interval = len/bucketWidth + 1 (pick the
+    * width near the typical interval length); per-cell candidate volume
+    * equals the number of intervals ALIVE in that window, which is also
+    * a lower bound on the true output — overlap joins are output-bound
+    * by nature, the grid just stops them from being input-quadratic.
+    * Returns both ids, both bounds, and the intersection
+    * `[overlap_start, overlap_end)`.
+    */
+  def intervalOverlapJoin(left: DataFrame, leftId: String,
+                          ls: String, le: String,
+                          right: DataFrame, rightId: String,
+                          rs: String, re: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def cells(d: DataFrame, id: String, s: String, e: String,
+              tagId: String, tagS: String, tagE: String): DataFrame =
+      d.select(col(id).as(tagId), col(s).cast("long").as(tagS),
+          col(e).cast("long").as(tagE))
+        .filter(col(tagS) < col(tagE)) // empty intervals overlap nothing
+        .withColumn("__cell", explode(sequence(
+          floor(col(tagS) / bucketWidth).cast("long"),
+          floor((col(tagE) - 1) / bucketWidth).cast("long"))))
+    cells(left, leftId, ls, le, leftId, "__ls", "__le")
+      .join(cells(right, rightId, rs, re, rightId, "__rs", "__re"),
+        Seq("__cell"))
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le"))
+      .select(col(leftId), col(rightId),
+        col("__ls").as(ls), col("__le").as(le),
+        col("__rs").as(rs), col("__re").as(re))
+      .distinct()
+      .withColumn("overlap_start", greatest(col(ls), col(rs)))
+      .withColumn("overlap_end", least(col(le), col(re)))
+  }
+
   /** OUTER counting face of [[rangeJoin]]: every right interval with the
     * number of in-range left rows — INCLUDING zero (the audit a
     * monitoring pipeline wants: "errors with NO click in their window"

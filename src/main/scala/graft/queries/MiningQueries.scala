@@ -285,6 +285,40 @@ object MiningQueries {
       Graph.bfsDistances(e, src, 4)
     }),
 
+    // interval-OVERLAP join (campaign windows x shipping windows) via
+    // the grid-cell equi join — no range condition ever reaches a join
+    // operator. Shipping interval = [ship_day, ship_day + 1 + key%20);
+    // campaigns = 25 overlapping 120-day windows from the nation keys.
+    // Aggregated per campaign so the report is campaign-sized.
+    "join_interval_overlap" -> ((s, dir) => {
+      // DISTINCT interval instances (the fixture has duplicate
+      // (orderkey, linenumber) rows, so identity is the composite
+      // string key — unique over the distinct relation on both engines)
+      val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+            .cast("long").as("ship_start"))
+        .withColumn("ship_end",
+          col("ship_start") + 1 +
+            pmod(col("l_orderkey") + col("l_linenumber"), lit(20)))
+        .distinct()
+        .withColumn("line_key", concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"), col("l_suppkey"), col("ship_start")))
+      val camp = Tables.nation(s, dir).select(
+        col("n_nationkey").as("campaign_id"),
+        (col("n_nationkey") * 90).cast("long").as("c_start"),
+        (col("n_nationkey") * 90 + 120).cast("long").as("c_end"))
+      val hits = graft.ops.Joins.intervalOverlapJoin(
+        li, "line_key", "ship_start", "ship_end",
+        camp, "campaign_id", "c_start", "c_end", bucketWidth = 120)
+        .join(li.select(col("line_key"), col("l_suppkey")), Seq("line_key"))
+      hits.groupBy(col("campaign_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("overlap_end") - col("overlap_start"))
+            .as("overlap_days"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"))
+    }),
+
     // bloom-pruned semi join: high-value order lines, with the big
     // side's shuffle cut by a few hundred KB of bits instead of a
     // corpus-sized broadcast — result provably equals the plain semi
@@ -1318,6 +1352,29 @@ object MiningQueries {
         |  round(CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)
         |    AS DOUBLE) / max(t.n_rows), 6) AS risky_share
         |FROM cls, t""".stripMargin,
+
+    "join_interval_overlap" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_start,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) + 1 +
+        |      ((l_orderkey + l_linenumber) % 20) AS ship_end
+        |  FROM lineitem),
+        |li2 AS (SELECT * FROM li),
+        |camp AS (SELECT n_nationkey AS campaign_id,
+        |    CAST(n_nationkey * 90 AS BIGINT) AS c_start,
+        |    CAST(n_nationkey * 90 + 120 AS BIGINT) AS c_end
+        |  FROM nation),
+        |hits AS (SELECT l.l_suppkey, c.campaign_id,
+        |    greatest(l.ship_start, c.c_start) AS o_start,
+        |    least(l.ship_end, c.c_end) AS o_end
+        |  FROM li2 l JOIN camp c
+        |    ON l.ship_start < c.c_end AND c.c_start < l.ship_end)
+        |SELECT campaign_id, count(*) AS n_lines,
+        |  CAST(sum(o_end - o_start) AS BIGINT) AS overlap_days,
+        |  count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM hits GROUP BY 1""".stripMargin,
 
     "profile_join_skew" ->
       """WITH kc AS (SELECT l_orderkey AS k, count(*) AS kn

@@ -209,4 +209,33 @@ class JoinsSpec extends SparkSpec {
     assert(Joins.bloomAntiJoin(withNull, "k",
       Seq.empty[Long].toDF("sk"), "sk").count() == 3)
   }
+
+  test("interval overlap join equals the naive theta join, half-open edges exact") {
+    // touching intervals ([1,5) vs [5,9)) must NOT pair; containment,
+    // multi-cell spans, same-cell disjoint, and empty intervals covered
+    val l = Seq((1L, 1L, 5L), (2L, 10L, 30L), (3L, 7L, 8L),
+      (4L, 100L, 100L), // empty — overlaps nothing
+      (5L, 0L, 50L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, 5L, 9L), (11L, 12L, 14L), (12L, 29L, 40L),
+      (13L, 95L, 105L), (14L, 2L, 3L)).toDF("rid", "rs", "re")
+    val naive = l.as("a").join(r.as("b"),
+        col("a.ls") < col("b.re") && col("b.rs") < col("a.le") &&
+          col("a.ls") < col("a.le") && col("b.rs") < col("b.re"))
+      .select(col("a.lid"), col("b.rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    for (bw <- Seq(1L, 7L, 100L)) {
+      val got = Joins.intervalOverlapJoin(l, "lid", "ls", "le",
+          r, "rid", "rs", "re", bucketWidth = bw)
+        .select("lid", "rid")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == naive, s"bucketWidth=$bw: got $got want $naive")
+    }
+    // intersection bounds are the clipped interval
+    val row = Joins.intervalOverlapJoin(l, "lid", "ls", "le",
+        r, "rid", "rs", "re", bucketWidth = 7)
+      .filter(col("lid") === 2L && col("rid") === 12L)
+      .select("overlap_start", "overlap_end")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(row == Seq((29L, 30L)))
+  }
 }
