@@ -685,6 +685,13 @@ class PlanSpec extends SparkSpec {
       s"prefix blocking must stay a hash join:\n$p")
   }
 
+  test("interval overlap: grid-cell equi join, range predicate residual") {
+    val p = planOf("join_interval_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must block on grid cells:\n$p")
+  }
+
   test("triangles: every join a hash equi-join, order predicates residual") {
     val p = planOf("graph_triangles")
     assert(!p.contains("CartesianProduct"))
