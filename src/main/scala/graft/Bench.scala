@@ -31,6 +31,28 @@ object Bench {
     else Scratch.dir(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_spark")
   }
 
+  /** Per-query medians of the PREVIOUS bench run, parsed from the
+    * `"queries":{...}` object of BENCH_FULL_LASTRUN.json (written by this
+    * program, so the shape is known: simple-identifier keys, plain
+    * numeric values). Empty map when the file is absent/unreadable —
+    * first run on a fresh checkout simply has no outlier baseline.
+    */
+  private[graft] def readLastRunQueries(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val open = txt.indexOf('{', start)
+        val close = txt.indexOf('}', open)
+        val body = txt.substring(open + 1, close)
+        val entry = "\"([^\"]+)\":([0-9.eE+-]+)".r
+        entry.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   private def timeOnce(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -65,6 +87,11 @@ object Bench {
     // Optional comma-separated filter for targeted profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Previous per-query medians for the outlier re-time block: LATEST,
+    // not LASTRUN — LATEST is only ever replaced by a CLEAN FULL run, so
+    // the baseline can't be shrunk by a filtered profiling run or a
+    // failed sweep. Read BEFORE the sweep (this run may overwrite it).
+    val lastRun = readLastRunQueries("BENCH_FULL_LATEST.json")
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -136,10 +163,58 @@ object Bench {
         }
       }
     }
-    val canaryRatio =
-      if (canaryEnd.isEmpty) 1.0
-      else canaryEnd.values.sum /
-        math.max(1e-9, canaryEnd.keys.map(times).sum)
+    // canary_ratio is None — emitted as JSON null — when the canary never
+    // ran (filtered run, errors, or every canary threw): "not measured"
+    // must stay distinguishable from a measured clean window (ADVICE r16)
+    val canaryRatio: Option[Double] =
+      if (canaryEnd.isEmpty) None
+      else Some(canaryEnd.values.sum /
+        math.max(1e-9, canaryEnd.keys.map(times).sum))
+
+    // Per-query outlier re-time (r16 verdict task 3): any query whose
+    // first-pass median is > 2x its previous-run value gets ONE
+    // end-of-sweep re-time in the SAME artifact, so a ">2x regression?"
+    // question is answered without cross-file adjudication — twice now
+    // (r15 fuzzy family, r16 guarded_keep_best) driver-window outliers
+    // were ambient noise that a local re-run had to prove. Outliers
+    // already in the canary set reuse the canary's end-of-sweep median
+    // (same semantics, no duplicate work). Capped at the 20 worst
+    // ratios: if MANY queries read >2x the window itself drifted, which
+    // canary_ratio already stamps.
+    val retimed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (errors.isEmpty && lastRun.nonEmpty) {
+      val outliers = times.toSeq
+        .filter { case (n, t) =>
+          lastRun.get(n).exists(prev => t > 2 * prev) && t >= 0.5 }
+        .sortBy { case (n, t) => -(t / math.max(lastRun(n), 1e-9)) }
+      if (outliers.size > 20)
+        System.err.println(s"[bench] ${outliers.size} queries read >2x " +
+          "LASTRUN — re-timing only the 20 worst (window drift; see " +
+          "canary_ratio)")
+      outliers.take(20).foreach { case (name, first) =>
+        canaryEnd.get(name) match {
+          case Some(end) => retimed += name -> end
+          case None =>
+            try {
+              System.gc()
+              val fn = SparkEntry.queries(name)
+              materialize(fn(spark, sfDir))
+              spark.catalog.clearCache()
+              val samples = Seq.fill(runs) {
+                val t = timeOnce(materialize(fn(spark, sfDir)))
+                spark.catalog.clearCache()
+                t
+              }
+              val median = samples.sorted.apply(samples.size / 2)
+              retimed += name -> median
+              System.err.println(s"[bench] retime $name first=${f3(first)} " +
+                s"end=${f3(median)} s (lastrun=${f3(lastRun(name))})")
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] retime FAILED $name: $e")
+            }
+        }
+      }
+    }
 
     // escape ALL control chars: exception text regularly carries newlines,
     // which would break the one-line JSON contract exactly on failures
@@ -161,11 +236,16 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val rc = if (errors.nonEmpty) 1 else 0
-    // canary block: per query [first-pass median, end-of-sweep median]
+    // canary block: per query [first-pass median, end-of-sweep median];
+    // ratio is null when the canary never ran
     val canaryJs = canaryEnd.map { case (k, v) =>
       s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+    val canaryRatioJs = canaryRatio.map(f3).getOrElse("null")
+    // retimed block: per outlier [first-pass median, end-of-sweep median]
+    val retimedJs = retimed.map { case (k, v) =>
+      s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
     val canaryFields =
-      s""""canary":$canaryJs,"canary_ratio":${f3(canaryRatio)}"""
+      s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
     // the UNTRUNCATED artifact of record: the driver's tail window cannot
     // hold ~96 query entries, so the full-precision JSON also lands in a
@@ -215,7 +295,7 @@ object Bench {
     // carries the coverage count and the pointer to the full map. Metric
     // name is DISTINCT from the per-query line's "total" so a consumer
     // summing metric lines can never double-count the suite time.
-    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"canary_ratio":${f3(canaryRatio)},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"canary_ratio":$canaryRatioJs,"n_retimed":${retimed.size},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

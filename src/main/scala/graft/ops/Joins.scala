@@ -191,29 +191,90 @@ object Joins {
     * by nature, the grid just stops them from being input-quadratic.
     * Returns both ids, both bounds, and the intersection
     * `[overlap_start, overlap_end)`.
+    *
+    * Giant-interval guard (ADVICE r16): an interval spanning more than
+    * `maxCellsPerInterval` grid cells would make `explode(sequence(...))`
+    * blow the per-row array budget (or, past ~2^31 cells, fail Spark's
+    * array-length cap) with no diagnostic. Such intervals are split OUT
+    * of the grid legs and handled by a BROADCAST overlap leg instead:
+    * a giant interval is by definition ≫ bucketWidth long, so giants are
+    * rare (their count is bounded by total-span / (max·width)); each one
+    * overlaps a large fraction of the other side anyway, so the
+    * broadcast theta-leg is output-bound, not a disguised cross product.
+    * The split is decided by ONE counting action; when no giants exist
+    * (the common case, and any sane width choice) the plan is the pure
+    * grid equi-join. Giants are reported loudly on stderr (the
+    * capBuckets convention), and a giant count past `MaxGiantIntervals`
+    * fails fast with sizing guidance rather than OOM-ing the driver's
+    * broadcast.
     */
+  private val MaxGiantIntervals = 1000000L
+
   def intervalOverlapJoin(left: DataFrame, leftId: String,
                           ls: String, le: String,
                           right: DataFrame, rightId: String,
                           rs: String, re: String,
-                          bucketWidth: Long): DataFrame = {
+                          bucketWidth: Long,
+                          maxCellsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    def cells(d: DataFrame, id: String, s: String, e: String,
-              tagId: String, tagS: String, tagE: String): DataFrame =
+    require(maxCellsPerInterval > 0,
+      s"maxCellsPerInterval must be positive: $maxCellsPerInterval")
+    def norm(d: DataFrame, id: String, s: String, e: String,
+             tagId: String, tagS: String, tagE: String): DataFrame =
       d.select(col(id).as(tagId), col(s).cast("long").as(tagS),
           col(e).cast("long").as(tagE))
         .filter(col(tagS) < col(tagE)) // empty intervals overlap nothing
-        .withColumn("__cell", explode(sequence(
-          floor(col(tagS) / bucketWidth).cast("long"),
-          floor((col(tagE) - 1) / bucketWidth).cast("long"))))
-    cells(left, leftId, ls, le, leftId, "__ls", "__le")
-      .join(cells(right, rightId, rs, re, rightId, "__rs", "__re"),
+    def nCells(tagS: String, tagE: String): Column =
+      floor((col(tagE) - 1) / bucketWidth).cast("long") -
+        floor(col(tagS) / bucketWidth).cast("long") + 1
+    def cells(d: DataFrame, tagS: String, tagE: String): DataFrame =
+      d.withColumn("__cell", explode(sequence(
+        floor(col(tagS) / bucketWidth).cast("long"),
+        floor((col(tagE) - 1) / bucketWidth).cast("long"))))
+    val l = norm(left, leftId, ls, le, leftId, "__ls", "__le")
+    val r = norm(right, rightId, rs, re, rightId, "__rs", "__re")
+    val lGiant = l.filter(nCells("__ls", "__le") > maxCellsPerInterval)
+    val rGiant = r.filter(nCells("__rs", "__re") > maxCellsPerInterval)
+    // one action decides the shape: [left giants, right giants]
+    val giants = lGiant.select(count(lit(1)).as("n"))
+      .unionAll(rGiant.select(count(lit(1)).as("n")))
+      .collect().map(_.getLong(0))
+    val overlapPred =
+      col("__ls") < col("__re") && col("__rs") < col("__le")
+    val out = Seq(col(leftId), col(rightId),
+      col("__ls").as(ls), col("__le").as(le),
+      col("__rs").as(rs), col("__re").as(re))
+    val grid = cells(
+        l.filter(nCells("__ls", "__le") <= maxCellsPerInterval),
+        "__ls", "__le")
+      .join(cells(
+          r.filter(nCells("__rs", "__re") <= maxCellsPerInterval),
+          "__rs", "__re"),
         Seq("__cell"))
-      .filter(col("__ls") < col("__re") && col("__rs") < col("__le"))
-      .select(col(leftId), col(rightId),
-        col("__ls").as(ls), col("__le").as(le),
-        col("__rs").as(rs), col("__re").as(re))
+      .filter(overlapPred)
+      .select(out: _*)
       .distinct()
+    val paired =
+      if (giants.sum == 0) grid
+      else {
+        require(giants.sum <= MaxGiantIntervals,
+          s"intervalOverlapJoin: ${giants.sum} intervals span more than " +
+            s"$maxCellsPerInterval x $bucketWidth — pick a larger " +
+            "bucketWidth (or raise maxCellsPerInterval) instead of " +
+            "broadcasting millions of giant intervals")
+        System.err.println(s"[graft] intervalOverlapJoin: ${giants(0)} " +
+          s"left / ${giants(1)} right interval(s) span > " +
+          s"$maxCellsPerInterval cells of width $bucketWidth; served " +
+          "via the broadcast overlap leg — pick a bucketWidth near the " +
+          "typical interval length to keep everything on the grid")
+        // giant-left x ALL right, normal-left x giant-right: disjoint
+        // classes, full coverage, no double count
+        val gl = broadcast(lGiant).join(r, overlapPred).select(out: _*)
+        val gr = l.filter(nCells("__ls", "__le") <= maxCellsPerInterval)
+          .join(broadcast(rGiant), overlapPred).select(out: _*)
+        grid.unionByName(gl).unionByName(gr)
+      }
+    paired
       .withColumn("overlap_start", greatest(col(ls), col(rs)))
       .withColumn("overlap_end", least(col(le), col(re)))
   }

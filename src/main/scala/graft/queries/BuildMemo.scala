@@ -26,7 +26,41 @@ object BuildMemo {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
+  /** get-then-putIfAbsent, NOT computeIfAbsent: a build lambda may
+    * itself call [[df]] for a dependency (quoteAnchorCands builds on
+    * augmentedQuotes), and `ConcurrentHashMap.computeIfAbsent` forbids
+    * re-entrant updates — it throws `IllegalStateException("Recursive
+    * update")` on a bin collision, data-dependently. The cost is a
+    * benign race (two threads may both build; one result wins and the
+    * loser's checkpoint blocks are reclaimed by the ContextCleaner when
+    * its plan is GC'd) — correct either way, since builds are
+    * deterministic and bit-identical.
+    */
   def df(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((s, dir, key), { _ => build.localCheckpoint(true) })
+      (build: => DataFrame): DataFrame = {
+    evictStopped()
+    val k = (s, dir, key)
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val built = build.localCheckpoint(true)
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop entries whose session has stopped: a localCheckpoint'd
+    * DataFrame pins its session (and RDD blocks) via the memo key for
+    * JVM lifetime otherwise — a leak in long-lived multi-session
+    * processes (test harnesses). Swept on every access; the map is
+    * artifact-count-sized, so the sweep is O(a few dozen) reference
+    * checks.
+    */
+  private def evictStopped(): Unit = {
+    val it = memo.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1.sparkContext.isStopped) it.remove()
+    }
+  }
 }

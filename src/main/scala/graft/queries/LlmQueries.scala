@@ -320,10 +320,16 @@ object LlmQueries {
     * VERIFY stays per-query work (the BuildMemo convention).
     */
   private def quoteAnchorCands(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // resolve the dependency BEFORE entering the memo lambda: nested
+    // BuildMemo.df calls are safe since the get-then-putIfAbsent fix,
+    // but a pre-resolved dependency keeps the build lambda re-entrancy-
+    // free by construction (ADVICE r16)
+    val aug = augmentedQuotes(s, dir)
     BuildMemo.df(s, dir, "quoteAnchorCands") {
-      Dedup.anchorCandidatePairs(augmentedQuotes(s, dir), "doc_id", 8)
+      Dedup.anchorCandidatePairs(aug, "doc_id", 8)
     }
+  }
 
   private val AugQuoteCte: String =
     """aug AS (SELECT doc_id, text FROM documents

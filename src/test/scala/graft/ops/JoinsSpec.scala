@@ -237,5 +237,15 @@ class JoinsSpec extends SparkSpec {
       .select("overlap_start", "overlap_end")
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
     assert(row == Seq((29L, 30L)))
+    // giant-interval guard: intervals spanning > maxCellsPerInterval
+    // cells leave the grid for the broadcast leg, result unchanged
+    for (maxCells <- Seq(1, 4)) {
+      val guarded = Joins.intervalOverlapJoin(l, "lid", "ls", "le",
+          r, "rid", "rs", "re", bucketWidth = 1L,
+          maxCellsPerInterval = maxCells)
+        .select("lid", "rid")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(guarded == naive, s"maxCells=$maxCells: got $guarded")
+    }
   }
 }
