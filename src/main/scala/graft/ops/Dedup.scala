@@ -863,11 +863,13 @@ object Dedup {
   /** EXACT word-set similarity self-join via prefix filtering — the
     * AllPairs/SSJoin family (Bayardo, Ma & Srikant, "Scaling Up All
     * Pairs Similarity Search", WWW 2007; Chaudhuri, Ganti & Kaushik,
-    * ICDE 2006 — implemented from scratch on relational primitives):
-    * every unordered document pair whose token-SET Jaccard reaches
-    * `threshold`, with EXACT cross-product semantics — the
-    * deterministic companion to banded-LSH [[fuzzy]], which trades a
-    * tunable miss probability for its candidate bound.
+    * ICDE 2006), upgraded to PPJoin-grade candidate pruning (Xiao,
+    * Wang, Lin & Yu, "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008 — implemented from scratch on relational
+    * primitives): every unordered document pair whose token-SET
+    * Jaccard reaches `threshold`, with EXACT cross-product semantics —
+    * the deterministic companion to banded-LSH [[fuzzy]], which trades
+    * a tunable miss probability for its candidate bound.
     *
     * Prefix lemma: order the vocabulary globally (document frequency
     * ascending, token text as tiebreak — rarest first, so prefixes are
@@ -878,7 +880,31 @@ object Dedup {
     * intersection would fit in A's suffix of ceil(t·|A|) − 1 tokens —
     * contradiction; symmetrically for B. The prefix-prefix equi-join
     * therefore has ZERO false negatives, and the exact Jaccard verify
-    * removes the false positives.
+    * removes the false positives. Three LOSSLESS prunes ride on top
+    * (each a consequence of J ≥ t, so no true pair can fail them):
+    *
+    *  - asymmetric prefixes (PPJoin's indexing prefix): order each pair
+    *    so A is the (size, id)-smaller side. The required overlap
+    *    α = ⌈t/(1+t)·(sa+sb)⌉ is ≥ ⌈2t/(1+t)·sa⌉, so the pair's FIRST
+    *    common token sits within A's first sa − ⌈2t/(1+t)·sa⌉ + 1
+    *    tokens — a strictly shorter prefix than AllPairs' (one third vs
+    *    one half of the set at t = 0.5), shrinking the join's left side;
+    *  - length filter: J ≥ t ⇒ sa ≥ t·sb, applied as a join residual
+    *    before any aggregation;
+    *  - positional filter: for the first common token at positions
+    *    (i, j), |A∩B| ≤ 1 + min(sa − i, sb − j); pairs where that bound
+    *    is < α die before verification. The first common token IS the
+    *    (i, j)-minimal prefix match (the arrays sort by the same global
+    *    order), so one min-struct aggregate finds it.
+    *
+    * Verification fetches each candidate's sorted token ARRAY (two hash
+    * joins against the doc-count-sized docTokens relation) and computes
+    * the exact intersection map-side via `array_intersect` — candidate-
+    * sized work, replacing the r16 token-explode verify whose three
+    * shuffles carried candidate × token rows (this is where PPJoin+'s
+    * suffix filter would live; with the array in hand the exact
+    * intersection costs the same O(sa+sb) as the suffix probe, so the
+    * filter is subsumed rather than approximated).
     *
     * Scale shape: token and prefix relations are corpus-linear; the
     * candidate join keys on prefix tokens (rare by construction), with
@@ -891,15 +917,48 @@ object Dedup {
   def setSimilarityPairs(docs: DataFrame, idCol: String, threshold: Double,
                          textCol: String = "text", k: Int = 3,
                          maxBucketSize: Int = 0): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (cand, docTokens) =
+      setSimilarityCandidates(docs, idCol, threshold, textCol, k,
+        maxBucketSize)
+    val candP = cand.persist(sl)
+    candP.count()
+    val arr = docTokens.select(col("doc_id"),
+      transform(col("ts"), x => x.getField("w")).as("ws"))
+    val inter = candP
+      .join(arr.select(col("doc_id").as("doc_a"), col("ws").as("wa")),
+        Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("ws").as("wb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+    val jac = col("inter").cast("double") /
+      (col("sa") + col("sb") - col("inter")).cast("double")
+    inter
+      .filter(jac >= threshold)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        round(jac, 6).as("jaccard"))
+  }
+
+  /** Candidate generation for [[setSimilarityPairs]] — exposed
+    * separately so the scale ladder can count candidates (the metric
+    * the PPJoin filters exist to cut). Returns (candidates with both
+    * set sizes, the persisted per-doc sorted-token relation).
+    */
+  private[graft] def setSimilarityCandidates(
+      docs: DataFrame, idCol: String, threshold: Double,
+      textCol: String, k: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the set universe is k-shingles (k = 1 -> word sets). Prefix
     // filtering needs a DIVERSE universe to prune: a tiny vocabulary
     // (the 31-word synthetic corpus) makes every "rare" prefix token
-    // corpus-common and the candidate set near-quadratic — shingles are
-    // the repo's standard diverse unit (the same reason the LSH family
-    // sketches k = 3 grams, not words).
+    // corpus-common and the candidate set near-quadratic — the PPJoin
+    // filters bound that regime (see the word-mode ladder row in
+    // BASELINE.md), and shingles remain the default diverse unit (the
+    // same reason the LSH family sketches k = 3 grams, not words).
     val tk = shingleRows(docs.select(col(idCol), col(textCol)),
         idCol, textCol, k)
       .select(col("doc_id"), col("s").as("w"))
@@ -912,39 +971,53 @@ object Dedup {
     // t*s can land epsilon ABOVE an exact integer k and ceil to k+1 —
     // one token too few in the prefix, a silent false negative. The
     // 1e-9 back-off restores k (real fractional parts are >= 1/s,
-    // orders of magnitude above it).
+    // orders of magnitude above it). Same guard on every derived bound
+    // below — each one must only ever err towards KEEPING a pair.
+    val eps = 1e-9
+    val idxFrac = 2 * threshold / (1 + threshold)
     val docTokens = tk.join(freq, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
       .withColumn("s", size(col("ts")))
       .withColumn("p",
         col("s") -
-          ceil(lit(threshold) * col("s") - lit(1e-9)).cast("int") + 1)
+          ceil(lit(threshold) * col("s") - lit(eps)).cast("int") + 1)
+      .withColumn("pi",
+        col("s") -
+          ceil(lit(idxFrac) * col("s") - lit(eps)).cast("int") + 1)
       .persist(sl)
     docTokens.count()
-    val prefix = docTokens
-      .select(col("doc_id"), explode(expr("slice(ts, 1, p)")).as("pt"))
-      .select(col("doc_id"), col("pt.w").as("w"))
-    val pruned = capBuckets(prefix, Seq("w"), maxBucketSize,
+    // prefix rows carry the 1-based POSITION in the doc's sorted set —
+    // the positional filter's input
+    def prefixRows(lenCol: String): DataFrame =
+      docTokens
+        .select(col("doc_id"), col("s"),
+          posexplode(expr(s"slice(ts, 1, $lenCol)")).as(Seq("p0", "pt")))
+        .select(col("doc_id"), col("s"), (col("p0") + 1).as("pos"),
+          col("pt.w").as("w"))
+    val (pShort, pStd) = capBucketsPaired(
+      prefixRows("pi"), prefixRows("p"), Seq("w"), maxBucketSize,
       "setSimilarityPairs")
-    val cand = pruned.select(col("w"), col("doc_id").as("doc_a"))
-      .join(pruned.select(col("w"), col("doc_id").as("doc_b")), Seq("w"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .persist(sl)
-    cand.count()
-    val inter = cand
-      .join(tk.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sz = docTokens.select(col("doc_id"), col("s"))
-    val jac = col("inter").cast("double") /
-      (col("sa") + col("sb") - col("inter")).cast("double")
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-      .filter(jac >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("sa") + col("sb")) - lit(eps))
+    val cand = pShort.select(col("w"), col("doc_id").as("doc_a"),
+        col("s").as("sa"), col("pos").as("ia"))
+      .join(pStd.select(col("w"), col("doc_id").as("doc_b"),
+        col("s").as("sb"), col("pos").as("ib")), Seq("w"))
+      // A = the (size, id)-smaller side; its SHORT prefix suffices
+      .filter(struct(col("sa"), col("doc_a")) <
+        struct(col("sb"), col("doc_b")))
+      // length filter: J >= t forces sa >= t*sb
+      .filter(col("sa").cast("double") >=
+        lit(threshold) * col("sb") - lit(eps))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(struct(col("ia"), col("ib"))).as("m"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      // positional filter at the first common token
+      .filter(lit(1) +
+        least(col("sa") - col("m.ia"), col("sb") - col("m.ib")) >= alpha)
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+    (cand, docTokens)
   }
 
   /** Connected-component resolution over verified near-dup PAIRS — the

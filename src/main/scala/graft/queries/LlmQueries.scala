@@ -1332,6 +1332,17 @@ object LlmQueries {
       Dedup.setSimilarityPairs(Tables.documents(s, dir), "doc_id",
         threshold = 0.5)),
 
+    // WORD-set mode of the exact join (k = 1) — the regime r16 recorded
+    // as degenerate (the 31-word fixture vocabulary makes every prefix
+    // token corpus-common). Served directly since the PPJoin filters
+    // (r17): candidates are bounded to ~1.2x of the TRUE output, which
+    // on this corpus is itself near-quadratic (most doc pairs genuinely
+    // share half their vocabulary at t = 0.5 — the output is the cost,
+    // not the algorithm). Oracle = the unfiltered brute-force word join.
+    "dedup_setsim_words" -> ((s, dir) =>
+      Dedup.setSimilarityPairs(Tables.documents(s, dir), "doc_id",
+        threshold = 0.5, k = 1)),
+
     // cluster resolution over the verified pairs: every clustered doc with
     // its keeper (= min id reachable through the near-dup graph)
     "dedup_fuzzy_resolved" -> ((s, dir) => {
@@ -3387,6 +3398,23 @@ object LlmQueries {
         |    string_split(lower(text), ' ') AS ws FROM documents),
         |tk AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS w
         |       FROM tw, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+        |tsz AS (SELECT doc_id, count(*) AS c FROM tk GROUP BY 1),
+        |tiv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        count(*) AS inter
+        |      FROM tk a JOIN tk b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |tj AS (SELECT doc_a, doc_b,
+        |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac
+        |      FROM tiv JOIN tsz sa ON doc_a = sa.doc_id
+        |               JOIN tsz sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+        |FROM tj WHERE jac >= 0.5""".stripMargin,
+
+    "dedup_setsim_words" ->
+      """WITH tw AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS ws FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, ws[i] AS w
+        |       FROM tw, unnest(range(1, len(ws)+1)) t(i)),
         |tsz AS (SELECT doc_id, count(*) AS c FROM tk GROUP BY 1),
         |tiv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |        count(*) AS inter

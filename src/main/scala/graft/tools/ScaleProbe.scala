@@ -62,6 +62,25 @@ object ScaleProbe {
     // prefixes stay diverse as k grows)
     t("setsim_pairs")(Dedup.setSimilarityPairs(docs, "doc_id", 0.5))
 
+    // word-set mode (k = 1): the DEGENERATE regime for prefix filtering
+    // — the fixture's 31-word vocabulary makes every prefix token
+    // corpus-common (r16 with plain AllPairs prefixes: 12.3M candidates
+    // / 60 s at sf0.1). The PPJoin asymmetric-prefix + length +
+    // positional filters must measurably bound the candidate set, so
+    // this probe reports the candidate COUNT next to the timing.
+    if (only.exists(_.contains("setsim_words"))) {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val (cand, _) = Dedup.setSimilarityCandidates(docs, "doc_id", 0.5,
+        "text", 1, 0)
+      val nc = cand.count()
+      println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d setsim_words_cands   " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ($nc candidates)")
+      t("setsim_words")(
+        Dedup.setSimilarityPairs(docs, "doc_id", 0.5, k = 1))
+    }
+
     // per-ingest serving cost: a FIXED batch (replica 0, n0 docs) joined
     // against a PRE-BUILT index over the rest — what a production ingest
     // pays per batch once the index exists (index build excluded from the
