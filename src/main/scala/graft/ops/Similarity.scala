@@ -1507,6 +1507,55 @@ object Similarity {
     r
   }
 
+  /** Plain PCA rotation for PREFIX-dimension (Matryoshka-style)
+    * truncation: rows of R are the covariance eigenvectors in
+    * DESCENDING-eigenvalue order, so `rotate(e, pcaRotation(e, d))`
+    * concentrates corpus variance into the leading output dims — the
+    * trained front-end that makes "serve only the first 16/32 dims"
+    * meaningful on embeddings that were never Matryoshka-trained
+    * (measured in MatryoshkaRotationSpec + the BASELINE.md ladder;
+    * [[opqParametricRotation]] is the same machinery with variance
+    * BALANCED across PQ subspaces instead of concentrated).
+    * Row-major flattened on the 1e-6 grid, ready for [[rotate]].
+    */
+  def pcaRotation(embeddings: DataFrame, dim: Int): Array[Double] = {
+    val (_, cov) = meanAndCovariance(embeddings, dim)
+    val (_, evecs) = jacobiEigSym(cov)
+    val r = new Array[Double](dim * dim)
+    for (out <- 0 until dim; j <- 0 until dim)
+      r(out * dim + j) = math.rint(evecs(j)(out) * 1e6) / 1e6
+    r
+  }
+
+  /** Variance-DESCENDING dimension order — the axis-aligned member of
+    * the trained-rotation family (a permutation is an orthogonal matrix;
+    * it concentrates per-axis variance into the prefix without mixing
+    * coordinates). Unlike the dense [[pcaRotation]] its training loop
+    * has an exact SQL twin (per-dim moments on the grid6 lattice), so
+    * the declared prefix-recall query can be oracle-gated end to end.
+    * Returns the 0-based dimension indices, best first. Determinism:
+    * both raw moments land on the grid6 lattice (absorbing partial-sum
+    * merge order), the variance recomposes from the SNAPPED moments
+    * with pure IEEE ops, and ties break on the dimension index.
+    */
+  def varianceOrder(embeddings: DataFrame, dim: Int): Array[Int] = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val x = col("embedding")
+    val sq = transform(x, xi => xi.cast("double") * xi.cast("double"))
+    val row = embeddings.agg(
+      transform(call_function("graft_vec_avg", x),
+        v => QualityModel.grid6(v)).as("m1"),
+      transform(call_function("graft_vec_avg", sq),
+        v => QualityModel.grid6(v)).as("m2")).head()
+    val m1 = row.getSeq[Double](0).toArray
+    val m2 = row.getSeq[Double](1).toArray
+    require(m1.length == dim,
+      s"varianceOrder: expected dim=$dim, got ${m1.length}")
+    def g6(v: Double): Double = math.floor(v * 1000000.0 + 0.5) / 1000000.0
+    val variance = Array.tabulate(dim)(i => g6(m2(i) - m1(i) * m1(i)))
+    (0 until dim).sortBy(i => (-variance(i), i)).toArray
+  }
+
   /** Apply a learned rotation to the embedding column: embedding ←
     * round(R·x, 6) (`array<double>`, drop-in for the PQ trainers/encoders
     * which accept float or double). The rotation rides the plan as a

@@ -1504,6 +1504,29 @@ object LlmQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // TRAINED rotation in front of the prefix truncation (r16 verdict
+    // task 2): dims re-ordered by corpus variance DESCENDING before
+    // slicing — the axis-aligned member of the rotation family, whose
+    // training loop (per-dim grid6 moments) has an exact SQL twin so
+    // the query stays oracle-gated; the dense PCA rotation (same
+    // protocol, eigendecomposition front-end) is measured in
+    // MatryoshkaRotationSpec + BASELINE.md
+    "sim_matryoshka_rotated_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val exact = exactTopK(s, dir, 0)
+      val perm = Similarity.varianceOrder(e, dim = 64)
+      Seq(16, 32).map { dims =>
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(
+            e.select(col("vec_id"),
+              array(perm.take(dims).toIndexedSeq
+                .map(i => col("embedding").getItem(i)): _*).as("embedding")),
+            col("vec_id") % 100 === 0, k = 10),
+          exact, k = 10)
+          .select(lit(dims).as("dims"), col("query_id"), col("recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // metadata-equality-constrained top-k: rank only candidates sharing
     // the query's label (same-language retrieval); the equality key is
     // the partition pruning at scale
@@ -3775,6 +3798,50 @@ object LlmQueries {
          |      SELECT query_id, vec_id, row_number() OVER (
          |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
          |      FROM pf) WHERE rn <= 10),
+         |${rung(16)},
+         |${rung(32)}
+         |SELECT * FROM r16 UNION ALL SELECT * FROM r32""".stripMargin
+    },
+
+    // variance-ordered (trained axis-aligned rotation) prefix recall:
+    // the dim permutation replays from per-dim grid6 moments, then the
+    // same rung/recall shape as sim_matryoshka_recall over the permuted
+    // prefix lists
+    "sim_matryoshka_rotated_recall" -> {
+      val m1 = grid6Sql("avg(CAST(e0.embedding[i] AS DOUBLE))")
+      val m2 = grid6Sql(
+        "avg(CAST(e0.embedding[i] AS DOUBLE) * CAST(e0.embedding[i] AS DOUBLE))")
+      def rung(d: Int): String =
+        s"""pe$d AS (SELECT e.vec_id, list(e.embedding[rk.i] ORDER BY rk.rnk) AS pe
+           |      FROM embeddings e, rk WHERE rk.rnk <= $d GROUP BY 1),
+           |p$d AS (SELECT a.vec_id AS query_id, b.vec_id,
+           |        ${cosSql("a.pe", "b.pe")} AS sim
+           |      FROM pe$d a, pe$d b
+           |      WHERE a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id),
+           |a$d AS (SELECT query_id, vec_id FROM (
+           |      SELECT query_id, vec_id, row_number() OVER (
+           |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+           |      FROM p$d) WHERE rn <= 10),
+           |r$d AS (SELECT CAST($d AS INT) AS dims, ex.query_id,
+           |        round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS recall
+           |      FROM ex LEFT JOIN a$d a
+           |        ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id
+           |      GROUP BY 2)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |pf AS (SELECT q.query_id, e.vec_id,
+         |        ${cosSql("q.qe", "e.embedding")} AS sim
+         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |      SELECT query_id, vec_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |      FROM pf) WHERE rn <= 10),
+         |m AS (SELECT i, $m1 AS m1, $m2 AS m2
+         |      FROM embeddings e0, unnest(range(1, 65)) t(i) GROUP BY 1),
+         |rk AS (SELECT i, row_number() OVER (
+         |        ORDER BY ${grid6Sql("m2 - m1 * m1")} DESC, i) AS rnk
+         |      FROM m),
          |${rung(16)},
          |${rung(32)}
          |SELECT * FROM r16 UNION ALL SELECT * FROM r32""".stripMargin
