@@ -371,10 +371,46 @@ object EntityResolution {
   def linkBest(left: DataFrame, leftId: String, leftStr: String,
                right: DataFrame, rightId: String, rightStr: String,
                d: Int, maxBucketSize: Int = 0): DataFrame =
-    editDistanceJoin(left, leftId, leftStr, right, rightId, rightStr,
-        d, maxBucketSize)
+    bestOf(editDistanceJoin(left, leftId, leftStr, right, rightId,
+      rightStr, d, maxBucketSize), leftId, rightId)
+
+  /** [[linkBest]] over the RESCUED pair relation
+    * ([[editDistanceJoinRescued]]) — under a blocking-bucket flood the
+    * plain capped join loses pairs and the "best match" silently
+    * degrades to the best SURVIVING match (or the record vanishes);
+    * the rescued face restores exact recall first, so best means best
+    * (r16 verdict task 5).
+    */
+  def linkBestRescued(left: DataFrame, leftId: String, leftStr: String,
+                      right: DataFrame, rightId: String, rightStr: String,
+                      d: Int, maxBucketSize: Int): DataFrame =
+    bestOf(editDistanceJoinRescued(left, leftId, leftStr, right, rightId,
+      rightStr, d, maxBucketSize), leftId, rightId)
+
+  private def bestOf(pairs: DataFrame, leftId: String,
+                     rightId: String): DataFrame =
+    pairs
       .groupBy(col(leftId))
       .agg(min(struct(col("dist"), col(rightId))).as("__best"))
       .select(col(leftId), col(s"__best.$rightId").as(rightId),
         col("__best.dist").as("dist"))
+
+  /** [[clusterIds]] over the RESCUED pair relation — connected
+    * components whose edge set keeps the flood-segment pairs the cap
+    * drops (a flood is precisely where clusters are LARGE, i.e. where
+    * losing edges splits real entities): exact recall via the
+    * deletion-neighborhood second family, then the same min-label
+    * resolution (r16 verdict task 5).
+    */
+  def clusterIdsRescued(df: DataFrame, idCol: String, strCol: String,
+                        d: Int, maxBucketSize: Int): DataFrame = {
+    val pairs = editDistanceSelfJoinRescued(df, idCol, strCol, d,
+        maxBucketSize)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = Dedup.resolveClusters(pairs)
+    df.select(col(idCol))
+      .join(labels, df(idCol) === labels("node"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+  }
 }

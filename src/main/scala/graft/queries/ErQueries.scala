@@ -167,6 +167,41 @@ object ErQueries {
         .unionByName(base.selectExpr("c_custkey", s"$MutateSql AS nm")
           .select((col("c_custkey") + 100000L).as("id"), col("nm")))
       EntityResolution.clusterIds(u, "id", "nm", d = 1)
+    }),
+
+    // clusters over the FLOODING universe with the cap armed (r16
+    // verdict task 5: the downstream face must consume the RESCUED
+    // pair relation — a flood is exactly where clusters are large, so
+    // the plain capped join would silently split real entities). The
+    // %5 subset keeps the oracle's recursive closure fixture-sized;
+    // the constant-prefix segment still floods (one bucket holds every
+    // row, far over the 64 cap), so the rescue genuinely fires. The
+    // oracle models NO cap — green only because recall is exactly
+    // restored
+    "er_clusters_rescued" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 5 === 0)
+        .selectExpr("c_custkey", s"$FloodNameSql AS nm")
+      val u = base.select(col("c_custkey").as("id"), col("nm"))
+        .unionByName(base.selectExpr("c_custkey", s"$MutateSql AS nm")
+          .select((col("c_custkey") + 100000L).as("id"), col("nm")))
+      EntityResolution.clusterIdsRescued(u, "id", "nm", d = 1,
+        maxBucketSize = 64)
+    }),
+
+    // best-match resolution over the flooding universe with the cap
+    // armed: under the flood the plain capped linkBest degrades to
+    // "best SURVIVING match" — the rescued face restores exact recall
+    // first, so the min-distance aggregate sees every true candidate
+    "er_link_best_rescued" -> ((s, dir) => {
+      val cl = Tables.customer(s, dir).selectExpr("c_custkey",
+        s"$FloodNameSql AS nm")
+      val dr = cl.selectExpr("c_custkey", s"$MutateSql AS nm")
+      EntityResolution.linkBestRescued(
+        dr.select(col("c_custkey").as("dirty_id"), col("nm")),
+        "dirty_id", "nm",
+        cl.select(col("c_custkey").as("clean_id"), col("nm")),
+        "clean_id", "nm", d = 1, maxBucketSize = 256)
     })
   )
 
@@ -211,6 +246,36 @@ object ErQueries {
          |pr AS (SELECT d.c_custkey AS dirty_id, c.c_custkey AS clean_id,
          |              CAST(levenshtein(d.nm, c.nm) AS INT) AS dist
          |       FROM dr d JOIN cl c ON levenshtein(d.nm, c.nm) <= 1)
+         |SELECT dirty_id, clean_id, dist FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn FROM pr)
+         |WHERE rn = 1""".stripMargin,
+
+    "er_clusters_rescued" ->
+      s"""WITH RECURSIVE
+         |s0 AS (SELECT c_custkey, $FloodNameSql AS nm FROM customer
+         |       WHERE c_custkey % 5 = 0),
+         |u AS (SELECT c_custkey AS id, nm FROM s0
+         |      UNION ALL
+         |      SELECT c_custkey + 100000 AS id, $MutateSql AS nm
+         |      FROM (SELECT c_custkey, nm FROM s0) AS cl),
+         |pr AS (SELECT a.id AS ida, b.id AS idb
+         |       FROM u a JOIN u b ON a.id < b.id
+         |       WHERE levenshtein(a.nm, b.nm) <= 1),
+         |e AS (SELECT ida AS a, idb AS b FROM pr
+         |      UNION SELECT idb, ida FROM pr),
+         |r AS (SELECT id, id AS reach FROM u
+         |      UNION
+         |      SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT id, min(reach) AS cluster_id FROM r GROUP BY id""".stripMargin,
+
+    "er_link_best_rescued" ->
+      s"""WITH fl AS (SELECT c_custkey, $FloodNameSql AS nm FROM customer),
+         |fd AS (SELECT c_custkey, $MutateSql AS nm
+         |       FROM (SELECT c_custkey, nm FROM fl) AS cl),
+         |pr AS (SELECT d.c_custkey AS dirty_id, c.c_custkey AS clean_id,
+         |              CAST(levenshtein(d.nm, c.nm) AS INT) AS dist
+         |       FROM fd d JOIN fl c ON levenshtein(d.nm, c.nm) <= 1)
          |SELECT dirty_id, clean_id, dist FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY dirty_id ORDER BY dist, clean_id) AS rn FROM pr)

@@ -196,6 +196,53 @@ class EntityResolutionSpec extends SparkSpec {
       s"missing ${want -- rescued}, extra ${rescued -- want}")
   }
 
+  test("rescued downstream faces: clusters and best-match see the flood pairs") {
+    // the r16 gap: er_clusters/er_link_best consumed the PLAIN capped
+    // join, so a flood silently split clusters / degraded "best" to
+    // "best surviving". Both rescued faces must equal the no-cap truth
+    // while the cap genuinely fires.
+    val df = (0 until 80).map(i => (i.toLong, f"Customer#$i%03d"))
+      .toDF("id", "s").cache()
+    val want = bruteSelf(df, 1)
+    val capped = EntityResolution.editDistanceSelfJoin(df, "id", "s", 1,
+        maxBucketSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.size < want.size, "fixture must flood for this test")
+    // clusters: naive union-find over the brute pair set
+    val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    want.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantClusters = (0L until 80L).map(i => i -> find(i)).toMap
+    val gotClusters = EntityResolution.clusterIdsRescued(df, "id", "s", 1,
+        maxBucketSize = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotClusters == wantClusters,
+      s"diff: ${wantClusters.toSet.diff(gotClusters.toSet)}")
+    // best-match: min (dist, id) per left record over the brute pairs
+    val clean = df.select(col("id").as("cid"), col("s").as("cn"))
+    val dirty = (0 until 80).map { i =>
+      val base = f"Customer#$i%03d"
+      (1000L + i, base.substring(0, 11) + 'z' + base.substring(12))
+    }.toDF("did", "dn")
+    val brutePairs = dirty.as("a").join(clean.as("b"),
+        levenshtein(col("a.dn"), col("b.cn")) <= 1)
+      .select(col("a.did"), col("b.cid"),
+        levenshtein(col("a.dn"), col("b.cn")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val wantBest = brutePairs.groupBy(_._1).map { case (d, ps) =>
+      val best = ps.minBy(p => (p._3, p._2)); d -> (best._2, best._3) }
+    val gotBest = EntityResolution.linkBestRescued(dirty, "did", "dn",
+        clean, "cid", "cn", d = 1, maxBucketSize = 40)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(gotBest == wantBest,
+      s"diff: ${wantBest.toSet.diff(gotBest.toSet)}")
+    df.unpersist()
+  }
+
   test("rescued self-join equals the capped join when nothing floods") {
     val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "bbbb"), (4L, "bbbc"),
       (5L, "cdef")).toDF("id", "s")
