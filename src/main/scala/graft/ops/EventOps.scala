@@ -556,4 +556,54 @@ object EventOps {
           .otherwise(round(col("n_users").cast("double") /
             first(col("n_users")).over(entered), 6)))
   }
+
+  /** Length-3 sequential-pattern support (PrefixSpan-lite, r16 verdict
+    * task 6): users whose history contains type A strictly-before B
+    * strictly-before C, ANY gaps, on the (tsec, event_id) total order.
+    * Input columns: user_id, event_type, tsec, event_id.
+    *
+    * The naive shape is a per-user TRIPLE self-join (events³ under a
+    * hot user). This one extends the order-2 min/max trick with the
+    * episode-mining MINIMAL-OCCURRENCE (earliest-completion) relation:
+    * first/last per type alone cannot decide order 3 (Y's middle
+    * occurrences are invisible — Y={1,3,5}, first(X)=2, last(Z)=4 IS a
+    * witness through y=3 but min/max sees only 1 and 5), so the prefix
+    * A→B materializes e2(A,B) = the earliest B occurrence strictly
+    * after first(A). The exchange argument makes greedy exact: any
+    * witness x<y<z has first(A) <= x < y, so e2(A,B) <= y < z, hence
+    * A→B→C ⟺ e2(A,B) < last(C).
+    *
+    * Scale shape: the e2 build joins the raw events to the per-(user,
+    * type) first-occurrence relation — |events_u| × |types| rows per
+    * user, aggregated immediately map-side; the pattern join is the
+    * |types|²-sized e2 relation against the |types|-sized last relation
+    * — |types|³ per user, bounded by the type alphabet, NEVER events³
+    * (see the events_{uni,hot}_seq3 ScaleProbe ladder: a planted bot
+    * user holding 20% of the corpus costs linear build fanout, not a
+    * cubic blowup).
+    */
+  def seqPatterns3(ev: DataFrame): DataFrame = {
+    val o = struct(col("tsec"), col("event_id"))
+    val occ = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(o).as("first_occ"), max(o).as("last_occ"))
+    val firsts = occ.select(col("user_id"),
+      col("event_type").as("type_a"), col("first_occ").as("fa"))
+    val e2 = ev.select(col("user_id"), col("event_type").as("type_b"),
+        o.as("ob"))
+      .join(firsts, Seq("user_id"))
+      .filter(col("ob") > col("fa"))
+      .groupBy(col("user_id"), col("type_a"), col("type_b"))
+      .agg(min(col("ob")).as("e2"))
+    val lasts = occ.select(col("user_id"),
+      col("event_type").as("type_c"), col("last_occ").as("lc"))
+    val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users_total"))
+    e2.join(lasts, Seq("user_id"))
+      .filter(col("e2") < col("lc"))
+      .groupBy(col("type_a"), col("type_b"), col("type_c"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("type_c"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_users_total"), 6)
+          .as("support"))
+  }
 }

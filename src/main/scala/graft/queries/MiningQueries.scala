@@ -183,6 +183,16 @@ object MiningQueries {
             .as("support"))
     }),
 
+    // length-3 sequential patterns (A strictly-before B strictly-before
+    // C, any gaps) via the minimal-occurrence extension of the min/max
+    // trick — fanout |types|³ per user, never events³ (EventOps
+    // scaladoc has the exchange argument; the hot-user ladder row is in
+    // BASELINE.md)
+    "events_seq_patterns3" -> ((s, dir) =>
+      graft.ops.EventOps.seqPatterns3(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id")))),
+
     // connected components of the STRONG co-purchase graph (pair
     // support >= 3): product communities via the shared min-label
     // propagation (Dedup.resolveClusters — the ER clustering engine
@@ -1418,6 +1428,34 @@ object MiningQueries {
         |SELECT type_a, type_b, n_users,
         |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
         |FROM pr, nu""".stripMargin,
+
+    "events_seq_patterns3" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
+        |    event_id
+        |  FROM events),
+        |fo AS (SELECT user_id, event_type AS type_a,
+        |    first(tsec ORDER BY tsec, event_id) AS fts,
+        |    first(event_id ORDER BY tsec, event_id) AS fid
+        |  FROM e GROUP BY 1, 2),
+        |lo AS (SELECT user_id, event_type AS type_c,
+        |    last(tsec ORDER BY tsec, event_id) AS lts,
+        |    last(event_id ORDER BY tsec, event_id) AS lid
+        |  FROM e GROUP BY 1, 2),
+        |e2 AS (SELECT b.user_id, fo.type_a, b.event_type AS type_b,
+        |    first(b.tsec ORDER BY b.tsec, b.event_id) AS mts,
+        |    first(b.event_id ORDER BY b.tsec, b.event_id) AS mid
+        |  FROM e b JOIN fo ON b.user_id = fo.user_id
+        |  WHERE b.tsec > fo.fts OR (b.tsec = fo.fts AND b.event_id > fo.fid)
+        |  GROUP BY 1, 2, 3),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users_total FROM e),
+        |tr AS (SELECT e2.type_a, e2.type_b, lo.type_c, count(*) AS n_users
+        |  FROM e2 JOIN lo ON e2.user_id = lo.user_id
+        |    AND (e2.mts < lo.lts OR (e2.mts = lo.lts AND e2.mid < lo.lid))
+        |  GROUP BY 1, 2, 3)
+        |SELECT type_a, type_b, type_c, n_users,
+        |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
+        |FROM tr, nu""".stripMargin,
 
     "quality_l_diversity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,

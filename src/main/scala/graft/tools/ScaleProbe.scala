@@ -493,6 +493,18 @@ object ScaleProbe {
       asofAll("uni", evP)
       asofAll("hot", hot)
       asofAll("hotcap", hotCapped)
+      // length-3 sequential patterns: the e2 build fans each user's
+      // events out |types|-fold (a 20% bot user costs LINEAR extra
+      // build rows, never events³); surrogate event_id keeps the total
+      // order deterministic within the probe
+      def seq3(df: DataFrame) =
+        graft.ops.EventOps.seqPatterns3(df.select(col("user_id"),
+          col("event_type"), unix_timestamp(col("ts")).as("tsec"),
+          abs(hash(col("ts"), col("event_type"))).cast("long")
+            .as("event_id")))
+      t("events_uni_seq3", keepCache = true)(seq3(evP))
+      t("events_hot_seq3", keepCache = true)(seq3(hot))
+      t("events_hotcap_seq3", keepCache = true)(seq3(hotCapped))
       Seq(evP, hot, hotCapped).foreach(_.unpersist())
     }
 

@@ -292,4 +292,45 @@ class EventOpsSpec extends SparkSpec {
       .toMap
     assert(f == Map(1 -> ((3, 4.25)), 2 -> ((4, 4.0)), 3 -> ((5, 3.75))))
   }
+
+  test("seqPatterns3 equals the brute triple scan; middle occurrences count") {
+    import spark.implicits._
+    // user 1 is THE counterexample to a pure first/last formulation:
+    // Y at 1,3,5; X at 2; Z at 4 — X->Y->Z holds only through the
+    // MIDDLE Y occurrence (min/max sees Y first=1 <= first(X)=2 and
+    // Y last=5 >= last(Z)=4 and would answer NO). user 2 is its
+    // negative twin (Y at 1,5 only — no witness). user 3 covers
+    // repeated types (X->X->X needs three occurrences).
+    val ev = Seq(
+      (1L, "Y", 1L, 1L), (1L, "X", 2L, 2L), (1L, "Y", 3L, 3L),
+      (1L, "Z", 4L, 4L), (1L, "Y", 5L, 5L),
+      (2L, "Y", 1L, 6L), (2L, "X", 2L, 7L), (2L, "Z", 4L, 8L),
+      (2L, "Y", 5L, 9L),
+      (3L, "X", 1L, 10L), (3L, "X", 2L, 11L), (3L, "X", 3L, 12L)
+    ).toDF("user_id", "event_type", "tsec", "event_id")
+    val got = EventOps.seqPatterns3(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    // brute force: for each user and (a,b,c), exists x<y<z occurrences
+    val rows = ev.collect().map(r =>
+      (r.getLong(0), r.getString(1), (r.getLong(2), r.getLong(3))))
+    val types = rows.map(_._2).distinct
+    val want = (for {
+      a <- types; b <- types; c <- types
+      n = rows.map(_._1).distinct.count { u =>
+        val occ = rows.filter(_._1 == u)
+        occ.exists { case (_, ta, x) => ta == a &&
+          occ.exists { case (_, tb, y) => tb == b &&
+            implicitly[Ordering[(Long, Long)]].lt(x, y) &&
+            occ.exists { case (_, tc, z) => tc == c &&
+              implicitly[Ordering[(Long, Long)]].lt(y, z) } } }
+      }
+      if n > 0
+    } yield (a, b, c) -> n.toLong).toMap
+    assert(got == want,
+      s"missing ${want.toSet.diff(got.toSet)}, extra ${got.toSet.diff(want.toSet)}")
+    assert(got(("X", "Y", "Z")) == 1L) // user 1 only, via the middle Y
+    assert(got(("X", "X", "X")) == 1L) // user 3's triple occurrence
+  }
 }
