@@ -723,19 +723,29 @@ object Dedup {
   def anchorCandidatePairs(docs: DataFrame, idCol: String, nAnchors: Int,
                            textCol: String = "text", k: Int = 3,
                            maxBucketSize: Int = 0): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
-    val h = sh.withColumn("ah",
-      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("ah"), col("s"))
-    val anchors = h.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nAnchors)
-      .select(col("ah"), col("doc_id"))
-    val capped = capBuckets(anchors, Seq("ah"), maxBucketSize,
-      "anchorCandidatePairs")
+    val capped = capBuckets(docAnchors(docs, idCol, nAnchors, textCol, k),
+      Seq("ah"), maxBucketSize, "anchorCandidatePairs")
     capped.select(col("ah"), col("doc_id").as("doc_a"))
       .join(capped.select(col("ah"), col("doc_id").as("doc_b")), Seq("ah"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** The bottom-`nAnchors` anchor relation (ah, doc_id) of
+    * [[anchorCandidatePairs]], exposed as the per-document INDEX
+    * artifact: a document's anchors never change once computed, so a
+    * streaming ingest persists them and probes new batches against the
+    * store instead of re-sketching the corpus ([[graft.streaming.QuoteIngest]]).
+    */
+  def docAnchors(docs: DataFrame, idCol: String, nAnchors: Int,
+                 textCol: String = "text", k: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, k)
+    val h = sh.withColumn("ah",
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ah"), col("s"))
+    h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nAnchors)
+      .select(col("ah"), col("doc_id"))
   }
 
   /** Asymmetric CONTAINMENT verification over LSH candidates — the
