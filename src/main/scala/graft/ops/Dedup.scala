@@ -811,6 +811,14 @@ object Dedup {
     * batch tokens unseen in the corpus order first (df 0, the rarest
     * position, which is also the selective choice). Exactness is
     * unaffected; only prefix selectivity ages with corpus drift.
+    *
+    * r17: the PPJoin length + positional filters and the array-based
+    * verify of [[setSimilarityPairs]] apply here too (both are
+    * pair-local consequences of J ≥ t, valid under the pinned order);
+    * only the ASYMMETRIC prefix stays out — pair roles here are
+    * new/old, which do not align with the (size, id) order the short
+    * indexing prefix needs, so both sides keep the standard AllPairs
+    * prefix.
     */
   def setSimilarityIncremental(corpus: DataFrame, batch: DataFrame,
                                idCol: String, threshold: Double,
@@ -819,53 +827,81 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eps = 1e-9
     def shingles(d: DataFrame) =
       shingleRows(d.select(col(idCol), col(textCol)), idCol, textCol, k)
         .select(col("doc_id"), col("s").as("w")).distinct()
     val tkOld = shingles(corpus).persist(sl); tkOld.count()
     val tkNew = shingles(batch).persist(sl); tkNew.count()
     val dfreq = tkOld.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    def prefixes(tk: DataFrame): DataFrame =
+    def docTok(tk: DataFrame): DataFrame =
       tk.join(dfreq, Seq("w"), "left")
         .select(col("doc_id"), col("w"), coalesce(col("df"), lit(0L)).as("df"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
         .withColumn("s", size(col("ts")))
         .withColumn("p",
-          col("s") - ceil(lit(threshold) * col("s") - lit(1e-9)).cast("int") + 1)
-        .select(col("doc_id"), explode(expr("slice(ts, 1, p)")).as("pt"))
-        .select(col("doc_id"), col("pt.w").as("w"))
-    val (pn, po) = capBucketsPaired(prefixes(tkNew), prefixes(tkOld),
+          col("s") - ceil(lit(threshold) * col("s") - lit(eps)).cast("int") + 1)
+    val dtOld = docTok(tkOld).persist(sl); dtOld.count()
+    val dtNew = docTok(tkNew).persist(sl); dtNew.count()
+    def prefixRows(dt: DataFrame): DataFrame =
+      dt.select(col("doc_id"), col("s"),
+          posexplode(expr("slice(ts, 1, p)")).as(Seq("p0", "pt")))
+        .select(col("doc_id"), col("s"), (col("p0") + 1).as("pos"),
+          col("pt.w").as("w"))
+    val (pn, po) = capBucketsPaired(prefixRows(dtNew), prefixRows(dtOld),
       Seq("w"), maxBucketSize, "setSimilarityIncremental")
     val pnP = pn.persist(sl); pnP.count()
-    val cross = pnP.select(col("w"), col("doc_id").as("na"))
-      .join(po.select(col("w"), col("doc_id").as("nb")), Seq("w"))
-    val self = pnP.select(col("w"), col("doc_id").as("na"))
-      .join(pnP.select(col("w"), col("doc_id").as("nb")), Seq("w"))
-      .filter(col("na") < col("nb"))
+    def leg(a: DataFrame, b: DataFrame, pred: Column): DataFrame =
+      a.select(col("w"), col("doc_id").as("na"), col("s").as("sa"),
+          col("pos").as("ia"))
+        .join(b.select(col("w"), col("doc_id").as("nb"), col("s").as("sb"),
+          col("pos").as("ib")), Seq("w"))
+        .filter(pred)
+        // length filter, both directions (the pair is not size-ordered)
+        .filter(col("sa").cast("double") >=
+            lit(threshold) * col("sb") - lit(eps) &&
+          col("sb").cast("double") >=
+            lit(threshold) * col("sa") - lit(eps))
+        .groupBy(col("na"), col("nb"))
+        .agg(min(struct(col("ia"), col("ib"))).as("m"),
+          first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+        // positional filter at the first common token (min ia over the
+        // match rows IS the globally-minimal common token: both arrays
+        // sort by the pinned order and the lemma puts it in both
+        // prefixes)
+        .filter(lit(1) +
+          least(col("sa") - col("m.ia"), col("sb") - col("m.ib")) >=
+          ceil(lit(threshold / (1 + threshold)) *
+            (col("sa") + col("sb")) - lit(eps)))
+        .select(col("na"), col("nb"))
+    // a REPLAYED document sits in both relations; id inequality excludes
+    // the self-pair exactly (ids are unique per document)
+    val cross = leg(pnP, po, col("na") =!= col("nb"))
+    val self = leg(pnP, pnP, col("na") < col("nb"))
     val cand = cross.unionByName(self)
       .select(least(col("na"), col("nb")).as("doc_a"),
         greatest(col("na"), col("nb")).as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
       .persist(sl)
     cand.count()
-    // distinct across the union, not just per side: under at-least-once
-    // delivery a REPLAYED document sits in both the index and the batch,
-    // and double-counted token rows would inflate inter AND the sizes —
-    // emitting a pair row with a DIFFERENT jaccard than the first
-    // delivery, which a value-keyed dedup downstream cannot absorb
-    val tk = tkOld.unionByName(tkNew).distinct().persist(sl); tk.count()
-    val inter = cand
-      .join(tk.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sz = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    // one sorted-token row per doc even under replay: the same text
+    // yields the same token set, hence the same ts/s on either side —
+    // dropDuplicates keeps the verify's sizes exact (the r16 lesson:
+    // double-counted token rows inflate inter AND the sizes)
+    val arr = dtNew.unionByName(dtOld).dropDuplicates("doc_id")
+      .select(col("doc_id"),
+        transform(col("ts"), x => x.getField("w")).as("ws"),
+        col("s"))
+    val withArrays = cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
+        col("s").as("sa")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("ws").as("wb"),
+        col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
     val jac = col("inter").cast("double") /
       (col("sa") + col("sb") - col("inter")).cast("double")
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("c").as("sa")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("c").as("sb")), Seq("doc_b"))
+    withArrays
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
   }
