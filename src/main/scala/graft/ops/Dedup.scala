@@ -1066,6 +1066,95 @@ object Dedup {
     (cand, docTokens)
   }
 
+  /** EXACT containment self-join (r17): every unordered pair whose
+    * LARGER containment max(|A∩B|/|A|, |A∩B|/|B|) reaches `threshold`,
+    * with cross-product semantics — the zero-false-negative companion
+    * of the anchor-blocked [[anchorCandidatePairs]] +
+    * [[containmentPairs]] composition, exactly as [[setSimilarityPairs]]
+    * is to banded LSH. Same output schema as [[containmentPairs]].
+    *
+    * Blocking: containment admits a prefix lemma only on the CONTAINED
+    * side — c(A in B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉ ⇒ the globally-minimal
+    * common token lies in A's first s − ⌈t·s⌉ + 1 tokens; the container
+    * side has NO length relation to exploit (a 10-token quote can live
+    * in a 10^6-token book), so the join is prefix(contained) ×
+    * FULL-token(container) — candidate volume rides the token
+    * frequency skew, which is precisely why the approximate anchor
+    * family exists for corpora whose shingle universe is dense; the
+    * hot-token cap ([[capBucketsPaired]], combined membership) bounds
+    * the flood loudly. A positional filter prunes before verification:
+    * at the first common token (positions i, j under the global
+    * rare-first order), |A∩B| ≤ 1 + min(sa − i, sb − j), which any
+    * qualifying pair needs ≥ ⌈t·min(sa, sb)⌉. Verification fetches
+    * both sorted token arrays and intersects map-side (the
+    * [[setSimilarityPairs]] posture) — candidate-sized, exact.
+    */
+  def containmentSelfPairs(docs: DataFrame, idCol: String,
+                           threshold: Double, textCol: String = "text",
+                           k: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eps = 1e-9
+    val tk = shingleRows(docs.select(col(idCol), col(textCol)),
+        idCol, textCol, k)
+      .select(col("doc_id"), col("s").as("w"))
+      .distinct()
+      .persist(sl)
+    tk.count()
+    val freq = tk.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val docTokens = tk.join(freq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
+      .withColumn("s", size(col("ts")))
+      .withColumn("p",
+        col("s") -
+          ceil(lit(threshold) * col("s") - lit(eps)).cast("int") + 1)
+      .persist(sl)
+    docTokens.count()
+    def rowsOf(lenCol: Column): DataFrame =
+      docTokens
+        .select(col("doc_id"), col("s"),
+          posexplode(slice(col("ts"), lit(1), lenCol)).as(Seq("p0", "pt")))
+        .select(col("doc_id"), col("s"), (col("p0") + 1).as("pos"),
+          col("pt.w").as("w"))
+    val (pPfx, pAll) = capBucketsPaired(rowsOf(col("p")), rowsOf(col("s")),
+      Seq("w"), maxBucketSize, "containmentSelfPairs")
+    val cand = pPfx.select(col("w"), col("doc_id").as("na"),
+        col("s").as("sa"), col("pos").as("ia"))
+      .join(pAll.select(col("w"), col("doc_id").as("nb"), col("s").as("sb"),
+        col("pos").as("ib")), Seq("w"))
+      .filter(col("na") =!= col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(min(struct(col("ia"), col("ib"))).as("m"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .filter(lit(1) +
+        least(col("sa") - col("m.ia"), col("sb") - col("m.ib")) >=
+        ceil(lit(threshold) * least(col("sa"), col("sb")) - lit(eps)))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
+      .persist(sl)
+    cand.count()
+    val arr = docTokens.select(col("doc_id"),
+      transform(col("ts"), x => x.getField("w")).as("ws"), col("s"))
+    val withArrays = cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
+        col("s").as("sa")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("ws").as("wb"),
+        col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+    val jac = col("inter").cast("double") /
+      (col("sa") + col("sb") - col("inter")).cast("double")
+    val ca = col("inter").cast("double") / col("sa")
+    val cb = col("inter").cast("double") / col("sb")
+    withArrays
+      .filter(greatest(ca, cb) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"),
+        round(ca, 6).as("cont_a_in_b"), round(cb, 6).as("cont_b_in_a"),
+        (greatest(ca, cb) >= 0.8 && jac < 0.5).cast("int").as("quote_like"))
+  }
+
   /** Connected-component resolution over verified near-dup PAIRS — the
     * step that turns a pair report into a dedup operator: A~B and B~C put
     * all three in one cluster whose keeper is the minimum doc id.

@@ -337,6 +337,28 @@ object LlmQueries {
       |  SELECT doc_id + 1000000, substr(text, 31, 150) FROM documents
       |  WHERE doc_id % 5 = 0 AND n_chars >= 450)""".stripMargin
 
+  /** Short-quote planted corpus for the anchor miss audit: documents
+    * plus a 40-char window (~5 shingles) of every 5th long doc, id
+    * offset +2e6 — verbatim containment 1.0, but small enough that the
+    * long side's bottom-8 anchors usually fall outside the window.
+    * Derived identically in [[ShortQuoteCte]].
+    */
+  private def shortQuotes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    BuildMemo.df(s, dir, "shortQuotes") {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(col("doc_id") % 5 === 0 && col("n_chars") >= 450)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            substring(col("text"), 61, 40).as("text")))
+    }
+
+  private val ShortQuoteCte: String =
+    """aug AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, substr(text, 61, 40) FROM documents
+      |  WHERE doc_id % 5 = 0 AND n_chars >= 450)""".stripMargin
+
   /** Near-threshold planted corpus for the LSH miss audit: documents
     * plus, for every 7th doc with >= 40 words, a twin carrying its
     * first ceil(0.6·n) words (id + 2e6) — shingle jaccard ≈ 0.6, the
@@ -1288,6 +1310,37 @@ object LlmQueries {
           .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
       docs.join(drop, Seq("doc_id"), "left_anti")
+    }),
+
+    // EXACT containment self-join on the planted-quote corpus (r17):
+    // zero-false-negative cross-product semantics — the deterministic
+    // companion of the anchor-blocked quote detector, exactly as
+    // dedup_setsim_pairs is to banded LSH. Oracle = the unfiltered
+    // brute-force shingle join, so the contained-side prefix lemma is
+    // hash-gated
+    "dedup_containment_exact" -> ((s, dir) =>
+      Dedup.containmentSelfPairs(augmentedQuotes(s, dir), "doc_id",
+        threshold = 0.5)),
+
+    // the quote pairs bottom-8 anchor blocking MISSES: exact
+    // containment join minus the anchor-blocked candidates' verified
+    // pairs — the approximation error of the anchor family as a
+    // declared, auditable relation (the dedup_lsh_missed discipline
+    // applied to its remaining approximate sibling). The 150-char
+    // planted windows are anchor-friendly (0 misses at sf0.01 — ~23
+    // shingles give the long side's bottom-8 a high hit rate), so the
+    // audit plants SHORT 40-char windows (~5 shingles): containment is
+    // still exactly 1.0 (verbatim substring), but the long doc's
+    // bottom-8 anchors rarely land inside so small a window — the
+    // regime where anchor blocking genuinely loses quotes
+    "dedup_quote_missed" -> ((s, dir) => {
+      val docs = shortQuotes(s, dir)
+      Dedup.containmentSelfPairs(docs, "doc_id", threshold = 0.5)
+        .join(Dedup.containmentPairs(docs,
+            Dedup.anchorCandidatePairs(docs, "doc_id", 8),
+            "doc_id", k = 3, threshold = 0.5)
+            .select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_anti")
     }),
 
     "dedup_fuzzy" -> ((s, dir) =>
@@ -3449,6 +3502,53 @@ object LlmQueries {
         |               JOIN tsz sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
         |FROM tj WHERE jac >= 0.5""".stripMargin,
+
+    "dedup_containment_exact" ->
+      s"""WITH $AugQuoteCte,
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM aug),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+         |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |m AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac,
+         |        CAST(inter AS DOUBLE) / sa.c AS ca,
+         |        CAST(inter AS DOUBLE) / sb.c AS cb
+         |      FROM iv JOIN sz sa ON doc_a = sa.doc_id
+         |              JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+         |  round(ca, 6) AS cont_a_in_b, round(cb, 6) AS cont_b_in_a,
+         |  CAST(CASE WHEN greatest(ca, cb) >= 0.8 AND jac < 0.5
+         |       THEN 1 ELSE 0 END AS INT) AS quote_like
+         |FROM m WHERE greatest(ca, cb) >= 0.5""".stripMargin,
+
+    "dedup_quote_missed" ->
+      s"""WITH $ShortQuoteCte,
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM aug),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+         |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+         |${anchorCandCtes(8)},
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |m AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac,
+         |        CAST(inter AS DOUBLE) / sa.c AS ca,
+         |        CAST(inter AS DOUBLE) / sb.c AS cb
+         |      FROM iv JOIN sz sa ON doc_a = sa.doc_id
+         |              JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+         |  round(ca, 6) AS cont_a_in_b, round(cb, 6) AS cont_b_in_a,
+         |  CAST(CASE WHEN greatest(ca, cb) >= 0.8 AND jac < 0.5
+         |       THEN 1 ELSE 0 END AS INT) AS quote_like
+         |FROM m WHERE greatest(ca, cb) >= 0.5
+         |  AND NOT EXISTS (SELECT 1 FROM cand
+         |    WHERE cand.doc_a = m.doc_a AND cand.doc_b = m.doc_b)""".stripMargin,
 
     "dedup_quote_pairs" ->
       s"""WITH $AugQuoteCte,

@@ -62,6 +62,19 @@ object ScaleProbe {
     // prefixes stay diverse as k grows)
     t("setsim_pairs")(Dedup.setSimilarityPairs(docs, "doc_id", 0.5))
 
+    // exact containment self-join: candidate volume rides prefix-token
+    // frequency (the container side indexes its FULL token set — no
+    // length filter exists for containment), so the ladder watches the
+    // slope against the anchor-blocked approximation's
+    if (only.exists(_.contains("containment_exact"))) {
+      t("containment_exact")(
+        Dedup.containmentSelfPairs(docs, "doc_id", 0.5))
+      t("containment_anchored")(
+        Dedup.containmentPairs(docs,
+          Dedup.anchorCandidatePairs(docs, "doc_id", 8),
+          "doc_id", k = 3, threshold = 0.5))
+    }
+
     // word-set mode (k = 1): the DEGENERATE regime for prefix filtering
     // — the fixture's 31-word vocabulary makes every prefix token
     // corpus-common (r16 with plain AllPairs prefixes: 12.3M candidates

@@ -399,6 +399,41 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
   }
 
+  test("containmentSelfPairs equals the brute-force containment join") {
+    // word mode (k = 1): full containment (2 in 1), partial overlaps
+    // at/above/below threshold, a boundary pair, and an empty doc
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e"),                  // cont(2 in 1) = 1.0, jac 3/8
+      (3L, "x y z q"),
+      (4L, "x y"),                    // cont(4 in 3) = 1.0
+      (5L, "a b x y"),                // cont: 2/4 vs each of 1, 3
+      (6L, "c d e q r s"),            // cont(2 in 6) = 1.0 too
+      (7L, "")
+    ).toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double, Double, Double, Int)] = {
+      val tok = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSet).toMap
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      (for {
+        a <- tok.keys; b <- tok.keys if a < b
+        ia = tok(a); ib = tok(b) if ia.nonEmpty && ib.nonEmpty
+        inter = ia.intersect(ib).size.toDouble
+        ca = inter / ia.size; cb = inter / ib.size
+        jac = inter / ia.union(ib).size
+        if math.max(ca, cb) >= t
+      } yield (a, b, r6(jac), r6(ca), r6(cb),
+        if (math.max(ca, cb) >= 0.8 && jac < 0.5) 1 else 0)).toSet
+    }
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.containmentSelfPairs(docs, "doc_id", t, k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
+      assert(got == brute(t),
+        s"t=$t: missing ${brute(t) -- got}, extra ${got -- brute(t)}")
+    }
+  }
+
   test("setSimilarityPairs cap drops the frequent-word flood loudly, never precision") {
     // every doc is two frequent words plus a unique one: at t=0.5 the
     // frequent pair lands in every prefix and floods its buckets
