@@ -1155,6 +1155,103 @@ object Dedup {
         (greatest(ca, cb) >= 0.8 && jac < 0.5).cast("int").as("quote_like"))
   }
 
+  /** Incremental (batch-vs-index) face of [[containmentSelfPairs]] —
+    * the containment analogue of [[setSimilarityIncremental]]: every
+    * pair touching at least one batch document whose larger containment
+    * reaches `threshold`; the old corpus is never self-joined. Two
+    * blocking legs, because the CONTAINED side owns the prefix lemma
+    * and either side of a cross pair can be the contained one: batch
+    * prefixes probe the full token sets of everything (covering new-in-
+    * old, new-in-new, and old-CONTAINING-new via symmetry of the pair),
+    * and old prefixes probe the batch's full tokens (old-contained-in-
+    * new). Vocabulary order pinned to corpus-only document frequencies
+    * (any total order satisfies the lemma — the
+    * [[setSimilarityIncremental]] contract); the hot-token cap judges
+    * combined prefix-side/full-side membership per token.
+    */
+  def containmentIncremental(corpus: DataFrame, batch: DataFrame,
+                             idCol: String, threshold: Double,
+                             textCol: String = "text", k: Int = 3,
+                             maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eps = 1e-9
+    def shingles(d: DataFrame) =
+      shingleRows(d.select(col(idCol), col(textCol)), idCol, textCol, k)
+        .select(col("doc_id"), col("s").as("w")).distinct()
+    val tkOld = shingles(corpus).persist(sl); tkOld.count()
+    val tkNew = shingles(batch).persist(sl); tkNew.count()
+    val dfreq = tkOld.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    def docTok(tk: DataFrame): DataFrame =
+      tk.join(dfreq, Seq("w"), "left")
+        .select(col("doc_id"), col("w"),
+          coalesce(col("df"), lit(0L)).as("df"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("ts"))
+        .withColumn("s", size(col("ts")))
+        .withColumn("p",
+          col("s") -
+            ceil(lit(threshold) * col("s") - lit(eps)).cast("int") + 1)
+    val dtOld = docTok(tkOld).persist(sl); dtOld.count()
+    val dtNew = docTok(tkNew).persist(sl); dtNew.count()
+    def rowsOf(dt: DataFrame, lenCol: Column, tag: Int): DataFrame =
+      dt.select(col("doc_id"), col("s"),
+          posexplode(slice(col("ts"), lit(1), lenCol)).as(Seq("p0", "pt")))
+        .select(col("doc_id"), col("s"), (col("p0") + 1).as("pos"),
+          col("pt.w").as("w"), lit(tag).as("__new"))
+    // cap on COMBINED membership: the join is prefix-side x full-side
+    val pfx = rowsOf(dtNew, col("p"), 1)
+      .unionByName(rowsOf(dtOld, col("p"), 0))
+    val full = rowsOf(dtNew, col("s"), 1)
+      .unionByName(rowsOf(dtOld, col("s"), 0))
+    val (pc, fc) = capBucketsPaired(pfx, full, Seq("w"), maxBucketSize,
+      "containmentIncremental")
+    val pcP = pc.persist(sl); pcP.count()
+    val fcP = fc.persist(sl); fcP.count()
+    def leg(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("w"), col("doc_id").as("na"), col("s").as("sa"),
+          col("pos").as("ia"))
+        .join(b.select(col("w"), col("doc_id").as("nb"), col("s").as("sb"),
+          col("pos").as("ib")), Seq("w"))
+        .filter(col("na") =!= col("nb"))
+        .groupBy(col("na"), col("nb"))
+        .agg(min(struct(col("ia"), col("ib"))).as("m"),
+          first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+        .filter(lit(1) +
+          least(col("sa") - col("m.ia"), col("sb") - col("m.ib")) >=
+          ceil(lit(threshold) * least(col("sa"), col("sb")) - lit(eps)))
+        .select(col("na"), col("nb"))
+    val cand = leg(pcP.filter(col("__new") === 1), fcP)
+      .unionByName(leg(pcP.filter(col("__new") === 0),
+        fcP.filter(col("__new") === 1)))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
+      .persist(sl)
+    cand.count()
+    // one sorted-token row per doc even under replay (same text -> same
+    // ts on either side)
+    val arr = dtNew.unionByName(dtOld).dropDuplicates("doc_id")
+      .select(col("doc_id"),
+        transform(col("ts"), x => x.getField("w")).as("ws"), col("s"))
+    val withArrays = cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
+        col("s").as("sa")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("ws").as("wb"),
+        col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+    val jac = col("inter").cast("double") /
+      (col("sa") + col("sb") - col("inter")).cast("double")
+    val ca = col("inter").cast("double") / col("sa")
+    val cb = col("inter").cast("double") / col("sb")
+    withArrays
+      .filter(greatest(ca, cb) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"),
+        round(ca, 6).as("cont_a_in_b"), round(cb, 6).as("cont_b_in_a"),
+        (greatest(ca, cb) >= 0.8 && jac < 0.5).cast("int").as("quote_like"))
+  }
+
   /** Connected-component resolution over verified near-dup PAIRS — the
     * step that turns a pair report into a dedup operator: A~B and B~C put
     * all three in one cluster whose keeper is the minimum doc id.

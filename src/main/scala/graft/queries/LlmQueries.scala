@@ -1343,6 +1343,18 @@ object LlmQueries {
           Seq("doc_a", "doc_b"), "left_anti")
     }),
 
+    // the incremental face of the exact containment join: 20% batch vs
+    // 80% corpus (the standard hash split), old side never self-joined;
+    // either side of a cross pair can be the contained one, so both
+    // blocking legs are exercised
+    "dedup_containment_incremental" -> ((s, dir) => {
+      val docs = augmentedQuotes(s, dir)
+      Dedup.containmentIncremental(
+        docs.filter(Dedup.hashBucket(col("doc_id")) >= 20),
+        docs.filter(Dedup.hashBucket(col("doc_id")) < 20),
+        "doc_id", threshold = 0.5)
+    }),
+
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
@@ -3549,6 +3561,33 @@ object LlmQueries {
          |FROM m WHERE greatest(ca, cb) >= 0.5
          |  AND NOT EXISTS (SELECT 1 FROM cand
          |    WHERE cand.doc_a = m.doc_a AND cand.doc_b = m.doc_b)""".stripMargin,
+
+    // the full exact containment set restricted to pairs touching the
+    // batch (the dedup_setsim_incremental convention)
+    "dedup_containment_incremental" ->
+      s"""WITH $AugQuoteCte,
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM aug),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+         |       FROM w, unnest(range(1, greatest(len(ws)-2, 0)+1)) t(i)),
+         |nw AS (SELECT doc_id FROM aug WHERE $HashBucketSql < 20),
+         |sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        count(*) AS inter
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |m AS (SELECT doc_a, doc_b,
+         |        CAST(inter AS DOUBLE) / (sa.c + sb.c - inter) AS jac,
+         |        CAST(inter AS DOUBLE) / sa.c AS ca,
+         |        CAST(inter AS DOUBLE) / sb.c AS cb
+         |      FROM iv JOIN sz sa ON doc_a = sa.doc_id
+         |              JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+         |  round(ca, 6) AS cont_a_in_b, round(cb, 6) AS cont_b_in_a,
+         |  CAST(CASE WHEN greatest(ca, cb) >= 0.8 AND jac < 0.5
+         |       THEN 1 ELSE 0 END AS INT) AS quote_like
+         |FROM m WHERE greatest(ca, cb) >= 0.5
+         |  AND (doc_a IN (SELECT doc_id FROM nw)
+         |    OR doc_b IN (SELECT doc_id FROM nw))""".stripMargin,
 
     "dedup_quote_pairs" ->
       s"""WITH $AugQuoteCte,

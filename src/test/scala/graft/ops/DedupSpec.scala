@@ -434,6 +434,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental containment equals the full join restricted to the batch") {
+    // either side of a cross pair can be the CONTAINED one: old 2 is
+    // contained in new 11 (old-contained-in-new, the second blocking
+    // leg) and new 12 in old 1 (new-contained-in-old, the first);
+    // 13/14 are a new-new containment; unseen tokens order first
+    val old = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e"),
+      (3L, "x y z q")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "c d e q r s t u"),        // contains old 2
+      (12L, "f g h"),                  // contained in old 1
+      (13L, "brand new tokens here"),
+      (14L, "brand new")               // contained in 13
+    ).toDF("doc_id", "text")
+    val all = old.unionByName(batch)
+    val full = Dedup.containmentSelfPairs(all, "doc_id", 0.5, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
+    val oldIds = Set(1L, 2L, 3L)
+    val want = full.filterNot(p => oldIds(p._1) && oldIds(p._2))
+    assert(want.nonEmpty && want.size < full.size)
+    assert(want.exists(p => p._1 == 2L && p._2 == 11L), "old-in-new leg")
+    assert(want.exists(p => p._1 == 1L && p._2 == 12L), "new-in-old leg")
+    assert(want.exists(p => p._1 == 13L && p._2 == 14L), "new-new pair")
+    val got = Dedup.containmentIncremental(old, batch, "doc_id", 0.5,
+        k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("setSimilarityPairs cap drops the frequent-word flood loudly, never precision") {
     // every doc is two frequent words plus a unique one: at t=0.5 the
     // frequent pair lands in every prefix and floods its buckets
