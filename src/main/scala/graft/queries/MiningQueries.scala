@@ -684,6 +684,45 @@ object MiningQueries {
             .as("exposed_share"))
     }),
 
+    // t-closeness (Li, Li & Venkatasubramanian, ICDE 2007): per
+    // quasi-identifier class, the EMD between the class's SENSITIVE
+    // distribution and the global one — l-diversity's blind spot is a
+    // class whose values are distinct but all concentrated in one tail
+    // (distinct ≠ representative). Over the ORDERED band domain EMD is
+    // the mean absolute CUMULATIVE difference (normalized by m−1).
+    // Scale shape: the class × band grid is (|classes| × |bands|) rows
+    // — both alphabet-sized; the running sum is a per-class window
+    // over ~20 ordered bands, never a corpus-wide sort. The cumulative
+    // accumulation order (band ascending) is identical on both
+    // engines, so the only FP nondeterminism is the final class-local
+    // sum, absorbed by the 1e-6 grid.
+    "quality_t_closeness" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      val bands = c.groupBy(col("bal_band")).agg(count(lit(1)).as("gn"))
+      val tot = bands.agg(count(lit(1)).as("m"), sum(col("gn")).as("n_total"))
+      val classes = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("class_n"))
+      val cb = c.groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("bal_band")).agg(count(lit(1)).as("cn"))
+      val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("bal_band"))
+      classes.crossJoin(broadcast(bands))
+        .join(cb, Seq("c_nationkey", "c_mktsegment", "bal_band"), "left")
+        .withColumn("cn", coalesce(col("cn"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("d",
+          col("cn").cast("double") / col("class_n") -
+            col("gn").cast("double") / col("n_total"))
+        .withColumn("cum", sum(col("d")).over(w))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(first(col("class_n")).as("class_n"),
+          round(when(first(col("m")) > 1,
+            sum(abs(col("cum"))) / (first(col("m")) - 1))
+            .otherwise(lit(0.0)), 6).as("emd"))
+    }),
+
     // weekly seasonality profile: per (type, day-of-week) activity with
     // within-type shares — the chi2 query's contingency table exposed
     // as the report itself (the shape check behind every staffing /
@@ -1456,6 +1495,35 @@ object MiningQueries {
         |SELECT type_a, type_b, type_c, n_users,
         |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
         |FROM tr, nu""".stripMargin,
+
+    "quality_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |g AS (SELECT bal_band, count(*) AS gn FROM c GROUP BY 1),
+        |t AS (SELECT count(*) AS m, sum(gn) AS n_total FROM g),
+        |cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_n
+        |  FROM c GROUP BY 1, 2),
+        |cb AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    count(*) AS cn
+        |  FROM c GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_n,
+        |    g.bal_band, g.gn, coalesce(cb.cn, 0) AS cn
+        |  FROM cls CROSS JOIN g
+        |  LEFT JOIN cb ON cb.c_nationkey = cls.c_nationkey
+        |    AND cb.c_mktsegment = cls.c_mktsegment
+        |    AND cb.bal_band = g.bal_band),
+        |d AS (SELECT grid.*, t.m,
+        |    CAST(cn AS DOUBLE) / class_n - CAST(gn AS DOUBLE) / n_total AS d
+        |  FROM grid, t),
+        |cum AS (SELECT c_nationkey, c_mktsegment, class_n, m,
+        |    sum(d) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                 ORDER BY bal_band) AS cum
+        |  FROM d)
+        |SELECT c_nationkey, c_mktsegment, class_n,
+        |  round(CASE WHEN m > 1 THEN sum(abs(cum)) / (m - 1)
+        |        ELSE 0 END, 6) AS emd
+        |FROM cum GROUP BY 1, 2, 3, m""".stripMargin,
 
     "quality_l_diversity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,
