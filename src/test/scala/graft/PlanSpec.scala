@@ -685,6 +685,13 @@ class PlanSpec extends SparkSpec {
       s"prefix blocking must stay a hash join:\n$p")
   }
 
+  test("containment exact: prefix-x-full blocking is a hash equi-join") {
+    val p = planOf("dedup_containment_exact")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"contained-side prefix blocking must stay a hash join:\n$p")
+  }
+
   test("interval overlap: grid-cell equi join, range predicate residual") {
     val p = planOf("join_interval_overlap")
     assert(!p.contains("CartesianProduct") &&
