@@ -756,9 +756,13 @@ object Dedup {
     * quote. Emits every candidate pair whose LARGER containment
     * reaches `threshold`: `(doc_a, doc_b, jaccard, cont_a_in_b,
     * cont_b_in_a, quote_like)`, with `quote_like` = max containment
-    * ≥ 0.8 while jaccard < 0.5 — the asymmetric signature. Same plan
-    * shape as [[jaccardVerify]]: candidate-sized relations end-to-end,
-    * the corpus touched only by the candidate semi-join.
+    * ≥ 0.8 while jaccard < 0.5 — the asymmetric signature. Candidate-
+    * sized relations end-to-end: the corpus is touched only by the
+    * candidate semi-join, and since r17 the verify carries each
+    * candidate doc's shingle SET as one array row (two hash joins +
+    * a map-side `array_intersect`) instead of the three-shuffle
+    * exploded-token join — the [[setSimilarityPairs]] verify posture
+    * (measured 2.3 → 1.3 s on `dedup_quote_pairs` at sf0.1).
     */
   def containmentPairs(docs: DataFrame, candidates: DataFrame, idCol: String,
                        k: Int, threshold: Double,
@@ -768,21 +772,26 @@ object Dedup {
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
     val needed = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
-    val sh = shingleRows(needed, idCol, textCol, k)
+    // persisted like the r16 exploded relation was: downstream composers
+    // (quote drop, the release chain) re-evaluate the pair subtree, and
+    // an unpersisted array build would re-shingle per consumer
+    val arr = shingleRows(needed, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ws"))
+      .withColumn("c", size(col("ws")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    arr.count()
+    val withArrays = cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
+        col("c").as("ca")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("ws").as("wb"),
+        col("c").as("cb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
     val jac = col("inter").cast("double") /
       (col("ca") + col("cb") - col("inter")).cast("double")
     val ca = col("inter").cast("double") / col("ca")
     val cb = col("inter").cast("double") / col("cb")
-    inter
-      .join(sizes.select(col("doc_id"), col("c").as("ca")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("c").as("cb")), col("doc_b") === col("doc_id")).drop("doc_id")
+    withArrays
       .filter(greatest(ca, cb) >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"),
         round(ca, 6).as("cont_a_in_b"), round(cb, 6).as("cont_b_in_a"),
