@@ -1164,6 +1164,114 @@ object Dedup {
         (greatest(ca, cb) >= 0.8 && jac < 0.5).cast("int").as("quote_like"))
   }
 
+  /** EXACT WEIGHTED set-similarity self-join (r17): every unordered
+    * pair whose weighted Jaccard Σ_t min(tf_a, tf_b) / Σ_t max(tf_a,
+    * tf_b) reaches `threshold`, weights = term frequency of the k-gram
+    * within the document. The multiset companion of
+    * [[setSimilarityPairs]]: set semantics treat "spam spam spam spam"
+    * and one "spam" as identical; weighted Jaccard does not — the
+    * standard similarity for boilerplate whose REPETITION is the
+    * signature.
+    *
+    * Weighted prefix lemma (the generalization in Chaudhuri, Ganti &
+    * Kaushik, ICDE 2006): order tokens globally (df ascending, token
+    * text tiebreak); per doc keep the positions whose SUFFIX WEIGHT
+    * (Σ tf from the position on) is ≥ t·S (S = Σ tf). J_w ≥ t forces
+    * the shared weight m ≥ t/(1+t)·(S_a+S_b) ≥ t·S_a (using the
+    * weighted length filter S_b ≥ t·S_a, itself forced by J_w ≤
+    * S_a/S_b); were every shared token outside A's weighted prefix, m
+    * could not exceed the sub-t·S_a suffix weight — contradiction, so
+    * the prefix-prefix equi-join has zero false negatives. The
+    * positional filter rides the carried suffix weights: at the first
+    * shared token, m ≤ min(suffixW_a, suffixW_b) must reach
+    * t/(1+t)·(S_a+S_b). The verify is the exploded shared-token join
+    * summing least(tf_a, tf_b) — m plus the two doc weight sums
+    * recover Σ max = S_a + S_b − m exactly (min + max = a + b per
+    * token, zero min on non-shared).
+    *
+    * Scale shape: tf and prefix relations are corpus-linear; the
+    * candidate join keys on rare-first prefix tokens with the standard
+    * hot-bucket cap; the verify join is candidate-sized.
+    */
+  def weightedSetSimilarityPairs(docs: DataFrame, idCol: String,
+                                 threshold: Double,
+                                 textCol: String = "text", k: Int = 1,
+                                 maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eps = 1e-9
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // NON-distinct grams: the weights ARE the duplicate counts
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(coalesce(
+        call_function("graft_word_grams", lower(col(textCol)), lit(k),
+          lit(false)),
+        typedLit(Seq.empty[String]))).as("w"))
+    val tf = grams.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(sl)
+    tf.count()
+    val freq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val docTokens = tf.join(freq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+          struct(col("df"), col("w"), col("tf")))).as("ts"),
+        sum(col("tf")).as("sw"))
+      .persist(sl)
+    docTokens.count()
+    // prefix rows carry the suffix weight: cumulative tf from the row's
+    // position to the end of the doc's sorted token list
+    val prefix = docTokens
+      .select(col("doc_id"), col("sw"),
+        posexplode(col("ts")).as(Seq("p0", "pt")))
+      .withColumn("suffw", col("sw") - sum(col("pt.tf")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p0")))
+        + col("pt.tf"))
+      .filter(col("suffw").cast("double") >=
+        lit(threshold) * col("sw") - lit(eps))
+      .select(col("doc_id"), col("sw"), col("suffw"),
+        col("pt.w").as("w"))
+    val pruned = capBuckets(prefix, Seq("w"), maxBucketSize,
+      "weightedSetSimilarityPairs")
+    val alpha = lit(threshold / (1 + threshold)) *
+      (col("sa") + col("sb")) - lit(eps)
+    val cand = pruned.select(col("w"), col("doc_id").as("doc_a"),
+        col("sw").as("sa"), col("suffw").as("fa"))
+      .join(pruned.select(col("w"), col("doc_id").as("doc_b"),
+        col("sw").as("sb"), col("suffw").as("fb")), Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      // weighted length filter, both directions
+      .filter(col("sa").cast("double") >=
+          lit(threshold) * col("sb") - lit(eps) &&
+        col("sb").cast("double") >=
+          lit(threshold) * col("sa") - lit(eps))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(least(col("fa"), col("fb"))).as("bound"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      // positional filter: the BEST shared-token bound must clear the
+      // required shared weight (max over matches is the sound bound —
+      // every match row's min(suffw) is a valid upper bound for the
+      // weight shared FROM that token on, and the first shared token's
+      // row bounds all of m)
+      .filter(col("bound").cast("double") >= alpha)
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .persist(sl)
+    cand.count()
+    val m = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("w"),
+        col("tf").as("ta")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("w"),
+        col("tf").as("tb")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ta"), col("tb"))).as("m"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+    val jw = col("m").cast("double") /
+      (col("sa") + col("sb") - col("m")).cast("double")
+    m.filter(jw >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jw, 6).as("wjaccard"))
+  }
+
   /** Incremental (batch-vs-index) face of [[containmentSelfPairs]] —
     * the containment analogue of [[setSimilarityIncremental]]: every
     * pair touching at least one batch document whose larger containment

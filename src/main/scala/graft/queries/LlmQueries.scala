@@ -1355,6 +1355,16 @@ object LlmQueries {
         "doc_id", threshold = 0.5)
     }),
 
+    // WEIGHTED (multiset) exact set-similarity: term-frequency weights
+    // make repetition count — "spam spam spam spam" is NOT one "spam"
+    // (the boilerplate signature set-jaccard flattens away). %3 subset
+    // keeps the word-universe blocking (inherently output-dense on the
+    // 31-word vocabulary) bench-sized
+    "dedup_setsim_weighted" -> ((s, dir) =>
+      Dedup.weightedSetSimilarityPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 3 === 0),
+        "doc_id", threshold = 0.5)),
+
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
@@ -3497,6 +3507,25 @@ object LlmQueries {
         |               JOIN tsz sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
         |FROM tj WHERE jac >= 0.5""".stripMargin,
+
+    "dedup_setsim_weighted" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |tw AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS ws FROM d),
+        |tok AS (SELECT doc_id, ws[i] AS w
+        |       FROM tw, unnest(range(1, len(ws)+1)) t(i)),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |sw AS (SELECT doc_id, sum(tf) AS sw FROM tf GROUP BY 1),
+        |mi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        sum(least(a.tf, b.tf)) AS m
+        |      FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        CAST(m AS DOUBLE) / (sa.sw + sb.sw - m) AS jw
+        |      FROM mi JOIN sw sa ON doc_a = sa.doc_id
+        |              JOIN sw sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, round(jw, 6) AS wjaccard
+        |FROM j WHERE jw >= 0.5""".stripMargin,
 
     "dedup_setsim_words" ->
       """WITH tw AS (SELECT doc_id,

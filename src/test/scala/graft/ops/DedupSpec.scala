@@ -434,6 +434,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("weightedSetSimilarityPairs equals the brute-force multiset jaccard") {
+    // repetition-sensitive: docs 1/2 share words but differ in COUNTS;
+    // 3-vs-1 sits exactly on the 0.5 boundary; 4/5 are exact multiset
+    // dups; 6 is empty; 7 repeats one word many times (the spam shape
+    // set-jaccard cannot see)
+    val docs = Seq(
+      (1L, "spam spam spam ham"),
+      (2L, "spam spam ham ham"),   // m=3, max-sum=5 -> 0.6
+      (3L, "spam ham"),            // vs 1: m=2, max-sum=4 -> 0.5
+      (4L, "eggs eggs eggs"),
+      (5L, "eggs eggs eggs"),      // 1.0
+      (6L, ""),
+      (7L, "spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val tok = docs.collect().map { r =>
+        r.getLong(0) -> r.getString(1).toLowerCase.split(" ")
+          .filter(_.nonEmpty).groupBy(identity).map { case (w, a) => w -> a.length }
+      }.toMap
+      (for {
+        a <- tok.keys; b <- tok.keys if a < b
+        ta = tok(a); tb = tok(b) if ta.nonEmpty && tb.nonEmpty
+        keys = ta.keySet ++ tb.keySet
+        m = keys.toSeq.map(w => math.min(ta.getOrElse(w, 0), tb.getOrElse(w, 0))).sum
+        mx = keys.toSeq.map(w => math.max(ta.getOrElse(w, 0), tb.getOrElse(w, 0))).sum
+        j = m.toDouble / mx
+        if j >= t
+      } yield (a, b, math.round(j * 1e6) / 1e6)).toSet
+    }
+    for (t <- Seq(0.5, 0.6, 0.9)) {
+      val got = Dedup.weightedSetSimilarityPairs(docs, "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == brute(t), s"t=$t: got $got want ${brute(t)}")
+    }
+  }
+
   test("incremental containment equals the full join restricted to the batch") {
     // either side of a cross pair can be the CONTAINED one: old 2 is
     // contained in new 11 (old-contained-in-new, the second blocking
