@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators.
@@ -69,4 +70,38 @@ object Aggregations {
 
   /** A6 — row count (used for record metrics throughout the reference). */
   def rowCount(df: DataFrame): Long = df.count()
+
+  /** 2D SKYLINE (pareto frontier, both dimensions MINIMIZED): the rows
+    * no other row dominates — r' dominates r iff x' ≤ x ∧ y' ≤ y with
+    * at least one strict (Börzsönyi, Kossmann & Stocker, "The Skyline
+    * Operator", ICDE 2001). Ties on BOTH dims survive together
+    * (neither dominates the other).
+    *
+    * Scale shape — the naive formulation is a quadratic NOT-EXISTS
+    * self-join; this one is two aggregates and one small window:
+    * (1) per distinct x, the min y (corpus → x-cardinality rows, one
+    * shuffle with map-side partials); (2) running mins over x
+    * ascending — a GLOBAL window, deliberately: it runs on the
+    * x-cardinality-sized aggregate, never the corpus (the funnelReport
+    * convention); (3) one broadcast-sized join back. A row survives
+    * iff y ≤ runmin≤(x) (it IS its x-group's frontier value and
+    * nothing cheaper exists at smaller-or-equal x) AND y < runmin<(x)
+    * (nothing at strictly smaller x ties it — that tie would dominate
+    * strictly on x).
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__miny"))
+    val wLe = Window.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLt = Window.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fronts = perX
+      .withColumn("__rm_le", min(col("__miny")).over(wLe))
+      .withColumn("__rm_lt", min(col("__miny")).over(wLt))
+      .select(col(xCol), col("__rm_le"), col("__rm_lt"))
+    df.join(broadcast(fronts), Seq(xCol))
+      .filter(col(yCol) <= col("__rm_le") &&
+        (col("__rm_lt").isNull || col(yCol) < col("__rm_lt")))
+      .drop("__rm_le", "__rm_lt")
+  }
 }

@@ -27,6 +27,18 @@ object AnalyticsQueries {
 
   val queries: Map[String, Query] = Map(
 
+    // 2D skyline (pareto frontier) of parts minimizing (size, price):
+    // the preference-query operator — no other part is both smaller
+    // and cheaper (strictly in one). Aggregate-then-tiny-window shape
+    // (Aggregations.skyline2D): the only window runs over the
+    // size-cardinality relation, never the corpus; the oracle is the
+    // quadratic NOT-EXISTS dominance check the operator exists to avoid
+    "analytics_skyline" -> ((s, dir) =>
+      graft.ops.Aggregations.skyline2D(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
+          col("p_retailprice")),
+        "p_size", "p_retailprice")),
+
     // TPC-H Q1 shape: pricing summary over the fact table.
     "tpch_q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -643,6 +655,18 @@ object AnalyticsQueries {
          |FROM lineitem""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // brute-force dominance: r survives iff nothing is <= on both dims
+    // and < on at least one
+    "analytics_skyline" ->
+      """SELECT p_size, p_partkey, p_retailprice
+        |FROM part r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part d
+        |  WHERE d.p_size <= r.p_size
+        |    AND d.p_retailprice <= r.p_retailprice
+        |    AND (d.p_size < r.p_size
+        |      OR d.p_retailprice < r.p_retailprice))""".stripMargin,
 
     "tpch_q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -56,4 +56,22 @@ class AggregationsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
     assert(Aggregations.rowCount(df) == df.count())
   }
+
+  test("skyline2D equals the brute-force dominance check, ties survive together") {
+    import spark.implicits._
+    // frontier (1,9),(3,5),(5,5 dominated by (3,5)), (5,2); duplicate
+    // frontier point (3,5) twice — both survive; (4,5) dominated by
+    // (3,5) strictly on x; (3,7) dominated within its own x group
+    val rows = Seq((1L, 1, 9.0), (2L, 3, 5.0), (3L, 3, 5.0), (4L, 4, 5.0),
+      (5L, 5, 2.0), (6L, 5, 5.0), (7L, 3, 7.0), (8L, 2, 9.0), (9L, 6, 1.0))
+    val df = rows.toDF("id", "x", "y")
+    val brute = rows.filterNot { case (_, x, y) =>
+      rows.exists { case (_, x2, y2) =>
+        x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.map(_._1).toSet
+    val got = Aggregations.skyline2D(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"got $got want $brute")
+    assert(got == Set(1L, 2L, 3L, 5L, 9L))
+  }
 }
