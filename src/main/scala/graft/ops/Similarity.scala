@@ -1507,6 +1507,53 @@ object Similarity {
     r
   }
 
+  /** Farthest-point (k-center / max-min) coreset sampling — the greedy
+    * 2-approximation for k-center (Gonzalez 1985), the standard
+    * diversity-selection primitive for training-data curation: pick a
+    * start, then k−1 times the point MAXIMIZING its minimum cosine
+    * distance to everything already selected. Returns (sel_order,
+    * vec_id, dist) where dist is the max-min distance at selection
+    * time (0 for the start).
+    *
+    * Scale shape: k driver-bounded rounds; each round is ONE map-only
+    * pass updating the per-row running min distance (the new center
+    * rides the plan as a broadcast-free literal array) plus one
+    * max-struct aggregate — never a pairwise join; the running-min
+    * relation is localCheckpoint'd per round (the resolveClusters
+    * lineage discipline). Determinism: every distance lands on the
+    * 1e-6 grid before the argmax, ties break on the minimum id, and
+    * already-selected ids are excluded explicitly (exact duplicates of
+    * a selected point would otherwise re-win at distance 0).
+    */
+  def farthestPointSample(embeddings: DataFrame, k: Int,
+                          startId: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def centerEmb(id: Long): Seq[Float] =
+      embeddings.filter(col("vec_id") === id)
+        .select(col("embedding").cast("array<float>")).head().getSeq[Float](0)
+    def distTo(id: Long): Column =
+      round(lit(1.0) - cosine(col("embedding"),
+        typedLit(centerEmb(id))), 6)
+    var selected = List((1, startId, 0.0))
+    for (i <- 2 to k) {
+      // min distance to ALL selected centers, recomputed map-only each
+      // round (k is small, every center is a plan literal — one
+      // codegen'd scan, no join, no state to checkpoint; each distance
+      // lands on the grid BEFORE the least, which the oracle mirrors)
+      val mdCol = selected.map(s => distTo(s._2)).reduce(least(_, _))
+      val top = embeddings
+        .filter(!col("vec_id").isin(selected.map(_._2): _*))
+        .select(col("vec_id"), mdCol.as("md"))
+        .agg(max(struct(col("md"), (-col("vec_id")).as("nid"))).as("t"))
+        .select(col("t.md"), (-col("t.nid")).as("vec_id")).head()
+      selected = (i, top.getLong(1), top.getDouble(0)) :: selected
+    }
+    selected.reverse.toDF("sel_order", "vec_id", "dist")
+  }
+
   /** Plain PCA rotation for PREFIX-dimension (Matryoshka-style)
     * truncation: rows of R are the covariance eigenvectors in
     * DESCENDING-eigenvalue order, so `rotate(e, pcaRotation(e, d))`

@@ -1602,6 +1602,16 @@ object LlmQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // farthest-point (k-center) coreset sampling: 8 greedy max-min
+    // selections from vec 0 — the diversity-selection primitive for
+    // training-data curation (Gonzalez's 2-approximation). Each round
+    // is one map-only scan (centers ride as plan literals) + one
+    // max-struct aggregate; the oracle replays all 8 rounds as
+    // unrolled CTEs on the same 1e-6 grid with the same min-id ties
+    "sim_coreset_fps" -> ((s, dir) =>
+      Similarity.farthestPointSample(Tables.embeddings(s, dir), k = 8,
+        startId = 0L)),
+
     // metadata-equality-constrained top-k: rank only candidates sharing
     // the query's label (same-language retrieval); the equality key is
     // the partition pruning at scale
@@ -4013,6 +4023,30 @@ object LlmQueries {
          |${rung(16)},
          |${rung(32)}
          |SELECT * FROM r16 UNION ALL SELECT * FROM r32""".stripMargin
+    },
+
+    // greedy farthest-point selection, all rounds unrolled: round i
+    // recomputes every point's min grid-distance to the selected set
+    // and takes the max (min-id ties), excluding already-selected ids
+    "sim_coreset_fps" -> {
+      val k = 8
+      val steps = (2 to k).map { i =>
+        s"""m$i AS (SELECT e.vec_id,
+           |    min(round(1 - ${cosSql("e.embedding", "ce.embedding")}, 6)) AS md
+           |  FROM e, sel${i - 1} s, e ce WHERE ce.vec_id = s.vec_id
+           |  GROUP BY e.vec_id),
+           |c$i AS (SELECT vec_id, md FROM m$i
+           |  WHERE vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  ORDER BY md DESC, vec_id LIMIT 1),
+           |sel$i AS (SELECT * FROM sel${i - 1}
+           |  UNION ALL SELECT $i, vec_id, md FROM c$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |sel1(sel_order, vec_id, dist) AS (
+         |  VALUES (1, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))),
+         |$steps
+         |SELECT CAST(sel_order AS INT) AS sel_order, vec_id, dist
+         |FROM sel$k""".stripMargin
     },
 
     // same-label top-k: the equality constraint joins query to its

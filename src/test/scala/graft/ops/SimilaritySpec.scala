@@ -34,6 +34,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(3L) + 1.0) < 1e-12)
   }
 
+  test("farthestPointSample: greedy max-min order, min-id ties, dup at distance 0") {
+    // one-hot vectors: everything is orthogonal (distance 1) to
+    // everything else, except id 5 which duplicates id 1. Greedy from
+    // 1: rounds 2-4 are all max-min ties at 1.0 -> min id order; the
+    // duplicate can only be picked LAST, at distance 0.
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f)),
+      (5L, Array(1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.farthestPointSample(e, k = 5, startId = 1L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .toList
+    assert(got == List((1, 1L, 0.0), (2, 2L, 1.0), (3, 3L, 1.0),
+      (4, 4L, 1.0), (5, 5L, 0.0)), s"got $got")
+  }
+
   test("brute-force top-k ranks by cosine, excludes self, breaks ties by id") {
     val out = Similarity.bruteForceTopK(vecs, $"vec_id" % 100 === 0, k = 2)
       .as[(Long, Long, Double)].collect()
