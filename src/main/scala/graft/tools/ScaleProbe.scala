@@ -430,6 +430,17 @@ object ScaleProbe {
         Similarity.radiusSearch(embL, qpred, threshold = 0.25))
     }
 
+    // farthest-point coreset selection: k_sel map-only scans + argmax
+    // aggregates over the k-fold corpus — cost must be linear in the
+    // corpus times the (fixed) selection budget, with zero joins
+    if (only.exists(_.contains("coreset_fps"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val embM = embL.persist(sl); embM.count()
+      t("coreset_fps", keepCache = true)(
+        Similarity.farthestPointSample(embM, k = 8, startId = 0L))
+      embM.unpersist()
+    }
+
     // event-sequence analytics on a k-fold events corpus (users offset
     // per replica, timestamps untouched): funnel cost is k-1 user-keyed
     // joins + aggregates over the step-filtered stream — linear in the
