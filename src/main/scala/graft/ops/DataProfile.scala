@@ -402,4 +402,58 @@ object DataProfile {
         round(min(col("v")), 6).as("min_v"),
         round(max(col("v")), 6).as("max_v"))
   }
+
+  /** Poisson(1) cumulative thresholds as DECIMAL STRINGS — the single
+    * source of truth for both engines: the Spark side parses them, the
+    * oracle splices them verbatim, so the resample weights can never
+    * drift. P(X > 8) ≈ 1.1e-6 — weights cap at 8.
+    */
+  val PoissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253")
+
+  /** POISSON BOOTSTRAP confidence intervals — the bootstrap that works
+    * on data too large to resample by permutation: instead of drawing n
+    * rows with replacement (a global shuffle per resample), each row
+    * independently receives a Poisson(1) weight per resample b —
+    * asymptotically equivalent to the multinomial bootstrap (Chamandy
+    * et al., "Estimating Uncertainty for Massive Data Streams", Google
+    * 2012; Kleiner et al.'s BLB is the same idea subsampled). All B
+    * resamples ride ONE map-only pass: the row explodes into B
+    * lightweight (key, b, w·v, w) tuples that partial-aggregate
+    * map-side, so the shuffle carries |keys|·B rows — never the corpus.
+    *
+    * Determinism: the weight is the inverse-CDF bucket of a md5-derived
+    * uniform (first 8 hex digits of md5(id:b) / 2^32) against the
+    * shared [[PoissonCdf]] literals; resample means land on the 1e-6
+    * grid; the CI picks order statistics of the B means with ties
+    * broken on b. Returns per key: boot_mean (mean of resample means),
+    * ci_lo / ci_hi (2nd and (B−1)th order statistics ≈ the central 94%
+    * band at B = 32), n_resamples.
+    */
+  def poissonBootstrapCi(df: DataFrame, keyCol: String, valCol: String,
+                         idCol: String, b: Int = 32): DataFrame = {
+    require(b >= 4, s"need at least 4 resamples, got $b")
+    val rows = df.select(col(keyCol), col(valCol).cast("double").as("__v"),
+        col(idCol).cast("string").as("__id"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+    val u = conv(substring(md5(concat(col("__id"), lit(":"),
+      col("__b").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val w = PoissonCdf.map(t => (u >= lit(t.toDouble)).cast("int"))
+      .reduce(_ + _)
+    val means = rows.withColumn("__w", w)
+      .groupBy(col(keyCol), col("__b"))
+      .agg((sum(col("__w") * col("__v")) / sum(col("__w"))).as("__raw"))
+      .select(col(keyCol), col("__b"), round(col("__raw"), 6).as("__m"))
+    val rn = Window.partitionBy(col(keyCol))
+      .orderBy(col("__m"), col("__b"))
+    means.withColumn("__rn", row_number().over(rn))
+      .groupBy(col(keyCol))
+      .agg(round(avg(col("__m")), 6).as("boot_mean"),
+        max(when(col("__rn") === 2, col("__m"))).as("ci_lo"),
+        max(when(col("__rn") === b - 1, col("__m"))).as("ci_hi"),
+        count(lit(1)).cast("int").as("n_resamples"))
+  }
 }

@@ -62,6 +62,15 @@ object StatsQueries {
       DataProfile.quantilesExact(Tables.lineitem(s, dir),
         "l_extendedprice", 0L, 120000L, Seq(25, 50, 75, 90, 99))),
 
+    // Poisson bootstrap CI of the per-type mean event value: 32
+    // deterministic hash-weighted resamples in ONE map-only pass —
+    // the bootstrap that works when drawing n rows with replacement
+    // would be a global shuffle per resample (the oracle replays the
+    // identical md5-uniform -> Poisson(1) inverse-CDF weights)
+    "stats_bootstrap_ci" -> ((s, dir) =>
+      DataProfile.poissonBootstrapCi(Tables.events(s, dir),
+        "event_type", "value", "event_id", b = 32)),
+
     // Count-Min sketch build over the event-actor stream — the DuckDB
     // oracle rebuilds the IDENTICAL counter table (md5 buckets)
     "sketch_countmin" -> ((s, dir) =>
@@ -255,7 +264,44 @@ object StatsQueries {
        |SELECT node, round(rank, 6) AS rank FROM pr$iterations""".stripMargin
   }
 
+  /** First-8-hex-digits-of-md5 → 32-bit integer polynomial (DuckDB has
+    * no hex→int conversion; the [[LlmQueries]] convention).
+    */
+  private def hex8Sql(hexExpr: String): String = {
+    val terms = (0 until 8).map { j =>
+      val pow = 1L << (4 * (7 - j))
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${j + 1}, 1)) - 1) * $pow"
+    }.mkString(" +\n           ")
+    s"($terms)"
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "stats_bootstrap_ci" -> {
+      val wSql = graft.ops.DataProfile.PoissonCdf
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" +\n        ")
+      s"""WITH r AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+         |    CAST(event_id AS VARCHAR) AS id, b
+         |  FROM events, unnest(range(0, 32)) t(b)),
+         |h AS (SELECT event_type, v, b,
+         |    ${hex8Sql("md5(id || ':' || CAST(b AS VARCHAR))")}
+         |      / 4294967296.0 AS u
+         |  FROM r),
+         |wt AS (SELECT event_type, v, b,
+         |    ($wSql) AS w
+         |  FROM h),
+         |m AS (SELECT event_type, b,
+         |    round(sum(w * v) / sum(w), 6) AS m
+         |  FROM wt GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY m, b) AS rn FROM m)
+         |SELECT event_type, round(avg(m), 6) AS boot_mean,
+         |  max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+         |  max(CASE WHEN rn = 31 THEN m END) AS ci_hi,
+         |  CAST(count(*) AS INT) AS n_resamples
+         |FROM rk GROUP BY 1""".stripMargin
+    },
 
     "events_attribution" ->
       s"""WITH base AS (SELECT event_id, user_id, event_type,

@@ -153,4 +153,30 @@ class DataProfileSpec extends SparkSpec {
       coarse = 4)
     assert(tq.collect().forall(_.getDouble(1) == 7.0))
   }
+
+  test("poisson bootstrap CI: deterministic, ordered, brackets the sample mean") {
+    import spark.implicits._
+    // one key, 2000 rows, values 1..2000: the resample-mean spread at
+    // n=2000 is ~ sd/sqrt(n) ≈ 13, so the 2nd..31st order statistics
+    // of 32 resample means must bracket the true mean comfortably
+    val df = (1 to 2000).map(i => ("k", i.toDouble, i.toLong))
+      .toDF("key", "v", "id")
+    val out = DataProfile.poissonBootstrapCi(df, "key", "v", "id", b = 32)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (bm, lo, hi, n) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4))
+    assert(n == 32)
+    assert(lo <= bm && bm <= hi, s"order: $lo $bm $hi")
+    val trueMean = 1000.5
+    assert(lo < trueMean && trueMean < hi,
+      s"CI [$lo, $hi] must bracket $trueMean")
+    assert(hi - lo < 200, s"CI width implausible: ${hi - lo}")
+    // bit-identical on re-run (hash-derived weights, no RNG)
+    val again = DataProfile.poissonBootstrapCi(df, "key", "v", "id", b = 32)
+      .collect().head
+    assert(again.getDouble(1) == bm && again.getDouble(2) == lo &&
+      again.getDouble(3) == hi)
+  }
 }
