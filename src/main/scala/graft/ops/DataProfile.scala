@@ -433,27 +433,48 @@ object DataProfile {
     * band at B = 32), n_resamples.
     */
   def poissonBootstrapCi(df: DataFrame, keyCol: String, valCol: String,
-                         idCol: String, b: Int = 32): DataFrame = {
+                         idCol: String, b: Int = 32): DataFrame =
+    orderStatCi(poissonBootstrapMeans(df, keyCol, valCol, idCol, b),
+      Seq(keyCol), "mean", b)
+      .withColumnRenamed("stat_mean", "boot_mean")
+
+  /** The per-(key, resample) mean relation behind [[poissonBootstrapCi]]
+    * — exposed so CONTRASTS can pair resamples before taking order
+    * statistics (the A/B difference CI: uncertainty of a difference
+    * needs the same resample on both arms, not two marginal CIs).
+    * Returns (keyCol, resample, mean) with the mean on the 1e-6 grid.
+    */
+  def poissonBootstrapMeans(df: DataFrame, keyCol: String, valCol: String,
+                            idCol: String, b: Int = 32): DataFrame = {
     require(b >= 4, s"need at least 4 resamples, got $b")
     val rows = df.select(col(keyCol), col(valCol).cast("double").as("__v"),
         col(idCol).cast("string").as("__id"))
-      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("resample", explode(sequence(lit(0), lit(b - 1))))
     val u = conv(substring(md5(concat(col("__id"), lit(":"),
-      col("__b").cast("string"))), 1, 8), 16, 10).cast("double") /
+      col("resample").cast("string"))), 1, 8), 16, 10).cast("double") /
       lit(4294967296.0)
     val w = PoissonCdf.map(t => (u >= lit(t.toDouble)).cast("int"))
       .reduce(_ + _)
-    val means = rows.withColumn("__w", w)
-      .groupBy(col(keyCol), col("__b"))
+    rows.withColumn("__w", w)
+      .groupBy(col(keyCol), col("resample"))
       .agg((sum(col("__w") * col("__v")) / sum(col("__w"))).as("__raw"))
-      .select(col(keyCol), col("__b"), round(col("__raw"), 6).as("__m"))
-    val rn = Window.partitionBy(col(keyCol))
-      .orderBy(col("__m"), col("__b"))
-    means.withColumn("__rn", row_number().over(rn))
-      .groupBy(col(keyCol))
-      .agg(round(avg(col("__m")), 6).as("boot_mean"),
-        max(when(col("__rn") === 2, col("__m"))).as("ci_lo"),
-        max(when(col("__rn") === b - 1, col("__m"))).as("ci_hi"),
+      .select(col(keyCol), col("resample"), round(col("__raw"), 6).as("mean"))
+  }
+
+  /** Order-statistic CI over a per-(group, resample) statistic: mean of
+    * the B values plus the 2nd and (B−1)th order statistics (ties on
+    * the resample index). `groupCols` may be empty (one global row).
+    */
+  def orderStatCi(stats: DataFrame, groupCols: Seq[String],
+                  statCol: String, b: Int): DataFrame = {
+    val gs = groupCols.map(col)
+    val rn = Window.partitionBy(gs: _*)
+      .orderBy(col(statCol), col("resample"))
+    stats.withColumn("__rn", row_number().over(rn))
+      .groupBy(gs: _*)
+      .agg(round(avg(col(statCol)), 6).as(s"stat_$statCol"),
+        max(when(col("__rn") === 2, col(statCol))).as("ci_lo"),
+        max(when(col("__rn") === b - 1, col(statCol))).as("ci_hi"),
         count(lit(1)).cast("int").as("n_resamples"))
   }
 }

@@ -71,6 +71,24 @@ object StatsQueries {
       DataProfile.poissonBootstrapCi(Tables.events(s, dir),
         "event_type", "value", "event_id", b = 32)),
 
+    // A/B difference CI — the bootstrap's real job: uncertainty of the
+    // click-vs-view mean-value CONTRAST from PAIRED resamples (same
+    // resample index on both arms; two marginal CIs would overstate
+    // the interval by ignoring the shared resampling noise)
+    "stats_ab_diff_ci" -> ((s, dir) => {
+      val m = DataProfile.poissonBootstrapMeans(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "view")),
+        "event_type", "value", "event_id", b = 32)
+      val diff = m.filter(col("event_type") === "click")
+        .select(col("resample"), col("mean").as("mc"))
+        .join(m.filter(col("event_type") === "view")
+          .select(col("resample"), col("mean").as("mv")), Seq("resample"))
+        .select(col("resample"), round(col("mc") - col("mv"), 6).as("diff"))
+      DataProfile.orderStatCi(diff, Seq.empty, "diff", 32)
+        .withColumnRenamed("stat_diff", "diff_mean")
+    }),
+
     // Count-Min sketch build over the event-actor stream — the DuckDB
     // oracle rebuilds the IDENTICAL counter table (md5 buckets)
     "sketch_countmin" -> ((s, dir) =>
@@ -301,6 +319,37 @@ object StatsQueries {
          |  max(CASE WHEN rn = 31 THEN m END) AS ci_hi,
          |  CAST(count(*) AS INT) AS n_resamples
          |FROM rk GROUP BY 1""".stripMargin
+    },
+
+    "stats_ab_diff_ci" -> {
+      val wSql = graft.ops.DataProfile.PoissonCdf
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" +\n        ")
+      s"""WITH r AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+         |    CAST(event_id AS VARCHAR) AS id, b
+         |  FROM events, unnest(range(0, 32)) t(b)
+         |  WHERE event_type IN ('click', 'view')),
+         |h AS (SELECT event_type, v, b,
+         |    ${hex8Sql("md5(id || ':' || CAST(b AS VARCHAR))")}
+         |      / 4294967296.0 AS u
+         |  FROM r),
+         |wt AS (SELECT event_type, v, b,
+         |    ($wSql) AS w
+         |  FROM h),
+         |m AS (SELECT event_type, b,
+         |    round(sum(w * v) / sum(w), 6) AS m
+         |  FROM wt GROUP BY 1, 2),
+         |d AS (SELECT mc.b AS resample, round(mc.m - mv.m, 6) AS diff
+         |  FROM (SELECT b, m FROM m WHERE event_type = 'click') mc
+         |  JOIN (SELECT b, m FROM m WHERE event_type = 'view') mv
+         |    ON mc.b = mv.b),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY diff, resample)
+         |    AS rn FROM d)
+         |SELECT round(avg(diff), 6) AS diff_mean,
+         |  max(CASE WHEN rn = 2 THEN diff END) AS ci_lo,
+         |  max(CASE WHEN rn = 31 THEN diff END) AS ci_hi,
+         |  CAST(count(*) AS INT) AS n_resamples
+         |FROM rk""".stripMargin
     },
 
     "events_attribution" ->
