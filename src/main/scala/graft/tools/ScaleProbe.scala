@@ -441,6 +441,19 @@ object ScaleProbe {
       embM.unpersist()
     }
 
+    // Poisson bootstrap: the B=32 resample pass is ONE map-side explode
+    // + partial agg — cost must be ~linear in corpus x B with a
+    // |keys| x B shuffle, at any k
+    if (only.exists(_.contains("bootstrap_ci"))) {
+      val ev0 = graft.Tables.events(spark, sfDir)
+      val evB = (0 until k).map { r =>
+        ev0.select((col("event_id") + lit(r * 100000000L)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      t("bootstrap_ci")(graft.ops.DataProfile.poissonBootstrapCi(
+        evB, "event_type", "value", "event_id", b = 32))
+    }
+
     // event-sequence analytics on a k-fold events corpus (users offset
     // per replica, timestamps untouched): funnel cost is k-1 user-keyed
     // joins + aggregates over the step-filtered stream — linear in the
