@@ -441,6 +441,20 @@ object ScaleProbe {
       embM.unpersist()
     }
 
+    // 2D skyline: per-x min aggregate (corpus -> x-cardinality) + two
+    // running mins on that small relation + one broadcast join back —
+    // cost must track the corpus scan, never a pairwise dominance join
+    if (only.exists(_.contains("skyline"))) {
+      val p0 = spark.read.parquet(s"$sfDir/part.parquet")
+      val pB = (0 until k).map { r =>
+        p0.select((col("p_partkey") + lit(r * 10000000L)).as("p_partkey"),
+          col("p_size"),
+          (col("p_retailprice") + lit(r * 0.01)).as("p_retailprice"))
+      }.reduce(_ unionByName _)
+      t("skyline")(graft.ops.Aggregations.skyline2D(pB,
+        "p_size", "p_retailprice"))
+    }
+
     // Poisson bootstrap: the B=32 resample pass is ONE map-side explode
     // + partial agg — cost must be ~linear in corpus x B with a
     // |keys| x B shuffle, at any k
