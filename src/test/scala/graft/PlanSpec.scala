@@ -685,6 +685,15 @@ class PlanSpec extends SparkSpec {
       s"prefix blocking must stay a hash join:\n$p")
   }
 
+  test("skyline: frontier joins back as a broadcast hash join, no dominance loop") {
+    val p = planOf("analytics_skyline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must never plan a pairwise dominance join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the x-cardinality frontier relation should broadcast:\n$p")
+  }
+
   test("containment exact: prefix-x-full blocking is a hash equi-join") {
     val p = planOf("dedup_containment_exact")
     assert(!p.contains("CartesianProduct") &&
