@@ -1272,6 +1272,97 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jw, 6).as("wjaccard"))
   }
 
+  /** EXACT WEIGHTED containment self-join — the multiset analogue of
+    * [[containmentSelfPairs]] and the containment face of
+    * [[weightedSetSimilarityPairs]]: every unordered pair whose larger
+    * WEIGHTED containment Σ_t min(tf_a, tf_b) / S_side reaches
+    * `threshold` (S = the side's total term weight). Set containment
+    * calls a page that repeats a boilerplate line 50 times "contained"
+    * after one occurrence; the weighted form demands the REPETITION be
+    * covered too — the honest detector for templated spam.
+    *
+    * Blocking: the contained side's weighted prefix (positions whose
+    * suffix weight ≥ t·S — if every shared token sat below that, the
+    * shared weight could not reach t·S) joined against the container
+    * side's FULL weighted token list (no length relation exists, as in
+    * the set case); positional filter at the first shared token
+    * (max-over-matches of min(suffix weights) must reach
+    * t·min(S_a, S_b)); exploded Σ min(tf) verify, candidate-sized.
+    */
+  def weightedContainmentPairs(docs: DataFrame, idCol: String,
+                               threshold: Double,
+                               textCol: String = "text", k: Int = 1,
+                               maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eps = 1e-9
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(coalesce(
+        call_function("graft_word_grams", lower(col(textCol)), lit(k),
+          lit(false)),
+        typedLit(Seq.empty[String]))).as("w"))
+    val tf = grams.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(sl)
+    tf.count()
+    val freq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val docTokens = tf.join(freq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+          struct(col("df"), col("w"), col("tf")))).as("ts"),
+        sum(col("tf")).as("sw"))
+      .persist(sl)
+    docTokens.count()
+    val rows = docTokens
+      .select(col("doc_id"), col("sw"),
+        posexplode(col("ts")).as(Seq("p0", "pt")))
+      .withColumn("suffw", col("sw") - sum(col("pt.tf")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p0")))
+        + col("pt.tf"))
+      .select(col("doc_id"), col("sw"), col("suffw"),
+        col("pt.w").as("w"))
+    val prefix = rows.filter(col("suffw").cast("double") >=
+      lit(threshold) * col("sw") - lit(eps))
+    val (pPfx, pAll) = capBucketsPaired(prefix, rows, Seq("w"),
+      maxBucketSize, "weightedContainmentPairs")
+    val cand = pPfx.select(col("w"), col("doc_id").as("na"),
+        col("sw").as("sa"), col("suffw").as("fa"))
+      .join(pAll.select(col("w"), col("doc_id").as("nb"),
+        col("sw").as("sb"), col("suffw").as("fb")), Seq("w"))
+      .filter(col("na") =!= col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(least(col("fa"), col("fb"))).as("bound"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .filter(col("bound").cast("double") >=
+        lit(threshold) * least(col("sa"), col("sb")) - lit(eps))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
+      .persist(sl)
+    cand.count()
+    val sums = docTokens.select(col("doc_id"), col("sw"))
+    val m = cand
+      .join(tf.select(col("doc_id").as("doc_a"), col("w"),
+        col("tf").as("ta")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("w"),
+        col("tf").as("tb")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ta"), col("tb"))).as("m"))
+      .join(sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
+        Seq("doc_a"))
+      .join(sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
+        Seq("doc_b"))
+    val jw = col("m").cast("double") /
+      (col("sa") + col("sb") - col("m")).cast("double")
+    val ca = col("m").cast("double") / col("sa")
+    val cb = col("m").cast("double") / col("sb")
+    m.filter(greatest(ca, cb) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jw, 6).as("wjaccard"),
+        round(ca, 6).as("wcont_a_in_b"), round(cb, 6).as("wcont_b_in_a"))
+  }
+
   /** Incremental (batch-vs-index) face of [[containmentSelfPairs]] —
     * the containment analogue of [[setSimilarityIncremental]]: every
     * pair touching at least one batch document whose larger containment

@@ -1365,6 +1365,16 @@ object LlmQueries {
         Tables.documents(s, dir).filter(col("doc_id") % 3 === 0),
         "doc_id", threshold = 0.5)),
 
+    // WEIGHTED containment: repetition must be COVERED, not just
+    // present — set containment calls a page repeating one boilerplate
+    // line 50x "contained" after a single occurrence; the weighted
+    // form is the honest templated-spam detector. Same %3 subset as
+    // the weighted jaccard
+    "dedup_containment_weighted" -> ((s, dir) =>
+      Dedup.weightedContainmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 3 === 0),
+        "doc_id", threshold = 0.5)),
+
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
@@ -3517,6 +3527,28 @@ object LlmQueries {
         |               JOIN tsz sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
         |FROM tj WHERE jac >= 0.5""".stripMargin,
+
+    "dedup_containment_weighted" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |tw AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS ws FROM d),
+        |tok AS (SELECT doc_id, ws[i] AS w
+        |       FROM tw, unnest(range(1, len(ws)+1)) t(i)),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |sw AS (SELECT doc_id, sum(tf) AS sw FROM tf GROUP BY 1),
+        |mi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        sum(least(a.tf, b.tf)) AS m
+        |      FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        CAST(m AS DOUBLE) / (sa.sw + sb.sw - m) AS jw,
+        |        CAST(m AS DOUBLE) / sa.sw AS ca,
+        |        CAST(m AS DOUBLE) / sb.sw AS cb
+        |      FROM mi JOIN sw sa ON doc_a = sa.doc_id
+        |              JOIN sw sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, round(jw, 6) AS wjaccard,
+        |  round(ca, 6) AS wcont_a_in_b, round(cb, 6) AS wcont_b_in_a
+        |FROM j WHERE greatest(ca, cb) >= 0.5""".stripMargin,
 
     "dedup_setsim_weighted" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),

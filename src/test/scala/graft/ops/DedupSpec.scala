@@ -471,6 +471,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("weightedContainmentPairs equals the brute-force multiset containment") {
+    // the templated-spam shape SET containment gets wrong: doc 2
+    // repeats the boilerplate 4x; set semantics call it contained in 1
+    // after ONE occurrence (cont_set = 1.0), weighted demands coverage
+    // (wcont(2 in 1) = (1+1)/8 = 0.25 — correctly NOT contained)
+    val docs = Seq(
+      (1L, "spam ham eggs chips"),
+      (2L, "spam spam spam spam ham ham ham ham"),
+      (3L, "spam ham"),               // wcont(3 in 1) = 2/2 = 1.0
+      (4L, "spam spam ham ham"),      // wcont(4 in 2) = 4/4 = 1.0
+      (5L, "")
+    ).toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double, Double, Double)] = {
+      val tok = docs.collect().map { r =>
+        r.getLong(0) -> r.getString(1).toLowerCase.split(" ")
+          .filter(_.nonEmpty).groupBy(identity)
+          .map { case (w, a) => w -> a.length }
+      }.toMap
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      (for {
+        a <- tok.keys; b <- tok.keys if a < b
+        ta = tok(a); tb = tok(b) if ta.nonEmpty && tb.nonEmpty
+        keys = ta.keySet ++ tb.keySet
+        m = keys.toSeq.map(w => math.min(ta.getOrElse(w, 0), tb.getOrElse(w, 0))).sum
+        sa = ta.values.sum; sb = tb.values.sum
+        ca = m.toDouble / sa; cb = m.toDouble / sb
+        jw = m.toDouble / (sa + sb - m)
+        if math.max(ca, cb) >= t
+      } yield (a, b, r6(jw), r6(ca), r6(cb))).toSet
+    }
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.weightedContainmentPairs(docs, "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(got == brute(t),
+        s"t=$t: missing ${brute(t) -- got}, extra ${got -- brute(t)}")
+    }
+    // the headline: doc 2's SET {spam, ham} is fully inside doc 1
+    // (set-containment 1.0 — it would pair at ANY threshold), but its
+    // REPETITION is only quarter-covered: wcont(2 in 1) = 2/8 = 0.25,
+    // and the pair's weighted max is 0.5 (doc 1's side), so at t=0.8
+    // the weighted join correctly refuses the pair
+    assert(!brute(0.8).exists(p => p._1 == 1L && p._2 == 2L))
+    assert(brute(0.5).exists(p =>
+      p._1 == 1L && p._2 == 2L && p._5 == 0.25))
+  }
+
   test("incremental containment equals the full join restricted to the batch") {
     // either side of a cross pair can be the CONTAINED one: old 2 is
     // contained in new 11 (old-contained-in-new, the second blocking
