@@ -89,17 +89,30 @@ object Aggregations {
     * (nothing at strictly smaller x ties it — that tie would dominate
     * strictly on x).
     */
-  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val perX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__miny"))
-    val wLe = Window.orderBy(col(xCol))
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    skyline2DBy(df, Nil, xCol, yCol)
+
+  /** GROUP-WISE 2D skyline: an independent pareto frontier per group
+    * (frontier-per-brand, frontier-per-supplier — the window
+    * partitions by the group, so one hot group costs a sort of ITS
+    * x-cardinality, never a global one; everything else is identical
+    * to [[skyline2D]], which is this with no group).
+    */
+  def skyline2DBy(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  yCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    val keys = groupCols :+ xCol
+    val perX = df.groupBy(keys.map(col): _*)
+      .agg(min(col(yCol)).as("__miny"))
+    val wLe = Window.partitionBy(gs: _*).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLt = Window.orderBy(col(xCol))
+    val wLt = Window.partitionBy(gs: _*).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val fronts = perX
       .withColumn("__rm_le", min(col("__miny")).over(wLe))
       .withColumn("__rm_lt", min(col("__miny")).over(wLt))
-      .select(col(xCol), col("__rm_le"), col("__rm_lt"))
-    df.join(broadcast(fronts), Seq(xCol))
+      .select((keys.map(col) :+ col("__rm_le") :+ col("__rm_lt")): _*)
+    df.join(broadcast(fronts), keys)
       .filter(col(yCol) <= col("__rm_le") &&
         (col("__rm_lt").isNull || col(yCol) < col("__rm_lt")))
       .drop("__rm_le", "__rm_lt")

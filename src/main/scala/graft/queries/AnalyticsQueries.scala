@@ -39,6 +39,15 @@ object AnalyticsQueries {
           col("p_retailprice")),
         "p_size", "p_retailprice")),
 
+    // group-wise skyline: an independent (size, price) frontier per
+    // brand — the window partitions by brand, so the sort is per-brand
+    // x-cardinality, never global
+    "analytics_skyline_by_brand" -> ((s, dir) =>
+      graft.ops.Aggregations.skyline2DBy(
+        Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
+          col("p_size"), col("p_retailprice")),
+        Seq("p_brand"), "p_size", "p_retailprice")),
+
     // TPC-H Q1 shape: pricing summary over the fact table.
     "tpch_q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -664,6 +673,17 @@ object AnalyticsQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM part d
         |  WHERE d.p_size <= r.p_size
+        |    AND d.p_retailprice <= r.p_retailprice
+        |    AND (d.p_size < r.p_size
+        |      OR d.p_retailprice < r.p_retailprice))""".stripMargin,
+
+    "analytics_skyline_by_brand" ->
+      """SELECT p_brand, p_size, p_partkey, p_retailprice
+        |FROM part r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part d
+        |  WHERE d.p_brand = r.p_brand
+        |    AND d.p_size <= r.p_size
         |    AND d.p_retailprice <= r.p_retailprice
         |    AND (d.p_size < r.p_size
         |      OR d.p_retailprice < r.p_retailprice))""".stripMargin,
