@@ -455,10 +455,20 @@ object DataProfile {
       lit(4294967296.0)
     val w = PoissonCdf.map(t => (u >= lit(t.toDouble)).cast("int"))
       .reduce(_ + _)
+    // zero-total-weight guard (ADVICE r17): a (key, resample) group can
+    // draw Poisson weight 0 on every row (prob ~0.368^n — realistic only
+    // for very small key groups); 0/0 is NaN in Spark, which sorts
+    // GREATEST and would corrupt ci_hi in orderStatCi, and DuckDB's
+    // 0/0 differs. The degenerate resample is DROPPED on both engines
+    // (the oracle carries the matching HAVING sum(w) > 0) — weights are
+    // deterministic md5 draws, so both drop exactly the same groups.
     rows.withColumn("__w", w)
       .groupBy(col(keyCol), col("resample"))
-      .agg((sum(col("__w") * col("__v")) / sum(col("__w"))).as("__raw"))
-      .select(col(keyCol), col("resample"), round(col("__raw"), 6).as("mean"))
+      .agg(sum(col("__w") * col("__v")).as("__sv"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col(keyCol), col("resample"),
+        round(col("__sv") / col("__sw"), 6).as("mean"))
   }
 
   /** Order-statistic CI over a per-(group, resample) statistic: mean of

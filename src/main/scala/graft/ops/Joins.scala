@@ -269,9 +269,16 @@ object Joins {
           "typical interval length to keep everything on the grid")
         // giant-left x ALL right, normal-left x giant-right: disjoint
         // classes, full coverage, no double count
+        // each leg gets the same .distinct() the grid leg applies
+        // (ADVICE r17): duplicate input rows (same id and bounds) must
+        // collapse identically whether the interval takes the grid or
+        // the giant path. The legs are disjoint classes, so per-leg
+        // distinct equals distinct over the union.
         val gl = broadcast(lGiant).join(r, overlapPred).select(out: _*)
+          .distinct()
         val gr = l.filter(nCells("__ls", "__le") <= maxCellsPerInterval)
           .join(broadcast(rGiant), overlapPred).select(out: _*)
+          .distinct()
         grid.unionByName(gl).unionByName(gr)
       }
     paired

@@ -325,9 +325,62 @@ object LlmQueries {
     // BuildMemo.df calls are safe since the get-then-putIfAbsent fix,
     // but a pre-resolved dependency keeps the build lambda re-entrancy-
     // free by construction (ADVICE r16)
-    val aug = augmentedQuotes(s, dir)
+    val tks = quoteTokens(s, dir)
     BuildMemo.df(s, dir, "quoteAnchorCands") {
-      Dedup.anchorCandidatePairs(aug, "doc_id", 8)
+      Dedup.anchorCandidatePairsFrom(tks, 8)
+    }
+  }
+
+  /** Session memo of the distinct shingle-token relation over the
+    * planted-quote corpus — the ONE shingle explode every leg of the
+    * containment family derives from (r17 verdict: the exact and
+    * anchored legs each rebuilt it). Anchors, prefixes and verify
+    * arrays all consume this. */
+  private def quoteTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val aug = augmentedQuotes(s, dir)
+    BuildMemo.df(s, dir, "quoteTokens") {
+      Dedup.containmentTokens(aug, "doc_id")
+    }
+  }
+
+  /** Session memo of the frequency-sorted per-doc token arrays over the
+    * planted-quote corpus — the containment family's verify/prefix
+    * artifact, derived from [[quoteTokens]]. */
+  private def quoteDocTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tks = quoteTokens(s, dir)
+    BuildMemo.df(s, dir, "quoteDocTokens") {
+      Dedup.containmentDocTokens(tks)
+    }
+  }
+
+  /** [[quoteTokens]] over the SHORT-quote audit corpus. */
+  private def shortQuoteTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sq = shortQuotes(s, dir)
+    BuildMemo.df(s, dir, "shortQuoteTokens") {
+      Dedup.containmentTokens(sq, "doc_id")
+    }
+  }
+
+  /** [[quoteDocTokens]] over the SHORT-quote audit corpus. */
+  private def shortQuoteDocTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tks = shortQuoteTokens(s, dir)
+    BuildMemo.df(s, dir, "shortQuoteDocTokens") {
+      Dedup.containmentDocTokens(tks)
+    }
+  }
+
+  /** Bottom-8 anchor candidates over the SHORT-quote audit corpus —
+    * the index-grade blocking artifact of the anchored leg of
+    * `dedup_quote_missed`, from the shared [[shortQuoteTokens]]. */
+  private def shortQuoteAnchorCands(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tks = shortQuoteTokens(s, dir)
+    BuildMemo.df(s, dir, "shortQuoteAnchorCands") {
+      Dedup.anchorCandidatePairsFrom(tks, 8)
     }
   }
 
@@ -1290,9 +1343,8 @@ object LlmQueries {
     // blocking: banded LSH would miss these pairs (~jac 0.25 sits at
     // ~1.6% catch for 16/4 bands; anchors catch 18/18 on this fixture)
     "dedup_quote_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(augmentedQuotes(s, dir),
-          quoteAnchorCands(s, dir),
-          "doc_id", k = 3, threshold = 0.5)
+      Dedup.containmentPairsFrom(quoteDocTokens(s, dir),
+          quoteAnchorCands(s, dir), threshold = 0.5)
         .filter(col("quote_like") === 1)),
 
     // the containment family's keep rule on the same planted corpus:
@@ -1300,9 +1352,8 @@ object LlmQueries {
     // its shingles are the intersection; ties by higher id)
     "dedup_quotes_removed" -> ((s, dir) => {
       val docs = augmentedQuotes(s, dir)
-      val pairs = Dedup.containmentPairs(docs,
-        quoteAnchorCands(s, dir),
-        "doc_id", k = 3, threshold = 0.5)
+      val pairs = Dedup.containmentPairsFrom(quoteDocTokens(s, dir),
+        quoteAnchorCands(s, dir), threshold = 0.5)
         .filter(col("quote_like") === 1)
       val drop = pairs.select(
         when(col("cont_a_in_b") > col("cont_b_in_a"), col("doc_a"))
@@ -1319,7 +1370,7 @@ object LlmQueries {
     // brute-force shingle join, so the contained-side prefix lemma is
     // hash-gated
     "dedup_containment_exact" -> ((s, dir) =>
-      Dedup.containmentSelfPairs(augmentedQuotes(s, dir), "doc_id",
+      Dedup.containmentSelfPairsFrom(quoteDocTokens(s, dir),
         threshold = 0.5)),
 
     // the quote pairs bottom-8 anchor blocking MISSES: exact
@@ -1334,11 +1385,13 @@ object LlmQueries {
     // bottom-8 anchors rarely land inside so small a window — the
     // regime where anchor blocking genuinely loses quotes
     "dedup_quote_missed" -> ((s, dir) => {
-      val docs = shortQuotes(s, dir)
-      Dedup.containmentSelfPairs(docs, "doc_id", threshold = 0.5)
-        .join(Dedup.containmentPairs(docs,
-            Dedup.anchorCandidatePairs(docs, "doc_id", 8),
-            "doc_id", k = 3, threshold = 0.5)
+      // BOTH legs consume the memoized shortQuote sub-builds (r17
+      // verdict task 1): one shingle explode, one freq/array build,
+      // shared by the exact join AND the anchored pipeline
+      val dts = shortQuoteDocTokens(s, dir)
+      Dedup.containmentSelfPairsFrom(dts, threshold = 0.5)
+        .join(Dedup.containmentPairsFrom(dts,
+            shortQuoteAnchorCands(s, dir), threshold = 0.5)
             .select(col("doc_a"), col("doc_b")),
           Seq("doc_a", "doc_b"), "left_anti")
     }),

@@ -311,7 +311,7 @@ object StatsQueries {
          |  FROM h),
          |m AS (SELECT event_type, b,
          |    round(sum(w * v) / sum(w), 6) AS m
-         |  FROM wt GROUP BY 1, 2),
+         |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
          |    ORDER BY m, b) AS rn FROM m)
          |SELECT event_type, round(avg(m), 6) AS boot_mean,
@@ -338,7 +338,7 @@ object StatsQueries {
          |  FROM h),
          |m AS (SELECT event_type, b,
          |    round(sum(w * v) / sum(w), 6) AS m
-         |  FROM wt GROUP BY 1, 2),
+         |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
          |d AS (SELECT mc.b AS resample, round(mc.m - mv.m, 6) AS diff
          |  FROM (SELECT b, m FROM m WHERE event_type = 'click') mc
          |  JOIN (SELECT b, m FROM m WHERE event_type = 'view') mv

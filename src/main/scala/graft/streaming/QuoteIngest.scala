@@ -66,9 +66,14 @@ object QuoteIngest {
     val newAnchors = Dedup.docAnchors(recs, "doc_id", nAnchors, "text", k)
       .persist(sl)
     newAnchors.count()
+    // replay-dedup the store read (ADVICE r17): under at-least-once
+    // replay the anchor store holds duplicate (ah, doc_id) rows, which
+    // would inflate capBucketsPaired's bucket counts — a bucket
+    // genuinely under maxBucketSize could be dropped after a replay,
+    // silently losing pairs relative to the documented batch parity.
     val oldAnchors =
-      if (hasParquet(spark, anchorDir)) spark.read.parquet(anchorDir)
-      else newAnchors.limit(0)
+      (if (hasParquet(spark, anchorDir)) spark.read.parquet(anchorDir)
+       else newAnchors.limit(0)).dropDuplicates("ah", "doc_id")
     val (nA, oA) = Dedup.capBucketsPaired(newAnchors, oldAnchors,
       Seq("ah"), maxBucketSize, "QuoteIngest")
     val cross = nA.select(col("ah"), col("doc_id").as("na"))
