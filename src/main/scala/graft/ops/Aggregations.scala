@@ -92,29 +92,152 @@ object Aggregations {
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame =
     skyline2DBy(df, Nil, xCol, yCol)
 
+  /** Frontier relations above this row count take the shuffle join back
+    * to the corpus instead of a forced broadcast (ADVICE r17: the
+    * unguarded broadcast was a driver-OOM waiting for a high-cardinality
+    * continuous x). ~4M (x, 2 mins) rows ≈ low hundreds of MB — the
+    * conventional broadcast ceiling.
+    */
+  private val FrontierBroadcastMaxRows = 4000000L
+
+  /** Coarse value-range buckets for the distributed running-min scan of
+    * the UNGROUPED frontier — the [[DataProfile]] cdf convention: the
+    * only zero-partition window left runs over the ≤`SkylineCoarse`-row
+    * bucket aggregate, bounded by this constant, never by the data.
+    */
+  private val SkylineCoarse = 256
+
   /** GROUP-WISE 2D skyline: an independent pareto frontier per group
     * (frontier-per-brand, frontier-per-supplier — the window
     * partitions by the group, so one hot group costs a sort of ITS
-    * x-cardinality, never a global one; everything else is identical
-    * to [[skyline2D]], which is this with no group).
+    * x-cardinality, never a global one). [[skyline2D]] is this with no
+    * group; its UNGROUPED frontier scan is DISTRIBUTED (r17 verdict
+    * task 3): a single-partition window over distinct x dies the
+    * moment x is a price or timestamp, so the running mins ride the
+    * [[DataProfile.quantilesExact]] pattern instead — coarse
+    * value-range buckets, per-bucket local running mins, broadcast
+    * cross-bucket prefix mins (the one remaining global window is over
+    * the ≤[[SkylineCoarse]]-row bucket aggregate). Non-numeric x falls
+    * back to the single-partition window with a loud stderr contract
+    * warning (same posture as capBuckets).
+    *
+    * NULL semantics = the NOT-EXISTS oracle's (ADVICE r17): a row with
+    * NULL in x, y or any group key has no dominator (NULL comparisons
+    * never hold) and dominates nothing — it passes through to the
+    * output untouched instead of being silently dropped by the
+    * aggregates/joins below.
     */
   def skyline2DBy(df: DataFrame, groupCols: Seq[String], xCol: String,
                   yCol: String): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val gs = groupCols.map(col)
     val keys = groupCols :+ xCol
-    val perX = df.groupBy(keys.map(col): _*)
+    val anyNull = (keys :+ yCol).map(col(_).isNull).reduce(_ || _)
+    val passThrough = df.filter(anyNull)
+    val nn = df.filter(!anyNull)
+    val perX = nn.groupBy(keys.map(col): _*)
       .agg(min(col(yCol)).as("__miny"))
-    val wLe = Window.partitionBy(gs: _*).orderBy(col(xCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLt = Window.partitionBy(gs: _*).orderBy(col(xCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val fronts = perX
-      .withColumn("__rm_le", min(col("__miny")).over(wLe))
-      .withColumn("__rm_lt", min(col("__miny")).over(wLt))
+    val frontsRaw =
+      if (groupCols.nonEmpty) {
+        val wLe = Window.partitionBy(gs: _*).orderBy(col(xCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLt = Window.partitionBy(gs: _*).orderBy(col(xCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perX
+          .withColumn("__rm_le", min(col("__miny")).over(wLe))
+          .withColumn("__rm_lt", min(col("__miny")).over(wLt))
+      } else ungroupedRunningMins(perX, xCol)
+    val fronts = frontsRaw
       .select((keys.map(col) :+ col("__rm_le") :+ col("__rm_lt")): _*)
-    df.join(broadcast(fronts), keys)
+      .persist(sl)
+    val nFronts = fronts.count()
+    val frontSide =
+      if (nFronts <= FrontierBroadcastMaxRows) broadcast(fronts)
+      else {
+        System.err.println(s"[graft] skyline2DBy: $nFronts frontier " +
+          s"rows exceed the $FrontierBroadcastMaxRows broadcast guard " +
+          "— joining back via shuffle instead")
+        fronts
+      }
+    nn.join(frontSide, keys)
       .filter(col(yCol) <= col("__rm_le") &&
         (col("__rm_lt").isNull || col(yCol) < col("__rm_lt")))
       .drop("__rm_le", "__rm_lt")
+      .unionByName(passThrough)
+  }
+
+  /** Distributed running mins over the distinct-x aggregate `perX`
+    * (columns: xCol, __miny): adds `__rm_le` (min __miny over x' ≤ x)
+    * and `__rm_lt` (over x' < x, NULL when nothing is smaller) without
+    * ever sorting the full relation in one task. Shape: coarse
+    * VALUE-RANGE buckets (monotone in x by construction, so bucket
+    * order aligns with x order — deterministic, unlike a sampled range
+    * partitioning), per-bucket windows for the local running mins, and
+    * a broadcast ≤[[SkylineCoarse]]-row exclusive-prefix-min per bucket
+    * for the cross-bucket carry. Value-range buckets inherit the cdf
+    * caveat: a pathologically concentrated x puts most rows in one
+    * bucket (one big — but single — sort task).
+    */
+  private def ungroupedRunningMins(perX: DataFrame,
+                                   xCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val xd: Option[org.apache.spark.sql.Column] =
+      perX.schema(xCol).dataType match {
+      case _: NumericType => Some(col(xCol).cast("double"))
+      case TimestampType | TimestampNTZType =>
+        Some(col(xCol).cast("double"))
+      case DateType => Some(col(xCol).cast("timestamp").cast("double"))
+      case other =>
+        System.err.println(s"[graft] skyline2D: x column '$xCol' has " +
+          s"non-numeric type $other — distributed frontier scan needs " +
+          "a numeric/temporal x; falling back to the single-partition " +
+          "window over distinct x (fine for low-cardinality x only)")
+        None
+    }
+    xd match {
+      case None =>
+        val wLe = Window.orderBy(col(xCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLt = Window.orderBy(col(xCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perX
+          .withColumn("__rm_le", min(col("__miny")).over(wLe))
+          .withColumn("__rm_lt", min(col("__miny")).over(wLt))
+      case Some(x) =>
+        val bounds = perX.agg(min(x).as("__lo"), max(x).as("__hi"))
+        // floor of the monotone double image of x: x1 < x2 can only
+        // give cb1 <= cb2, which is all the cross-bucket carry needs;
+        // ties and boundary collapses are harmless (the within-bucket
+        // window orders by the true x)
+        val withCb = perX.crossJoin(broadcast(bounds))
+          .withColumn("__cb",
+            when(col("__hi") > col("__lo"),
+              greatest(lit(0), least(lit(SkylineCoarse - 1),
+                floor((x - col("__lo")) /
+                  ((col("__hi") - col("__lo")) / SkylineCoarse.toDouble)))))
+              .otherwise(lit(0)).cast("int"))
+          .drop("__lo", "__hi")
+        // exclusive prefix min per bucket: <= SkylineCoarse rows — the
+        // single-partition window is bounded by the constant, not data
+        val offsets = withCb.groupBy(col("__cb").as("__ob"))
+          .agg(min(col("__miny")).as("__bm"))
+          .withColumn("__pre", min(col("__bm")).over(
+            Window.orderBy(col("__ob"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("__ob"), col("__pre"))
+        val wLe = Window.partitionBy(col("__cb")).orderBy(col(xCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLt = Window.partitionBy(col("__cb")).orderBy(col(xCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // least() skips NULLs: rm_le's window leg is never NULL (the
+        // frame includes the current row); rm_lt is NULL only when both
+        // the strict local window and the bucket prefix are empty —
+        // exactly "nothing at strictly smaller x", as the filter expects
+        withCb.join(broadcast(offsets), col("__cb") === col("__ob"))
+          .withColumn("__rm_le",
+            least(min(col("__miny")).over(wLe), col("__pre")))
+          .withColumn("__rm_lt",
+            least(min(col("__miny")).over(wLt), col("__pre")))
+    }
   }
 }

@@ -453,6 +453,12 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       t("skyline")(graft.ops.Aggregations.skyline2D(pB,
         "p_size", "p_retailprice"))
+      // CONTINUOUS x (r18): x = the salted price — distinct-x ~= the
+      // row count, the regime where r17's single-partition window over
+      // distinct x (and its distinct-x-sized broadcast) died; the
+      // distributed face must keep this rung on the corpus-scan slope
+      t("skyline_cx")(graft.ops.Aggregations.skyline2D(pB,
+        "p_retailprice", "p_size"))
     }
 
     // Poisson bootstrap: the B=32 resample pass is ONE map-side explode

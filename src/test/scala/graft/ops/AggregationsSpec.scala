@@ -74,4 +74,40 @@ class AggregationsSpec extends SparkSpec {
     assert(got == brute, s"got $got want $brute")
     assert(got == Set(1L, 2L, 3L, 5L, 9L))
   }
+
+  test("skyline2D on continuous x matches brute force; NULL rows survive (NOT EXISTS)") {
+    import spark.implicits._
+    // 500 pseudo-random continuous (x, y) doubles — enough to spread
+    // across many coarse buckets and exercise the cross-bucket carry
+    val rows = (1 to 500).map { i =>
+      val x = ((i * 2654435761L) % 1000003).toDouble / 997.0
+      val y = ((i * 40503L + 7) % 1000033).toDouble / 991.0
+      (i.toLong, x, y)
+    }
+    val brute = rows.filterNot { case (_, x, y) =>
+      rows.exists { case (_, x2, y2) =>
+        x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.map(_._1).toSet
+    val df = rows.toDF("id", "x", "y")
+    val got = Aggregations.skyline2D(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"got ${got.size} want ${brute.size}")
+    // NULL x or y: no dominator can exist (NULL comparisons never
+    // hold), so the row passes through — the NOT-EXISTS oracle's
+    // semantics, not silent dropping
+    val withNulls = df.unionByName(Seq(
+      (9001L, Option.empty[Double], Option(0.0)),
+      (9002L, Option(0.0), Option.empty[Double]))
+      .toDF("id", "x", "y"))
+    val got2 = Aggregations.skyline2D(withNulls, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == brute ++ Set(9001L, 9002L), s"nulls must survive")
+    // grouped face: null GROUP key rows survive too, and per-group
+    // frontiers are unaffected
+    val g = Seq(("a", 1, 1.0), ("a", 2, 2.0), (null, 5, 5.0))
+      .toDF("g", "x", "y")
+    val gotG = Aggregations.skyline2DBy(g, Seq("g"), "x", "y")
+      .select("x").collect().map(_.getInt(0)).toSet
+    assert(gotG == Set(1, 5), s"got $gotG")
+  }
 }
