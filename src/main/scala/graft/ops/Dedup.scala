@@ -1462,6 +1462,203 @@ object Dedup {
         round(ca, 6).as("wcont_a_in_b"), round(cb, 6).as("wcont_b_in_a"))
   }
 
+  /** Shared weighted-relation builds of the incremental (batch-vs-
+    * index) weighted faces: per-side term-frequency relations, the
+    * vocabulary order PINNED to corpus-only document frequencies
+    * (the [[setSimilarityIncremental]] contract — any total order
+    * satisfies the weighted prefix lemma, so a production index keeps
+    * its order as batches arrive; batch-only tokens order first at
+    * df 0), per-side exploded rows carrying each position's SUFFIX
+    * WEIGHT, and the replay-deduped verify relations.
+    */
+  private case class WeightedSides(rowsNew: DataFrame, rowsOld: DataFrame,
+                                   tfAll: DataFrame, sums: DataFrame)
+
+  private def weightedIncrementalRows(corpus: DataFrame, batch: DataFrame,
+                                      idCol: String, textCol: String,
+                                      k: Int): WeightedSides = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      explode(coalesce(
+        call_function("graft_word_grams", lower(col(textCol)), lit(k),
+          lit(false)),
+        typedLit(Seq.empty[String]))).as("w"))
+    def tfOf(d: DataFrame) = grams(d).groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val tfOld = tfOf(corpus).persist(sl); tfOld.count()
+    val tfNew = tfOf(batch).persist(sl); tfNew.count()
+    val dfreq = tfOld.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    def docTok(tf: DataFrame): DataFrame =
+      tf.join(dfreq, Seq("w"), "left")
+        .select(col("doc_id"), col("w"),
+          coalesce(col("df"), lit(0L)).as("df"), col("tf"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+            struct(col("df"), col("w"), col("tf")))).as("ts"),
+          sum(col("tf")).as("sw"))
+    val dtOld = docTok(tfOld).persist(sl); dtOld.count()
+    val dtNew = docTok(tfNew).persist(sl); dtNew.count()
+    def rowsOf(dt: DataFrame): DataFrame =
+      dt.select(col("doc_id"), col("sw"),
+          posexplode(col("ts")).as(Seq("p0", "pt")))
+        .withColumn("suffw", col("sw") - sum(col("pt.tf")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p0")))
+          + col("pt.tf"))
+        .select(col("doc_id"), col("sw"), col("suffw"),
+          col("pt.w").as("w"))
+    // one (doc, token) weight and one weight sum per doc even under
+    // replay: a replayed document sits in both relations with the same
+    // text, hence identical tf rows — duplicates would double m AND sw
+    val tfAll = tfNew.unionByName(tfOld).dropDuplicates("doc_id", "w")
+    val sums = dtNew.unionByName(dtOld).dropDuplicates("doc_id")
+      .select(col("doc_id"), col("sw"))
+    WeightedSides(rowsOf(dtNew), rowsOf(dtOld), tfAll, sums)
+  }
+
+  /** Incremental (batch-vs-index) face of
+    * [[weightedSetSimilarityPairs]]: every pair (new, old) and (new,
+    * new) with weighted Jaccard Σ min(tf) / Σ max(tf) ≥ `threshold`;
+    * the old corpus is never self-joined. Both sides keep the standard
+    * weighted prefix (positions whose suffix weight ≥ t·S — the pair
+    * roles are new/old, which do not align with the size order an
+    * asymmetric prefix needs, exactly the [[setSimilarityIncremental]]
+    * posture); the weighted length and positional filters are
+    * pair-local consequences of J_w ≥ t and apply unchanged. Verify is
+    * the exploded shared-token join over the replay-deduped tf
+    * relation — candidate-sized.
+    */
+  def weightedSetSimilarityIncremental(corpus: DataFrame, batch: DataFrame,
+                                       idCol: String, threshold: Double,
+                                       textCol: String = "text", k: Int = 1,
+                                       maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eps = 1e-9
+    val ws = weightedIncrementalRows(corpus, batch, idCol, textCol, k)
+    def pref(r: DataFrame) = r.filter(col("suffw").cast("double") >=
+      lit(threshold) * col("sw") - lit(eps))
+    val (pn, po) = capBucketsPaired(pref(ws.rowsNew), pref(ws.rowsOld),
+      Seq("w"), maxBucketSize, "weightedSetSimilarityIncremental")
+    val pnP = pn.persist(sl); pnP.count()
+    val alpha = lit(threshold / (1 + threshold)) *
+      (col("sa") + col("sb")) - lit(eps)
+    def leg(a: DataFrame, b: DataFrame, pred: Column): DataFrame =
+      a.select(col("w"), col("doc_id").as("na"), col("sw").as("sa"),
+          col("suffw").as("fa"))
+        .join(b.select(col("w"), col("doc_id").as("nb"),
+          col("sw").as("sb"), col("suffw").as("fb")), Seq("w"))
+        .filter(pred)
+        // weighted length filter, both directions (pair not size-ordered)
+        .filter(col("sa").cast("double") >=
+            lit(threshold) * col("sb") - lit(eps) &&
+          col("sb").cast("double") >=
+            lit(threshold) * col("sa") - lit(eps))
+        .groupBy(col("na"), col("nb"))
+        .agg(max(least(col("fa"), col("fb"))).as("bound"),
+          first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+        // positional filter: the best shared-token suffix bound must
+        // clear the required shared weight (the first shared token's
+        // min(suffw) bounds all of m — see weightedSetSimilarityPairs)
+        .filter(col("bound").cast("double") >= alpha)
+        .select(col("na"), col("nb"))
+    // a REPLAYED document sits in both relations; id inequality excludes
+    // the self-pair exactly (ids are unique per document)
+    val cand = leg(pnP, po, col("na") =!= col("nb"))
+      .unionByName(leg(pnP, pnP, col("na") < col("nb")))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
+      .persist(sl)
+    cand.count()
+    val m = cand
+      .join(ws.tfAll.select(col("doc_id").as("doc_a"), col("w"),
+        col("tf").as("ta")), Seq("doc_a"))
+      .join(ws.tfAll.select(col("doc_id").as("doc_b"), col("w"),
+        col("tf").as("tb")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ta"), col("tb"))).as("m"))
+      .join(ws.sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
+        Seq("doc_a"))
+      .join(ws.sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
+        Seq("doc_b"))
+    val jw = col("m").cast("double") /
+      (col("sa") + col("sb") - col("m")).cast("double")
+    m.filter(jw >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jw, 6).as("wjaccard"))
+  }
+
+  /** Incremental (batch-vs-index) face of [[weightedContainmentPairs]]:
+    * every pair touching at least one batch document whose larger
+    * WEIGHTED containment Σ min(tf) / S_side reaches `threshold`; the
+    * old corpus is never self-joined. Two blocking legs, because the
+    * CONTAINED side (the smaller-total-weight side — it owns the
+    * larger containment) carries the weighted prefix lemma and either
+    * side of a cross pair can be the contained one: batch weighted
+    * prefixes probe everyone's FULL weighted rows (new-in-old,
+    * new-in-new, old-containing-new), old prefixes probe the batch's
+    * full rows (old-contained-in-new). Hot-token cap judges combined
+    * prefix-side/full-side membership ([[containmentIncremental]]).
+    */
+  def weightedContainmentIncremental(corpus: DataFrame, batch: DataFrame,
+                                     idCol: String, threshold: Double,
+                                     textCol: String = "text", k: Int = 1,
+                                     maxBucketSize: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eps = 1e-9
+    val ws = weightedIncrementalRows(corpus, batch, idCol, textCol, k)
+    def tag(r: DataFrame, t: Int) = r.withColumn("__new", lit(t))
+    def pref(r: DataFrame) = r.filter(col("suffw").cast("double") >=
+      lit(threshold) * col("sw") - lit(eps))
+    val pfx = tag(pref(ws.rowsNew), 1).unionByName(tag(pref(ws.rowsOld), 0))
+    val full = tag(ws.rowsNew, 1).unionByName(tag(ws.rowsOld, 0))
+    val (pc, fc) = capBucketsPaired(pfx, full, Seq("w"), maxBucketSize,
+      "weightedContainmentIncremental")
+    val pcP = pc.persist(sl); pcP.count()
+    val fcP = fc.persist(sl); fcP.count()
+    def leg(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("w"), col("doc_id").as("na"), col("sw").as("sa"),
+          col("suffw").as("fa"))
+        .join(b.select(col("w"), col("doc_id").as("nb"),
+          col("sw").as("sb"), col("suffw").as("fb")), Seq("w"))
+        .filter(col("na") =!= col("nb"))
+        .groupBy(col("na"), col("nb"))
+        .agg(max(least(col("fa"), col("fb"))).as("bound"),
+          first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+        .filter(col("bound").cast("double") >=
+          lit(threshold) * least(col("sa"), col("sb")) - lit(eps))
+        .select(col("na"), col("nb"))
+    val cand = leg(pcP.filter(col("__new") === 1), fcP)
+      .unionByName(leg(pcP.filter(col("__new") === 0),
+        fcP.filter(col("__new") === 1)))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
+      .persist(sl)
+    cand.count()
+    val m = cand
+      .join(ws.tfAll.select(col("doc_id").as("doc_a"), col("w"),
+        col("tf").as("ta")), Seq("doc_a"))
+      .join(ws.tfAll.select(col("doc_id").as("doc_b"), col("w"),
+        col("tf").as("tb")), Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ta"), col("tb"))).as("m"))
+      .join(ws.sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
+        Seq("doc_a"))
+      .join(ws.sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
+        Seq("doc_b"))
+    val jw = col("m").cast("double") /
+      (col("sa") + col("sb") - col("m")).cast("double")
+    val ca = col("m").cast("double") / col("sa")
+    val cb = col("m").cast("double") / col("sb")
+    m.filter(greatest(ca, cb) >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jw, 6).as("wjaccard"),
+        round(ca, 6).as("wcont_a_in_b"), round(cb, 6).as("wcont_b_in_a"))
+  }
+
   /** Incremental (batch-vs-index) face of [[containmentSelfPairs]] —
     * the containment analogue of [[setSimilarityIncremental]]: every
     * pair touching at least one batch document whose larger containment

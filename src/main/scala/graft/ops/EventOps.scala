@@ -606,4 +606,124 @@ object EventOps {
         round(col("n_users").cast("double") / col("n_users_total"), 6)
           .as("support"))
   }
+
+  /** GAP-CONSTRAINED length-2 sequential patterns (PrefixSpan-lite with
+    * a maxGap window, r17 verdict task 7): users whose history contains
+    * type A strictly-before type B with tsec_B − tsec_A ≤
+    * `maxGapSeconds`. Input columns: user_id, event_type, tsec,
+    * event_id; output (type_a, type_b, n_users, support).
+    *
+    * The min/max-occurrence trick of [[seqPatterns3]] cannot see gaps
+    * (first(A)/last(B) may be far apart while a tight witness hides in
+    * the middle), and the naive shape is a per-user self-join bounded
+    * by the gap window — events × window-density under a hot user.
+    * This one is the LAST-PREDECESSOR scan: for every event b and every
+    * type A, the latest A-occurrence strictly before b minimizes the
+    * gap over all (A-occurrence, b) witnesses, so the pair is supported
+    * iff ∃ b with tsec_b − tsec(lastA(b)) ≤ g. lastA(b) for ALL (b, A)
+    * at once is one merged-stream window: marker rows (each occurrence,
+    * keyed by its own type) unioned with query rows (each event ×
+    * |types| via a broadcast alphabet), windowed per (user, type_a)
+    * ordered by the (tsec, event_id) total order with queries BEFORE
+    * markers on ties — a query can never see its own marker, making
+    * "strictly before" exact. Fanout |events_u| × |types| per user,
+    * aggregated immediately — NEVER the events × window-density
+    * self-join ([[seqPatterns3]]'s bound, now with gaps).
+    */
+  def seqPatternsGap(ev: DataFrame, maxGapSeconds: Long): DataFrame = {
+    val supp = gapSupport2(ev, maxGapSeconds)
+      .select(col("user_id"), col("type_a"), col("type_b")).distinct()
+    val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users_total"))
+    supp.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_users_total"), 6)
+          .as("support"))
+  }
+
+  /** GAP-CONSTRAINED length-3 sequential patterns: A before B before C
+    * with BOTH consecutive gaps ≤ `maxGapSeconds`. Greedy is exact by
+    * the same exchange argument chained once: an event b is a valid
+    * (A, B)-prefix iff its latest earlier A is within g (any witness a
+    * implies lastA(b) ≥ a is too), and (A, B, C) is supported iff some
+    * C-event c has a valid prefix occurrence within g before it — the
+    * LATEST valid prefix before c minimizes that gap. Two window
+    * passes: pass 1 marks valid 2-prefixes (fanout events × |types|),
+    * pass 2 streams them as markers against events × the observed
+    * |pairs| alphabet (≤ |types|²) — the |types|ᵏ⁻¹ × events bound,
+    * never events³ (or events × window-density²) under a hot user.
+    */
+  def seqPatternsGap3(ev: DataFrame, maxGapSeconds: Long): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val valid2 = gapSupport2(ev, maxGapSeconds).persist(sl)
+    valid2.count()
+    val pairs = valid2.select(col("type_a"), col("type_b")).distinct()
+    val markers = valid2.select(col("user_id"), col("type_a"),
+      col("type_b"), col("o"), col("qts").as("mts"), lit(1).as("is_m"),
+      lit(null).cast("string").as("type_c"),
+      lit(null).cast("long").as("qts"))
+    val queries = ev.select(col("user_id"),
+        col("event_type").as("type_c"),
+        struct(col("tsec"), col("event_id")).as("o"),
+        col("tsec").as("qts"))
+      .crossJoin(broadcast(pairs))
+      .select(col("user_id"), col("type_a"), col("type_b"), col("o"),
+        lit(null).cast("long").as("mts"), lit(0).as("is_m"),
+        col("type_c"), col("qts"))
+    val w = Window.partitionBy(col("user_id"), col("type_a"), col("type_b"))
+      .orderBy(col("o"), col("is_m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scanned = markers.unionByName(queries)
+      .withColumn("__last",
+        max(when(col("is_m") === 1, col("mts"))).over(w))
+    val supp = scanned
+      .filter(col("is_m") === 0 && col("__last").isNotNull &&
+        col("qts") - col("__last") <= maxGapSeconds)
+      .select(col("user_id"), col("type_a"), col("type_b"), col("type_c"))
+      .distinct()
+    val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users_total"))
+    supp.groupBy(col("type_a"), col("type_b"), col("type_c"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("type_c"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_users_total"), 6)
+          .as("support"))
+  }
+
+  /** The valid gap-2 occurrence relation behind both gap operators:
+    * one row per (user, type_a, event b) where the latest A strictly
+    * before b (on the (tsec, event_id) total order) is within the gap —
+    * columns (user_id, type_a, type_b, o, qts) with o/qts = b's order
+    * key and timestamp. Marker/query merged-stream window, queries
+    * ordered before markers on o-ties so an event never sees itself.
+    */
+  private def gapSupport2(ev: DataFrame, maxGapSeconds: Long): DataFrame = {
+    require(maxGapSeconds >= 0, s"maxGap must be >= 0: $maxGapSeconds")
+    val o = struct(col("tsec"), col("event_id"))
+    val types = ev.select(col("event_type").as("type_a")).distinct()
+    val markers = ev.select(col("user_id"),
+      col("event_type").as("type_a"), o.as("o"),
+      col("tsec").as("mts"), lit(1).as("is_m"),
+      lit(null).cast("string").as("type_b"),
+      lit(null).cast("long").as("qts"))
+    val queries = ev.select(col("user_id"),
+        col("event_type").as("type_b"), o.as("o"), col("tsec").as("qts"))
+      .crossJoin(broadcast(types))
+      .select(col("user_id"), col("type_a"), col("o"),
+        lit(null).cast("long").as("mts"), lit(0).as("is_m"),
+        col("type_b"), col("qts"))
+    val w = Window.partitionBy(col("user_id"), col("type_a"))
+      .orderBy(col("o"), col("is_m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // markers' mts is nondecreasing along o, so the running max IS the
+    // latest strictly-earlier A occurrence's timestamp
+    markers.unionByName(queries)
+      .withColumn("__last",
+        max(when(col("is_m") === 1, col("mts"))).over(w))
+      .filter(col("is_m") === 0 && col("__last").isNotNull &&
+        col("qts") - col("__last") <= maxGapSeconds)
+      .select(col("user_id"), col("type_a"), col("type_b"), col("o"),
+        col("qts"))
+  }
 }

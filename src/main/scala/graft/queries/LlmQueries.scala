@@ -1428,6 +1428,28 @@ object LlmQueries {
         Tables.documents(s, dir).filter(col("doc_id") % 3 === 0),
         "doc_id", threshold = 0.5)),
 
+    // incremental face of the weighted set-similarity join (r18): 20%
+    // batch vs 80% corpus on the %3 subset, old side never self-joined,
+    // vocabulary order pinned to corpus-only term document-frequencies
+    "dedup_setsim_weighted_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      Dedup.weightedSetSimilarityIncremental(
+        docs.filter(Dedup.hashBucket(col("doc_id")) >= 20),
+        docs.filter(Dedup.hashBucket(col("doc_id")) < 20),
+        "doc_id", threshold = 0.5)
+    }),
+
+    // incremental face of the weighted containment join (r18): either
+    // side of a cross pair can be the contained one, so both blocking
+    // legs are exercised (the dedup_containment_incremental convention)
+    "dedup_containment_weighted_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      Dedup.weightedContainmentIncremental(
+        docs.filter(Dedup.hashBucket(col("doc_id")) >= 20),
+        docs.filter(Dedup.hashBucket(col("doc_id")) < 20),
+        "doc_id", threshold = 0.5)
+    }),
+
     "dedup_fuzzy" -> ((s, dir) =>
       Dedup.fuzzy(Tables.documents(s, dir), "doc_id",
         numHashes = 16, bands = 4, threshold = 0.5)),
@@ -3602,6 +3624,57 @@ object LlmQueries {
         |SELECT doc_a, doc_b, round(jw, 6) AS wjaccard,
         |  round(ca, 6) AS wcont_a_in_b, round(cb, 6) AS wcont_b_in_a
         |FROM j WHERE greatest(ca, cb) >= 0.5""".stripMargin,
+
+    // the full weighted-jaccard pair set restricted to pairs touching
+    // the batch (the dedup_setsim_incremental convention)
+    "dedup_setsim_weighted_incremental" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |tw AS (SELECT doc_id,
+         |    string_split(lower(text), ' ') AS ws FROM d),
+         |tok AS (SELECT doc_id, ws[i] AS w
+         |       FROM tw, unnest(range(1, len(ws)+1)) t(i)),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |sw AS (SELECT doc_id, sum(tf) AS sw FROM tf GROUP BY 1),
+         |nw AS (SELECT doc_id FROM d WHERE $HashBucketSql < 20),
+         |mi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        sum(least(a.tf, b.tf)) AS m
+         |      FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        CAST(m AS DOUBLE) / (sa.sw + sb.sw - m) AS jw
+         |      FROM mi JOIN sw sa ON doc_a = sa.doc_id
+         |              JOIN sw sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jw, 6) AS wjaccard
+         |FROM j WHERE jw >= 0.5
+         |  AND (doc_a IN (SELECT doc_id FROM nw)
+         |    OR doc_b IN (SELECT doc_id FROM nw))""".stripMargin,
+
+    // the full weighted-containment pair set restricted to pairs
+    // touching the batch
+    "dedup_containment_weighted_incremental" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |tw AS (SELECT doc_id,
+         |    string_split(lower(text), ' ') AS ws FROM d),
+         |tok AS (SELECT doc_id, ws[i] AS w
+         |       FROM tw, unnest(range(1, len(ws)+1)) t(i)),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |sw AS (SELECT doc_id, sum(tf) AS sw FROM tf GROUP BY 1),
+         |nw AS (SELECT doc_id FROM d WHERE $HashBucketSql < 20),
+         |mi AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        sum(least(a.tf, b.tf)) AS m
+         |      FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        CAST(m AS DOUBLE) / (sa.sw + sb.sw - m) AS jw,
+         |        CAST(m AS DOUBLE) / sa.sw AS ca,
+         |        CAST(m AS DOUBLE) / sb.sw AS cb
+         |      FROM mi JOIN sw sa ON doc_a = sa.doc_id
+         |              JOIN sw sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, round(jw, 6) AS wjaccard,
+         |  round(ca, 6) AS wcont_a_in_b, round(cb, 6) AS wcont_b_in_a
+         |FROM j WHERE greatest(ca, cb) >= 0.5
+         |  AND (doc_a IN (SELECT doc_id FROM nw)
+         |    OR doc_b IN (SELECT doc_id FROM nw))""".stripMargin,
 
     "dedup_setsim_weighted" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),

@@ -193,6 +193,29 @@ object MiningQueries {
         Tables.events(s, dir).select(col("user_id"), col("event_type"),
           unix_timestamp(col("ts")).as("tsec"), col("event_id")))),
 
+    // GAP-CONSTRAINED sequential patterns (r18): A before B within 1h —
+    // the min/max trick is blind to gaps (a tight witness can hide
+    // between a far-apart first(A)/last(B)), so this runs the
+    // last-predecessor merged-stream window scan: |events|x|types|
+    // fanout, never the events x window-density self-join the oracle
+    // models (EventOps.seqPatternsGap scaladoc has the exactness
+    // argument; hot-user ladder in BASELINE.md)
+    "events_seq_patterns_gap" -> ((s, dir) =>
+      graft.ops.EventOps.seqPatternsGap(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id")),
+        maxGapSeconds = 3600)),
+
+    // length-3 with BOTH consecutive gaps <= 1h: greedy stays exact by
+    // chaining the last-predecessor argument once (latest VALID
+    // 2-prefix before each c minimizes the second gap) — fanout
+    // |events|x|pairs| (<= |types|^2), never events^3
+    "events_seq_patterns_gap3" -> ((s, dir) =>
+      graft.ops.EventOps.seqPatternsGap3(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id")),
+        maxGapSeconds = 3600)),
+
     // connected components of the STRONG co-purchase graph (pair
     // support >= 3): product communities via the shared min-label
     // propagation (Dedup.resolveClusters — the ER clustering engine
@@ -1495,6 +1518,49 @@ object MiningQueries {
         |SELECT type_a, type_b, type_c, n_users,
         |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
         |FROM tr, nu""".stripMargin,
+
+    // brute-force gap-windowed EXISTS pair join — the quadratic the
+    // engine's last-predecessor window scan exists to avoid
+    "events_seq_patterns_gap" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
+        |    event_id
+        |  FROM events),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users_total FROM e),
+        |pr AS (SELECT DISTINCT a.user_id, a.event_type AS type_a,
+        |    b.event_type AS type_b
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND (a.tsec < b.tsec
+        |      OR (a.tsec = b.tsec AND a.event_id < b.event_id))
+        |    AND b.tsec - a.tsec <= 3600),
+        |ct AS (SELECT type_a, type_b, count(*) AS n_users
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_users,
+        |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
+        |FROM ct, nu""".stripMargin,
+
+    "events_seq_patterns_gap3" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
+        |    event_id
+        |  FROM events),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users_total FROM e),
+        |tr AS (SELECT DISTINCT a.user_id, a.event_type AS type_a,
+        |    b.event_type AS type_b, c.event_type AS type_c
+        |  FROM e a
+        |  JOIN e b ON a.user_id = b.user_id
+        |    AND (a.tsec < b.tsec
+        |      OR (a.tsec = b.tsec AND a.event_id < b.event_id))
+        |    AND b.tsec - a.tsec <= 3600
+        |  JOIN e c ON b.user_id = c.user_id
+        |    AND (b.tsec < c.tsec
+        |      OR (b.tsec = c.tsec AND b.event_id < c.event_id))
+        |    AND c.tsec - b.tsec <= 3600),
+        |ct AS (SELECT type_a, type_b, type_c, count(*) AS n_users
+        |  FROM tr GROUP BY 1, 2, 3)
+        |SELECT type_a, type_b, type_c, n_users,
+        |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
+        |FROM ct, nu""".stripMargin,
 
     "quality_t_closeness" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,

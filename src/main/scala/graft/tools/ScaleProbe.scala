@@ -94,6 +94,37 @@ object ScaleProbe {
         Dedup.setSimilarityPairs(docs, "doc_id", 0.5, k = 1))
     }
 
+    // WEIGHTED (multiset) family (r18), on the DIVERSE k=3 shingle
+    // universe — the blocking-slope measurement (the word-universe
+    // declared queries are output-bound by construction, like
+    // dedup_setsim_words: 12M true pairs at sf0.1/k1, so their ladder
+    // would measure output writing, not candidate growth). Replicas are
+    // weighted near-dups of each other, so output grows ~k^2 * n0 while
+    // candidates must stay prefix-token-density-bound; the incremental
+    // rungs pay one batch (replica 0) against the rest as corpus — the
+    // per-ingest price.
+    if (only.exists(o => o.contains("setsim_weighted") ||
+        o.contains("containment_weighted"))) {
+      if (only.exists(_.contains("setsim_weighted")))
+        t("setsim_weighted")(
+          Dedup.weightedSetSimilarityPairs(docs, "doc_id", 0.5, k = 3))
+      if (only.exists(_.contains("containment_weighted")))
+        t("containment_weighted")(
+          Dedup.weightedContainmentPairs(docs, "doc_id", 0.5, k = 3))
+      if (k >= 2 && only.exists(_.contains("setsim_weighted")))
+        t("setsim_weighted_incr")(
+          Dedup.weightedSetSimilarityIncremental(
+            docs.filter(col("doc_id") >= 10000000L),
+            docs.filter(col("doc_id") < 10000000L),
+            "doc_id", 0.5, k = 3))
+      if (k >= 2 && only.exists(_.contains("containment_weighted")))
+        t("containment_weighted_incr")(
+          Dedup.weightedContainmentIncremental(
+            docs.filter(col("doc_id") >= 10000000L),
+            docs.filter(col("doc_id") < 10000000L),
+            "doc_id", 0.5, k = 3))
+    }
+
     // per-ingest serving cost: a FIXED batch (replica 0, n0 docs) joined
     // against a PRE-BUILT index over the rest — what a production ingest
     // pays per batch once the index exists (index build excluded from the
@@ -562,6 +593,27 @@ object ScaleProbe {
       t("events_uni_seq3", keepCache = true)(seq3(evP))
       t("events_hot_seq3", keepCache = true)(seq3(hot))
       t("events_hotcap_seq3", keepCache = true)(seq3(hotCapped))
+      // gap-constrained patterns (r18): the last-predecessor window
+      // scan fans each user |types|-fold (pairs: one pass) and
+      // |pairs|-fold (triples: two passes) — a 20% bot user costs one
+      // hot (user, type) partition sort of its own events, never the
+      // events x window-density (or cubed) self-join
+      def gap2(df: DataFrame) =
+        graft.ops.EventOps.seqPatternsGap(df.select(col("user_id"),
+          col("event_type"), unix_timestamp(col("ts")).as("tsec"),
+          abs(hash(col("ts"), col("event_type"))).cast("long")
+            .as("event_id")), maxGapSeconds = 3600)
+      def gap3(df: DataFrame) =
+        graft.ops.EventOps.seqPatternsGap3(df.select(col("user_id"),
+          col("event_type"), unix_timestamp(col("ts")).as("tsec"),
+          abs(hash(col("ts"), col("event_type"))).cast("long")
+            .as("event_id")), maxGapSeconds = 3600)
+      t("events_uni_seqgap", keepCache = true)(gap2(evP))
+      t("events_hot_seqgap", keepCache = true)(gap2(hot))
+      t("events_hotcap_seqgap", keepCache = true)(gap2(hotCapped))
+      t("events_uni_seqgap3", keepCache = true)(gap3(evP))
+      t("events_hot_seqgap3", keepCache = true)(gap3(hot))
+      t("events_hotcap_seqgap3", keepCache = true)(gap3(hotCapped))
       Seq(evP, hot, hotCapped).foreach(_.unpersist())
     }
 
