@@ -31,11 +31,14 @@ object Bench {
     else Scratch.dir(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_spark")
   }
 
-  /** Per-query medians of the PREVIOUS bench run, parsed from the
-    * `"queries":{...}` object of BENCH_FULL_LASTRUN.json (written by this
-    * program, so the shape is known: simple-identifier keys, plain
-    * numeric values). Empty map when the file is absent/unreadable —
-    * first run on a fresh checkout simply has no outlier baseline.
+  /** Per-query medians of a PRIOR bench artifact, parsed from its
+    * `"queries":{...}` object (files written by this program, so the
+    * shape is known: simple-identifier keys, plain numeric values).
+    * The outlier/drift baseline main() feeds it is
+    * BENCH_FULL_LATEST.json — the last CLEAN FULL run, deliberately
+    * not LASTRUN (ADVICE r17: the messages and the file must agree).
+    * Empty map when the file is absent/unreadable — first run on a
+    * fresh checkout simply has no baseline.
     */
   private[graft] def readLastRunQueries(path: String): Map[String, Double] =
     try {
@@ -91,7 +94,7 @@ object Bench {
     // not LASTRUN — LATEST is only ever replaced by a CLEAN FULL run, so
     // the baseline can't be shrunk by a filtered profiling run or a
     // failed sweep. Read BEFORE the sweep (this run may overwrite it).
-    val lastRun = readLastRunQueries("BENCH_FULL_LATEST.json")
+    val latest = readLastRunQueries("BENCH_FULL_LATEST.json")
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -182,15 +185,15 @@ object Bench {
     // ratios: if MANY queries read >2x the window itself drifted, which
     // canary_ratio already stamps.
     val retimed = scala.collection.mutable.LinkedHashMap[String, Double]()
-    if (errors.isEmpty && lastRun.nonEmpty) {
+    if (errors.isEmpty && latest.nonEmpty) {
       val outliers = times.toSeq
         .filter { case (n, t) =>
-          lastRun.get(n).exists(prev => t > 2 * prev) && t >= 0.5 }
-        .sortBy { case (n, t) => -(t / math.max(lastRun(n), 1e-9)) }
+          latest.get(n).exists(prev => t > 2 * prev) && t >= 0.5 }
+        .sortBy { case (n, t) => -(t / math.max(latest(n), 1e-9)) }
       if (outliers.size > 20)
         System.err.println(s"[bench] ${outliers.size} queries read >2x " +
-          "LASTRUN — re-timing only the 20 worst (window drift; see " +
-          "canary_ratio)")
+          "LATEST (BENCH_FULL_LATEST.json) — re-timing only the 20 " +
+          "worst (window drift; see canary_ratio)")
       outliers.take(20).foreach { case (name, first) =>
         canaryEnd.get(name) match {
           case Some(end) => retimed += name -> end
@@ -208,9 +211,51 @@ object Bench {
               val median = samples.sorted.apply(samples.size / 2)
               retimed += name -> median
               System.err.println(s"[bench] retime $name first=${f3(first)} " +
-                s"end=${f3(median)} s (lastrun=${f3(lastRun(name))})")
+                s"end=${f3(median)} s (latest=${f3(latest(name))})")
             } catch { case e: Throwable =>
               System.err.println(s"[bench] retime FAILED $name: $e")
+            }
+        }
+      }
+    }
+
+    // Slow-DRIFT re-time (r17 verdict task 5): the >2x trigger missed
+    // the band where r17's real movement lived (the llm_corpus_prep
+    // family drifted 1.26-1.63x under a clean canary and went
+    // unadjudicated). Any query >1.25x its LATEST median that the
+    // outlier block did not already re-time gets ONE end-of-sweep
+    // re-time, capped at the 10 worst ratios — enough to stamp a
+    // family-wide drift without doubling the sweep.
+    val drifted = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (errors.isEmpty && latest.nonEmpty) {
+      val cands = times.toSeq
+        .filter { case (n, t) =>
+          latest.get(n).exists(prev => t > 1.25 * prev) && t >= 0.5 &&
+            !retimed.contains(n) }
+        .sortBy { case (n, t) => -(t / math.max(latest(n), 1e-9)) }
+      if (cands.size > 10)
+        System.err.println(s"[bench] ${cands.size} queries read >1.25x " +
+          "LATEST — drift-re-timing only the 10 worst")
+      cands.take(10).foreach { case (name, first) =>
+        canaryEnd.get(name) match {
+          case Some(end) => drifted += name -> end
+          case None =>
+            try {
+              System.gc()
+              val fn = SparkEntry.queries(name)
+              materialize(fn(spark, sfDir))
+              spark.catalog.clearCache()
+              val samples = Seq.fill(runs) {
+                val t = timeOnce(materialize(fn(spark, sfDir)))
+                spark.catalog.clearCache()
+                t
+              }
+              val median = samples.sorted.apply(samples.size / 2)
+              drifted += name -> median
+              System.err.println(s"[bench] drift $name first=${f3(first)} " +
+                s"end=${f3(median)} s (latest=${f3(latest(name))})")
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] drift retime FAILED $name: $e")
             }
         }
       }
@@ -244,8 +289,11 @@ object Bench {
     // retimed block: per outlier [first-pass median, end-of-sweep median]
     val retimedJs = retimed.map { case (k, v) =>
       s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+    // drifted block: same shape, for the 1.25-2x slow-drift band
+    val driftedJs = drifted.map { case (k, v) =>
+      s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
     val canaryFields =
-      s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs"""
+      s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs,"drifted":$driftedJs"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
     // the UNTRUNCATED artifact of record: the driver's tail window cannot
     // hold ~96 query entries, so the full-precision JSON also lands in a
@@ -295,7 +343,7 @@ object Bench {
     // carries the coverage count and the pointer to the full map. Metric
     // name is DISTINCT from the per-query line's "total" so a consumer
     // summing metric lines can never double-count the suite time.
-    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"canary_ratio":$canaryRatioJs,"n_retimed":${retimed.size},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
+    println(s"""{"metric":"total_summary","value":${f3(total)},"unit":"sec","n_queries":${times.size},"n_failed":${errors.size},"canary_ratio":$canaryRatioJs,"n_retimed":${retimed.size},"n_drifted":${drifted.size},"sf":"$sfDir","full_queries_in":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
