@@ -72,6 +72,13 @@ object Graph {
     *
     * Returns (node, n_tri) for every node in at least one triangle.
     */
+  /** Edge lists above this row count close triangles via the shuffle
+    * join instead of a broadcast of the oriented edge list (~25 bytes
+    * per (v, w) row puts 4M edges near the conventional broadcast
+    * ceiling — the skyline FrontierBroadcastMaxRows convention).
+    */
+  private val ClosingBroadcastMaxEdges = 4000000L
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()
     val deg = e.select(col("a").as("node"))
@@ -105,13 +112,38 @@ object Graph {
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("s"), col("v"), col("w"))
     // close the wedge: {v,w} ordered below means an existing edge is
-    // oriented v->w, so one more equi-join decides membership
+    // oriented v->w, so one more equi-join decides membership. The
+    // JOIN SIDES are wildly asymmetric — wedges is the quadratic
+    // relation (sum of C(out-deg, 2); 41M rows on the sf0.1
+    // co-purchase graph), closing is edge-count-sized (1.2M) — so a
+    // shuffle join moves the wedge flood to meet the edge list (the
+    // r18 attribution probe billed 14.2 of graph_triangles' ~20 s to
+    // exactly this shuffle). Broadcasting the closing side makes the
+    // close map-side; the edge count is already materialized by the
+    // checkpoint, so the guard is one cheap count, with the loud
+    // shuffle fallback above it (graphs whose edge list outgrows a
+    // broadcast need the shuffle anyway — that IS the right plan
+    // there; AQE won't pick this itself because the ~29 MB closing
+    // side sits over the 10 MB auto-broadcast line).
     val closing = oriented.select(col("s").as("v"), col("d").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"))
+    val m = oriented.count()
+    val closingSide =
+      if (m <= ClosingBroadcastMaxEdges) broadcast(closing)
+      else {
+        System.err.println(s"[graft] triangleCounts: $m oriented edges " +
+          s"exceed the $ClosingBroadcastMaxEdges closing-broadcast " +
+          "guard — closing via shuffle join")
+        closing
+      }
+    val tris = wedges.join(closingSide, Seq("v", "w"))
       .select(col("s").as("x"), col("v").as("y"), col("w").as("z"))
-    tris.select(col("x").as("node"))
-      .unionAll(tris.select(col("y").as("node")))
-      .unionAll(tris.select(col("z").as("node")))
+    // ONE pass over the triangle relation: the old
+    // unionAll-of-three-projections re-evaluated the wedge join + close
+    // subtree once per corner (nothing upstream is persisted — by
+    // design, the wedge flood must never be materialized), tripling the
+    // dominant stage (r18 attribution probe; graph_triangles 19.8 →
+    // 6.3 s with the broadcast close above plus this)
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 

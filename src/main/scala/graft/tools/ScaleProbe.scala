@@ -617,6 +617,79 @@ object ScaleProbe {
       Seq(evP, hot, hotCapped).foreach(_.unpersist())
     }
 
+    // graph_triangles residual attribution (r18, verdict task 8): the
+    // query is the #2 bench tail post-memo; split its cost into the
+    // three stages — co-purchase edge build (memoized in the bench,
+    // timed here for the record), degree orientation (two node-degree
+    // joins + the localCheckpoint cut), and the wedge + close + count
+    // pipeline from the checkpointed oriented list — so "inherent or
+    // fixable" is answered with data. Ignores k (runs at base sf).
+    if (only.exists(_.contains("triangles_attr"))) {
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def edgesBuild() = {
+        val b = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
+          .distinct()
+        val sizes = b.groupBy(col("k")).agg(count(lit(1)).as("kn"))
+        val kept = b.join(sizes.filter(col("kn") <= 1000)
+          .select("k"), Seq("k"))
+        kept.select(col("k"), col("i").as("a"))
+          .join(kept.select(col("k"), col("i").as("b")), Seq("k"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+      }
+      spark.catalog.clearCache(); System.gc()
+      var t0 = System.nanoTime()
+      val e = edgesBuild().persist(sl)
+      val ne = e.count()
+      println(f"[scale] k=$k%-3d tri_edge_build        " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ($ne edges)")
+      t0 = System.nanoTime()
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = e
+        .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
+      val oriented = withDeg.select(
+        when(col("dega") < col("degb") ||
+             (col("dega") === col("degb") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d"), col("degb").as("dd")))
+          .otherwise(
+          struct(col("b").as("s"), col("a").as("d"), col("dega").as("dd")))
+          .as("o"))
+        .select(col("o.s").as("s"), col("o.d").as("d"), col("o.dd").as("dd"))
+        .localCheckpoint()
+      println(f"[scale] k=$k%-3d tri_orient            " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  (${oriented.count()} rows)")
+      t0 = System.nanoTime()
+      val w1 = oriented.select(col("s"), col("d").as("v"), col("dd").as("dv"))
+      val w2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
+      val wedges = w1.join(w2, Seq("s"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .select(col("s"), col("v"), col("w"))
+      val nW = wedges.count()
+      println(f"[scale] k=$k%-3d tri_wedges            " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ($nW wedges)")
+      t0 = System.nanoTime()
+      // mirrors the r18 guarded broadcast close (the pre-r18 shuffle
+      // close billed 14.2 s here — the attribution that motivated it)
+      val closing = broadcast(
+        oriented.select(col("s").as("v"), col("d").as("w")))
+      val tris = wedges.join(closing, Seq("v", "w"))
+        .select(col("s").as("x"), col("v").as("y"), col("w").as("z"))
+      // one-pass corner explode (r18): the unionAll-of-projections
+      // variant replayed the wedge join per corner — 17.8 s here
+      val counts = tris
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      val nT = counts.count()
+      println(f"[scale] k=$k%-3d tri_close_count       " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  ($nT nodes; wedges replayed)")
+      e.unpersist()
+    }
+
     // filtered IVF serving from a PREBUILT index: the label predicate
     // prunes probed-cell members before ranking, so per-query cost must
     // stay cell-bounded (corpus-independent) like the unfiltered server
