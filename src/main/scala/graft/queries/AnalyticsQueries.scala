@@ -48,6 +48,16 @@ object AnalyticsQueries {
           col("p_size"), col("p_retailprice")),
         Seq("p_brand"), "p_size", "p_retailprice")),
 
+    // CONTINUOUS-x skyline (r18): x = retail price, distinct-x ~= the
+    // row count — the regime that oracle-gates the DISTRIBUTED frontier
+    // scan (coarse value-range buckets + broadcast cross-bucket prefix
+    // mins; r17's single-partition window over distinct x died here)
+    "analytics_skyline_price" -> ((s, dir) =>
+      graft.ops.Aggregations.skyline2D(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
+          col("p_retailprice")),
+        "p_retailprice", "p_size")),
+
     // TPC-H Q1 shape: pricing summary over the fact table.
     "tpch_q1_pricing" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -687,6 +697,16 @@ object AnalyticsQueries {
         |    AND d.p_retailprice <= r.p_retailprice
         |    AND (d.p_size < r.p_size
         |      OR d.p_retailprice < r.p_retailprice))""".stripMargin,
+
+    "analytics_skyline_price" ->
+      """SELECT p_partkey, p_size, p_retailprice
+        |FROM part r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part d
+        |  WHERE d.p_retailprice <= r.p_retailprice
+        |    AND d.p_size <= r.p_size
+        |    AND (d.p_retailprice < r.p_retailprice
+        |      OR d.p_size < r.p_size))""".stripMargin,
 
     "tpch_q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
