@@ -355,6 +355,36 @@ object LlmQueries {
     }
   }
 
+  /** [[quoteTokens]] over the RAW documents corpus — the quote leg of
+    * the release chain (`llm_corpus_prep_quotes`) and the LSH-candidate
+    * containment verify (`dedup_containment`) derive from the same
+    * shingle explode; index-grade, built once per session (r18). */
+  private def docTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(s, dir)
+    BuildMemo.df(s, dir, "docTokens") {
+      Dedup.containmentTokens(d, "doc_id")
+    }
+  }
+
+  /** [[quoteDocTokens]] over the RAW documents corpus. */
+  private def docDocTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tks = docTokens(s, dir)
+    BuildMemo.df(s, dir, "docDocTokens") {
+      Dedup.containmentDocTokens(tks)
+    }
+  }
+
+  /** Bottom-8 anchor candidates over the RAW documents corpus. */
+  private def docAnchorCands(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tks = docTokens(s, dir)
+    BuildMemo.df(s, dir, "docAnchorCands") {
+      Dedup.anchorCandidatePairsFrom(tks, 8)
+    }
+  }
+
   /** [[quoteTokens]] over the SHORT-quote audit corpus. */
   private def shortQuoteTokens(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
@@ -1177,9 +1207,8 @@ object LlmQueries {
     val docs = Tables.documents(s, dir)
     val kept = Dedup.nearDupKeepFirst(docs, "doc_id",
       numHashes = 16, bands = 4, threshold = 0.5, maxBucketSize = 64)
-    val qpairs = Dedup.containmentPairs(docs,
-        Dedup.anchorCandidatePairs(docs, "doc_id", 8),
-        "doc_id", k = 3, threshold = 0.5)
+    val qpairs = Dedup.containmentPairsFrom(docDocTokens(s, dir),
+        docAnchorCands(s, dir), threshold = 0.5)
       .filter(col("quote_like") === 1)
     val qdrop = qpairs.select(
       when(col("cont_a_in_b") > col("cont_b_in_a"), col("doc_a"))
@@ -1332,9 +1361,9 @@ object LlmQueries {
     // embedded in a long one has containment ~1, jaccard low)
     "dedup_containment" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.containmentPairs(docs,
+      Dedup.containmentPairsFrom(docDocTokens(s, dir),
         Dedup.lshCandidatePairs(docs, "doc_id", 16, 4),
-        "doc_id", k = 3, threshold = 0.5)
+        threshold = 0.5)
     }),
 
     // quote-pair report on the PLANTED-quote corpus (documents + a
