@@ -137,16 +137,7 @@ object Aggregations {
     val nn = df.filter(!anyNull)
     val perX = nn.groupBy(keys.map(col): _*)
       .agg(min(col(yCol)).as("__miny"))
-    val frontsRaw =
-      if (groupCols.nonEmpty) {
-        val wLe = Window.partitionBy(gs: _*).orderBy(col(xCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wLt = Window.partitionBy(gs: _*).orderBy(col(xCol))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        perX
-          .withColumn("__rm_le", min(col("__miny")).over(wLe))
-          .withColumn("__rm_lt", min(col("__miny")).over(wLt))
-      } else ungroupedRunningMins(perX, xCol)
+    val frontsRaw = runningMins(perX, groupCols, xCol)
     val fronts = frontsRaw
       .select((keys.map(col) :+ col("__rm_le") :+ col("__rm_lt")): _*)
       .persist(sl)
@@ -166,21 +157,31 @@ object Aggregations {
       .unionByName(passThrough)
   }
 
-  /** Distributed running mins over the distinct-x aggregate `perX`
-    * (columns: xCol, __miny): adds `__rm_le` (min __miny over x' ≤ x)
-    * and `__rm_lt` (over x' < x, NULL when nothing is smaller) without
-    * ever sorting the full relation in one task. Shape: coarse
-    * VALUE-RANGE buckets (monotone in x by construction, so bucket
-    * order aligns with x order — deterministic, unlike a sampled range
-    * partitioning), per-bucket windows for the local running mins, and
-    * a broadcast ≤[[SkylineCoarse]]-row exclusive-prefix-min per bucket
-    * for the cross-bucket carry. Value-range buckets inherit the cdf
-    * caveat: a pathologically concentrated x puts most rows in one
-    * bucket (one big — but single — sort task).
+  /** Distributed running mins over the distinct-(group, x) aggregate
+    * `perX` (columns: groupCols..., xCol, __miny): adds `__rm_le` (min
+    * __miny over x' ≤ x within the group) and `__rm_lt` (over x' < x,
+    * NULL when nothing is smaller) without ever sorting one group's
+    * full x-cardinality in one task — the r18 extension of the r17
+    * verdict's ungrouped fix to HOT GROUPS (one brand holding half the
+    * catalog is the grouped twin of the continuous-x hazard). Shape:
+    * coarse GLOBAL value-range buckets (monotone in x by construction,
+    * so bucket order aligns with x order — deterministic, unlike a
+    * sampled range partitioning), per-(group, bucket) windows for the
+    * local running mins, and a (groups × ≤[[SkylineCoarse]])-row
+    * exclusive-prefix-min relation for the cross-bucket carry
+    * (broadcast when ungrouped; plain equi-join when grouped — the
+    * offsets relation scales with group count, AQE broadcasts the
+    * small case). Value-range buckets inherit the cdf caveat: a
+    * pathologically concentrated x puts most rows in one bucket (one
+    * big — but single — sort task per group). Non-numeric x falls back
+    * to the per-group window (loud when ungrouped — there the window
+    * is single-partition; per-group sorts are the documented
+    * low-cardinality contract).
     */
-  private def ungroupedRunningMins(perX: DataFrame,
-                                   xCol: String): DataFrame = {
+  private def runningMins(perX: DataFrame, groupCols: Seq[String],
+                          xCol: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val gs = groupCols.map(col)
     val xd: Option[org.apache.spark.sql.Column] =
       perX.schema(xCol).dataType match {
       case _: NumericType => Some(col(xCol).cast("double"))
@@ -188,17 +189,18 @@ object Aggregations {
         Some(col(xCol).cast("double"))
       case DateType => Some(col(xCol).cast("timestamp").cast("double"))
       case other =>
-        System.err.println(s"[graft] skyline2D: x column '$xCol' has " +
-          s"non-numeric type $other — distributed frontier scan needs " +
-          "a numeric/temporal x; falling back to the single-partition " +
-          "window over distinct x (fine for low-cardinality x only)")
+        if (groupCols.isEmpty)
+          System.err.println(s"[graft] skyline2D: x column '$xCol' has " +
+            s"non-numeric type $other — distributed frontier scan needs " +
+            "a numeric/temporal x; falling back to the single-partition " +
+            "window over distinct x (fine for low-cardinality x only)")
         None
     }
     xd match {
       case None =>
-        val wLe = Window.orderBy(col(xCol))
+        val wLe = Window.partitionBy(gs: _*).orderBy(col(xCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wLt = Window.orderBy(col(xCol))
+        val wLt = Window.partitionBy(gs: _*).orderBy(col(xCol))
           .rowsBetween(Window.unboundedPreceding, -1)
         perX
           .withColumn("__rm_le", min(col("__miny")).over(wLe))
@@ -208,7 +210,10 @@ object Aggregations {
         // floor of the monotone double image of x: x1 < x2 can only
         // give cb1 <= cb2, which is all the cross-bucket carry needs;
         // ties and boundary collapses are harmless (the within-bucket
-        // window orders by the true x)
+        // window orders by the true x). Bounds are GLOBAL even when
+        // grouped — per-group bounds would need a groups-sized join
+        // here for no correctness gain (empty (group, bucket) cells
+        // simply don't appear downstream).
         val withCb = perX.crossJoin(broadcast(bounds))
           .withColumn("__cb",
             when(col("__hi") > col("__lo"),
@@ -217,23 +222,35 @@ object Aggregations {
                   ((col("__hi") - col("__lo")) / SkylineCoarse.toDouble)))))
               .otherwise(lit(0)).cast("int"))
           .drop("__lo", "__hi")
-        // exclusive prefix min per bucket: <= SkylineCoarse rows — the
-        // single-partition window is bounded by the constant, not data
-        val offsets = withCb.groupBy(col("__cb").as("__ob"))
+        // exclusive prefix min per (group, bucket): <= SkylineCoarse
+        // rows per group — the prefix window is bounded by the
+        // constant, not the data
+        val offsets = withCb
+          .groupBy((gs :+ col("__cb").as("__ob")): _*)
           .agg(min(col("__miny")).as("__bm"))
           .withColumn("__pre", min(col("__bm")).over(
-            Window.orderBy(col("__ob"))
+            Window.partitionBy(gs: _*).orderBy(col("__ob"))
               .rowsBetween(Window.unboundedPreceding, -1)))
-          .select(col("__ob"), col("__pre"))
-        val wLe = Window.partitionBy(col("__cb")).orderBy(col(xCol))
+          .select((gs :+ col("__ob") :+ col("__pre")): _*)
+        // disambiguate the group columns for the join-back
+        val offs = groupCols.foldLeft(offsets)((d, g) =>
+          d.withColumnRenamed(g, s"__og_$g"))
+        val offSide = if (groupCols.isEmpty) broadcast(offs) else offs
+        val joinCond = groupCols.foldLeft(col("__cb") === col("__ob")) {
+          (acc, g) => acc && col(g) === col(s"__og_$g")
+        }
+        val wLe = Window.partitionBy((gs :+ col("__cb")): _*)
+          .orderBy(col(xCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wLt = Window.partitionBy(col("__cb")).orderBy(col(xCol))
+        val wLt = Window.partitionBy((gs :+ col("__cb")): _*)
+          .orderBy(col(xCol))
           .rowsBetween(Window.unboundedPreceding, -1)
         // least() skips NULLs: rm_le's window leg is never NULL (the
         // frame includes the current row); rm_lt is NULL only when both
         // the strict local window and the bucket prefix are empty —
         // exactly "nothing at strictly smaller x", as the filter expects
-        withCb.join(broadcast(offsets), col("__cb") === col("__ob"))
+        withCb.join(offSide, joinCond)
+          .drop((groupCols.map(g => s"__og_$g") :+ "__ob"): _*)
           .withColumn("__rm_le",
             least(min(col("__miny")).over(wLe), col("__pre")))
           .withColumn("__rm_lt",

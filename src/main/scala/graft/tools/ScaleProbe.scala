@@ -490,6 +490,14 @@ object ScaleProbe {
       // distributed face must keep this rung on the corpus-scan slope
       t("skyline_cx")(graft.ops.Aggregations.skyline2D(pB,
         "p_retailprice", "p_size"))
+      // grouped + continuous x with a HOT group (r18): every replica's
+      // rows land in ONE brand for 80% of the corpus — the per-(group,
+      // bucket) windows must keep the hot group's scan distributed
+      val pHot = pB.withColumn("p_brand",
+        when(pmod(hash(col("p_partkey")), lit(5)) < 4, lit("HOT"))
+          .otherwise(concat(lit("b"), pmod(col("p_partkey"), lit(20)))))
+      t("skyline_cx_by")(graft.ops.Aggregations.skyline2DBy(pHot,
+        Seq("p_brand"), "p_retailprice", "p_size"))
     }
 
     // Poisson bootstrap: the B=32 resample pass is ONE map-side explode

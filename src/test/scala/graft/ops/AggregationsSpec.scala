@@ -110,4 +110,25 @@ class AggregationsSpec extends SparkSpec {
       .select("x").collect().map(_.getInt(0)).toSet
     assert(gotG == Set(1, 5), s"got $gotG")
   }
+
+  test("grouped skyline on continuous x with a hot group matches brute force") {
+    import spark.implicits._
+    // one HOT group holds 80% of the rows (the grouped twin of the
+    // continuous-x hazard: its frontier scan must ride the per-(group,
+    // bucket) windows, not one per-group sort)
+    val rows = (1 to 400).map { i =>
+      val grp = if (i % 5 != 0) "hot" else s"g${i % 3}"
+      val x = ((i * 2654435761L) % 999983).toDouble / 991.0
+      val y = ((i * 40503L + 11) % 999979).toDouble / 997.0
+      (i.toLong, grp, x, y)
+    }
+    val brute = rows.filterNot { case (_, g0, x, y) =>
+      rows.exists { case (_, g2, x2, y2) =>
+        g2 == g0 && x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.map(_._1).toSet
+    val got = Aggregations.skyline2DBy(rows.toDF("id", "g", "x", "y"),
+        Seq("g"), "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"got ${got.size} want ${brute.size}")
+  }
 }
