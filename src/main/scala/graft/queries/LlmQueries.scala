@@ -550,6 +550,57 @@ object LlmQueries {
     * DISTINCT words (vocabulary-sized recursion) and joins back to word
     * instances. Caller must open with `WITH RECURSIVE`.
     */
+  /** Greedy BPE TRAINING replayed in SQL: `k` chained rounds, each one
+    * (a) counting adjacent-symbol pairs over the current space-joined
+    * vocabulary weighted by word frequency, (b) picking the winner
+    * under the total order (count desc, pair asc) — bit-stable on both
+    * engines, integer counts — and (c) applying the merge through the
+    * fixpoint-replace recursion [[bpeDocTokensCte]] established (one
+    * left-to-right non-overlapping `replace` pass per step, recursed to
+    * the fixed point, which lands on the same final state as the
+    * engine's single array-level pass — adjacent repeats just take one
+    * extra recursion step). Mirrors
+    * [[graft.ops.TextAnalysis.trainBpeMerges]] exactly: `[a-z0-9]+`
+    * word runs, char-level start symbols. Caller gets a complete
+    * `WITH RECURSIVE` statement returning (merge_rank, x, y).
+    */
+  private def bpeTrainSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = if (r == 1) "s0" else s"v${r - 1}"
+      s"""p$r AS (SELECT x, y, sum(freq) AS cnt FROM (
+         |    SELECT freq, ws[i] AS x, ws[i+1] AS y FROM (
+         |      SELECT freq, string_split(trim(s), ' ') AS ws FROM $prev),
+         |      unnest(range(1, len(ws))) t(i))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT x, y FROM p$r ORDER BY cnt DESC, x, y LIMIT 1),
+         |vr$r AS (
+         |  SELECT freq, s FROM $prev
+         |  UNION ALL
+         |  SELECT freq,
+         |    replace(s, ' ' || b.x || ' ' || b.y || ' ',
+         |               ' ' || b.x || b.y || ' ') AS s
+         |  FROM vr$r, b$r b
+         |  WHERE replace(s, ' ' || b.x || ' ' || b.y || ' ',
+         |                   ' ' || b.x || b.y || ' ') <> s),
+         |v$r AS (SELECT freq, s FROM vr$r, b$r b
+         |  WHERE replace(s, ' ' || b.x || ' ' || b.y || ' ',
+         |                   ' ' || b.x || b.y || ' ') = s)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS merge_rank, x, y FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |         AS w
+       |       FROM documents),
+       |v0w AS (SELECT w, count(*) AS freq FROM w0 GROUP BY 1),
+       |s0 AS (SELECT freq,
+       |    ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+       |  FROM v0w),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   private def bpeDocTokensCte: String = {
     val k = graft.functions.BpeUtil.DefaultMerges.size
     s"""merges(rank, pat, rep) AS (VALUES ${graft.functions.BpeUtil.mergesValuesSql()}),
@@ -2074,6 +2125,20 @@ object LlmQueries {
       TextAnalysis.withBpeTokens(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("n_bpe_tokens"))),
 
+    // corpus-trained BPE merges (r18): the first 6 greedy merges learned
+    // FROM the documents corpus — vocabulary-sized iteration after one
+    // corpus pass, deterministic argmax (count desc, pair asc). The
+    // oracle replays the identical greedy recurrence with chained
+    // fixpoint-replace rounds (the bpeDocTokensCte mechanics, one layer
+    // per learned rank instead of a fixed merge table)
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.trainBpeMerges(Tables.documents(s, dir), "text", k = 6)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i + 1, x, y) }
+        .toDF("merge_rank", "x", "y")
+    }),
+
     // mixture accounting in SUBWORD tokens (same aggregate, pluggable
     // token-counter column)
     "text_mixture_stats_bpe" -> ((s, dir) =>
@@ -3523,6 +3588,8 @@ object LlmQueries {
     "text_tokens_bpe" ->
       s"""WITH RECURSIVE $bpeDocTokensCte
          |SELECT doc_id, n_bpe_tokens FROM docbpe""".stripMargin,
+
+    "text_bpe_train" -> bpeTrainSql(6),
 
     "text_mixture_stats_bpe" ->
       s"""WITH RECURSIVE $bpeDocTokensCte,
