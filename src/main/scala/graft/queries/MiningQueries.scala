@@ -216,6 +216,40 @@ object MiningQueries {
           unix_timestamp(col("ts")).as("tsec"), col("event_id")),
         maxGapSeconds = 3600)),
 
+    // the STREAMING face driven end-to-end as a declared query (the
+    // llm_corpus_prep_publish convention for store-writing capstones):
+    // two time-ordered ingest steps through SeqPatternIngest's
+    // last-predecessor summary stores (one row per (user, type) — never
+    // the event history), then the accumulated support aggregated; the
+    // oracle is the BATCH gap-pattern SQL over all events, so the
+    // summary-state recurrence is hash-gated, not just spec'd
+    "events_seq_gap_stream" -> ((s, dir) => {
+      val base = graft.queries.ParityQueries.scratch("events_seq_gap_stream")
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh stores: the query IS the ingest
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("tsec"),
+        col("event_id"))
+      val cut = unix_timestamp(
+        lit("2024-01-24 00:00:00").cast("timestamp"))
+      val (lastD, v2D, s2D, s3D) =
+        (s"$base/last", s"$base/v2", s"$base/s2", s"$base/s3")
+      graft.streaming.SeqPatternIngest.ingestBatch(
+        ev.filter(col("tsec") < cut), lastD, v2D, s2D, s3D, 3600)
+      graft.streaming.SeqPatternIngest.ingestBatch(
+        ev.filter(col("tsec") >= cut), lastD, v2D, s2D, s3D, 3600)
+      val nUsers = ev.agg(countDistinct(col("user_id"))
+        .as("n_users_total"))
+      graft.streaming.SeqPatternIngest.support2(s, s2D)
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("n_users"),
+          round(col("n_users").cast("double") / col("n_users_total"), 6)
+            .as("support"))
+    }),
+
     // connected components of the STRONG co-purchase graph (pair
     // support >= 3): product communities via the shared min-label
     // propagation (Dedup.resolveClusters — the ER clustering engine
@@ -787,6 +821,29 @@ object MiningQueries {
     * expression verbatim; identical expressions produce identical
     * doubles, so no drift.
     */
+  /** Brute-force gap-windowed EXISTS pair join — the quadratic the
+    * engine's last-predecessor window scan (and its streaming summary
+    * stores) exists to avoid; shared by the batch query and its
+    * streamed twin, whose accumulation must land on the same answer.
+    */
+  private val GapPairsSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
+      |    event_id
+      |  FROM events),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users_total FROM e),
+      |pr AS (SELECT DISTINCT a.user_id, a.event_type AS type_a,
+      |    b.event_type AS type_b
+      |  FROM e a JOIN e b ON a.user_id = b.user_id
+      |    AND (a.tsec < b.tsec
+      |      OR (a.tsec = b.tsec AND a.event_id < b.event_id))
+      |    AND b.tsec - a.tsec <= 3600),
+      |ct AS (SELECT type_a, type_b, count(*) AS n_users
+      |  FROM pr GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_users,
+      |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
+      |FROM ct, nu""".stripMargin
+
   private val HoltCtes: String =
     """b AS (SELECT
       |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS INT)
@@ -1519,25 +1576,12 @@ object MiningQueries {
         |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
         |FROM tr, nu""".stripMargin,
 
+    // the streamed accumulation must land on the BATCH answer exactly
+    "events_seq_gap_stream" -> GapPairsSql,
+
     // brute-force gap-windowed EXISTS pair join — the quadratic the
     // engine's last-predecessor window scan exists to avoid
-    "events_seq_patterns_gap" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
-        |    event_id
-        |  FROM events),
-        |nu AS (SELECT count(DISTINCT user_id) AS n_users_total FROM e),
-        |pr AS (SELECT DISTINCT a.user_id, a.event_type AS type_a,
-        |    b.event_type AS type_b
-        |  FROM e a JOIN e b ON a.user_id = b.user_id
-        |    AND (a.tsec < b.tsec
-        |      OR (a.tsec = b.tsec AND a.event_id < b.event_id))
-        |    AND b.tsec - a.tsec <= 3600),
-        |ct AS (SELECT type_a, type_b, count(*) AS n_users
-        |  FROM pr GROUP BY 1, 2)
-        |SELECT type_a, type_b, n_users,
-        |  round(CAST(n_users AS DOUBLE) / n_users_total, 6) AS support
-        |FROM ct, nu""".stripMargin,
+    "events_seq_patterns_gap" -> GapPairsSql,
 
     "events_seq_patterns_gap3" ->
       """WITH e AS (SELECT user_id, event_type,
