@@ -129,7 +129,6 @@ object Aggregations {
     */
   def skyline2DBy(df: DataFrame, groupCols: Seq[String], xCol: String,
                   yCol: String): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val gs = groupCols.map(col)
     val keys = groupCols :+ xCol
     val anyNull = (keys :+ yCol).map(col(_).isNull).reduce(_ || _)
@@ -138,16 +137,25 @@ object Aggregations {
     val perX = nn.groupBy(keys.map(col): _*)
       .agg(min(col(yCol)).as("__miny"))
     val frontsRaw = runningMins(perX, groupCols, xCol)
+    // localCheckpoint, NOT persist: skyline2D runs per micro-batch in
+    // SkylineIngest, and a persist here would pile an un-unpersistable
+    // CacheManager entry onto every batch; checkpoint blocks are
+    // reclaimed by the ContextCleaner once the plan is dropped
     val fronts = frontsRaw
       .select((keys.map(col) :+ col("__rm_le") :+ col("__rm_lt")): _*)
-      .persist(sl)
-    val nFronts = fronts.count()
+      .localCheckpoint(true)
+    // forced broadcast only on the UNGROUPED face, where a frontier row
+    // is exactly (x, 2 mins) and the row guard sizes it honestly; the
+    // grouped frontier also carries arbitrary-width group keys, so its
+    // join-back is left to AQE's BYTE-based runtime decision (ADVICE
+    // r17's driver-OOM concern, kept closed under grouping)
     val frontSide =
-      if (nFronts <= FrontierBroadcastMaxRows) broadcast(fronts)
+      if (groupCols.nonEmpty) fronts
+      else if (fronts.count() <= FrontierBroadcastMaxRows) broadcast(fronts)
       else {
-        System.err.println(s"[graft] skyline2DBy: $nFronts frontier " +
-          s"rows exceed the $FrontierBroadcastMaxRows broadcast guard " +
-          "— joining back via shuffle instead")
+        System.err.println(s"[graft] skyline2DBy: frontier rows exceed " +
+          s"the $FrontierBroadcastMaxRows broadcast guard — joining " +
+          "back via shuffle instead")
         fronts
       }
     nn.join(frontSide, keys)

@@ -472,19 +472,26 @@ object DataProfile {
   }
 
   /** Order-statistic CI over a per-(group, resample) statistic: mean of
-    * the B values plus the 2nd and (B−1)th order statistics (ties on
-    * the resample index). `groupCols` may be empty (one global row).
+    * the B values plus the 2nd and (n−1)th order statistics (ties on
+    * the resample index), with n = the group's ACTUAL resample count —
+    * a group that lost degenerate resamples to the zero-weight guard
+    * keeps the symmetric (2nd, 2nd-from-top) band instead of silently
+    * promoting its maximum to ci_hi (r18 review finding on the r17
+    * guard). `groupCols` may be empty (one global row); `b` is the
+    * nominal resample count, retained for callers' require checks.
     */
   def orderStatCi(stats: DataFrame, groupCols: Seq[String],
                   statCol: String, b: Int): DataFrame = {
     val gs = groupCols.map(col)
-    val rn = Window.partitionBy(gs: _*)
-      .orderBy(col(statCol), col("resample"))
+    val part = Window.partitionBy(gs: _*)
+    val rn = part.orderBy(col(statCol), col("resample"))
     stats.withColumn("__rn", row_number().over(rn))
+      .withColumn("__n", count(lit(1)).over(part))
       .groupBy(gs: _*)
       .agg(round(avg(col(statCol)), 6).as(s"stat_$statCol"),
         max(when(col("__rn") === 2, col(statCol))).as("ci_lo"),
-        max(when(col("__rn") === b - 1, col(statCol))).as("ci_hi"),
+        max(when(col("__rn") === col("__n") - 1, col(statCol)))
+          .as("ci_hi"),
         count(lit(1)).cast("int").as("n_resamples"))
   }
 }

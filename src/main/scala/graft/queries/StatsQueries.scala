@@ -313,10 +313,11 @@ object StatsQueries {
          |    round(sum(w * v) / sum(w), 6) AS m
          |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
-         |    ORDER BY m, b) AS rn FROM m)
+         |    ORDER BY m, b) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS nb FROM m)
          |SELECT event_type, round(avg(m), 6) AS boot_mean,
          |  max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
-         |  max(CASE WHEN rn = 31 THEN m END) AS ci_hi,
+         |  max(CASE WHEN rn = nb - 1 THEN m END) AS ci_hi,
          |  CAST(count(*) AS INT) AS n_resamples
          |FROM rk GROUP BY 1""".stripMargin
     },
@@ -344,10 +345,11 @@ object StatsQueries {
          |  JOIN (SELECT b, m FROM m WHERE event_type = 'view') mv
          |    ON mc.b = mv.b),
          |rk AS (SELECT *, row_number() OVER (ORDER BY diff, resample)
-         |    AS rn FROM d)
+         |    AS rn,
+         |  count(*) OVER () AS nb FROM d)
          |SELECT round(avg(diff), 6) AS diff_mean,
          |  max(CASE WHEN rn = 2 THEN diff END) AS ci_lo,
-         |  max(CASE WHEN rn = 31 THEN diff END) AS ci_hi,
+         |  max(CASE WHEN rn = nb - 1 THEN diff END) AS ci_hi,
          |  CAST(count(*) AS INT) AS n_resamples
          |FROM rk""".stripMargin
     },

@@ -51,7 +51,7 @@ object ContainmentIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recs.count() // materialize before the index read below can race it
     val old =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else recs.limit(0)
     Dedup.containmentIncremental(old, recs, idCol, threshold, textCol,
         k, maxBucketSize)
@@ -68,10 +68,4 @@ object ContainmentIngest {
     spark.read.parquet(pairsDir)
       .dropDuplicates("doc_a", "doc_b")
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

@@ -53,7 +53,7 @@ object DeconIngest {
     // fail BEFORE the stream starts, not lazily inside the first batch's
     // foreachBatch thread where the error surfaces as an opaque query
     // termination
-    require(hasParquet(docs.sparkSession, benchIndexDir),
+    require(Stores.hasParquet(docs.sparkSession, benchIndexDir),
       s"benchmark gram index not found at $benchIndexDir — build it with " +
         "DeconIngest.writeBenchIndex before starting the stream " +
         "(decontamination without a benchmark would silently release everything)")
@@ -66,12 +66,6 @@ object DeconIngest {
       .start()
   }
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 
   /** One decontamination step (also directly usable from a batch
     * scheduler): flag the batch against the stored gram index, append
@@ -119,7 +113,7 @@ object DeconIngest {
                      cleanDir: String, flaggedDir: String,
                      checkpointDir: String,
                      threshold: Double): StreamingQuery = {
-    require(hasParquet(vecs.sparkSession, benchIndexDir),
+    require(Stores.hasParquet(vecs.sparkSession, benchIndexDir),
       s"benchmark embedding index not found at $benchIndexDir — build it " +
         "with DeconIngest.writeBenchEmbIndex before starting the stream")
     vecs.writeStream

@@ -51,7 +51,7 @@ object ErIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     iNew.count() // materialize before the index read below can race it
     val iOld =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else iNew.limit(0) // first batch: intra-only
     val cross = EntityResolution
       .editDistanceJoinIndexed(iOld, recs, idCol, strCol, d, maxBucketSize)
@@ -78,10 +78,4 @@ object ErIngest {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
       .dropDuplicates("id_a", "id_b")
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

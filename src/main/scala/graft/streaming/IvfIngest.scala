@@ -51,7 +51,7 @@ object IvfIngest {
   def ingestBatch(batch: DataFrame, codebookDir: String,
                   indexDir: String): Unit = {
     val spark = batch.sparkSession
-    require(hasParquet(spark, codebookDir),
+    require(Stores.hasParquet(spark, codebookDir),
       s"IvfIngest: no frozen codebook at $codebookDir — call " +
         "freezeCodebook(trainedCentroids, dir) before ingesting")
     val recs = batch.select(col("vec_id"), col("embedding"))
@@ -107,10 +107,4 @@ object IvfIngest {
     graft.pipeline.Pipeline.purgeIds(spark, indexDir, vecIds,
       Seq("vec_id"))
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

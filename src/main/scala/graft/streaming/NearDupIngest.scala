@@ -63,7 +63,7 @@ object NearDupIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
     val bOld =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else bNew.limit(0) // first batch: intra-only
     Dedup.incrementalLshCandidatesIndexed(bOld, bNew, maxBucketSize)
       .write.mode("append").parquet(pairsDir)
@@ -129,13 +129,6 @@ object NearDupIngest {
     (before, nFiles)
   }
 
-  private def hasParquet(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 
   /** Verified streaming ingestion: like [[start]], but the pipeline also
     * maintains a DOCUMENT store alongside the band index and
@@ -171,14 +164,14 @@ object NearDupIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
     val bOld =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else bNew.limit(0) // first batch: intra-only
     val cand = Dedup.incrementalLshCandidatesIndexed(bOld, bNew, maxBucketSize)
     // the verification corpus = stored docs + this batch (not yet written);
     // jaccardVerify semi-joins it down to candidate members before the
     // shingle explode, so this union is never scanned in full
     val store =
-      if (hasParquet(spark, docsDir))
+      if (Stores.hasParquet(spark, docsDir))
         spark.read.parquet(docsDir).unionByName(batchDocs)
       else batchDocs
     Dedup.jaccardVerify(store, cand, idCol, k, threshold, textCol)
@@ -217,7 +210,7 @@ object NearDupIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
     val bOld =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else bNew.limit(0) // first batch: intra-only
     val pairs = Dedup.incrementalSimhashPairsIndexed(bOld, bNew,
       maxHamming, maxBucketSize)
@@ -254,7 +247,7 @@ object NearDupIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count()
     val bOld =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else bNew.limit(0) // first batch: intra-only
     val pairs = Similarity.incrementalSrpNearDupIndexed(bOld, bNew,
       threshold, maxBucketSize)
@@ -300,7 +293,7 @@ object NearDupIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count()
     val bOld =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else bNew.limit(0) // first batch: intra-only
     val pairs = Similarity.incrementalSrpNearDupIndexed(bOld, bNew,
       threshold, maxBucketSize)

@@ -72,7 +72,7 @@ object QuoteIngest {
     // genuinely under maxBucketSize could be dropped after a replay,
     // silently losing pairs relative to the documented batch parity.
     val oldAnchors =
-      (if (hasParquet(spark, anchorDir)) spark.read.parquet(anchorDir)
+      (if (Stores.hasParquet(spark, anchorDir)) spark.read.parquet(anchorDir)
        else newAnchors.limit(0)).dropDuplicates("ah", "doc_id")
     val (nA, oA) = Dedup.capBucketsPaired(newAnchors, oldAnchors,
       Seq("ah"), maxBucketSize, "QuoteIngest")
@@ -87,7 +87,7 @@ object QuoteIngest {
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
     val oldDocs =
-      if (hasParquet(spark, docsDir)) spark.read.parquet(docsDir)
+      if (Stores.hasParquet(spark, docsDir)) spark.read.parquet(docsDir)
       else recs.limit(0)
     // one text per id even under replay — duplicate rows would inflate
     // nothing (shingle sets are per-id distinct) but cost double work
@@ -118,10 +118,4 @@ object QuoteIngest {
       indexDirs = Seq(anchorDir), pairsDirs = Seq(pairsDir),
       docsDirs = Seq(docsDir))
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

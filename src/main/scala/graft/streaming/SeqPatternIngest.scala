@@ -191,17 +191,11 @@ object SeqPatternIngest {
     */
   private def readMax(spark: SparkSession, dir: String, keys: Seq[String],
                       empty: DataFrame): DataFrame = {
-    val base = if (hasParquet(spark, dir)) spark.read.parquet(dir) else empty
+    val base = if (Stores.hasParquet(spark, dir)) spark.read.parquet(dir) else empty
     base.groupBy(keys.map(col): _*)
       .agg(max(struct(col("mts"), col("mid"))).as("m"))
       .select((keys.map(col) :+ col("m.mts").as("mts") :+
         col("m.mid").as("mid")): _*)
   }
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

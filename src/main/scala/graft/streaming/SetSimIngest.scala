@@ -56,7 +56,7 @@ object SetSimIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recs.count() // materialize before the index read below can race it
     val old =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else recs.limit(0)
     // a replayed record sits in BOTH relations; the old side would pair
     // it with itself — ids are unique per document, so the inequality
@@ -77,10 +77,4 @@ object SetSimIngest {
     spark.read.parquet(pairsDir)
       .dropDuplicates("doc_a", "doc_b")
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

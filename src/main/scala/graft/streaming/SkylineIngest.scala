@@ -39,7 +39,7 @@ object SkylineIngest {
     val spark = batch.sparkSession
     val recs = batch.select(idCol, xCol, yCol)
     val old =
-      if (hasParquet(spark, frontierDir)) spark.read.parquet(frontierDir)
+      if (Stores.hasParquet(spark, frontierDir)) spark.read.parquet(frontierDir)
       else recs.limit(0)
     val next = Aggregations.skyline2D(
         old.unionByName(recs).dropDuplicates(idCol), xCol, yCol)
@@ -53,10 +53,4 @@ object SkylineIngest {
   def frontier(spark: SparkSession, frontierDir: String): DataFrame =
     spark.read.parquet(frontierDir)
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

@@ -40,14 +40,17 @@ object WeightedContainmentIngest {
                   idCol: String, textCol: String, threshold: Double,
                   k: Int = 1, maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val recs = batch.select(col(idCol), col(textCol))
+    // store schema normalized to (doc_id, text) — the QuoteIngest
+    // convention, so purge's doc_id key matches ANY caller idCol
+    val recs = batch.select(col(idCol).as("doc_id"),
+        col(textCol).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recs.count() // materialize before the index read below can race it
     val old =
-      if (hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
+      if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
       else recs.limit(0)
-    Dedup.weightedContainmentIncremental(old, recs, idCol, threshold,
-        textCol, k, maxBucketSize)
+    Dedup.weightedContainmentIncremental(old, recs, "doc_id", threshold,
+        "text", k, maxBucketSize)
       .write.mode("append").parquet(pairsDir)
     recs.write.mode("append").parquet(indexDir)
     recs.unpersist()
@@ -70,10 +73,4 @@ object WeightedContainmentIngest {
     NearDupIngest.purge(spark, ids,
       pairsDirs = Seq(pairsDir), docsDirs = Seq(indexDir))
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

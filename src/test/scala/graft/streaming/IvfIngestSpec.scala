@@ -18,7 +18,7 @@ class IvfIngestSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
     val (cbDir, idxDir) = (s"$tmp/codebook", s"$tmp/index")
-    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select($"vec_id", $"embedding")
     // frozen quantizer: one Lloyd pass from the deterministic seed —
     // trained ONCE, before any ingest (the deployment posture)
