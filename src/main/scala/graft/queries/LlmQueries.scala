@@ -1432,9 +1432,19 @@ object LlmQueries {
     // its shingles are the intersection; ties by higher id)
     "dedup_quotes_removed" -> ((s, dir) => {
       val docs = augmentedQuotes(s, dir)
+      // persist() is a deliberate pushdown BARRIER, not a cache-for-reuse:
+      // left lazy, the drop-rule CASE below is pushed into the verify
+      // join's condition, where every WHEN branch re-evaluates
+      // size(array_intersect(wa, wb)) — join-condition codegen has no
+      // subexpression elimination, so the shingle-intersect kernel ran
+      // ~9x per candidate instead of ~5x (the r18 2x regression on this
+      // query; VERDICT r18 task 1). Materializing the tiny verified-pair
+      // relation keeps the join condition identical to the flat sibling
+      // dedup_quote_pairs and makes the CASE run once per SURVIVING pair.
       val pairs = Dedup.containmentPairsFrom(quoteDocTokens(s, dir),
         quoteAnchorCands(s, dir), threshold = 0.5)
         .filter(col("quote_like") === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val drop = pairs.select(
         when(col("cont_a_in_b") > col("cont_b_in_a"), col("doc_a"))
           .when(col("cont_b_in_a") > col("cont_a_in_b"), col("doc_b"))
