@@ -62,6 +62,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Round number inferred from committed driver artifacts: the driver
+    * writes BENCH_r{N}.json AFTER this bench runs, so during round N the
+    * highest on disk is N-1.
+    */
+  private[graft] def inferRound(): Int = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    if (seen.isEmpty) 0 else seen.max + 1
+  }
+
+  /** Adjudication baseline for the outlier/drift re-time blocks: the last
+    * CLOSED round's per-query medians (`BENCH_LOCAL_r{N-1}.json`, the
+    * closing-sweep copy committed with round N-1), falling back to the
+    * rolling `BENCH_FULL_LATEST.json` only for queries absent from it
+    * (new this round, so no closed-round value exists). Baselining on
+    * rolling LATEST was the r18 blind spot: an earlier same-round sweep
+    * writes a regressed value into LATEST and the regression reads flat
+    * in every later sweep — exactly how the 2.1x dedup_quotes_removed
+    * escaped both blocks (VERDICT r18 task 2).
+    */
+  private[graft] def adjudicationBaseline(): (String, Map[String, Double]) = {
+    val closedPath = s"BENCH_LOCAL_r${inferRound() - 1}.json"
+    val closed = readLastRunQueries(closedPath)
+    val latest = readLastRunQueries("BENCH_FULL_LATEST.json")
+    val name =
+      if (closed.nonEmpty) s"$closedPath (+LATEST for new queries)"
+      else "BENCH_FULL_LATEST.json"
+    (name, latest ++ closed)
+  }
+
   /** Locale-pinned 3-decimal seconds: the default-locale `f"%.3f"` emits
     * a comma decimal separator under e.g. de_DE, which would corrupt the
     * one-line JSON contract.
@@ -90,11 +121,11 @@ object Bench {
     // Optional comma-separated filter for targeted profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // Previous per-query medians for the outlier re-time block: LATEST,
-    // not LASTRUN — LATEST is only ever replaced by a CLEAN FULL run, so
-    // the baseline can't be shrunk by a filtered profiling run or a
-    // failed sweep. Read BEFORE the sweep (this run may overwrite it).
-    val latest = readLastRunQueries("BENCH_FULL_LATEST.json")
+    // Previous per-query medians for the outlier/drift re-time blocks:
+    // the last CLOSED round's artifact, falling back to LATEST only for
+    // queries new this round (see adjudicationBaseline). Read BEFORE the
+    // sweep (this run may overwrite LATEST).
+    val (baselineName, baseline) = adjudicationBaseline()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -174,29 +205,31 @@ object Bench {
       else Some(canaryEnd.values.sum /
         math.max(1e-9, canaryEnd.keys.map(times).sum))
 
-    // Per-query outlier re-time (r16 verdict task 3): any query whose
-    // first-pass median is > 2x its previous-run value gets ONE
-    // end-of-sweep re-time in the SAME artifact, so a ">2x regression?"
-    // question is answered without cross-file adjudication — twice now
-    // (r15 fuzzy family, r16 guarded_keep_best) driver-window outliers
-    // were ambient noise that a local re-run had to prove. Outliers
-    // already in the canary set reuse the canary's end-of-sweep median
-    // (same semantics, no duplicate work). Capped at the 20 worst
-    // ratios: if MANY queries read >2x the window itself drifted, which
-    // canary_ratio already stamps.
-    val retimed = scala.collection.mutable.LinkedHashMap[String, Double]()
-    if (errors.isEmpty && latest.nonEmpty) {
-      val outliers = times.toSeq
+    // Shared end-of-sweep re-time for the two adjudicator blocks (the
+    // blocks were near-verbatim copies, ADVICE r18): candidates above
+    // `ratio` x their baseline value, capped at the `cap` worst ratios —
+    // if MANY queries exceed the trigger, the window itself drifted,
+    // which canary_ratio already stamps. Entries already in the canary
+    // set (or, for the drift block, already outlier-re-timed via
+    // `skip`) reuse that end-of-sweep median — same semantics, no
+    // duplicate work.
+    def retimeWorst(ratio: Double, cap: Int, label: String,
+        skip: collection.Set[String])
+        : scala.collection.mutable.LinkedHashMap[String, Double] = {
+      val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+      if (errors.nonEmpty || baseline.isEmpty) return out
+      val cands = times.toSeq
         .filter { case (n, t) =>
-          latest.get(n).exists(prev => t > 2 * prev) && t >= 0.5 }
-        .sortBy { case (n, t) => -(t / math.max(latest(n), 1e-9)) }
-      if (outliers.size > 20)
-        System.err.println(s"[bench] ${outliers.size} queries read >2x " +
-          "LATEST (BENCH_FULL_LATEST.json) — re-timing only the 20 " +
-          "worst (window drift; see canary_ratio)")
-      outliers.take(20).foreach { case (name, first) =>
+          baseline.get(n).exists(prev => t > ratio * prev) && t >= 0.5 &&
+            !skip.contains(n) }
+        .sortBy { case (n, t) => -(t / math.max(baseline(n), 1e-9)) }
+      if (cands.size > cap)
+        System.err.println(s"[bench] ${cands.size} queries read >${ratio}x " +
+          s"$baselineName — $label-re-timing only the $cap worst " +
+          "(window drift; see canary_ratio)")
+      cands.take(cap).foreach { case (name, first) =>
         canaryEnd.get(name) match {
-          case Some(end) => retimed += name -> end
+          case Some(end) => out += name -> end
           case None =>
             try {
               System.gc()
@@ -209,57 +242,31 @@ object Bench {
                 t
               }
               val median = samples.sorted.apply(samples.size / 2)
-              retimed += name -> median
-              System.err.println(s"[bench] retime $name first=${f3(first)} " +
-                s"end=${f3(median)} s (latest=${f3(latest(name))})")
+              out += name -> median
+              System.err.println(s"[bench] $label $name first=${f3(first)} " +
+                s"end=${f3(median)} s (baseline=${f3(baseline(name))})")
             } catch { case e: Throwable =>
-              System.err.println(s"[bench] retime FAILED $name: $e")
+              System.err.println(s"[bench] $label retime FAILED $name: $e")
             }
         }
       }
+      out
     }
+
+    // Per-query outlier re-time (r16 verdict task 3): any query whose
+    // first-pass median is > 2x its last-closed-round value gets ONE
+    // end-of-sweep re-time in the SAME artifact, so a ">2x regression?"
+    // question is answered without cross-file adjudication — twice
+    // (r15 fuzzy family, r16 guarded_keep_best) driver-window outliers
+    // were ambient noise that a local re-run had to prove.
+    val retimed = retimeWorst(2.0, 20, "retime", Set.empty)
 
     // Slow-DRIFT re-time (r17 verdict task 5): the >2x trigger missed
     // the band where r17's real movement lived (the llm_corpus_prep
     // family drifted 1.26-1.63x under a clean canary and went
-    // unadjudicated). Any query >1.25x its LATEST median that the
-    // outlier block did not already re-time gets ONE end-of-sweep
-    // re-time, capped at the 10 worst ratios — enough to stamp a
-    // family-wide drift without doubling the sweep.
-    val drifted = scala.collection.mutable.LinkedHashMap[String, Double]()
-    if (errors.isEmpty && latest.nonEmpty) {
-      val cands = times.toSeq
-        .filter { case (n, t) =>
-          latest.get(n).exists(prev => t > 1.25 * prev) && t >= 0.5 &&
-            !retimed.contains(n) }
-        .sortBy { case (n, t) => -(t / math.max(latest(n), 1e-9)) }
-      if (cands.size > 10)
-        System.err.println(s"[bench] ${cands.size} queries read >1.25x " +
-          "LATEST — drift-re-timing only the 10 worst")
-      cands.take(10).foreach { case (name, first) =>
-        canaryEnd.get(name) match {
-          case Some(end) => drifted += name -> end
-          case None =>
-            try {
-              System.gc()
-              val fn = SparkEntry.queries(name)
-              materialize(fn(spark, sfDir))
-              spark.catalog.clearCache()
-              val samples = Seq.fill(runs) {
-                val t = timeOnce(materialize(fn(spark, sfDir)))
-                spark.catalog.clearCache()
-                t
-              }
-              val median = samples.sorted.apply(samples.size / 2)
-              drifted += name -> median
-              System.err.println(s"[bench] drift $name first=${f3(first)} " +
-                s"end=${f3(median)} s (latest=${f3(latest(name))})")
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] drift retime FAILED $name: $e")
-            }
-        }
-      }
-    }
+    // unadjudicated). Any query >1.25x its baseline that the outlier
+    // block did not already re-time gets ONE end-of-sweep re-time.
+    val drifted = retimeWorst(1.25, 10, "drift", retimed.keySet)
 
     // escape ALL control chars: exception text regularly carries newlines,
     // which would break the one-line JSON contract exactly on failures
@@ -320,12 +327,7 @@ object Bench {
     // number is inferred as 1 + the highest committed BENCH_r{N}.json —
     // the driver writes that artifact AFTER this bench runs, so during
     // round N the highest on disk is N-1.
-    val round = {
-      val re = "BENCH_r(\\d+)\\.json".r
-      val seen = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (seen.isEmpty) 0 else seen.max + 1
-    }
+    val round = inferRound()
     val summaryJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
     def writeSummary(path: String): Unit =

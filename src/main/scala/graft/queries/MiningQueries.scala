@@ -224,7 +224,11 @@ object MiningQueries {
     // oracle is the BATCH gap-pattern SQL over all events, so the
     // summary-state recurrence is hash-gated, not just spec'd
     "events_seq_gap_stream" -> ((s, dir) => {
-      val base = graft.queries.ParityQueries.scratch("events_seq_gap_stream")
+      // per-invocation path: Bench's re-time sampling re-evaluates this
+      // fn, and a stable path would race concurrent evaluations on the
+      // shared delete (ADVICE r18)
+      val base =
+        graft.queries.ParityQueries.scratchInvocation("events_seq_gap_stream")
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true) // fresh stores: the query IS the ingest

@@ -20,6 +20,21 @@ object ParityQueries {
   def scratch(name: String): String =
     s"${graft.Scratch.dir(sys.props("java.io.tmpdir"), "graft_scratch")}/$name"
 
+  private val invocationSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** [[scratch]] with a per-invocation unique suffix, for store-WRITING
+    * query fns (ingest capstones that delete + rebuild their stores on
+    * every evaluation): Bench's re-time/drift sampling re-invokes query
+    * fns, and with a stable path two concurrent evaluations in one
+    * session would race on the shared recursive delete (ADVICE r18,
+    * events_seq_gap_stream). Leftovers are bounded: stores are
+    * per-key-sized (never event-history-sized), invocations per process
+    * are ~10 (warmup + samples + re-times), and the per-process root is
+    * reaped by the next process once this one exits ([[graft.Scratch]]).
+    */
+  def scratchInvocation(name: String): String =
+    s"${scratch(name)}_i${invocationSeq.incrementAndGet()}"
+
   val queries: Map[String, Query] = Map(
     // S8 — plain parquet table scan (reference helpers.py:326-360).
     "s8_parquet_scan" -> ((s, dir) => Tables.supplier(s, dir)),
