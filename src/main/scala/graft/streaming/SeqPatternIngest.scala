@@ -71,6 +71,22 @@ object SeqPatternIngest {
     val oldLast = readMax(spark, lastDir, Seq("user_id", "type_a"), ev
       .select(col("user_id"), col("event_type").as("type_a"),
         col("tsec").as("mts"), col("event_id").as("mid")).limit(0))
+
+    // loud ordering-contract guard (ADVICE r18): the summary recurrence
+    // is only exact when batches arrive in per-user event-time order;
+    // an out-of-order batch silently LOSES support (its events query
+    // against summaries whose occurrence is later and thus invisible).
+    // Count the breaches against the stored per-user frontier and
+    // stderr-log them — conservative: an at-least-once REPLAY also
+    // trips it (a replayed event ties or precedes its own marker),
+    // which is harmless for support (scaladoc above) but still worth a
+    // line in the log. [[orderViolations]] is the queryable face.
+    val nViol = violationsAgainst(ev, oldLast).count()
+    if (nViol > 0)
+      System.err.println(s"[seqpattern-ingest] $nViol batch event(s) at " +
+        "or before the stored per-user frontier — out-of-order batch " +
+        "(or at-least-once replay); support may be undercounted " +
+        s"(store: $lastDir)")
     // the type alphabet must cover STORED types too: an old-type-A
     // summary still has to mark new-B queries
     val types = ev.select(col("event_type").as("type_a"))
@@ -185,17 +201,81 @@ object SeqPatternIngest {
       d -> graft.pipeline.Pipeline.purgeIds(spark, d, userIds,
         Seq("user_id"))).toMap
 
+  /** Compact every store to its read-side fixpoint through the atomic
+    * swap (VERDICT r18 task 3): the summary stores append one per-key
+    * partial PER BATCH with read-side max reconstruction, so an
+    * uncompacted long-running deployment's store read grows
+    * O(batches x keys) — per-key maxima for last/valid2 and distinct
+    * rows for supp2/supp3 restore O(keys). Purely a size optimization:
+    * [[support2]]/[[support3]] and the next ingest's `readMax` are
+    * unchanged by construction (max and distinct are idempotent), and
+    * readers never see a half-written state.
+    */
+  def compact(spark: SparkSession, lastDir: String, valid2Dir: String,
+              supp2Dir: String, supp3Dir: String,
+              numFiles: Int = 4): Unit = {
+    def swap(dir: String)(shape: DataFrame => DataFrame): Unit =
+      if (Stores.hasParquet(spark, dir))
+        graft.pipeline.Pipeline.atomicOverwrite(spark,
+          shape(spark.read.parquet(dir)).repartition(numFiles), dir)
+    swap(lastDir)(maxByKey(_, Seq("user_id", "type_a")))
+    swap(valid2Dir)(maxByKey(_, Seq("user_id", "type_a", "type_b")))
+    swap(supp2Dir)(_.dropDuplicates("user_id", "type_a", "type_b"))
+    swap(supp3Dir)(_.dropDuplicates("user_id", "type_a", "type_b",
+      "type_c"))
+  }
+
+  /** Ordering-contract audit face (the [[MarkovIngest.orderViolations]]
+    * discipline for the identical per-user event-time contract): the
+    * batch events whose (tsec, event_id) do NOT strictly follow the
+    * stored per-user frontier in `lastDir`, with the frontier they
+    * collide with. Nonempty means this batch would silently undercount
+    * support if ingested. Conservative: an at-least-once replay of an
+    * already-ingested batch also shows up here (every replayed event
+    * ties or precedes its own marker) — harmless for support
+    * correctness, distinguishable by `tsec`/`event_id` equality with
+    * the frontier.
+    */
+  def orderViolations(batch: DataFrame, lastDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val ev = batch.select(col("user_id"), col("event_type"),
+      col("tsec").cast("long").as("tsec"),
+      col("event_id").cast("long").as("event_id"))
+    val stored = readMax(spark, lastDir, Seq("user_id", "type_a"), ev
+      .select(col("user_id"), col("event_type").as("type_a"),
+        col("tsec").as("mts"), col("event_id").as("mid")).limit(0))
+    violationsAgainst(ev, stored)
+  }
+
+  /** [[orderViolations]] against an already-read per-(user, type)
+    * summary — ingestBatch's loud guard reuses its `oldLast` read.
+    */
+  private def violationsAgainst(ev: DataFrame,
+                                oldLast: DataFrame): DataFrame = {
+    val frontier = oldLast.groupBy(col("user_id"))
+      .agg(max(struct(col("mts").as("tsec"), col("mid").as("event_id")))
+        .as("f"))
+    ev.join(frontier, Seq("user_id"))
+      .filter(struct(col("tsec"), col("event_id")) <= col("f"))
+      .select(col("user_id"), col("event_type"), col("tsec"),
+        col("event_id"), col("f.tsec").as("frontier_tsec"),
+        col("f.event_id").as("frontier_event_id"))
+  }
+
   /** Per-key maxima of an append-grown summary store: the appends are
     * per-batch maxima, so the read-side max reconstructs the true
     * latest occurrence under any replay interleaving.
     */
   private def readMax(spark: SparkSession, dir: String, keys: Seq[String],
-                      empty: DataFrame): DataFrame = {
-    val base = if (Stores.hasParquet(spark, dir)) spark.read.parquet(dir) else empty
+                      empty: DataFrame): DataFrame =
+    maxByKey(
+      if (Stores.hasParquet(spark, dir)) spark.read.parquet(dir) else empty,
+      keys)
+
+  private def maxByKey(base: DataFrame, keys: Seq[String]): DataFrame =
     base.groupBy(keys.map(col): _*)
       .agg(max(struct(col("mts"), col("mid"))).as("m"))
       .select((keys.map(col) :+ col("m.mts").as("mts") :+
         col("m.mid").as("mid")): _*)
-  }
 
 }

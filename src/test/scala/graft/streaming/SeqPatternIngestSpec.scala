@@ -98,4 +98,96 @@ class SeqPatternIngestSpec extends SparkSpec {
     assert(spark.read.parquet(lastDir)
       .filter($"user_id" === 1L).count() == 0)
   }
+
+  test("compaction is invisible to reads and the recurrence converges after it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqpc_").toString
+    val (lastDir, v2Dir, s2Dir, s3Dir) =
+      (s"$tmp/last", s"$tmp/v2", s"$tmp/s2", s"$tmp/s3")
+    val g = 100L
+    def ingest(rows: Seq[(Long, String, Long, Long)]): Unit =
+      SeqPatternIngest.ingestBatch(
+        rows.toDF("user_id", "event_type", "tsec", "event_id"),
+        lastDir, v2Dir, s2Dir, s3Dir, g)
+    // several batches touching the SAME keys so the append-grown stores
+    // hold multiple partials per key (the O(batches x keys) growth
+    // compact exists to cut)
+    ingest(Seq((1L, "A", 0L, 1L), (2L, "A", 0L, 10L)))
+    ingest(Seq((1L, "A", 30L, 2L), (2L, "B", 60L, 11L)))
+    ingest(Seq((1L, "B", 70L, 3L), (2L, "A", 120L, 12L)))
+    def snap2() = SeqPatternIngest.support2(spark, s2Dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    def stored(d: String) = spark.read.parquet(d).collect()
+      .map(_.toSeq).toSet
+    val (before2, beforeLast, beforeV2) =
+      (snap2(), stored(lastDir), stored(v2Dir))
+    val rawLast = spark.read.parquet(lastDir).count()
+    assert(rawLast > spark.read.parquet(lastDir)
+      .dropDuplicates("user_id", "type_a").count(),
+      "fixture holds no per-key partials — compaction untested")
+
+    SeqPatternIngest.compact(spark, lastDir, v2Dir, s2Dir, s3Dir,
+      numFiles = 1)
+    // size: one row per key now
+    assert(spark.read.parquet(lastDir).count() ==
+      spark.read.parquet(lastDir).dropDuplicates("user_id", "type_a")
+        .count())
+    // invisible: support sets and the read-side maxima are unchanged
+    assert(snap2() == before2, "compaction moved the support set")
+    assert(stored(v2Dir).subsetOf(beforeV2),
+      "compaction invented valid2 state")
+    assert(beforeLast.map(r => (r.head, r(1))) ==
+      stored(lastDir).map(r => (r.head, r(1))),
+      "compaction dropped a (user, type) key")
+
+    // convergence: ingesting AFTER compaction still matches the batch
+    // operator over everything ever ingested
+    ingest(Seq((1L, "C", 130L, 4L), (2L, "B", 150L, 13L)))
+    val all = Seq((1L, "A", 0L, 1L), (2L, "A", 0L, 10L),
+      (1L, "A", 30L, 2L), (2L, "B", 60L, 11L),
+      (1L, "B", 70L, 3L), (2L, "A", 120L, 12L),
+      (1L, "C", 130L, 4L), (2L, "B", 150L, 13L))
+      .toDF("user_id", "event_type", "tsec", "event_id")
+    val want = EventOps.seqPatternsGap(all, g)
+      .select($"type_a", $"type_b", $"n_users")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val got = SeqPatternIngest.support2(spark, s2Dir)
+      .groupBy("type_a", "type_b").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == want, s"post-compaction ingest diverged: $got vs $want")
+  }
+
+  test("orderViolations flags out-of-order batches against the stored frontier") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqpo_").toString
+    val (lastDir, v2Dir, s2Dir, s3Dir) =
+      (s"$tmp/last", s"$tmp/v2", s"$tmp/s2", s"$tmp/s3")
+    val b1 = Seq((1L, "A", 100L, 1L), (2L, "A", 500L, 10L))
+    SeqPatternIngest.ingestBatch(
+      b1.toDF("user_id", "event_type", "tsec", "event_id"),
+      lastDir, v2Dir, s2Dir, s3Dir, 100L)
+    // strictly-later batch: clean
+    assert(SeqPatternIngest.orderViolations(
+      Seq((1L, "B", 101L, 2L), (2L, "B", 501L, 11L))
+        .toDF("user_id", "event_type", "tsec", "event_id"),
+      lastDir).count() == 0)
+    // out-of-order for user 2 only (tsec before the frontier), plus a
+    // same-tsec earlier-event_id tie for user 1 — both flagged, the
+    // clean later row is not
+    val bad = Seq((1L, "B", 100L, 0L), (2L, "B", 400L, 11L),
+      (2L, "C", 600L, 12L))
+      .toDF("user_id", "event_type", "tsec", "event_id")
+    val v = SeqPatternIngest.orderViolations(bad, lastDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v == Set((1L, "B"), (2L, "B")), s"got $v")
+    // at-least-once replay trips the audit conservatively (equality
+    // with the frontier), as documented
+    assert(SeqPatternIngest.orderViolations(
+      b1.toDF("user_id", "event_type", "tsec", "event_id"),
+      lastDir).count() == b1.size)
+    // a fresh (never-stored) store flags nothing
+    assert(SeqPatternIngest.orderViolations(
+      bad, s"$tmp/nosuch").count() == 0)
+  }
 }
