@@ -107,6 +107,16 @@ object Aggregations {
     */
   private val SkylineCoarse = 256
 
+  /** Cheap-path dispatch bound (r18 verdict task 6): when the whole
+    * distinct-(group, x) aggregate holds at most this many rows, the
+    * coarse-bucket machinery is pure overhead (a measured 3× at bench
+    * scale) and the plain per-group window — one sort of ≤ this many
+    * rows — is the right plan. 10 k rows is sub-millisecond window
+    * material; the continuous-x / hot-group regimes the distributed
+    * scan exists for sit orders of magnitude above it.
+    */
+  private val SkylineSmallMaxRows = 10000L
+
   /** GROUP-WISE 2D skyline: an independent pareto frontier per group
     * (frontier-per-brand, frontier-per-supplier — the window
     * partitions by the group, so one hot group costs a sort of ITS
@@ -119,7 +129,11 @@ object Aggregations {
     * cross-bucket prefix mins (the one remaining global window is over
     * the ≤[[SkylineCoarse]]-row bucket aggregate). Non-numeric x falls
     * back to the single-partition window with a loud stderr contract
-    * warning (same posture as capBuckets).
+    * warning (same posture as capBuckets). A distinct-(group, x)
+    * aggregate at or below [[SkylineSmallMaxRows]] rows dispatches to
+    * the same plain window ([[windowMins]]) WITHOUT the warning — at
+    * that size the window is the right plan and the bucket machinery
+    * was a measured 3× overhead (r18 verdict task 6).
     *
     * NULL semantics = the NOT-EXISTS oracle's (ADVICE r17): a row with
     * NULL in x, y or any group key has no dominator (NULL comparisons
@@ -134,29 +148,51 @@ object Aggregations {
     val anyNull = (keys :+ yCol).map(col(_).isNull).reduce(_ || _)
     val passThrough = df.filter(anyNull)
     val nn = df.filter(!anyNull)
+    // localCheckpoint (same SkylineIngest caveat as fronts below): the
+    // materialized count is the dispatch signal, and the large path
+    // consumes the aggregate twice (offsets + windowed join-back), so
+    // the cut also stops a double evaluation of the corpus shuffle
     val perX = nn.groupBy(keys.map(col): _*)
       .agg(min(col(yCol)).as("__miny"))
-    val frontsRaw = runningMins(perX, groupCols, xCol)
-    // localCheckpoint, NOT persist: skyline2D runs per micro-batch in
-    // SkylineIngest, and a persist here would pile an un-unpersistable
-    // CacheManager entry onto every batch; checkpoint blocks are
-    // reclaimed by the ContextCleaner once the plan is dropped
-    val fronts = frontsRaw
-      .select((keys.map(col) :+ col("__rm_le") :+ col("__rm_lt")): _*)
       .localCheckpoint(true)
-    // forced broadcast only on the UNGROUPED face, where a frontier row
-    // is exactly (x, 2 mins) and the row guard sizes it honestly; the
-    // grouped frontier also carries arbitrary-width group keys, so its
-    // join-back is left to AQE's BYTE-based runtime decision (ADVICE
-    // r17's driver-OOM concern, kept closed under grouping)
-    val frontSide =
-      if (groupCols.nonEmpty) fronts
-      else if (fronts.count() <= FrontierBroadcastMaxRows) broadcast(fronts)
-      else {
-        System.err.println(s"[graft] skyline2DBy: frontier rows exceed " +
-          s"the $FrontierBroadcastMaxRows broadcast guard — joining " +
-          "back via shuffle instead")
-        fronts
+    // cheap-path dispatch (r18 verdict task 6): the distributed frontier
+    // scan exists for continuous x and hot groups; when the WHOLE
+    // distinct-(group, x) aggregate is tiny, the per-group window is
+    // the right plan — same rows out, none of the bucket stages. The
+    // small face also skips the fronts checkpoint and its broadcast
+    // guard count below: a ≤10k-row window over the already-checkpointed
+    // perX is trivially recomputable and always broadcast-sized, and
+    // each skipped action is a whole scheduled job on the micro-scale
+    // queries this path exists for.
+    val frontSide: DataFrame =
+      if (perX.count() <= SkylineSmallMaxRows) {
+        val small = windowMins(perX, groupCols, xCol)
+          .select((keys.map(col) :+ col("__rm_le") :+ col("__rm_lt")): _*)
+        // grouped keys can be arbitrarily wide — leave those to AQE's
+        // byte-based runtime broadcast decision, as on the large path
+        if (groupCols.isEmpty) broadcast(small) else small
+      } else {
+        // localCheckpoint, NOT persist: skyline2D runs per micro-batch in
+        // SkylineIngest, and a persist here would pile an un-unpersistable
+        // CacheManager entry onto every batch; checkpoint blocks are
+        // reclaimed by the ContextCleaner once the plan is dropped
+        val fronts = runningMins(perX, groupCols, xCol)
+          .select((keys.map(col) :+ col("__rm_le") :+ col("__rm_lt")): _*)
+          .localCheckpoint(true)
+        // forced broadcast only on the UNGROUPED face, where a frontier
+        // row is exactly (x, 2 mins) and the row guard sizes it honestly;
+        // the grouped frontier also carries arbitrary-width group keys,
+        // so its join-back is left to AQE's BYTE-based runtime decision
+        // (ADVICE r17's driver-OOM concern, kept closed under grouping)
+        if (groupCols.nonEmpty) fronts
+        else if (fronts.count() <= FrontierBroadcastMaxRows)
+          broadcast(fronts)
+        else {
+          System.err.println(s"[graft] skyline2DBy: frontier rows exceed " +
+            s"the $FrontierBroadcastMaxRows broadcast guard — joining " +
+            "back via shuffle instead")
+          fronts
+        }
       }
     nn.join(frontSide, keys)
       .filter(col(yCol) <= col("__rm_le") &&
@@ -186,6 +222,24 @@ object Aggregations {
     * is single-partition; per-group sorts are the documented
     * low-cardinality contract).
     */
+  /** Per-group window running mins over the distinct-(group, x)
+    * aggregate — the cheap face of [[runningMins]]. Correct at any
+    * cardinality but single-partition when ungrouped, so it is
+    * dispatched only below [[SkylineSmallMaxRows]] (or as the loud
+    * non-numeric-x fallback, where no value-range bucketing exists).
+    */
+  private def windowMins(perX: DataFrame, groupCols: Seq[String],
+                         xCol: String): DataFrame = {
+    val gs = groupCols.map(col)
+    val wLe = Window.partitionBy(gs: _*).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLt = Window.partitionBy(gs: _*).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perX
+      .withColumn("__rm_le", min(col("__miny")).over(wLe))
+      .withColumn("__rm_lt", min(col("__miny")).over(wLt))
+  }
+
   private def runningMins(perX: DataFrame, groupCols: Seq[String],
                           xCol: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -205,14 +259,7 @@ object Aggregations {
         None
     }
     xd match {
-      case None =>
-        val wLe = Window.partitionBy(gs: _*).orderBy(col(xCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wLt = Window.partitionBy(gs: _*).orderBy(col(xCol))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        perX
-          .withColumn("__rm_le", min(col("__miny")).over(wLe))
-          .withColumn("__rm_lt", min(col("__miny")).over(wLt))
+      case None => windowMins(perX, groupCols, xCol)
       case Some(x) =>
         val bounds = perX.agg(min(x).as("__lo"), max(x).as("__hi"))
         // floor of the monotone double image of x: x1 < x2 can only

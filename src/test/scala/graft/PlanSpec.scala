@@ -694,14 +694,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("skyline: no single-partition window over distinct x (r17 verdict)") {
-    // the ungrouped face's running mins must be the distributed shape:
+    // the LARGE path's running mins must be the distributed shape:
     // windows partitioned by the coarse value bucket; the ONLY
     // zero-partition window allowed is the <=256-row cross-bucket
-    // prefix (ordered by __ob), never one ordered by the x column
+    // prefix (ordered by __ob), never one ordered by the x column.
+    // Synthesized >SkylineSmallMaxRows distinct x so the r19 cheap-path
+    // dispatch cannot route this pin onto the small window (sf0.001
+    // part sits under the 10k bound by design)
+    import org.apache.spark.sql.functions.{col => c, expr}
+    val big = spark.range(30000)
+      .select(c("id").as("p_partkey"),
+        (c("id").cast("double") / 7.0).as("p_retailprice"),
+        expr("CAST(id % 50 AS INT)").as("p_size"))
     val df = graft.ops.Aggregations.skyline2D(
-      graft.Tables.part(spark, sf0001)
-        .select("p_partkey", "p_retailprice", "p_size"),
-      "p_retailprice", "p_size")
+      big, "p_retailprice", "p_size")
     // unwrap AQE: the adaptive node hides its plan from TreeNode.collect
     val phys = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>

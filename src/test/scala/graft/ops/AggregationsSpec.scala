@@ -111,6 +111,56 @@ class AggregationsSpec extends SparkSpec {
     assert(gotG == Set(1, 5), s"got $gotG")
   }
 
+  test("skyline2D above the cheap-path bound (large path) matches the sweep oracle") {
+    import spark.implicits._
+    // >SkylineSmallMaxRows distinct x, so the r19 dispatch routes onto
+    // the coarse-bucket machinery (the 500-row tests above now cover
+    // the small window path); the oracle is an independent O(n log n)
+    // sweep — a row survives iff it is its x-group's min y AND strictly
+    // beats the running min over all smaller x
+    val rows = (1 to 12000).map { i =>
+      val x = ((i * 2654435761L) % 1000003).toDouble / 997.0
+      val y = ((i * 40503L + 7) % 1000033).toDouble / 991.0
+      (i.toLong, x, y)
+    }
+    val want = scala.collection.mutable.Set[Long]()
+    var runMin = Double.MaxValue
+    for ((x, g) <- rows.groupBy(_._2).toSeq.sortBy(_._1)) {
+      val gmin = g.map(_._3).min
+      if (gmin < runMin) want ++= g.filter(_._3 == gmin).map(_._1)
+      runMin = math.min(runMin, gmin)
+    }
+    val got = Aggregations.skyline2D(rows.toDF("id", "x", "y"), "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want.toSet, s"got ${got.size} want ${want.size}")
+  }
+
+  test("grouped skyline above the cheap-path bound matches the per-group sweep") {
+    import spark.implicits._
+    // 3 groups x ~4k distinct x = >10k (group, x) rows: the grouped
+    // large path (global value-range bounds, per-(group, bucket)
+    // windows, equi-join carry) against the same sweep run per group
+    val rows = (1 to 12000).map { i =>
+      val grp = s"g${i % 3}"
+      val x = ((i * 2654435761L) % 999983).toDouble / 991.0
+      val y = ((i * 40503L + 11) % 999979).toDouble / 997.0
+      (i.toLong, grp, x, y)
+    }
+    val want = scala.collection.mutable.Set[Long]()
+    for ((_, grows) <- rows.groupBy(_._2)) {
+      var runMin = Double.MaxValue
+      for ((x, g) <- grows.groupBy(_._3).toSeq.sortBy(_._1)) {
+        val gmin = g.map(_._4).min
+        if (gmin < runMin) want ++= g.filter(_._4 == gmin).map(_._1)
+        runMin = math.min(runMin, gmin)
+      }
+    }
+    val got = Aggregations.skyline2DBy(rows.toDF("id", "g", "x", "y"),
+        Seq("g"), "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want.toSet, s"got ${got.size} want ${want.size}")
+  }
+
   test("grouped skyline on continuous x with a hot group matches brute force") {
     import spark.implicits._
     // one HOT group holds 80% of the rows (the grouped twin of the
