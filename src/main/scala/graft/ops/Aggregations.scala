@@ -92,13 +92,14 @@ object Aggregations {
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame =
     skyline2DBy(df, Nil, xCol, yCol)
 
-  /** Frontier relations above this row count take the shuffle join back
-    * to the corpus instead of a forced broadcast (ADVICE r17: the
-    * unguarded broadcast was a driver-OOM waiting for a high-cardinality
-    * continuous x). ~4M (x, 2 mins) rows ≈ low hundreds of MB — the
-    * conventional broadcast ceiling.
+  /** Estimated driver bytes per hashed ungrouped-frontier row — (x,
+    * 2 running mins) of at-most-8-byte numerics plus hashed-relation
+    * entry overhead. Feeds the byte-sized [[ForcedBroadcast]] guard
+    * (ADVICE r17 flagged the unguarded broadcast; ADVICE r18 flagged
+    * the row-count proxy that replaced it — the guard now prices the
+    * broadcast against the actual driver heap).
     */
-  private val FrontierBroadcastMaxRows = 4000000L
+  private val FrontierRowBytes = 64L
 
   /** Coarse value-range buckets for the distributed running-min scan of
     * the UNGROUPED frontier — the [[DataProfile]] cdf convention: the
@@ -185,14 +186,8 @@ object Aggregations {
         // so its join-back is left to AQE's BYTE-based runtime decision
         // (ADVICE r17's driver-OOM concern, kept closed under grouping)
         if (groupCols.nonEmpty) fronts
-        else if (fronts.count() <= FrontierBroadcastMaxRows)
-          broadcast(fronts)
-        else {
-          System.err.println(s"[graft] skyline2DBy: frontier rows exceed " +
-            s"the $FrontierBroadcastMaxRows broadcast guard — joining " +
-            "back via shuffle instead")
-          fronts
-        }
+        else ForcedBroadcast.orShuffle(fronts, fronts.count(),
+          FrontierRowBytes, "skyline2DBy ungrouped frontier")
       }
     nn.join(frontSide, keys)
       .filter(col(yCol) <= col("__rm_le") &&

@@ -72,12 +72,13 @@ object Graph {
     *
     * Returns (node, n_tri) for every node in at least one triangle.
     */
-  /** Edge lists above this row count close triangles via the shuffle
-    * join instead of a broadcast of the oriented edge list (~25 bytes
-    * per (v, w) row puts 4M edges near the conventional broadcast
-    * ceiling — the skyline FrontierBroadcastMaxRows convention).
+  /** Estimated driver bytes per hashed (v, w) closing-edge row — two
+    * longs of unsafe-row payload plus LongHashedRelation entry
+    * overhead. Feeds the byte-sized [[ForcedBroadcast]] guard (ADVICE
+    * r18: the old bare 4M-row guard ignored driver heap, the same
+    * hazard class as the r17 unguarded skyline broadcast).
     */
-  private val ClosingBroadcastMaxEdges = 4000000L
+  private val ClosingRowBytes = 48L
 
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()
@@ -127,14 +128,8 @@ object Graph {
     // side sits over the 10 MB auto-broadcast line).
     val closing = oriented.select(col("s").as("v"), col("d").as("w"))
     val m = oriented.count()
-    val closingSide =
-      if (m <= ClosingBroadcastMaxEdges) broadcast(closing)
-      else {
-        System.err.println(s"[graft] triangleCounts: $m oriented edges " +
-          s"exceed the $ClosingBroadcastMaxEdges closing-broadcast " +
-          "guard — closing via shuffle join")
-        closing
-      }
+    val closingSide = ForcedBroadcast.orShuffle(closing, m,
+      ClosingRowBytes, "triangleCounts closing edge list")
     val tris = wedges.join(closingSide, Seq("v", "w"))
       .select(col("s").as("x"), col("v").as("y"), col("w").as("z"))
     // ONE pass over the triangle relation: the old

@@ -170,6 +170,27 @@ class MiningSpec extends SparkSpec {
     assert(Graph.triangleCounts(path).count() == 0)
   }
 
+  test("forced-broadcast guard prices bytes against the cap; shuffle fallback stays correct") {
+    // unit face: under the default cap (a tenth of this JVM's heap) a
+    // tiny relation broadcasts (a hint node wraps it); with the
+    // configurable cap floored to one byte the SAME relation comes back
+    // unwrapped — the loud shuffle fallback (ADVICE r18: guards must be
+    // byte-sized, a row-count proxy ignores driver heap)
+    val tiny = edges(1L -> 2L)
+    assert(!(ForcedBroadcast.orShuffle(tiny, 1L, 48L, "spec") eq tiny))
+    spark.conf.set("spark.graft.forcedBroadcastMaxBytes", "1")
+    try {
+      assert(ForcedBroadcast.orShuffle(tiny, 1L, 48L, "spec") eq tiny)
+      // operator face: triangle closing falls back to the shuffle join
+      // under the floored cap and counts identically
+      val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+        3L -> 4L)
+      val out = Graph.triangleCounts(k4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    } finally spark.conf.unset("spark.graft.forcedBroadcastMaxBytes")
+  }
+
   test("degree histogram over the wheel") {
     val wheel = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L,
       1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L)
