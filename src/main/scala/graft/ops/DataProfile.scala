@@ -479,6 +479,13 @@ object DataProfile {
     * promoting its maximum to ci_hi (r18 review finding on the r17
     * guard). `groupCols` may be empty (one global row); `b` is the
     * nominal resample count, retained for callers' require checks.
+    *
+    * Below 4 surviving resamples the order statistics stop being a
+    * band at all — n=2 INVERTS it (rn=2 is the max, rn=n−1=1 the min)
+    * and n=3 collapses it to a point — so both bounds come back NULL
+    * there instead of a silently degenerate CI (ADVICE r18; the oracle
+    * carries the same nb >= 4 arm). boot_mean and n_resamples still
+    * report, so a consumer sees the group and WHY its band is absent.
     */
   def orderStatCi(stats: DataFrame, groupCols: Seq[String],
                   statCol: String, b: Int): DataFrame = {
@@ -489,9 +496,10 @@ object DataProfile {
       .withColumn("__n", count(lit(1)).over(part))
       .groupBy(gs: _*)
       .agg(round(avg(col(statCol)), 6).as(s"stat_$statCol"),
-        max(when(col("__rn") === 2, col(statCol))).as("ci_lo"),
-        max(when(col("__rn") === col("__n") - 1, col(statCol)))
-          .as("ci_hi"),
+        max(when(col("__rn") === 2 && col("__n") >= 4, col(statCol)))
+          .as("ci_lo"),
+        max(when(col("__rn") === col("__n") - 1 && col("__n") >= 4,
+          col(statCol))).as("ci_hi"),
         count(lit(1)).cast("int").as("n_resamples"))
   }
 }

@@ -316,8 +316,8 @@ object StatsQueries {
          |    ORDER BY m, b) AS rn,
          |  count(*) OVER (PARTITION BY event_type) AS nb FROM m)
          |SELECT event_type, round(avg(m), 6) AS boot_mean,
-         |  max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
-         |  max(CASE WHEN rn = nb - 1 THEN m END) AS ci_hi,
+         |  max(CASE WHEN rn = 2 AND nb >= 4 THEN m END) AS ci_lo,
+         |  max(CASE WHEN rn = nb - 1 AND nb >= 4 THEN m END) AS ci_hi,
          |  CAST(count(*) AS INT) AS n_resamples
          |FROM rk GROUP BY 1""".stripMargin
     },
@@ -348,8 +348,8 @@ object StatsQueries {
          |    AS rn,
          |  count(*) OVER () AS nb FROM d)
          |SELECT round(avg(diff), 6) AS diff_mean,
-         |  max(CASE WHEN rn = 2 THEN diff END) AS ci_lo,
-         |  max(CASE WHEN rn = nb - 1 THEN diff END) AS ci_hi,
+         |  max(CASE WHEN rn = 2 AND nb >= 4 THEN diff END) AS ci_lo,
+         |  max(CASE WHEN rn = nb - 1 AND nb >= 4 THEN diff END) AS ci_hi,
          |  CAST(count(*) AS INT) AS n_resamples
          |FROM rk""".stripMargin
     },

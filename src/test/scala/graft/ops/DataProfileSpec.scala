@@ -179,4 +179,26 @@ class DataProfileSpec extends SparkSpec {
     assert(again.getDouble(1) == bm && again.getDouble(2) == lo &&
       again.getDouble(3) == hi)
   }
+
+  test("orderStatCi nulls the band below 4 resamples instead of inverting it") {
+    import spark.implicits._
+    // n=2 used to INVERT the band (rn=2 is the max, rn=n-1=1 the min)
+    // and n=3 collapsed it to a point (ADVICE r18); below the floor
+    // both bounds are NULL while boot_mean/n_resamples still report
+    for (n <- 2 to 5) {
+      val stats = (0 until n).map(b0 => ("k", b0, 10.0 + b0))
+        .toDF("key", "resample", "mean")
+      val r = DataProfile.orderStatCi(stats, Seq("key"), "mean", 32)
+        .collect().head
+      assert(r.getInt(4) == n)
+      if (n < 4) {
+        assert(r.isNullAt(2) && r.isNullAt(3),
+          s"n=$n must null the band, got $r")
+      } else {
+        val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+        assert(lo <= hi && lo == 11.0 && hi == 10.0 + n - 2,
+          s"n=$n band wrong: $r")
+      }
+    }
+  }
 }
