@@ -328,3 +328,84 @@ case class WordGrams(child: Expression, k: Int, distinct: Boolean,
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)
 }
+
+/** Runtime for [[WeightedMinOverlap]]: the sorted-merge Σ min(tf) walk,
+  * shared by interpreted eval and the codegen call.
+  */
+object WeightedMinOverlapUtil {
+  def overlap(wa: ArrayData, ta: ArrayData, wb: ArrayData,
+              tb: ArrayData): Long = {
+    val na = wa.numElements()
+    val nb = wb.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      if (wa.isNullAt(i)) i += 1
+      else if (wb.isNullAt(j)) j += 1
+      else {
+        val c = wa.getUTF8String(i).compareTo(wb.getUTF8String(j))
+        if (c == 0) {
+          acc += math.min(ta.getLong(i), tb.getLong(j))
+          i += 1; j += 1
+        } else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    acc
+  }
+}
+
+/** Native Catalyst expression for the weighted-containment verify hot
+  * path (r19, the k=4 ladder rung): Σ_w min(tf_a, tf_b) over two
+  * documents' token lists, each given as a SORTED array of tokens plus
+  * an aligned array of term frequencies. One merge walk per PAIR
+  * replaces the exploded shared-token join + pair aggregate, whose
+  * input was |candidates| × doc-length rows — the measured 84 of the
+  * rung's 111 seconds. Sort contract: both token arrays ascending in
+  * UTF8String binary order (what `sort_array` produces for strings);
+  * tokens are distinct within a document (they come from a
+  * (doc_id, w) aggregate). NULL array entries are skipped.
+  */
+case class WeightedMinOverlap(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val strOk = Seq(first, third).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    val tfOk = Seq(second, fourth).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (strOk && tfOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_woverlap expects (array<string>, array<bigint>, " +
+        "array<string>, array<bigint>), got (" +
+        Seq(first, second, third, fourth)
+          .map(_.dataType.simpleString).mkString(", ") + ")")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_woverlap"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any,
+                                      d: Any): Any =
+    WeightedMinOverlapUtil.overlap(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.WeightedMinOverlapUtil" +
+        s".overlap($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): WeightedMinOverlap =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}

@@ -429,6 +429,9 @@ object GraftFunctions {
   val bpeMergeInfo = new ExpressionInfo(
     classOf[BpeMergeApply].getName, "graft_bpe_merge")
 
+  val wOverlapInfo = new ExpressionInfo(
+    classOf[WeightedMinOverlap].getName, "graft_woverlap")
+
   /** Builder for [[BpeMergeApply]]: (syms, x literal, y literal). */
   private[functions] def bpeMergeBuilder(exprs: Seq[Expression]): Expression = {
     checkArgs("graft_bpe_merge", exprs, Seq(3), "(syms, x literal, y literal)")
@@ -522,6 +525,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_woverlap", exprs => WeightedMinOverlap(exprs.head, exprs(1),
+        exprs(2), exprs(3)), "built-in")
   }
 }
 
@@ -560,5 +566,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("graft_bpe_merge"),
       GraftFunctions.bpeMergeInfo,
       GraftFunctions.bpeMergeBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_woverlap"),
+      GraftFunctions.wOverlapInfo,
+      exprs => WeightedMinOverlap(exprs.head, exprs(1), exprs(2),
+        exprs(3))))
   }
 }

@@ -1380,13 +1380,17 @@ object Dedup {
     * after one occurrence; the weighted form demands the REPETITION be
     * covered too — the honest detector for templated spam.
     *
-    * Blocking: the contained side's weighted prefix (positions whose
-    * suffix weight ≥ t·S — if every shared token sat below that, the
-    * shared weight could not reach t·S) joined against the container
-    * side's FULL weighted token list (no length relation exists, as in
-    * the set case); positional filter at the first shared token
-    * (max-over-matches of min(suffix weights) must reach
-    * t·min(S_a, S_b)); exploded Σ min(tf) verify, candidate-sized.
+    * Blocking: the SMALLER-weight side's weighted prefix (positions
+    * whose suffix weight ≥ t·S — if every shared token sat below that,
+    * the shared weight could not reach t·S_min) joined against the
+    * larger side's FULL weighted token list (no length relation exists,
+    * as in the set case, but the weight ORDER picks the one prefix the
+    * lemma needs — r19, halving the old symmetric prefix × full match
+    * volume); pair-level SUFFIX filter (PPJoin+ adapted to weighted
+    * containment — exact matched-prefix weight plus the min of the two
+    * tails after the last match bounds m from above; the candidate set
+    * this kills was 99.5% of the verify's input at the k=4 ladder
+    * rung); exploded Σ min(tf) verify, candidate-sized.
     */
   def weightedContainmentPairs(docs: DataFrame, idCol: String,
                                threshold: Double,
@@ -1421,34 +1425,95 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("p0")))
         + col("pt.tf"))
       .select(col("doc_id"), col("sw"), col("suffw"),
-        col("pt.w").as("w"))
+        col("pt.w").as("w"), col("pt.tf").as("tf"))
+      // both candidate-join sides read this relation (prefix is a
+      // filter of it), so the per-doc suffix-weight window runs once
+      .persist(sl)
+    rows.count()
     val prefix = rows.filter(col("suffw").cast("double") >=
       lit(threshold) * col("sw") - lit(eps))
     val (pPfx, pAll) = capBucketsPaired(prefix, rows, Seq("w"),
       maxBucketSize, "weightedContainmentPairs")
+    // r19 (verdict task 5, the k=4 ladder rung). Two exact prunes:
+    //
+    // (1) The pair survives iff m >= t*min(Sa, Sb), so the prefix lemma
+    // only needs the SMALLER side's prefix — the weight-order join
+    // condition halves the match rows of the old symmetric prefix x
+    // full join (every pair arrived through BOTH role assignments).
+    //
+    // (2) The old positional filter (max over matches of min suffix
+    // weight >= t*S_min) was TOOTHLESS for the asymmetric pairs
+    // containment exists for: with Sb >> Sa, any late token of B still
+    // carries suffw_b >= t*Sa, so ~all blocking pairs passed and the
+    // exploded verify ran |cand| x doc-length rows (measured at k=4:
+    // 7.1M candidates for 34k true pairs — the whole 69 s rung).
+    // The match rows already hold the tight bound (PPJoin+'s suffix
+    // filter, weighted): the token lists share ONE global (df, w)
+    // order, so per pair, m <= [sum of min(tf_a, tf_b) over matched
+    // prefix tokens] + min(A tail, B tail) where the tails are the
+    // suffix weights strictly after the LAST matched prefix token
+    // (suffw − tf at that row — suffw is strictly decreasing within a
+    // doc, so min(struct(fa ...)) picks it deterministically). Shared
+    // tokens at or before the last match in A's prefix are summed
+    // exactly; everything after (including A's whole below-prefix
+    // suffix) is capped by both tails. A true pair keeps
+    // bound >= m >= t*Sa, so the filter has zero false negatives.
     val cand = pPfx.select(col("w"), col("doc_id").as("na"),
-        col("sw").as("sa"), col("suffw").as("fa"))
+        col("sw").as("sa"), col("suffw").as("fa"), col("tf").as("ta"))
       .join(pAll.select(col("w"), col("doc_id").as("nb"),
-        col("sw").as("sb"), col("suffw").as("fb")), Seq("w"))
-      .filter(col("na") =!= col("nb"))
+        col("sw").as("sb"), col("suffw").as("fb"), col("tf").as("tb")),
+        Seq("w"))
+      .filter(col("sa") < col("sb") ||
+        (col("sa") === col("sb") && col("na") < col("nb")))
       .groupBy(col("na"), col("nb"))
-      .agg(max(least(col("fa"), col("fb"))).as("bound"),
-        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
-      .filter(col("bound").cast("double") >=
-        lit(threshold) * least(col("sa"), col("sb")) - lit(eps))
+      .agg(sum(least(col("ta"), col("tb"))).as("ms"),
+        min(struct(col("fa"), col("ta"), col("fb"), col("tb")))
+          .as("lastr"),
+        first(col("sa")).as("sa"))
+      .filter((col("ms") +
+          least(col("lastr.fa") - col("lastr.ta"),
+            col("lastr.fb") - col("lastr.tb"))).cast("double") >=
+        lit(threshold) * col("sa") - lit(eps))
       .select(least(col("na"), col("nb")).as("doc_a"),
         greatest(col("na"), col("nb")).as("doc_b"))
-      .distinct()
       .persist(sl)
     cand.count()
+    // MERGE-WALK verify (r19): containment candidates are inherently
+    // false-positive-heavy (one shared rare early token defeats every
+    // candidate-level bound — at the k=4 ladder rung 7.1M of 7.1M
+    // candidates reached verify for 34k true pairs), so the verify
+    // itself must be candidate-row-bound, not candidate×doc-length.
+    // Per doc, ONE w-sorted token array + aligned tf array; per pair,
+    // one codegen'd sorted-merge Σ min(tf) (graft_woverlap) — no
+    // exploded shared-token join, no 10⁸-row pair aggregate behind it.
+    val docArrs = tf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("tf"))))
+        .as("wt"))
+      .select(col("doc_id"),
+        expr("transform(wt, x -> x.w)").as("ws"),
+        expr("transform(wt, x -> x.tf)").as("tfs"))
+      .persist(sl)
+    val nDocs = docArrs.count()
+    // array rows sit over AQE's auto-broadcast line, but shuffling the
+    // candidate relation TWICE with array payloads attached is the
+    // expensive plan — force the broadcast under the byte guard
+    // (~doc-length tokens × shingle width per row); past the guard the
+    // shuffle join is the honest fallback
     val sums = docTokens.select(col("doc_id"), col("sw"))
+    def docSide(aliasId: String, aw: String, atf: String) =
+      ForcedBroadcast.orShuffle(docArrs.select(col("doc_id").as(aliasId),
+        col("ws").as(aw), col("tfs").as(atf)), nDocs, 4096L,
+        "weightedContainmentPairs verify arrays")
+    // m computed and the arrays DROPPED before the sums joins: the
+    // cached docTokens' size estimate keeps those joins off the
+    // auto-broadcast path, and a shuffle that still carries the array
+    // payloads would move |cand| × doc-length bytes twice
     val m = cand
-      .join(tf.select(col("doc_id").as("doc_a"), col("w"),
-        col("tf").as("ta")), Seq("doc_a"))
-      .join(tf.select(col("doc_id").as("doc_b"), col("w"),
-        col("tf").as("tb")), Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(least(col("ta"), col("tb"))).as("m"))
+      .join(docSide("doc_a", "wsa", "tfa"), Seq("doc_a"))
+      .join(docSide("doc_b", "wsb", "tfb"), Seq("doc_b"))
+      .withColumn("m", call_function("graft_woverlap",
+        col("wsa"), col("tfa"), col("wsb"), col("tfb")))
+      .drop("wsa", "tfa", "wsb", "tfb")
       .join(sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
         Seq("doc_a"))
       .join(sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
@@ -1639,13 +1704,29 @@ object Dedup {
       .distinct()
       .persist(sl)
     cand.count()
+    // MERGE-WALK verify over the replay-deduped tf relation (r19 —
+    // the batch face's shape: containment candidates are false-
+    // positive-heavy by nature, so verify must be candidate-row-bound;
+    // m and the arrays resolved BEFORE the sums joins so no shuffle
+    // ever carries the array payloads)
+    val docArrs = ws.tfAll.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("tf"))))
+        .as("wt"))
+      .select(col("doc_id"),
+        expr("transform(wt, x -> x.w)").as("ws"),
+        expr("transform(wt, x -> x.tf)").as("tfs"))
+      .persist(sl)
+    val nDocs = docArrs.count()
+    def docSide(aliasId: String, aw: String, atf: String) =
+      ForcedBroadcast.orShuffle(docArrs.select(col("doc_id").as(aliasId),
+        col("ws").as(aw), col("tfs").as(atf)), nDocs, 4096L,
+        "weightedContainmentIncremental verify arrays")
     val m = cand
-      .join(ws.tfAll.select(col("doc_id").as("doc_a"), col("w"),
-        col("tf").as("ta")), Seq("doc_a"))
-      .join(ws.tfAll.select(col("doc_id").as("doc_b"), col("w"),
-        col("tf").as("tb")), Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(least(col("ta"), col("tb"))).as("m"))
+      .join(docSide("doc_a", "wsa", "tfa"), Seq("doc_a"))
+      .join(docSide("doc_b", "wsb", "tfb"), Seq("doc_b"))
+      .withColumn("m", call_function("graft_woverlap",
+        col("wsa"), col("tfa"), col("wsb"), col("tfb")))
+      .drop("wsa", "tfa", "wsb", "tfb")
       .join(ws.sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
         Seq("doc_a"))
       .join(ws.sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
