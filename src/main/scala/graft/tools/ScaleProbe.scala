@@ -302,10 +302,15 @@ object ScaleProbe {
     // stage against those ladders. Needs `source` for the decon bench
     // and the classifier labels, so the replication here keeps it.
     if (only.exists(_.contains("publish_chain"))) {
+      // lineage cut: the chain stacks dedup + decon + gates + publish on
+      // top of this relation, and Catalyst's constraint propagation over
+      // a k-way union under that stack OOMs the driver at k=64 — the
+      // probe input becomes a plain block scan, like a real deployment's
+      // table read
       val docsSrc = (0 until k).map { r =>
         docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           concat(lit(s"r$r "), col("text")).as("text"), col("source"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _).localCheckpoint(true)
       val out = graft.Bench.scratchDir() + s"/probe_publish_chain_$k"
       t("publish_chain") {
         val kept = Dedup.nearDupKeepFirst(docsSrc, "doc_id",
