@@ -1354,17 +1354,15 @@ object Dedup {
       // weight shared FROM that token on, and the first shared token's
       // row bounds all of m)
       .filter(col("bound").cast("double") >= alpha)
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .select(col("doc_a"), col("doc_b"))
       .persist(sl)
     cand.count()
-    val m = cand
-      .join(tf.select(col("doc_id").as("doc_a"), col("w"),
-        col("tf").as("ta")), Seq("doc_a"))
-      .join(tf.select(col("doc_id").as("doc_b"), col("w"),
-        col("tf").as("tb")), Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(least(col("ta"), col("tb"))).as("m"),
-        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+    // MERGE-WALK verify (r19): one codegen'd sorted-merge Σ min(tf)
+    // per pair instead of the exploded shared-token join — the same
+    // candidate-row-bound shape as the containment faces
+    val m = weightedMergeVerify(cand, tf,
+      docTokens.select(col("doc_id"), col("sw")),
+      "weightedSetSimilarityPairs")
     val jw = col("m").cast("double") /
       (col("sa") + col("sb") - col("m")).cast("double")
     m.filter(jw >= threshold)
@@ -1482,42 +1480,11 @@ object Dedup {
     // false-positive-heavy (one shared rare early token defeats every
     // candidate-level bound — at the k=4 ladder rung 7.1M of 7.1M
     // candidates reached verify for 34k true pairs), so the verify
-    // itself must be candidate-row-bound, not candidate×doc-length.
-    // Per doc, ONE w-sorted token array + aligned tf array; per pair,
-    // one codegen'd sorted-merge Σ min(tf) (graft_woverlap) — no
-    // exploded shared-token join, no 10⁸-row pair aggregate behind it.
-    val docArrs = tf.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("w"), col("tf"))))
-        .as("wt"))
-      .select(col("doc_id"),
-        expr("transform(wt, x -> x.w)").as("ws"),
-        expr("transform(wt, x -> x.tf)").as("tfs"))
-      .persist(sl)
-    val nDocs = docArrs.count()
-    // array rows sit over AQE's auto-broadcast line, but shuffling the
-    // candidate relation TWICE with array payloads attached is the
-    // expensive plan — force the broadcast under the byte guard
-    // (~doc-length tokens × shingle width per row); past the guard the
-    // shuffle join is the honest fallback
-    val sums = docTokens.select(col("doc_id"), col("sw"))
-    def docSide(aliasId: String, aw: String, atf: String) =
-      ForcedBroadcast.orShuffle(docArrs.select(col("doc_id").as(aliasId),
-        col("ws").as(aw), col("tfs").as(atf)), nDocs, 4096L,
-        "weightedContainmentPairs verify arrays")
-    // m computed and the arrays DROPPED before the sums joins: the
-    // cached docTokens' size estimate keeps those joins off the
-    // auto-broadcast path, and a shuffle that still carries the array
-    // payloads would move |cand| × doc-length bytes twice
-    val m = cand
-      .join(docSide("doc_a", "wsa", "tfa"), Seq("doc_a"))
-      .join(docSide("doc_b", "wsb", "tfb"), Seq("doc_b"))
-      .withColumn("m", call_function("graft_woverlap",
-        col("wsa"), col("tfa"), col("wsb"), col("tfb")))
-      .drop("wsa", "tfa", "wsb", "tfb")
-      .join(sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
-        Seq("doc_a"))
-      .join(sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
-        Seq("doc_b"))
+    // must be candidate-row-bound, not candidate×doc-length — no
+    // exploded shared-token join, no 10⁸-row pair aggregate behind it
+    val m = weightedMergeVerify(cand, tf,
+      docTokens.select(col("doc_id"), col("sw")),
+      "weightedContainmentPairs")
     val jw = col("m").cast("double") /
       (col("sa") + col("sb") - col("m")).cast("double")
     val ca = col("m").cast("double") / col("sa")
@@ -1637,21 +1604,54 @@ object Dedup {
       .distinct()
       .persist(sl)
     cand.count()
-    val m = cand
-      .join(ws.tfAll.select(col("doc_id").as("doc_a"), col("w"),
-        col("tf").as("ta")), Seq("doc_a"))
-      .join(ws.tfAll.select(col("doc_id").as("doc_b"), col("w"),
-        col("tf").as("tb")), Seq("doc_b", "w"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(least(col("ta"), col("tb"))).as("m"))
-      .join(ws.sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
-        Seq("doc_a"))
-      .join(ws.sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
-        Seq("doc_b"))
+    // MERGE-WALK verify (r19, the weightedContainmentIncremental shape):
+    // per pair one codegen'd sorted-merge Σ min(tf) instead of the
+    // exploded shared-token join; arrays resolved and dropped before
+    // the weight-sum joins
+    val m = weightedMergeVerify(cand, ws.tfAll, ws.sums,
+      "weightedSetSimilarityIncremental")
     val jw = col("m").cast("double") /
       (col("sa") + col("sb") - col("m")).cast("double")
     m.filter(jw >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jw, 6).as("wjaccard"))
+  }
+
+  /** Shared merge-walk verify of the weighted families (r19): builds
+    * one w-sorted token array + aligned tf array per document from the
+    * (replay-deduped) `tf` relation, broadcasts them under the byte
+    * guard, and resolves `m = Σ min(tf_a, tf_b)` per candidate pair
+    * with ONE codegen'd sorted-merge ([[graft.functions
+    * .WeightedMinOverlap]]) — the verify is candidate-ROW-bound, never
+    * candidate × doc-length. The arrays are dropped before the weight
+    * sums join on, so no shuffle carries array payloads. Returns
+    * (doc_a, doc_b, m, sa, sb).
+    */
+  private def weightedMergeVerify(cand: DataFrame, tf: DataFrame,
+                                  sums: DataFrame,
+                                  label: String): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docArrs = tf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("tf"))))
+        .as("wt"))
+      .select(col("doc_id"),
+        expr("transform(wt, x -> x.w)").as("ws"),
+        expr("transform(wt, x -> x.tf)").as("tfs"))
+      .persist(sl)
+    val nDocs = docArrs.count()
+    def docSide(aliasId: String, aw: String, atf: String) =
+      ForcedBroadcast.orShuffle(docArrs.select(col("doc_id").as(aliasId),
+        col("ws").as(aw), col("tfs").as(atf)), nDocs, 4096L,
+        s"$label verify arrays")
+    cand
+      .join(docSide("doc_a", "wsa", "tfa"), Seq("doc_a"))
+      .join(docSide("doc_b", "wsb", "tfb"), Seq("doc_b"))
+      .withColumn("m", call_function("graft_woverlap",
+        col("wsa"), col("tfa"), col("wsb"), col("tfb")))
+      .drop("wsa", "tfa", "wsb", "tfb")
+      .join(sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
+        Seq("doc_a"))
+      .join(sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
+        Seq("doc_b"))
   }
 
   /** Incremental (batch-vs-index) face of [[weightedContainmentPairs]]:
@@ -1706,31 +1706,9 @@ object Dedup {
     cand.count()
     // MERGE-WALK verify over the replay-deduped tf relation (r19 —
     // the batch face's shape: containment candidates are false-
-    // positive-heavy by nature, so verify must be candidate-row-bound;
-    // m and the arrays resolved BEFORE the sums joins so no shuffle
-    // ever carries the array payloads)
-    val docArrs = ws.tfAll.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("w"), col("tf"))))
-        .as("wt"))
-      .select(col("doc_id"),
-        expr("transform(wt, x -> x.w)").as("ws"),
-        expr("transform(wt, x -> x.tf)").as("tfs"))
-      .persist(sl)
-    val nDocs = docArrs.count()
-    def docSide(aliasId: String, aw: String, atf: String) =
-      ForcedBroadcast.orShuffle(docArrs.select(col("doc_id").as(aliasId),
-        col("ws").as(aw), col("tfs").as(atf)), nDocs, 4096L,
-        "weightedContainmentIncremental verify arrays")
-    val m = cand
-      .join(docSide("doc_a", "wsa", "tfa"), Seq("doc_a"))
-      .join(docSide("doc_b", "wsb", "tfb"), Seq("doc_b"))
-      .withColumn("m", call_function("graft_woverlap",
-        col("wsa"), col("tfa"), col("wsb"), col("tfb")))
-      .drop("wsa", "tfa", "wsb", "tfb")
-      .join(ws.sums.select(col("doc_id").as("doc_a"), col("sw").as("sa")),
-        Seq("doc_a"))
-      .join(ws.sums.select(col("doc_id").as("doc_b"), col("sw").as("sb")),
-        Seq("doc_b"))
+    // positive-heavy by nature, so verify must be candidate-row-bound)
+    val m = weightedMergeVerify(cand, ws.tfAll, ws.sums,
+      "weightedContainmentIncremental")
     val jw = col("m").cast("double") /
       (col("sa") + col("sb") - col("m")).cast("double")
     val ca = col("m").cast("double") / col("sa")
