@@ -144,7 +144,6 @@ object Aggregations {
     */
   def skyline2DBy(df: DataFrame, groupCols: Seq[String], xCol: String,
                   yCol: String): DataFrame = {
-    val gs = groupCols.map(col)
     val keys = groupCols :+ xCol
     val anyNull = (keys :+ yCol).map(col(_).isNull).reduce(_ || _)
     val passThrough = df.filter(anyNull)
