@@ -234,7 +234,7 @@ object Aggregations {
       .withColumn("__rm_lt", min(col("__miny")).over(wLt))
   }
 
-  private def runningMins(perX: DataFrame, groupCols: Seq[String],
+  private[graft] def runningMins(perX: DataFrame, groupCols: Seq[String],
                           xCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     val gs = groupCols.map(col)

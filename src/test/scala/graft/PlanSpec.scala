@@ -698,32 +698,50 @@ class PlanSpec extends SparkSpec {
     // windows partitioned by the coarse value bucket; the ONLY
     // zero-partition window allowed is the <=256-row cross-bucket
     // prefix (ordered by __ob), never one ordered by the x column.
-    // Synthesized >SkylineSmallMaxRows distinct x so the r19 cheap-path
-    // dispatch cannot route this pin onto the small window (sf0.001
-    // part sits under the 10k bound by design)
-    import org.apache.spark.sql.functions.{col => c, expr}
-    val big = spark.range(30000)
-      .select(c("id").as("p_partkey"),
-        (c("id").cast("double") / 7.0).as("p_retailprice"),
-        expr("CAST(id % 50 AS INT)").as("p_size"))
-    val df = graft.ops.Aggregations.skyline2D(
-      big, "p_retailprice", "p_size")
-    // unwrap AQE: the adaptive node hides its plan from TreeNode.collect
-    val phys = df.queryExecution.executedPlan match {
+    // The pin inspects runningMins' OWN plan (r19): the operator
+    // localCheckpoints the frontier, so the published DataFrame's plan
+    // hides every window behind an RDD scan and a pin on it would pass
+    // vacuously whatever the machinery did. Synthesized
+    // >SkylineSmallMaxRows distinct x mirrors the large-path regime.
+    import org.apache.spark.sql.functions.{col => c, min => mn}
+    val perX = spark.range(30000)
+      .select((c("id").cast("double") / 7.0).as("p_retailprice"),
+        (c("id") % 50).cast("int").as("__miny"))
+    val mins = graft.ops.Aggregations.runningMins(
+      perX, Nil, "p_retailprice")
+    val phys = mins.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.inputPlan
       case p => p
     }
-    val bad = phys.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty &&
-            w.orderSpec.exists(_.child.references.exists(
-              _.name == "p_retailprice")) => w
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
+    assert(windows.nonEmpty, "expected the bucketed windows in the plan")
+    val bad = windows.filter(w => w.partitionSpec.isEmpty &&
+      w.orderSpec.exists(_.child.references.exists(
+        _.name == "p_retailprice")))
     assert(bad.isEmpty,
       s"continuous x must not plan a global window over distinct x:\n" +
-        df.queryExecution.executedPlan)
-    assert(df.count() > 0)
+        mins.queryExecution.executedPlan)
+    // and the within-bucket windows must partition on the coarse bucket
+    assert(windows.exists(w => w.partitionSpec.exists(
+        _.references.exists(_.name == "__cb"))),
+      "expected windows partitioned by the coarse value bucket")
+    assert(mins.count() == 30000)
+  }
+
+  test("weighted containment: merge-walk verify, no exploded pair aggregate") {
+    // the r19 verify shape: candidates hash-join the broadcast per-doc
+    // arrays and resolve m with ONE graft_woverlap call per pair — the
+    // exploded shared-token join (|cand| x doc-length rows + a pair
+    // aggregate) must never come back
+    val p = planOf("dedup_containment_weighted")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must stay a hash join:\n$p")
+    assert(p.contains("graft_woverlap"),
+      s"verify must be the sorted-merge native expression:\n$p")
   }
 
   test("containment exact: prefix-x-full blocking is a hash equi-join") {
