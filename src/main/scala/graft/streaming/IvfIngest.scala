@@ -107,4 +107,17 @@ object IvfIngest {
     graft.pipeline.Pipeline.purgeIds(spark, indexDir, vecIds,
       Seq("vec_id"))
 
+  /** Store hygiene (the family-wide compact face): rewrite the index to
+    * its read-side fixpoint — one row per vec_id — through the atomic
+    * swap. The store grows only by replayed deliveries (assignment is
+    * deterministic, so duplicates are bit-identical and [[index]]
+    * dedups them on read), so compaction here is file/size hygiene for
+    * long-running at-least-once deployments, not a correctness
+    * dependency; reads before, during and after a compact see the same
+    * relation.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      index(spark, indexDir), indexDir)
+
 }

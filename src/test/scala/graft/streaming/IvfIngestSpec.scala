@@ -70,5 +70,18 @@ class IvfIngestSpec extends SparkSpec {
       rows.filter(_._1 == victim).toSeq.toDF("vec_id", "embedding"),
       cbDir, idxDir)
     assert(got() == want, "re-ingest after purge did not restore parity")
+
+    // compact (family-wide store-hygiene face): collapses the replayed
+    // duplicates to the read-side fixpoint, invisible to reads, and
+    // further ingest converges identically afterwards
+    val rawBefore = spark.read.parquet(idxDir).count()
+    assert(rawBefore > all.count(), "replay should have left duplicates")
+    IvfIngest.compact(spark, idxDir)
+    assert(spark.read.parquet(idxDir).count() == all.count(),
+      "compact must rewrite to one row per vec_id")
+    assert(got() == want, "compact changed the served top-k")
+    IvfIngest.ingestBatch(batches(0).toSeq.toDF("vec_id", "embedding"),
+      cbDir, idxDir)
+    assert(got() == want, "post-compact replay ingest moved results")
   }
 }
