@@ -125,6 +125,13 @@ object Pipeline {
     if (hadPrev) require(fs.rename(dest, old), s"stash of previous $path failed")
     require(fs.rename(tmp, dest), s"atomic swap failed for $path")
     if (hadPrev) fs.delete(old, true)
+    // drop every cache that references the swapped path — file-listing
+    // indexes AND persisted plans built over the old files (CacheManager
+    // matches plans structurally, so a post-swap read of the same path
+    // would otherwise be served a cached relation whose unmaterialized
+    // partitions point at the deleted generation; surfaced by the r19
+    // compact-face specs as FAILED_READ_FILE.FILE_NOT_EXIST)
+    spark.catalog.refreshByPath(path)
   }
 
   /** Small-files compaction — the maintenance job every long-lived

@@ -50,4 +50,21 @@ object CountMinIngest {
       .dropDuplicates("epoch_id", "row_i", "bucket")
       .groupBy(col("row_i"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Store hygiene (the [[ActivityIngest.compactKeys]] convention):
+    * rewrite the store to its replay-dedup fixpoint — one row per
+    * (epoch, cell) — through the atomic swap, collapsing duplicate
+    * deliveries and the one-file-per-append fragmentation. Epoch
+    * structure is PRESERVED: folding epochs into one synthetic partial
+    * would double-count any of them replayed after the fold (the
+    * ActivityIngest trap — additive counts are not idempotent, unlike
+    * the per-key maxima [[SeqPatternIngest.compact]] folds), so the
+    * row count stays O(epochs × cells) with cells ≤ depth×width;
+    * a full fold would need a write-side epoch watermark, a different
+    * ingest contract.
+    */
+  def compact(spark: SparkSession, sketchDir: String): Unit =
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      spark.read.parquet(sketchDir)
+        .dropDuplicates("epoch_id", "row_i", "bucket"), sketchDir)
 }

@@ -78,4 +78,18 @@ object ErIngest {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
       .dropDuplicates("id_a", "id_b")
 
+  /** Store hygiene (the family-wide compact face): rewrite both stores
+    * to their read-side replay-dedup fixpoints through the atomic swap
+    * ([[Stores.compactDedup]]) — replayed deliveries and append-file
+    * fragmentation collapse; reads before and after see the same
+    * relations.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              pairsDir: String): Unit = {
+    // one segment row per (record, position); dist is deterministic per
+    // pair, so the raw-orientation key is exact
+    Stores.compactDedup(spark, indexDir, Seq("index_id", "i"))
+    Stores.compactDedup(spark, pairsDir, Seq("id_a", "id_b"))
+  }
+
 }

@@ -25,11 +25,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * satisfies est <= true with the epoch's decrement budget), so even a
   * replay that repartitioned the batch stays inside the bound.
   *
-  * There is deliberately NO cross-epoch compaction: folding epochs
+  * There is deliberately NO cross-epoch FOLDING: merging epochs
   * 0..i into one synthetic summary would double-count any of those
   * epochs replayed AFTER the fold (the exact failure `ActivityIngest`
-  * documents for its per-epoch count partials). State is k rows per
-  * epoch — compaction has nothing material to reclaim.
+  * documents for its per-epoch count partials). [[compact]] is the
+  * weaker, safe face: the replay-dedup fixpoint rewrite, epoch
+  * structure preserved — state stays k rows per epoch.
   */
 object HeavyHittersIngest {
 
@@ -76,5 +77,21 @@ object HeavyHittersIngest {
       .withColumn("est", col("__sum") - coalesce(col("__off"), lit(0L)))
       .filter(col("est") > 0)
       .select(col("key"), col("est"))
+  }
+
+  /** Store hygiene (the [[ActivityIngest.compactKeys]] convention):
+    * rewrite both stores to their replay-dedup fixpoints through the
+    * atomic swap — duplicate deliveries and append-file fragmentation
+    * collapse; epoch structure stays (see the no-cross-epoch-folding
+    * note above).
+    */
+  def compact(spark: SparkSession, sketchDir: String,
+              totalsDir: String): Unit = {
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      spark.read.parquet(sketchDir).dropDuplicates("epoch_id", "key"),
+      sketchDir)
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      spark.read.parquet(totalsDir).dropDuplicates("epoch_id"),
+      totalsDir)
   }
 }

@@ -106,6 +106,28 @@ object MarkovIngest {
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
   }
 
+  /** Store hygiene (the [[ActivityIngest.compactKeys]] convention):
+    * rewrite both stores to their replay-dedup fixpoints through the
+    * atomic swap. Epoch structure is preserved in BOTH: `trans`
+    * partials are additive (the cross-epoch-fold double-count trap),
+    * and `edges` rows feed the consecutive-epoch stitch, whose
+    * pairing — and the [[orderViolations]] audit — reads the per-epoch
+    * ranges. The edges store is the O(users × epochs) one; a full fold
+    * (one boundary row per user) would need a write-side epoch
+    * watermark to stay replay-safe — a different ingest contract,
+    * documented here rather than silently assumed.
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      spark.read.parquet(s"$storeDir/trans")
+        .dropDuplicates("epoch_id", "from_type", "to_type"),
+      s"$storeDir/trans")
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      spark.read.parquet(s"$storeDir/edges")
+        .dropDuplicates("epoch_id", "user_id"),
+      s"$storeDir/edges")
+  }
+
   /** The contract audit: per user, every pair of CONSECUTIVE epochs
     * whose event-time ranges are out of order (later epoch starts
     * before the earlier one ended) — nonempty means [[report]] no

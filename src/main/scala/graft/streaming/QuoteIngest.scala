@@ -118,4 +118,17 @@ object QuoteIngest {
       indexDirs = Seq(anchorDir), pairsDirs = Seq(pairsDir),
       docsDirs = Seq(docsDir))
 
+  /** Store hygiene (the family-wide compact face): rewrite both stores
+    * to their read-side replay-dedup fixpoints through the atomic swap
+    * ([[Stores.compactDedup]]) — replayed deliveries and append-file
+    * fragmentation collapse; reads before and after see the same
+    * relations.
+    */
+  def compact(spark: SparkSession, pairsDir: String, anchorDir: String,
+              docsDir: String): Unit = {
+    Stores.compactDedup(spark, pairsDir, Seq("doc_a", "doc_b"))
+    Stores.compactDedup(spark, anchorDir, Seq("ah", "doc_id"))
+    Stores.compactDedup(spark, docsDir, Seq("doc_id"))
+  }
+
 }

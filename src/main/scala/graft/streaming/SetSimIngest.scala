@@ -77,4 +77,16 @@ object SetSimIngest {
     spark.read.parquet(pairsDir)
       .dropDuplicates("doc_a", "doc_b")
 
+  /** Store hygiene (the family-wide compact face): rewrite both stores
+    * to their read-side replay-dedup fixpoints through the atomic swap
+    * ([[Stores.compactDedup]]) — replayed deliveries and append-file
+    * fragmentation collapse; reads before and after see the same
+    * relations.
+    */
+  def compact(spark: SparkSession, indexDir: String, pairsDir: String,
+              idCol: String): Unit = {
+    Stores.compactDedup(spark, indexDir, Seq(idCol))
+    Stores.compactDedup(spark, pairsDir, Seq("doc_a", "doc_b"))
+  }
+
 }

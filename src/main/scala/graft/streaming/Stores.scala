@@ -15,4 +15,18 @@ private[streaming] object Stores {
     fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Store hygiene shared by the content-keyed index/pair families
+    * (r19): rewrite `dir` to its read-side replay-dedup fixpoint — one
+    * row per `keys` tuple — through the atomic swap. Exact for stores
+    * whose reads already `dropDuplicates(keys)` (replayed deliveries
+    * append identical rows there); collapses the duplicates AND the
+    * one-file-per-append fragmentation a long-running at-least-once
+    * deployment accumulates. No-op on a never-written store.
+    */
+  def compactDedup(spark: SparkSession, dir: String,
+                   keys: Seq[String]): Unit =
+    if (hasParquet(spark, dir))
+      graft.pipeline.Pipeline.atomicOverwrite(spark,
+        spark.read.parquet(dir).dropDuplicates(keys), dir)
 }

@@ -73,4 +73,16 @@ object WeightedContainmentIngest {
     NearDupIngest.purge(spark, ids,
       pairsDirs = Seq(pairsDir), docsDirs = Seq(indexDir))
 
+  /** Store hygiene (the family-wide compact face): rewrite both stores
+    * to their read-side replay-dedup fixpoints through the atomic swap
+    * ([[Stores.compactDedup]]) — replayed deliveries and append-file
+    * fragmentation collapse; reads before and after see the same
+    * relations.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+              pairsDir: String): Unit = {
+    Stores.compactDedup(spark, indexDir, Seq("doc_id"))
+    Stores.compactDedup(spark, pairsDir, Seq("doc_a", "doc_b"))
+  }
+
 }

@@ -50,6 +50,22 @@ object WindowCountsIngest {
       .dropDuplicates("window_start", "event_type")
       .select(col("window_start"), col("event_type"), col("n"))
 
+  /** Store hygiene: rewrite the series to one row per finalized
+    * (window, type) through the atomic swap — exact, because a
+    * finalized count is immutable (re-deliveries carry identical n),
+    * so unlike the additive-partial stores this one CAN fully collapse;
+    * the kept epoch_id is min-provenance (the
+    * [[ActivityIngest.compactKeys]] convention).
+    */
+  def compact(spark: SparkSession, countsDir: String): Unit =
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      spark.read.parquet(countsDir)
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(min(col("n")).as("n"), min(col("epoch_id")).as("epoch_id"))
+        .select(col("window_start"), col("event_type"), col("n"),
+          col("epoch_id")),
+      countsDir)
+
   /** Running anomaly report — identical to the batch
     * [[graft.ops.EventOps.anomalyScores]] over the finalized windows.
     */

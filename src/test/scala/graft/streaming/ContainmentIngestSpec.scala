@@ -54,5 +54,11 @@ class ContainmentIngestSpec extends SparkSpec {
     ContainmentIngest.ingestBatch(batches(1).toDF("doc_id", "text"),
       indexDir, pairsDir, "doc_id", "text", threshold = 0.5, k = 1)
     assert(got() == want, "replayed batch moved the pair set")
+    // compact: replay-dedup fixpoint of index + pairs, invisible to reads
+    val rawIdx = spark.read.parquet(indexDir).count()
+    ContainmentIngest.compact(spark, indexDir, pairsDir, "doc_id")
+    assert(spark.read.parquet(indexDir).count() < rawIdx,
+      "replayed index rows should collapse")
+    assert(got() == want, "compact moved the pair set")
   }
 }

@@ -56,5 +56,23 @@ class CountMinIngestSpec extends SparkSpec {
     val rowMass = streamed.groupBy(col("row_i"))
       .agg(sum(col("cnt")).as("m")).collect().map(_.getLong(1))
     assert(rowMass.forall(_ == keys.size.toLong))
+
+    // compact: replay-dedup fixpoint, invisible to reads, epochs kept
+    val rawBefore = spark.read.parquet(s"$tmp/sketch").count()
+    CountMinIngest.compact(spark, s"$tmp/sketch")
+    val raw = spark.read.parquet(s"$tmp/sketch")
+    assert(raw.count() < rawBefore, "replayed cells should collapse")
+    assert(raw.select("epoch_id").distinct().count() == chunks.size,
+      "compact must preserve epoch structure")
+    val after = CountMinIngest.sketch(spark, s"$tmp/sketch")
+    assert(after.exceptAll(batch).isEmpty && batch.exceptAll(after).isEmpty,
+      "compact changed the lifetime sketch")
+    // further ingest converges identically post-compaction
+    CountMinIngest.ingestBatch(Seq("zz1", "zz2").toDF("k"), "k",
+      s"$tmp/sketch", chunks.size.toLong)
+    val batch2 = CountMin.build((keys ++ Seq("zz1", "zz2")).toDF("k"), "k")
+    val after2 = CountMinIngest.sketch(spark, s"$tmp/sketch")
+    assert(after2.exceptAll(batch2).isEmpty &&
+      batch2.exceptAll(after2).isEmpty)
   }
 }

@@ -51,5 +51,11 @@ class ErIngestSpec extends SparkSpec {
     ErIngest.ingestBatch(batches(1).toDF("id", "s"),
       indexDir, pairsDir, "id", "s", d = 1)
     assert(got() == want, "replayed batch moved the pair report")
+    // compact: replay-dedup fixpoint of segment index + pairs
+    val rawIdx = spark.read.parquet(indexDir).count()
+    ErIngest.compact(spark, indexDir, pairsDir)
+    assert(spark.read.parquet(indexDir).count() < rawIdx,
+      "replayed segment rows should collapse")
+    assert(got() == want, "compact moved the pair report")
   }
 }

@@ -70,6 +70,21 @@ class HeavyHittersIngestSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(n2 == n1, "replay inflated the ingested total")
     assert(b2 == b1, "replay changed the board")
+
+    // compact: replay-dedup fixpoint rewrite of both stores, invisible
+    // to the board and the total, epoch structure preserved
+    val rawBefore = spark.read.parquet(s"$tmp/sketch").count() +
+      spark.read.parquet(s"$tmp/totals").count()
+    HeavyHittersIngest.compact(spark, s"$tmp/sketch", s"$tmp/totals")
+    val rawAfter = spark.read.parquet(s"$tmp/sketch").count() +
+      spark.read.parquet(s"$tmp/totals").count()
+    assert(rawAfter < rawBefore, "replayed rows should collapse")
+    assert(spark.read.parquet(s"$tmp/totals")
+      .select("epoch_id").distinct().count() == chunks.size)
+    assert(HeavyHittersIngest.totalIngested(spark, s"$tmp/totals") == n1)
+    val b3 = HeavyHittersIngest.report(spark, s"$tmp/sketch", K)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b3 == b1, "compact changed the board")
   }
 
   test("flooder dominates the final board") {

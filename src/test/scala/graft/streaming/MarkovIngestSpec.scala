@@ -81,6 +81,19 @@ class MarkovIngestSpec extends SparkSpec {
     val streamed = MarkovIngest.report(spark, s"$tmp/store")
       .collect().map(_.toSeq).toSet
     assert(streamed == batchMatrix)
+    // compact: replay-dedup fixpoint of trans AND edges, invisible to
+    // the stitched report, epoch structure preserved
+    val rawBefore = spark.read.parquet(s"$tmp/store/trans").count() +
+      spark.read.parquet(s"$tmp/store/edges").count()
+    MarkovIngest.compact(spark, s"$tmp/store")
+    assert(spark.read.parquet(s"$tmp/store/trans").count() +
+      spark.read.parquet(s"$tmp/store/edges").count() < rawBefore,
+      "replayed epoch rows should collapse")
+    assert(spark.read.parquet(s"$tmp/store/edges")
+      .select("epoch_id").distinct().count() == chunks.size)
+    assert(MarkovIngest.report(spark, s"$tmp/store")
+      .collect().map(_.toSeq).toSet == batchMatrix,
+      "compact changed the stitched report")
     // now an epoch that time-travels BEFORE the last one: audited loudly
     MarkovIngest.ingestBatch(
       Seq((1L, 999L, "view", ts(0))).toDF("user_id", "event_id",

@@ -63,6 +63,12 @@ class QuoteIngestSpec extends SparkSpec {
       anchorDir, docsDir, pairsDir, "doc_id", "text",
       nAnchors = 8, threshold = 0.5)
     assert(got() == want, "replayed batch moved the pair set")
+    // compact: replay-dedup fixpoint of all three stores
+    val rawDocs = spark.read.parquet(docsDir).count()
+    QuoteIngest.compact(spark, pairsDir, anchorDir, docsDir)
+    assert(spark.read.parquet(docsDir).count() < rawDocs,
+      "replayed doc rows should collapse")
+    assert(got() == want, "compact moved the pair set")
 
     // purge long 1: no store may reference it afterwards
     val removed = QuoteIngest.purge(spark, Seq(1L).toDF("id"),

@@ -51,5 +51,15 @@ class SetSimIngestSpec extends SparkSpec {
     SetSimIngest.ingestBatch(batches(1).toDF("doc_id", "text"),
       indexDir, pairsDir, "doc_id", "text", threshold = 0.5, k = 1)
     assert(got() == want, "replayed batch moved the pair set")
+    // compact: replay-dedup fixpoint of index + pairs, invisible to
+    // reads; further ingest converges identically afterwards
+    val rawBefore = spark.read.parquet(indexDir).count()
+    SetSimIngest.compact(spark, indexDir, pairsDir, "doc_id")
+    assert(spark.read.parquet(indexDir).count() < rawBefore,
+      "replayed index rows should collapse")
+    assert(got() == want, "compact moved the pair set")
+    SetSimIngest.ingestBatch(batches(1).toDF("doc_id", "text"),
+      indexDir, pairsDir, "doc_id", "text", threshold = 0.5, k = 1)
+    assert(got() == want, "post-compact replay moved the pair set")
   }
 }

@@ -55,6 +55,12 @@ class WeightedContainmentIngestSpec extends SparkSpec {
     WeightedContainmentIngest.ingestBatch(batches(0).toDF("doc_id", "text"),
       indexDir, pairsDir, "doc_id", "text", threshold = 0.6, k = 1)
     assert(got() == want, "replayed batch moved the pair set")
+    // compact: replay-dedup fixpoint of index + pairs, invisible to reads
+    val rawIdx = spark.read.parquet(indexDir).count()
+    WeightedContainmentIngest.compact(spark, indexDir, pairsDir)
+    assert(spark.read.parquet(indexDir).count() < rawIdx,
+      "replayed index rows should collapse")
+    assert(got() == want, "compact moved the pair set")
     // purge doc 0: pairs and store row forgotten, survivors intact
     val removed = WeightedContainmentIngest.purge(spark,
       Seq(0L).toDF("doc_id"), indexDir, pairsDir)

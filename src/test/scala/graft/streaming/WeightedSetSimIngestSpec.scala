@@ -57,6 +57,12 @@ class WeightedSetSimIngestSpec extends SparkSpec {
     WeightedSetSimIngest.ingestBatch(batches(1).toDF("doc_id", "text"),
       indexDir, pairsDir, "doc_id", "text", threshold = 0.5, k = 1)
     assert(got() == want, "replayed batch moved the pair set")
+    // compact: replay-dedup fixpoint of index + pairs, invisible to reads
+    val rawIdx = spark.read.parquet(indexDir).count()
+    WeightedSetSimIngest.compact(spark, indexDir, pairsDir)
+    assert(spark.read.parquet(indexDir).count() < rawIdx,
+      "replayed index rows should collapse")
+    assert(got() == want, "compact moved the pair set")
     // right-to-be-forgotten: purge doc 0 — its pairs and store row go;
     // survivors keep theirs
     val removed = WeightedSetSimIngest.purge(spark,

@@ -75,6 +75,16 @@ class WindowCountsIngestSpec extends SparkSpec {
     replay.write.mode("append").parquet(countsDir)
     val (ra, rt) = reports()
     assert(ra == batchAnomaly && rt == batchTopK, "replay moved a report")
+
+    // compact: the finalized series is content-keyed and immutable, so
+    // it fully collapses to one row per (window, type) — reports
+    // unchanged, replayed rows gone
+    val nSeries = WindowCountsIngest.series(spark, countsDir).count()
+    WindowCountsIngest.compact(spark, countsDir)
+    assert(spark.read.parquet(countsDir).count() == nSeries,
+      "compact must collapse to one row per finalized (window, type)")
+    val (ca, ct) = reports()
+    assert(ca == batchAnomaly && ct == batchTopK, "compact moved a report")
   }
 
   test("EWMA report equals batch ewmaDaily on finalized day windows") {
