@@ -42,4 +42,13 @@ object MixIngest {
     Dedup.weightedSampleWithEpochs(batch, idCol, groupCol, rates)
       .write.mode("append").parquet(outDir)
   }
+  /** Store hygiene (the family-wide compact face): rewrite the mixed
+    * corpus to one row per (id, epoch) — the documented reader dedup
+    * key — through the atomic swap, collapsing replayed deliveries and
+    * append-file fragmentation.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, outDir: String,
+              idCol: String = "doc_id"): Unit =
+    Stores.compactDedup(spark, outDir, Seq(idCol, "epoch"))
+
 }

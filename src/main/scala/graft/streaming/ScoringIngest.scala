@@ -53,4 +53,16 @@ object ScoringIngest {
       .write.mode("append").parquet(keptDir)
     scored.unpersist()
   }
+  /** Store hygiene (the family-wide compact face): rewrite both sinks
+    * to one row per document — the documented reader dedup key —
+    * through the atomic swap (scores are deterministic functions of
+    * (text, weights); a replay under RETRAINED weights is the caller's
+    * versioning concern, as documented above).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, scoresDir: String,
+              keptDir: String, idCol: String = "doc_id"): Unit = {
+    Stores.compactDedup(spark, scoresDir, Seq(idCol))
+    Stores.compactDedup(spark, keptDir, Seq(idCol))
+  }
+
 }

@@ -50,5 +50,18 @@ class MixIngestSpec extends SparkSpec {
     // and at least one doc carries epoch >= 1
     assert(batch.size > docs.size)
     assert(spark.read.parquet(outDir).filter(col("epoch") >= 1).count() > 0)
+
+    // replay + compact: a re-delivered chunk appends duplicate
+    // (id, epoch) rows; compact rewrites to the documented reader
+    // dedup key and the exact relation is unchanged
+    MixIngest.ingestBatch(
+      docs.take(3).toDF("doc_id", "source", "n_chars"),
+      ratesDir, outDir, "doc_id", "source")
+    val rawBefore = spark.read.parquet(outDir).count()
+    MixIngest.compact(spark, outDir)
+    assert(spark.read.parquet(outDir).count() < rawBefore,
+      "replayed rows should collapse")
+    assert(spark.read.parquet(outDir).collect().map(_.toSeq).toSet ==
+      batch, "compact changed the mixed corpus")
   }
 }

@@ -57,6 +57,21 @@ class ScoringIngestSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptIds == expected && expected.nonEmpty)
     assert(expected.size < docs.size) // the threshold actually splits
+
+    // replay + compact: duplicate (doc_id, score) rows collapse to the
+    // documented reader dedup key; both sinks read identically after
+    ScoringIngest.ingestBatch(docs.take(3).toDF("doc_id", "text"),
+      wDir, scoresDir, keptDir, dim = 64, minScore = cut,
+      idCol = "doc_id", textCol = "text")
+    val rawBefore = spark.read.parquet(scoresDir).count()
+    ScoringIngest.compact(spark, scoresDir, keptDir)
+    assert(spark.read.parquet(scoresDir).count() < rawBefore,
+      "replayed score rows should collapse")
+    assert(spark.read.parquet(scoresDir).distinct()
+      .collect().map(_.toSeq).toSet == batch, "compact changed scores")
+    assert(spark.read.parquet(keptDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == expected,
+      "compact changed the kept corpus")
     spark.catalog.clearCache()
   }
 }
