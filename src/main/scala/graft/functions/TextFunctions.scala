@@ -335,8 +335,13 @@ case class WordGrams(child: Expression, k: Int, distinct: Boolean,
 object WeightedMinOverlapUtil {
   def overlap(wa: ArrayData, ta: ArrayData, wb: ArrayData,
               tb: ArrayData): Long = {
-    val na = wa.numElements()
-    val nb = wb.numElements()
+    // graft_woverlap is a registered public SQL function, so user SQL
+    // can hand it ragged input: bound every tf read by the TF array's
+    // own length and null-guard tf slots (reading a null slot via
+    // getLong is undefined), mirroring the isNullAt guards on the
+    // token arrays — a malformed row contributes 0, never garbage
+    val na = math.min(wa.numElements(), ta.numElements())
+    val nb = math.min(wb.numElements(), tb.numElements())
     var i = 0
     var j = 0
     var acc = 0L
@@ -346,7 +351,8 @@ object WeightedMinOverlapUtil {
       else {
         val c = wa.getUTF8String(i).compareTo(wb.getUTF8String(j))
         if (c == 0) {
-          acc += math.min(ta.getLong(i), tb.getLong(j))
+          if (!ta.isNullAt(i) && !tb.isNullAt(j))
+            acc += math.min(ta.getLong(i), tb.getLong(j))
           i += 1; j += 1
         } else if (c < 0) i += 1
         else j += 1

@@ -498,36 +498,44 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue())
   }
 
+  /** Register a graft function only if this session doesn't already
+    * have it — operators call [[register]] defensively on every entry,
+    * and sessions built with [[GraftExtensions]] arrive with the
+    * functions pre-injected, so an unconditional
+    * `createOrReplaceTempFunction` logged a SimpleFunctionRegistry
+    * "replaced a previously registered function" warning on every
+    * repeat (ADVICE r19 cosmetics). The builders are identical on both
+    * paths, so skipping an existing name is always safe.
+    */
+  private def regIfAbsent(spark: SparkSession, name: String)(
+      builder: Seq[Expression] => Expression): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    if (!fr.functionExists(FunctionIdentifier(name)))
+      fr.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_fdot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_vec_avg", exprs => VectorAvgAggregate(exprs.head)
-        .toAggregateExpression(), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_grams", wordGramsBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_stopword_hits", stopwordHitsBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_char_fingerprint", charFpBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_q8_scale", exprs => Q8Scale(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_q8", exprs => Q8Quantize(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_i8dot", exprs => Int8DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_matvec", exprs => MatVecMul(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bpe_tokens", bpeTokensBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bpe_merge", bpeMergeBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_woverlap", exprs => WeightedMinOverlap(exprs.head, exprs(1),
-        exprs(2), exprs(3)), "built-in")
+    regIfAbsent(spark, "graft_fdot")(
+      exprs => FloatDotProduct(exprs.head, exprs(1)))
+    regIfAbsent(spark, "graft_vec_avg")(
+      exprs => VectorAvgAggregate(exprs.head).toAggregateExpression())
+    regIfAbsent(spark, "graft_word_grams")(wordGramsBuilder)
+    regIfAbsent(spark, "graft_stopword_hits")(stopwordHitsBuilder)
+    regIfAbsent(spark, "graft_char_fingerprint")(charFpBuilder)
+    regIfAbsent(spark, "graft_q8_scale")(exprs => Q8Scale(exprs.head))
+    regIfAbsent(spark, "graft_q8")(
+      exprs => Q8Quantize(exprs.head, exprs(1)))
+    regIfAbsent(spark, "graft_i8dot")(
+      exprs => Int8DotProduct(exprs.head, exprs(1)))
+    regIfAbsent(spark, "graft_matvec")(
+      exprs => MatVecMul(exprs.head, exprs(1)))
+    regIfAbsent(spark, "graft_bpe_tokens")(bpeTokensBuilder)
+    regIfAbsent(spark, "graft_bpe_merge")(bpeMergeBuilder)
+    regIfAbsent(spark, "graft_jaro_winkler")(
+      exprs => JaroWinkler(exprs.head, exprs(1)))
+    regIfAbsent(spark, "graft_woverlap")(
+      exprs => WeightedMinOverlap(exprs.head, exprs(1), exprs(2),
+        exprs(3)))
   }
 }
 

@@ -1625,6 +1625,16 @@ object Dedup {
     * candidate × doc-length. The arrays are dropped before the weight
     * sums join on, so no shuffle carries array payloads. Returns
     * (doc_a, doc_b, m, sa, sb).
+    *
+    * The broadcast is priced from the DATA, not a flat per-doc
+    * constant (ADVICE r19): the (ws, tfs) payload scales with distinct
+    * grams per document, so one aggregate over the already-persisted
+    * tf relation sums actual token bytes — Σ(len(w) + ~32 B
+    * offsets/tf-slot) per entry plus ~96 B per-doc row/hash-entry
+    * overhead. A corpus of long documents that a flat 4 KiB/doc
+    * estimate would under-price 10×+ now correctly falls back to the
+    * shuffle join before the driver OOMs or Spark's 8 GB broadcast
+    * limit fails the job.
     */
   private def weightedMergeVerify(cand: DataFrame, tf: DataFrame,
                                   sums: DataFrame,
@@ -1637,10 +1647,21 @@ object Dedup {
         expr("transform(wt, x -> x.w)").as("ws"),
         expr("transform(wt, x -> x.tf)").as("tfs"))
       .persist(sl)
-    val nDocs = docArrs.count()
+    // the materializing pass doubles as the sizing pass: the agg that
+    // would have been a bare count() also sums actual token bytes
+    // (~32 B/slot covers the tf long + array offsets; ~96 B/doc covers
+    // the id + row + hash-entry overhead) — zero extra jobs, no second
+    // scan of the tf lineage
+    val stats = docArrs.agg(count(lit(1)).as("n"),
+      coalesce(sum(expr(
+        "aggregate(ws, 0L, (acc, x) -> acc + length(x) + 32L)")),
+        lit(0L)).as("b")).head()
+    val nDocs = stats.getLong(0)
+    val estBytes = stats.getLong(1) + nDocs * 96L
     def docSide(aliasId: String, aw: String, atf: String) =
-      ForcedBroadcast.orShuffle(docArrs.select(col("doc_id").as(aliasId),
-        col("ws").as(aw), col("tfs").as(atf)), nDocs, 4096L,
+      ForcedBroadcast.orShuffleTotal(
+        docArrs.select(col("doc_id").as(aliasId),
+          col("ws").as(aw), col("tfs").as(atf)), nDocs, estBytes,
         s"$label verify arrays")
     cand
       .join(docSide("doc_a", "wsa", "tfa"), Seq("doc_a"))

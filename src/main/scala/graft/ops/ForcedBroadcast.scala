@@ -18,14 +18,35 @@ import org.apache.spark.sql.functions.broadcast
   * better. On the 128 GiB bench JVM both call sites keep their
   * broadcasts exactly as before; on a 1 GiB driver the same 4M rows now
   * correctly fall back to the shuffle join.
+  *
+  * The heap-derived cap is additionally CLAMPED below Spark's hard
+  * BroadcastExchange limits (8 GB of hashed-relation bytes, 512M rows):
+  * on a big driver heap/10 can exceed 8 GB, and a broadcast this guard
+  * approved would then fail the whole job with "Cannot broadcast a
+  * table larger than 8GB" instead of taking the shuffle fallback — the
+  * guard must always trip BEFORE Spark's own limit can. 7 GB leaves
+  * headroom for Spark's hashed-relation overhead beyond our per-row
+  * estimate. An explicit `spark.graft.forcedBroadcastMaxBytes` is
+  * still clamped the same way: the config exists to LOWER the cap for
+  * small drivers, never to opt into a broadcast Spark itself rejects.
   */
 object ForcedBroadcast {
 
-  /** The configurable cap (bytes). */
-  def capBytes(df: DataFrame): Long =
-    df.sparkSession.conf.getOption("spark.graft.forcedBroadcastMaxBytes")
-      .map(_.toLong)
-      .getOrElse(Runtime.getRuntime.maxMemory() / 10)
+  /** Spark's BroadcastExchangeExec fails outright past 8 GB / 512M rows
+    * (`MAX_BROADCAST_TABLE_BYTES` / `MAX_BROADCAST_TABLE_ROWS`); stay
+    * under both so the fallback is ours, not a job failure.
+    */
+  private val HardByteClamp: Long = 7L << 30
+  private val HardRowClamp: Long  = 400L * 1000 * 1000
+
+  /** The configurable cap (bytes), clamped under Spark's hard limit. */
+  def capBytes(df: DataFrame): Long = {
+    val requested =
+      df.sparkSession.conf.getOption("spark.graft.forcedBroadcastMaxBytes")
+        .map(_.toLong)
+        .getOrElse(Runtime.getRuntime.maxMemory() / 10)
+    math.min(requested, HardByteClamp)
+  }
 
   /** `broadcast(df)` when `rows × rowBytes` fits the cap, else `df`
     * itself (the shuffle join is the right plan past broadcast size —
@@ -34,16 +55,27 @@ object ForcedBroadcast {
     * overhead.
     */
   def orShuffle(df: DataFrame, rows: Long, rowBytes: Long,
-                label: String): DataFrame = {
-    val est = rows * rowBytes
+                label: String): DataFrame =
+    orShuffleTotal(df, rows, rows * rowBytes, label)
+
+  /** Same guard, but the caller supplies the TOTAL byte estimate
+    * directly — for relations whose row width is data-dependent
+    * (variable-length array payloads) where a flat per-row constant
+    * can under-price the broadcast by 10×+. Callers derive `est` from
+    * data they already materialized (e.g. Σ token lengths over a
+    * persisted tf relation).
+    */
+  def orShuffleTotal(df: DataFrame, rows: Long, est: Long,
+                     label: String): DataFrame = {
     val cap = capBytes(df)
-    if (est <= cap) broadcast(df)
+    if (est <= cap && rows <= HardRowClamp) broadcast(df)
     else {
       System.err.println(s"[graft] $label: estimated broadcast size " +
-        s"${est >> 20} MiB ($rows rows x $rowBytes B) exceeds the " +
-        s"${cap >> 20} MiB guard (a tenth of driver heap; " +
-        "spark.graft.forcedBroadcastMaxBytes overrides) — joining via " +
-        "shuffle instead")
+        s"${est >> 20} MiB ($rows rows) exceeds the " +
+        s"${cap >> 20} MiB guard (driver-heap/10 clamped under Spark's " +
+        "8GB/512M-row broadcast limits; " +
+        "spark.graft.forcedBroadcastMaxBytes overrides downward) — " +
+        "joining via shuffle instead")
       df
     }
   }

@@ -104,6 +104,64 @@ object Pipeline {
     nBefore - spark.read.parquet(path).count()
   }
 
+  /** Recursive non-hidden data-file listing of a store directory —
+    * the generation snapshot [[atomicOverwrite]]'s concurrent-append
+    * guard diffs. Hidden (`.`/`_`-prefixed) components are skipped the
+    * same way Hadoop's listing filter hides them from readers.
+    */
+  private[graft] def listDataFiles(fs: FileSystem,
+                                   dest: HPath): Set[String] = {
+    if (!fs.exists(dest)) return Set.empty
+    val root = fs.makeQualified(dest)
+    val out = scala.collection.mutable.Set.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      // hidden if any component BELOW the store root is ./_-prefixed
+      // (partition dirs may nest); the root's own name is exempt
+      val hidden = Iterator.iterate(f)(_.getParent)
+        .takeWhile(p => p != null && p != root)
+        .exists(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+      if (!hidden && f.getName.endsWith(".parquet")) out += f.toString
+    }
+    out.toSet
+  }
+
+  /** The pre-swap half of the concurrent-append guard: files present
+    * under `dest` now but absent from the `before` snapshot were
+    * appended by a live writer while the replacement table was being
+    * computed — the swap would silently delete them. Abort loudly
+    * instead (the old generation stays fully intact). Factored out so
+    * the guard is unit-testable without staging a real race.
+    */
+  private[graft] def guardConcurrentAppends(fs: FileSystem, dest: HPath,
+                                            before: Set[String],
+                                            path: String): Unit = {
+    val extras = listDataFiles(fs, dest) -- before
+    if (extras.nonEmpty)
+      throw new IllegalStateException(
+        s"[graft] atomicOverwrite($path): ${extras.size} data file(s) " +
+          "were appended to the store while the replacement table was " +
+          "being written (e.g. " + extras.head + ") — a live ingest is " +
+          "still running. Swapping now would silently delete those " +
+          "rows, so the overwrite is ABORTED and the store left " +
+          "untouched; quiesce the ingest (stop the StreamingQuery) " +
+          "before compacting.")
+  }
+
+  /** Crash-safe full-table replacement via tmp-write + rename.
+    *
+    * Concurrency contract: writers must be QUIESCED for the duration —
+    * an overwrite is a statement about the whole table, meaningless
+    * under concurrent appends. The guard below enforces the common
+    * violation (a live streaming ingest appending during a compact):
+    * the dest listing is snapshotted before the replacement is
+    * computed and re-checked immediately before the swap; any file
+    * that appeared in between aborts the swap with the old generation
+    * intact. Residual exposure is the rename itself (microseconds) vs
+    * the minutes-long tmp write — not a substitute for quiescing, but
+    * it turns the silent-data-loss case into a loud error.
+    */
   def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String,
                       partitionBy: Seq[String] = Nil,
                       maxRecordsPerFile: Long = 5000000): Unit = {
@@ -117,10 +175,13 @@ object Pipeline {
     val old = new HPath(dest.getParent, "." + dest.getName + ".__old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
+    val beforeWrite = listDataFiles(fs, dest)
     val w = df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
+    try guardConcurrentAppends(fs, dest, beforeWrite, path)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     val hadPrev = fs.exists(dest)
     if (hadPrev) require(fs.rename(dest, old), s"stash of previous $path failed")
     require(fs.rename(tmp, dest), s"atomic swap failed for $path")

@@ -113,8 +113,12 @@ object IvfIngest {
     * deterministic, so duplicates are bit-identical and [[index]]
     * dedups them on read), so compaction here is file/size hygiene for
     * long-running at-least-once deployments, not a correctness
-    * dependency; reads before, during and after a compact see the same
-    * relation.
+    * dependency; QUIESCED reads before and after a compact see the
+    * same relation. Quiesce contract: stop the ingest first — rows a
+    * live writer appends during the rewrite belong to the old
+    * generation and would be deleted with it; `atomicOverwrite`'s
+    * swap-time guard detects such appends and aborts the swap loudly
+    * ([[Stores.compactDedup]]).
     */
   def compact(spark: SparkSession, indexDir: String): Unit =
     graft.pipeline.Pipeline.atomicOverwrite(spark,

@@ -23,7 +23,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Delivery contract: at-least-once, same as the other ingest faces —
   * replays append duplicate (doc_id, score) rows; both sinks are
   * append-grown tables whose readers dedup by id when exactness
-  * matters.
+  * matters. Score rows are stamped with the micro-batch `epoch_id` at
+  * write time: when an at-least-once replay spans a weights retrain
+  * the store holds two genuinely different (doc_id, score) rows, and
+  * the epoch stamp is what lets [[compact]] keep one DETERMINISTICALLY
+  * (min-provenance — the [[WindowCountsIngest.compact]] convention)
+  * instead of freezing whichever row `dropDuplicates` happened to hit.
   */
 object ScoringIngest {
 
@@ -32,36 +37,62 @@ object ScoringIngest {
             minScore: Double = 0.5, idCol: String = "doc_id",
             textCol: String = "text"): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], epoch: Long) =>
         ingestBatch(batch, weightsDir, scoresDir, keptDir, dim, minScore,
-          idCol, textCol)
+          idCol, textCol, epoch)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
 
   def ingestBatch(batch: DataFrame, weightsDir: String, scoresDir: String,
                   keptDir: String, dim: Int, minScore: Double,
-                  idCol: String, textCol: String): Unit = {
+                  idCol: String, textCol: String,
+                  epoch: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val w = spark.read.parquet(weightsDir)
     val scored = QualityModel.scoreHashedLogReg(batch, idCol, textCol, w, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count() // one materialization for the two sinks
-    scored.write.mode("append").parquet(scoresDir)
+    scored.withColumn("epoch_id", lit(epoch))
+      .write.mode("append").parquet(scoresDir)
     batch.join(scored.filter(col("score") >= minScore).select(col(idCol)),
         Seq(idCol), "left_semi")
       .write.mode("append").parquet(keptDir)
     scored.unpersist()
   }
+
+  /** Per-doc score relation, replay-deduped the way [[compact]]
+    * finalizes it: one row per document, the min-(epoch_id, score)
+    * delivery kept — deterministic even when a replay spanned a
+    * weights retrain.
+    */
+  def scores(spark: org.apache.spark.sql.SparkSession,
+             scoresDir: String, idCol: String = "doc_id"): DataFrame =
+    dedupScores(spark.read.parquet(scoresDir), idCol)
+
+  private def dedupScores(raw: DataFrame, idCol: String): DataFrame =
+    raw.groupBy(col(idCol))
+      .agg(min(struct(col("epoch_id"), col("score"), col("pred")))
+        .as("kept"))
+      .select(col(idCol), col("kept.score").as("score"),
+        col("kept.pred").as("pred"), col("kept.epoch_id").as("epoch_id"))
+
   /** Store hygiene (the family-wide compact face): rewrite both sinks
     * to one row per document — the documented reader dedup key —
-    * through the atomic swap (scores are deterministic functions of
-    * (text, weights); a replay under RETRAINED weights is the caller's
-    * versioning concern, as documented above).
+    * through the atomic swap. The score sink keeps the
+    * min-(epoch_id, score) row per document: a plain same-weights
+    * replay carries identical (epoch_id, score) and collapses exactly,
+    * while a replay that spanned a weights RETRAIN (two genuinely
+    * different score rows for one doc) resolves to the earliest
+    * delivery deterministically rather than leaving the choice to
+    * `dropDuplicates` row order. Quiesce contract as family-wide: run
+    * with the ingest stopped ([[Stores.compactDedup]]).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, scoresDir: String,
               keptDir: String, idCol: String = "doc_id"): Unit = {
-    Stores.compactDedup(spark, scoresDir, Seq(idCol))
+    if (Stores.hasParquet(spark, scoresDir))
+      graft.pipeline.Pipeline.atomicOverwrite(spark,
+        dedupScores(spark.read.parquet(scoresDir), idCol), scoresDir)
     Stores.compactDedup(spark, keptDir, Seq(idCol))
   }
 

@@ -23,6 +23,15 @@ private[streaming] object Stores {
     * append identical rows there); collapses the duplicates AND the
     * one-file-per-append fragmentation a long-running at-least-once
     * deployment accumulates. No-op on a never-written store.
+    *
+    * Quiesce contract (family-wide — every per-family `compact` routes
+    * through here or through [[graft.pipeline.Pipeline.atomicOverwrite]]
+    * directly): stop the store's StreamingQuery before compacting.
+    * Rows appended by a live ingest between the lazy read and the swap
+    * belong to the old generation and would be deleted with it; the
+    * swap-time guard in `atomicOverwrite` detects files appended during
+    * the rewrite and ABORTS loudly (store untouched) rather than lose
+    * them silently.
     */
   def compactDedup(spark: SparkSession, dir: String,
                    keys: Seq[String]): Unit =

@@ -69,6 +69,49 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(path + ".__tmp").exists())
   }
 
+  test("atomic overwrite aborts loudly when a live writer appends mid-rewrite") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    // guard unit faces: unchanged listing passes, an appended data file
+    // trips it, hidden (./_-prefixed) siblings are invisible
+    val p1 = Files.createTempDirectory("graft_guard_").toString + "/t"
+    Seq(1, 2, 3).toDF("x").write.parquet(p1)
+    val snap = Pipeline.listDataFiles(fs, new HPath(p1))
+    assert(snap.nonEmpty && snap.forall(_.endsWith(".parquet")))
+    Pipeline.guardConcurrentAppends(fs, new HPath(p1), snap, p1) // no-op
+    val hiddenDir = new java.io.File(p1, ".t.__tmp"); hiddenDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hiddenDir, "part-x.parquet").toPath, Array[Byte](1))
+    Pipeline.guardConcurrentAppends(fs, new HPath(p1), snap, p1) // still
+    Seq(4).toDF("x").write.mode("append").parquet(p1)
+    val e = intercept[IllegalStateException](
+      Pipeline.guardConcurrentAppends(fs, new HPath(p1), snap, p1))
+    assert(e.getMessage.contains("quiesce"))
+
+    // end-to-end: a replacement whose MATERIALIZATION drops a new file
+    // into the store (the live-ingest-during-compact race) must abort
+    // the swap with the old generation fully intact and no tmp debris
+    val p2 = Files.createTempDirectory("graft_guard2_").toString + "/t"
+    Seq(1, 2, 3).toDF("x").write.parquet(p2)
+    val origFiles = new java.io.File(p2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val racing = spark.read.parquet(p2).as[Int].map { x =>
+      val f = new java.io.File(p2, s"zz_live_$x.parquet")
+      if (!f.exists()) java.nio.file.Files.write(f.toPath, Array[Byte](1))
+      x
+    }.toDF("x")
+    intercept[IllegalStateException](
+      Pipeline.atomicOverwrite(spark, racing, p2))
+    val after = new java.io.File(p2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(origFiles.subsetOf(after), "old generation must stay intact")
+    assert(!new java.io.File(p2 + ".__tmp").exists() &&
+      !new java.io.File(new java.io.File(p2).getParent, ".t.__tmp")
+        .exists(), "aborted swap must clean its tmp")
+  }
+
   test("compact: small files collapse to the target count, content byte-identical") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -46,7 +46,8 @@ class ScoringIngestSpec extends SparkSpec {
       }
     } finally q.stop()
 
-    val streamed = spark.read.parquet(scoresDir).distinct()
+    val streamed = spark.read.parquet(scoresDir)
+      .select("doc_id", "score", "pred").distinct()
       .collect().map(_.toSeq).toSet
     val batch = batchScores.collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.nonEmpty)
@@ -62,16 +63,40 @@ class ScoringIngestSpec extends SparkSpec {
     // documented reader dedup key; both sinks read identically after
     ScoringIngest.ingestBatch(docs.take(3).toDF("doc_id", "text"),
       wDir, scoresDir, keptDir, dim = 64, minScore = cut,
-      idCol = "doc_id", textCol = "text")
+      idCol = "doc_id", textCol = "text", epoch = 0L)
     val rawBefore = spark.read.parquet(scoresDir).count()
     ScoringIngest.compact(spark, scoresDir, keptDir)
     assert(spark.read.parquet(scoresDir).count() < rawBefore,
       "replayed score rows should collapse")
-    assert(spark.read.parquet(scoresDir).distinct()
+    assert(spark.read.parquet(scoresDir)
+      .select("doc_id", "score", "pred").distinct()
       .collect().map(_.toSeq).toSet == batch, "compact changed scores")
     assert(spark.read.parquet(keptDir).select("doc_id")
       .collect().map(_.getLong(0)).toSet == expected,
       "compact changed the kept corpus")
+
+    // replay SPANNING a retrain (ADVICE r19): the store now holds two
+    // genuinely different score rows for the replayed docs; compact
+    // must keep the min-epoch delivery deterministically, so the read
+    // face still equals the ORIGINAL batch scores
+    val w2 = QualityModel.trainHashedLogReg(docsDf, "doc_id", "text",
+      when(col("doc_id") % 3 === 0, 1).otherwise(0), dim = 64,
+      lr = 0.9, iters = 3)
+    w2.write.mode("overwrite").parquet(wDir)
+    ScoringIngest.ingestBatch(docs.take(3).toDF("doc_id", "text"),
+      wDir, scoresDir, keptDir, dim = 64, minScore = cut,
+      idCol = "doc_id", textCol = "text", epoch = 99L)
+    val readFace = ScoringIngest.scores(spark, scoresDir)
+      .select("doc_id", "score", "pred").collect().map(_.toSeq).toSet
+    assert(readFace == batch,
+      "read-side dedup must resolve a retrain-spanning replay to the " +
+        "min-epoch delivery")
+    ScoringIngest.compact(spark, scoresDir, keptDir)
+    assert(spark.read.parquet(scoresDir)
+      .select("doc_id", "score", "pred").collect().map(_.toSeq).toSet
+      == batch,
+      "compact must keep the min-epoch row under a retrain-spanning replay")
+    assert(spark.read.parquet(scoresDir).count() == batch.size)
     spark.catalog.clearCache()
   }
 }
