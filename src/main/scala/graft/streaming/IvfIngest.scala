@@ -124,4 +124,77 @@ object IvfIngest {
     graft.pipeline.Pipeline.atomicOverwrite(spark,
       index(spark, indexDir), indexDir)
 
+  /** The retrain half of the drift loop — [[balanceAudit]] is the
+    * SIGNAL (runaway occupancy skew says the frozen quantizer no
+    * longer fits the ingested data), this is the MECHANISM: re-run
+    * Lloyd ([[graft.ops.Similarity.kmeansTrain]]) over the stored
+    * index's own vectors seeded from the CURRENT codebook, freeze the
+    * result atomically, and rebuild the whole index against it through
+    * the swap — after which [[serve]] is row-identical to batch
+    * `ivfTopKWith` under the new codebook (spec-pinned).
+    *
+    * Audit-gated: when `minSkew > 1` the retrain only fires if the
+    * index's current skew_ratio (max/mean cell occupancy) reaches it —
+    * the scheduled-maintenance posture: call retrain on a timer, pay
+    * the two table rewrites only when the audit says the quantizer
+    * drifted. Returns true iff a retrain ran.
+    *
+    * Seeding is DATA-DRIVEN, not the stale codebook: Lloyd seeded at
+    * the drifted centroids provably cannot split a hot cell (its
+    * members are never attracted by the dead neighbors, so the skewed
+    * fixpoint is stable — observed directly in the spec). Instead the
+    * same k seeds are drawn evenly across the index's id order via a
+    * distributed quantile sketch (`approxQuantile` — no global sort,
+    * no collect of the corpus), which places seed mass where the DATA
+    * is: a cell holding most of the corpus gets several seeds and
+    * splits; duplicate/collapsed seeds die as standard Lloyd dead
+    * centroids, so k never grows.
+    *
+    * Offline by design (the documented IVF deployment discipline): run
+    * QUIESCED, like [[compact]] — the index vectors are snapshotted
+    * eagerly before either swap, and `atomicOverwrite`'s append guard
+    * aborts if a live writer races the rebuild. Scale posture: train
+    * cost is maxIters broadcast-assign scans of the index (the corpus
+    * is never self-joined), the codebook is driver-sized by definition,
+    * and the rebuild is one more assign scan — all linear passes.
+    */
+  def retrain(spark: SparkSession, codebookDir: String, indexDir: String,
+              maxIters: Int = 10, minSkew: Double = 0.0): Boolean = {
+    require(Stores.hasParquet(spark, codebookDir),
+      s"IvfIngest.retrain: no frozen codebook at $codebookDir")
+    if (!Stores.hasParquet(spark, indexDir)) return false
+    val skew = balanceAudit(spark, indexDir)
+      .agg(max(col("skew_ratio"))).head().getDouble(0)
+    if (skew < minSkew) return false
+    // eager snapshot: both swaps below invalidate the stored files, so
+    // the training relation must be materialized with its lineage cut
+    // before either runs
+    val vecs = index(spark, indexDir)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val k = spark.read.parquet(codebookDir).count().toInt
+    // k seeds spread evenly over the id order: quantile cutpoints at
+    // the BUCKET MIDPOINTS (i+0.5)/k from a sketch aggregate, then the
+    // first vector at or past each cutpoint — two linear passes, no
+    // global sort. Midpoint ranks keep each seed well inside its slice
+    // of the id range, so a cutpoint landing a few ranks off (sketch
+    // error) still seeds the same region; an empty slice just yields
+    // one seed fewer, which Lloyd absorbs as a dead centroid.
+    val cuts = vecs.stat.approxQuantile("vec_id",
+      (0 until k).map(i => (i + 0.5) / k).toArray, 0.001)
+    val bucket = cuts.foldLeft(lit(0))((acc, c) =>
+      acc + when(col("vec_id") >= c, 1).otherwise(0))
+    val seedIds = vecs.select(col("vec_id"), bucket.as("__b"))
+      .filter(col("__b") >= 1)
+      .groupBy(col("__b")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"))
+    val seeds = vecs.join(seedIds, Seq("vec_id"), "left_semi")
+    val cb = Similarity.kmeansTrain(vecs, seeds, maxIters)
+    freezeCodebook(cb, codebookDir)
+    graft.pipeline.Pipeline.atomicOverwrite(spark,
+      Similarity.ivfAssign(vecs, cb), indexDir)
+    vecs.unpersist()
+    true
+  }
+
 }

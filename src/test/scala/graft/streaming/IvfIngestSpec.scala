@@ -84,4 +84,65 @@ class IvfIngestSpec extends SparkSpec {
       cbDir, idxDir)
     assert(got() == want, "post-compact replay ingest moved results")
   }
+
+  test("retrain closes the drift loop: audit-gated, balance improves, serve stays batch-parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfr_").toString
+    val (cbDir, idxDir) = (s"$tmp/codebook", s"$tmp/index")
+    // three tight in-distribution clusters (what the quantizer was
+    // trained for) + a drifted cluster the frozen codebook never saw
+    def jit(i: Int) = 0.01f * (i % 5)
+    val a1 = (0L until 10L).map(i => (i, Seq(1f, 0f, 0.2f + jit(i.toInt), 0f)))
+    val a2 = (10L until 20L).map(i => (i, Seq(0.2f, 0f, 1f, jit(i.toInt))))
+    val a3 = (20L until 30L).map(i => (i, Seq(0f, jit(i.toInt), 0f, 1f)))
+    // two distinguishable drifted sub-clusters that the frozen codebook
+    // cannot separate (both land in one hot cell) but a reseeded Lloyd
+    // can — the split is what the balance improvement below measures
+    val drift = (100L until 130L).map(i => (i, Seq(jit(i.toInt), 1f, 0f, 0f))) ++
+      (130L until 160L).map(i => (i, Seq(0f, 1f, 0.5f + jit(i.toInt), 0f)))
+    val inDist = a1 ++ a2 ++ a3
+
+    val cb0 = Similarity.kmeansTrain(inDist.toDF("vec_id", "embedding"),
+      Seq(a1.head, a2.head, a3.head).toDF("vec_id", "embedding"),
+      maxIters = 3)
+    IvfIngest.freezeCodebook(cb0, cbDir)
+    IvfIngest.ingestBatch(inDist.toDF("vec_id", "embedding"), cbDir, idxDir)
+
+    // below the gate: nothing fires, neither store moves
+    val cbBefore = spark.read.parquet(cbDir).collect().map(_.toSeq).toSet
+    assert(!IvfIngest.retrain(spark, cbDir, idxDir, maxIters = 3,
+      minSkew = 1e9))
+    assert(spark.read.parquet(cbDir).collect().map(_.toSeq).toSet
+      == cbBefore, "gated-off retrain must not touch the codebook")
+
+    // drifted data piles into one frozen cell -> skew fires the gate
+    IvfIngest.ingestBatch(drift.toDF("vec_id", "embedding"), cbDir, idxDir)
+    val skewBefore = IvfIngest.balanceAudit(spark, idxDir)
+      .agg(max($"skew_ratio")).head().getDouble(0)
+    assert(skewBefore > 1.3, s"fixture should drift (skew $skewBefore)")
+    assert(IvfIngest.retrain(spark, cbDir, idxDir, maxIters = 5,
+      minSkew = 1.3))
+
+    val skewAfter = IvfIngest.balanceAudit(spark, idxDir)
+      .agg(max($"skew_ratio")).head().getDouble(0)
+    assert(skewAfter < skewBefore,
+      s"retrain must improve balance ($skewBefore -> $skewAfter)")
+    // the retrained index still holds every vector exactly once
+    assert(IvfIngest.index(spark, idxDir).count() ==
+      (inDist.size + drift.size))
+
+    // serving from the retrained stores == batch ivfTopKWith under the
+    // NEW codebook over the same corpus
+    val all = (inDist ++ drift).toDF("vec_id", "embedding")
+    val queries = all.filter($"vec_id" % 7 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"vec_id", $"cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = key(Similarity.ivfTopKWith(all,
+      spark.read.parquet(cbDir), $"vec_id" % 7 === 0, nprobe = 2, k = 3))
+    val got = key(IvfIngest.serve(spark, cbDir, idxDir, queries,
+      nprobe = 2, k = 3))
+    assert(want.nonEmpty && got == want,
+      s"missing ${want -- got}, extra ${got -- want}")
+  }
 }
