@@ -62,6 +62,68 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Cumulative GC wall time (ms) across all collectors — the counter
+    * whose per-query DELTA the artifact records (VERDICT r19 task 2:
+    * the re-time blocks could exonerate host-window noise but not
+    * distinguish it from JVM/session pressure at minute N of a
+    * 326-query sweep; gap3's 7.8x end-of-sweep blow-up was
+    * undecidable from the artifact alone).
+    */
+  private[graft] def gcTotalMs(): Long = {
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    var s = 0L
+    while (it.hasNext) s += math.max(0L, it.next().getCollectionTime)
+    s
+  }
+
+  /** Heap in use right now, MiB. */
+  private[graft] def heapUsedMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) >> 20
+  }
+
+  /** One measured query: warmup, then `runs` timed materializations
+    * with the session-wide GC counter sampled around them — gcMs is
+    * the GC wall time billed DURING this query's timed samples, heapMb
+    * the post-query heap in use. Shared by the sweep, the canary, and
+    * both re-time blocks so every number in the artifact carries the
+    * same telemetry.
+    */
+  private[graft] final case class Measured(samples: Seq[Double],
+                                           gcMs: Long, heapMb: Long) {
+    def median: Double = samples.sorted.apply(samples.size / 2)
+  }
+
+  private[graft] def measureQuery(spark: SparkSession, sfDir: String, runs: Int,
+                           fn: (SparkSession, String) => DataFrame)
+      : Measured = {
+    // measurement hygiene: don't let garbage from earlier queries'
+    // plans/broadcasts bill GC pauses to this one (observed 5x skew
+    // on late queries in a 40-query session without this)
+    System.gc()
+    materialize(fn(spark, sfDir)) // warmup: JIT, codegen, file listing
+    // drop persisted sketches between runs: intra-query caching is part
+    // of the operator design and belongs in the measurement; CROSS-run
+    // cache hits (identical plan -> cache manager match) would not
+    spark.catalog.clearCache()
+    val gc0 = gcTotalMs()
+    val samples = Seq.fill(runs) {
+      val t = timeOnce(materialize(fn(spark, sfDir)))
+      spark.catalog.clearCache()
+      t
+    }
+    Measured(samples, gcTotalMs() - gc0, heapUsedMb())
+  }
+
+  /** `{"name":[gc_ms,heap_mb],...}` — the per-query JVM block's exact
+    * shape (spec-pinned).
+    */
+  private[graft] def jvmJson(
+      m: collection.Map[String, (Long, Long)]): String =
+    m.map { case (k, (g, h)) => s""""$k":[$g,$h]""" }
+      .mkString("{", ",", "}")
+
   /** Round number inferred from committed driver artifacts: the driver
     * writes BENCH_r{N}.json AFTER this bench runs, so during round N the
     * highest on disk is N-1.
@@ -128,27 +190,23 @@ object Bench {
     val (baselineName, baseline) = adjudicationBaseline()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query JVM telemetry: (gc_ms during the timed samples,
+    // post-query heap-used MiB) for the first pass; `jvmEnd` records
+    // the same for every end-of-sweep re-measurement (canary/re-time) —
+    // together they let a verdict decide window-vs-session-pressure
+    // from this one artifact
+    val jvm = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    val jvmEnd = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try {
-        // measurement hygiene: don't let garbage from earlier queries'
-        // plans/broadcasts bill GC pauses to this one (observed 5x skew
-        // on late queries in a 40-query session without this)
-        System.gc()
-        materialize(fn(spark, sfDir)) // warmup: JIT, codegen, file listing
-        // drop persisted sketches between runs: intra-query caching is part
-        // of the operator design and belongs in the measurement; CROSS-run
-        // cache hits (identical plan -> cache manager match) would not
-        spark.catalog.clearCache()
-        val samples = Seq.fill(runs) {
-          val t = timeOnce(materialize(fn(spark, sfDir)))
-          spark.catalog.clearCache()
-          t
-        }
-        val median = samples.sorted.apply(samples.size / 2)
-        times += name -> median
-        System.err.println(s"[bench] $name median=${f3(median)} s  (${samples.map(f3).mkString(", ")})")
+        val m = measureQuery(spark, sfDir, runs, fn)
+        times += name -> m.median
+        jvm += name -> (m.gcMs -> m.heapMb)
+        System.err.println(s"[bench] $name median=${f3(m.median)} s  " +
+          s"(${m.samples.map(f3).mkString(", ")})  gc=${m.gcMs}ms " +
+          s"heap=${m.heapMb}MiB")
       } catch {
         case e: Throwable =>
           errors += name -> e.toString.take(200)
@@ -177,19 +235,12 @@ object Bench {
         (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_CANARY"))) {
       canaryNames.filter(times.contains).foreach { name =>
         try {
-          System.gc()
-          val fn = SparkEntry.queries(name)
-          materialize(fn(spark, sfDir))
-          spark.catalog.clearCache()
-          val samples = Seq.fill(runs) {
-            val t = timeOnce(materialize(fn(spark, sfDir)))
-            spark.catalog.clearCache()
-            t
-          }
-          val median = samples.sorted.apply(samples.size / 2)
-          canaryEnd += name -> median
+          val m = measureQuery(spark, sfDir, runs, SparkEntry.queries(name))
+          canaryEnd += name -> m.median
+          jvmEnd += name -> (m.gcMs -> m.heapMb)
           System.err.println(
-            s"[bench] canary $name first=${f3(times(name))} end=${f3(median)} s")
+            s"[bench] canary $name first=${f3(times(name))} " +
+              s"end=${f3(m.median)} s gc=${m.gcMs}ms heap=${m.heapMb}MiB")
         } catch { case e: Throwable =>
           // a canary failure must not fail a clean sweep — the canary is
           // noise METADATA; the sweep already proved the query runs
@@ -232,19 +283,13 @@ object Bench {
           case Some(end) => out += name -> end
           case None =>
             try {
-              System.gc()
-              val fn = SparkEntry.queries(name)
-              materialize(fn(spark, sfDir))
-              spark.catalog.clearCache()
-              val samples = Seq.fill(runs) {
-                val t = timeOnce(materialize(fn(spark, sfDir)))
-                spark.catalog.clearCache()
-                t
-              }
-              val median = samples.sorted.apply(samples.size / 2)
-              out += name -> median
+              val m = measureQuery(spark, sfDir, runs,
+                SparkEntry.queries(name))
+              out += name -> m.median
+              jvmEnd += name -> (m.gcMs -> m.heapMb)
               System.err.println(s"[bench] $label $name first=${f3(first)} " +
-                s"end=${f3(median)} s (baseline=${f3(baseline(name))})")
+                s"end=${f3(m.median)} s (baseline=${f3(baseline(name))}) " +
+                s"gc=${m.gcMs}ms heap=${m.heapMb}MiB")
             } catch { case e: Throwable =>
               System.err.println(s"[bench] $label retime FAILED $name: $e")
             }
@@ -299,8 +344,16 @@ object Bench {
     // drifted block: same shape, for the 1.25-2x slow-drift band
     val driftedJs = drifted.map { case (k, v) =>
       s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+    // JVM blocks (VERDICT r19 task 2): "jvm" = first-pass per-query
+    // [gc_ms, heap_mb], "jvm_end" = the same for every end-of-sweep
+    // re-measurement, "jvm_session" = the sweep-final counters — a
+    // re-time that blows up WITH a gc/heap spike is session pressure,
+    // one that blows up on flat telemetry is the host window
+    val jvmSessionJs = s"""{"gc_total_ms":${gcTotalMs()},""" +
+      s""""heap_used_mb":${heapUsedMb()},""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
     val canaryFields =
-      s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs,"drifted":$driftedJs"""
+      s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs,"drifted":$driftedJs,"jvm":${jvmJson(jvm)},"jvm_end":${jvmJson(jvmEnd)},"jvm_session":$jvmSessionJs"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
     // the UNTRUNCATED artifact of record: the driver's tail window cannot
     // hold ~96 query entries, so the full-precision JSON also lands in a
