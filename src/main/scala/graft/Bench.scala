@@ -83,6 +83,33 @@ object Bench {
     (rt.totalMemory() - rt.freeMemory()) >> 20
   }
 
+  /** Total bytes under the session's scratch dir (shuffle + spill
+    * files), MiB — when the scratch is tmpfs (/dev/shm), spill volume
+    * is RAM pressure the heap counters can't see. Session-level only:
+    * at sweep end the dir can hold 100k+ files, so this walks once per
+    * artifact, not per query.
+    */
+  private[graft] def dirUsedMb(path: String): Long =
+    try {
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        var bytes = 0L
+        java.nio.file.Files.walkFileTree(root,
+          new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+            override def visitFile(f: java.nio.file.Path,
+                attrs: java.nio.file.attribute.BasicFileAttributes) = {
+              bytes += attrs.size()
+              java.nio.file.FileVisitResult.CONTINUE
+            }
+            override def visitFileFailed(f: java.nio.file.Path,
+                e: java.io.IOException) =
+              java.nio.file.FileVisitResult.CONTINUE
+          })
+        bytes >> 20
+      }
+    } catch { case _: Throwable => 0L }
+
   /** One measured query: warmup, then `runs` timed materializations
     * with the session-wide GC counter sampled around them — gcMs is
     * the GC wall time billed DURING this query's timed samples, heapMb
@@ -167,6 +194,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val scratch = scratchDir()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -175,7 +203,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // tmpfs scratch for shuffle/spill: shared-host disk stalls on /tmp
       // showed up as random 15-60 s spikes on individual bench samples
-      .config("spark.local.dir", scratchDir())
+      .config("spark.local.dir", scratch)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -227,7 +255,12 @@ object Bench {
     val canaryNames = Seq("dedup_fuzzy", "dedup_fuzzy_keep_best",
       "dedup_fuzzy_kept", "dedup_guarded_kept", "dedup_minhash_pairs",
       "tpch_q1_pricing", "tpch_q5_region_volume", "events_funnel",
-      "events_asof_join", "pipeline_gold_readback")
+      "events_asof_join", "pipeline_gold_readback",
+      // pinned after its r19 driver-window anomaly (first-pass 4.6 s,
+      // end-of-sweep re-time 29.2 s — the only unexplained >2x): as a
+      // canary it gets a [first, end] pair in EVERY artifact, with
+      // jvm/jvm_end telemetry, so a recurrence is adjudicable in-file
+      "events_seq_patterns_gap3")
     val canaryEnd = scala.collection.mutable.LinkedHashMap[String, Double]()
     // SPARK_GRAFT_BENCH_CANARY=force exercises the canary on a filtered
     // profiling run (normally it only runs after a clean FULL sweep)
@@ -351,7 +384,8 @@ object Bench {
     // one that blows up on flat telemetry is the host window
     val jvmSessionJs = s"""{"gc_total_ms":${gcTotalMs()},""" +
       s""""heap_used_mb":${heapUsedMb()},""" +
-      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20}}"""
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
+      s""""scratch_mb":${dirUsedMb(scratch)}}"""
     val canaryFields =
       s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs,"drifted":$driftedJs,"jvm":${jvmJson(jvm)},"jvm_end":${jvmJson(jvmEnd)},"jvm_session":$jvmSessionJs"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""

@@ -869,6 +869,52 @@ object Dedup {
       lshCandidatePairs(docs, idCol, numHashes, bands, textCol, k, maxBucketSize),
       idCol, k, threshold, textCol)
 
+  /** Recall audit for the hot-bucket cap (VERDICT r19 task 4): ONE row
+    * quantifying what `maxBucketSize = cap` would drop from the
+    * banded-LSH candidate stage over `docs` — total band buckets, hot
+    * buckets (> cap members), band rows inside them, and the distinct
+    * documents that consequently skip near-dup detection. The
+    * [[capBuckets]] stderr line reports drops at run time; this is the
+    * same information as a RELATION, so a deployment can record the
+    * cap's recall exposure next to its ladder rungs (the
+    * [[graft.streaming.IvfIngest.balanceAudit]] convention: audits are
+    * first-class queries, not log lines). Cost: one band-relation
+    * build + one sketch-sized aggregate — never a pair join, so the
+    * audit is safe to run at caps and scales where the uncapped join
+    * itself is not.
+    */
+  def lshCapAudit(docs: DataFrame, idCol: String, numHashes: Int,
+                  bands: Int, cap: Int, textCol: String = "text",
+                  k: Int = 3): DataFrame = {
+    require(cap > 0, s"lshCapAudit needs a positive cap, got $cap")
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val banded = bandIndex(docs, idCol, numHashes, bands, textCol, k)
+      .persist(sl)
+    banded.count() // serial materialization — see lshCandidatePairs
+    val sizes = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bsz")).persist(sl)
+    sizes.count()
+    val hot = sizes.filter(col("bsz") > cap)
+    // documents losing detection: members of ANY hot bucket (the hot
+    // set is bounded by corpus/cap rows; the join is sketch-sized and
+    // AQE picks the strategy — no forced broadcast, the audit must
+    // stay safe at any scale)
+    val hotDocs = banded.join(hot.select(col("band"), col("sig")),
+        Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val out = sizes.agg(count(lit(1)).as("n_buckets"))
+      .crossJoin(hot.agg(count(lit(1)).as("n_hot_buckets"),
+        coalesce(sum(col("bsz")), lit(0L)).as("band_rows_dropped")))
+      .crossJoin(hotDocs.agg(count(lit(1)).as("docs_affected")))
+      .select(lit(cap).as("cap"), col("n_buckets"),
+        col("n_hot_buckets"), col("band_rows_dropped"),
+        col("docs_affected"))
+      .localCheckpoint(true) // eager: release the persists below safely
+    banded.unpersist()
+    sizes.unpersist()
+    out
+  }
+
   /** Incremental (batch-vs-index) face of [[setSimilarityPairs]] — the
     * exact-similarity analogue of [[incrementalLshCandidates]]: every
     * pair (new, old) and (new, new) with shingle-set Jaccard >=
@@ -1651,11 +1697,13 @@ object Dedup {
     // would have been a bare count() also sums actual token bytes
     // (~32 B/slot covers the tf long + array offsets; ~96 B/doc covers
     // the id + row + hash-entry overhead) — zero extra jobs, no second
-    // scan of the tf lineage
+    // scan of the tf lineage. Token bytes via length(concat_ws) +
+    // 32*size, NOT a higher-order aggregate: HOFs evaluate interpreted
+    // (per-element lambda dispatch), measured ~0.5 s over a 60k-doc
+    // corpus where this codegen'd form is free
     val stats = docArrs.agg(count(lit(1)).as("n"),
-      coalesce(sum(expr(
-        "aggregate(ws, 0L, (acc, x) -> acc + length(x) + 32L)")),
-        lit(0L)).as("b")).head()
+      coalesce(sum(length(concat_ws("", col("ws"))).cast("long") +
+        lit(32L) * size(col("ws"))), lit(0L)).as("b")).head()
     val nDocs = stats.getLong(0)
     val estBytes = stats.getLong(1) + nDocs * 96L
     def docSide(aliasId: String, aw: String, atf: String) =

@@ -341,6 +341,45 @@ object ScaleProbe {
       }
     }
 
+    // Hot-bucket cap recall audit at the publish rungs (VERDICT r19
+    // task 4): the publish_chain ladder fires the cap loudly at k=64
+    // but records nothing about what the cap DROPPED. This probe
+    // replays the chain's fuzzy-stage input (same docsSrc replication,
+    // same upstream exact collapse) and reports (a) the lshCapAudit
+    // row at cap=64 — buckets over cap, band rows inside them, docs
+    // skipping detection — and (b) at small k where the uncapped join
+    // is feasible, the capped-vs-uncapped VERIFIED-pair counts, i.e.
+    // the true pairs the cap actually costs.
+    if (only.exists(_.contains("publish_cap_audit"))) {
+      val cap = 64
+      val docsSrc = (0 until k).map { r =>
+        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          concat(lit(s"r$r "), col("text")).as("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val collapsed = Dedup.exactKeepFirst(docsSrc, "doc_id", "text")
+        .localCheckpoint(true)
+      val audit = Dedup.lshCapAudit(collapsed, "doc_id", 16, 4, cap)
+        .collect().head
+      println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d publish_cap_audit     " +
+        f"cap=$cap buckets=${audit.getLong(1)} hot=${audit.getLong(2)} " +
+        f"band_rows_dropped=${audit.getLong(3)} " +
+        f"docs_affected=${audit.getLong(4)}")
+      spark.catalog.clearCache()
+      val nCapped = Dedup.fuzzy(collapsed, "doc_id", 16, 4, 0.5,
+        maxBucketSize = cap).count()
+      spark.catalog.clearCache()
+      if (k <= 16) {
+        val nUncapped = Dedup.fuzzy(collapsed, "doc_id", 16, 4, 0.5).count()
+        val recall = if (nUncapped == 0) 1.0 else nCapped.toDouble / nUncapped
+        println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d publish_cap_pairs     " +
+          f"capped=$nCapped uncapped=$nUncapped missed=${nUncapped - nCapped} " +
+          f"recall=$recall%.4f")
+      } else
+        println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d publish_cap_pairs     " +
+          f"capped=$nCapped uncapped=SKIPPED(k>16: the uncapped bucket " +
+          "self-join is the quadratic the cap exists to prevent)")
+    }
+
     // interleaved multimodal packing: the doc<->media join reduces the
     // payload to octet_length map-side, then one window per shard —
     // must track the corpus scan like training_layout

@@ -32,4 +32,13 @@ class BenchTelemetrySpec extends SparkSpec {
     assert(Bench.gcTotalMs() >= 0L)
     assert(Bench.heapUsedMb() > 0L)
   }
+
+  test("dirUsedMb sums a scratch tree and is 0 for missing paths") {
+    val d = java.nio.file.Files.createTempDirectory("graft_scr_")
+    val sub = java.nio.file.Files.createDirectory(d.resolve("sub"))
+    java.nio.file.Files.write(sub.resolve("spill.bin"),
+      Array.fill[Byte](3 << 20)(1))
+    assert(Bench.dirUsedMb(d.toString) == 3L)
+    assert(Bench.dirUsedMb("/nonexistent/graft_scratch") == 0L)
+  }
 }

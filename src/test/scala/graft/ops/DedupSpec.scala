@@ -564,4 +564,39 @@ class DedupSpec extends SparkSpec {
     assert(cs.size < 435, "cap should drop the flood")
     assert(cs.forall { case (a, b) => a < b }, "surviving pairs well-formed")
   }
+
+  test("lshCapAudit quantifies exactly what the hot-bucket cap drops") {
+    // a 30-member near-identical flood (same text -> same sketch ->
+    // same bucket in every band) + 3 distinct singletons
+    val flood = (100L until 130L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val singles = Seq(
+      (1L, "completely different words entirely here now today"),
+      (2L, "another unrelated document with its own vocabulary set"),
+      (3L, "third standalone text sharing nothing with the others"))
+    val corpus = (flood ++ singles).toDF("doc_id", "text")
+
+    val a = Dedup.lshCapAudit(corpus, "doc_id", numHashes = 16,
+      bands = 4, cap = 10).collect().head
+    assert(a.getInt(0) == 10)
+    // the flood owns one bucket per band (4 hot buckets of 30 rows);
+    // every flood member - and no singleton - loses detection
+    assert(a.getLong(2) == 4L, s"hot buckets: ${a.getLong(2)}")
+    assert(a.getLong(3) == 120L, s"band rows dropped: ${a.getLong(3)}")
+    assert(a.getLong(4) == 30L, s"docs affected: ${a.getLong(4)}")
+    assert(a.getLong(1) >= 4L + 4L) // flood buckets + singleton buckets
+
+    // a cap above the flood size drops nothing
+    val b = Dedup.lshCapAudit(corpus, "doc_id", 16, 4, cap = 64)
+      .collect().head
+    assert(b.getLong(2) == 0L && b.getLong(3) == 0L && b.getLong(4) == 0L)
+
+    // the audit agrees with what fuzzy() actually loses under the cap:
+    // capped pair count + the flood's internal pairs = uncapped count
+    val uncapped = Dedup.fuzzy(corpus, "doc_id", 16, 4, 0.5).count()
+    val capped = Dedup.fuzzy(corpus, "doc_id", 16, 4, 0.5,
+      maxBucketSize = 10).count()
+    assert(uncapped - capped == 30L * 29 / 2,
+      s"uncapped=$uncapped capped=$capped")
+  }
 }
