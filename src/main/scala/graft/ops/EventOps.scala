@@ -655,7 +655,16 @@ object EventOps {
     * never events³ (or events × window-density²) under a hot user.
     */
   def seqPatternsGap3(ev: DataFrame, maxGapSeconds: Long): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // SERIALIZED persist (r20, the gap3 weak-mark mitigation): valid2
+    // is the one large mid-relation this query pins while two window
+    // passes run over it, and r19's driver artifact showed a 7.8x
+    // end-of-sweep re-time that local runs never reproduce — consistent
+    // with cached-block heap pressure at minute N of a 326-query
+    // session, not with this plan. SER stores the blocks compact
+    // (measured: same wall time locally, half the billed GC), so the
+    // query holds strictly less heap hostage wherever the session is
+    // already under pressure.
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val valid2 = gapSupport2(ev, maxGapSeconds).persist(sl)
     valid2.count()
     val pairs = valid2.select(col("type_a"), col("type_b")).distinct()
