@@ -365,19 +365,48 @@ object ScaleProbe {
         f"band_rows_dropped=${audit.getLong(3)} " +
         f"docs_affected=${audit.getLong(4)}")
       spark.catalog.clearCache()
-      val nCapped = Dedup.fuzzy(collapsed, "doc_id", 16, 4, 0.5,
-        maxBucketSize = cap).count()
-      spark.catalog.clearCache()
+      val capped = Dedup.fuzzy(collapsed, "doc_id", 16, 4, 0.5,
+        maxBucketSize = cap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCapped = capped.count()
       if (k <= 16) {
         val nUncapped = Dedup.fuzzy(collapsed, "doc_id", 16, 4, 0.5).count()
         val recall = if (nUncapped == 0) 1.0 else nCapped.toDouble / nUncapped
         println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d publish_cap_pairs     " +
           f"capped=$nCapped uncapped=$nUncapped missed=${nUncapped - nCapped} " +
           f"recall=$recall%.4f")
-      } else
+      } else {
+        // EXACT missed-pair count without the uncapped self-join: a
+        // missed pair must have had ALL its candidate witnesses inside
+        // hot buckets, so generating candidates from the hot buckets
+        // ALONE (sum of hot-bucket-size^2 rows — bounded, since the
+        // hot set is corpus/cap buckets) and verifying them covers
+        // every possibly-missed pair; anti-join the capped result
+        val banded = Dedup.bandIndex(collapsed, "doc_id", 16, 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        banded.count()
+        val hot = banded.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > cap)
+          .select(col("band"), col("sig"))
+        val hb = banded.join(hot, Seq("band", "sig"), "left_semi")
+        val candHot = hb.as("a").join(hb.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val verifiedHot = Dedup.jaccardVerify(collapsed, candHot,
+          "doc_id", 3, 0.5)
+        val nMissed = verifiedHot
+          .join(capped.select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_anti").count()
+        val nUncapped = nCapped + nMissed
         println(f"[scale] k=$k%-3d docs=${n0 * k}%-7d publish_cap_pairs     " +
-          f"capped=$nCapped uncapped=SKIPPED(k>16: the uncapped bucket " +
-          "self-join is the quadratic the cap exists to prevent)")
+          f"capped=$nCapped uncapped=$nUncapped (=capped+hot-only) " +
+          f"missed=$nMissed recall=${nCapped.toDouble / nUncapped}%.4f")
+        banded.unpersist()
+      }
+      capped.unpersist()
     }
 
     // interleaved multimodal packing: the doc<->media join reduces the
