@@ -47,4 +47,19 @@ class BenchSpec extends AnyFunSuite {
     }
     assert(base.keySet == closed.keySet ++ latest.keySet)
   }
+
+  test("the re-anchored gate file parses and covers the full query surface") {
+    // BASELINE_GATE_r20.json (VERDICT r20 task 7): per-query medians of
+    // 3 clean canary-stamped full sweeps — the anchor the <=2x gate
+    // compares against from r20 on. The pin: the file must stay in the
+    // "queries":{...} shape the bench harness's own parser reads, and
+    // must cover every declared query (a gate that silently lost
+    // entries would exempt them from the regression gate).
+    val gate = Bench.readLastRunQueries("BASELINE_GATE_r20.json")
+    assume(gate.nonEmpty, "no BASELINE_GATE_r20.json in cwd — pre-anchor tree")
+    assert(gate.values.forall(v => v > 0.0 && v < 600.0))
+    val declared = SparkEntry.queries.keySet
+    assert((declared -- gate.keySet).isEmpty,
+      s"queries missing from the gate: ${declared -- gate.keySet}")
+  }
 }
