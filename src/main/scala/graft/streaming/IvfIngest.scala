@@ -163,9 +163,13 @@ object IvfIngest {
     require(Stores.hasParquet(spark, codebookDir),
       s"IvfIngest.retrain: no frozen codebook at $codebookDir")
     if (!Stores.hasParquet(spark, indexDir)) return false
-    val skew = balanceAudit(spark, indexDir)
-      .agg(max(col("skew_ratio"))).head().getDouble(0)
-    if (skew < minSkew) return false
+    // a store of empty parquet files (empty micro-batches) must gate
+    // off too: max over zero cells is null, and retraining from zero
+    // vectors would freeze an EMPTY codebook over the real one
+    val skewRow = balanceAudit(spark, indexDir)
+      .agg(max(col("skew_ratio"))).head()
+    if (skewRow.isNullAt(0)) return false
+    if (skewRow.getDouble(0) < minSkew) return false
     // eager snapshot: both swaps below invalidate the stored files, so
     // the training relation must be materialized with its lineage cut
     // before either runs

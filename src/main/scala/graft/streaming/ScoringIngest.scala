@@ -70,12 +70,19 @@ object ScoringIngest {
              scoresDir: String, idCol: String = "doc_id"): DataFrame =
     dedupScores(spark.read.parquet(scoresDir), idCol)
 
-  private def dedupScores(raw: DataFrame, idCol: String): DataFrame =
+  private def dedupScores(raw0: DataFrame, idCol: String): DataFrame = {
+    // stores written before the epoch stamp existed read as epoch 0 —
+    // their rows are all same-weights replays, so any deterministic
+    // choice is exact and min-(0, score) picks the lowest score
+    val raw =
+      if (raw0.columns.contains("epoch_id")) raw0
+      else raw0.withColumn("epoch_id", lit(0L))
     raw.groupBy(col(idCol))
       .agg(min(struct(col("epoch_id"), col("score"), col("pred")))
         .as("kept"))
       .select(col(idCol), col("kept.score").as("score"),
         col("kept.pred").as("pred"), col("kept.epoch_id").as("epoch_id"))
+  }
 
   /** Store hygiene (the family-wide compact face): rewrite both sinks
     * to one row per document — the documented reader dedup key —

@@ -189,6 +189,21 @@ class MiningSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     } finally spark.conf.unset("spark.graft.forcedBroadcastMaxBytes")
+
+    // hard clamps (ADVICE r19): the guard must trip BEFORE Spark's own
+    // 8GB/512M-row BroadcastExchange limits can fail the job — an
+    // explicit cap above them is clamped down, and a row count past the
+    // row clamp falls back even when the byte estimate is tiny
+    spark.conf.set("spark.graft.forcedBroadcastMaxBytes",
+      (100L << 30).toString)
+    try {
+      assert(ForcedBroadcast.capBytes(tiny) <= (7L << 30),
+        "a configured cap above Spark's broadcast limit must clamp")
+      assert(ForcedBroadcast.orShuffle(tiny, 1L, 8L << 30, "spec") eq tiny,
+        "an 8GB estimate must shuffle even under a huge configured cap")
+    } finally spark.conf.unset("spark.graft.forcedBroadcastMaxBytes")
+    assert(ForcedBroadcast.orShuffle(tiny, 500L * 1000 * 1000, 1L,
+      "spec") eq tiny, "row counts near Spark's 512M limit must shuffle")
   }
 
   test("degree histogram over the wheel") {

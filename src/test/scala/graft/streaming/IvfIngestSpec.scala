@@ -144,5 +144,17 @@ class IvfIngestSpec extends SparkSpec {
       nprobe = 2, k = 3))
     assert(want.nonEmpty && got == want,
       s"missing ${want -- got}, extra ${got -- want}")
+
+    // zero-ROW store (empty micro-batches wrote empty files): retrain
+    // must gate off rather than freeze an empty codebook over the
+    // real one
+    val emptyIdx = s"$tmp/empty_index"
+    graft.ops.Similarity.ivfAssign(inDist.toDF("vec_id", "embedding")
+      .limit(0), spark.read.parquet(cbDir))
+      .write.parquet(emptyIdx)
+    val cbNow = spark.read.parquet(cbDir).collect().map(_.toSeq).toSet
+    assert(!IvfIngest.retrain(spark, cbDir, emptyIdx, maxIters = 2))
+    assert(spark.read.parquet(cbDir).collect().map(_.toSeq).toSet
+      == cbNow, "empty-store retrain must not touch the codebook")
   }
 }
