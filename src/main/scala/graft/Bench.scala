@@ -113,14 +113,28 @@ object Bench {
   /** One measured query: warmup, then `runs` timed materializations
     * with the session-wide GC counter sampled around them — gcMs is
     * the GC wall time billed DURING this query's timed samples, heapMb
-    * the post-query heap in use. Shared by the sweep, the canary, and
-    * both re-time blocks so every number in the artifact carries the
-    * same telemetry.
+    * the post-query heap in use, storageMb the block-manager bytes
+    * (memory + disk) still pinned by persistent RDDs after the query
+    * (VERDICT r20 task 3: memo-held memory must be attributable from
+    * the artifact — a heap reading alone cannot separate garbage from
+    * deliberately pinned checkpoint blocks). Shared by the sweep, the
+    * canary, and both re-time blocks so every number in the artifact
+    * carries the same telemetry.
     */
   private[graft] final case class Measured(samples: Seq[Double],
-                                           gcMs: Long, heapMb: Long) {
+                                           gcMs: Long, heapMb: Long,
+                                           storageMb: Long) {
     def median: Double = samples.sorted.apply(samples.size / 2)
   }
+
+  /** Block-manager bytes (memory + disk) held by persistent RDDs right
+    * now, MiB — cached relations plus localCheckpoint/BuildMemo blocks.
+    */
+  private[graft] def storageUsedMb(spark: SparkSession): Long =
+    try {
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum >> 20
+    } catch { case _: Throwable => 0L }
 
   private[graft] def measureQuery(spark: SparkSession, sfDir: String, runs: Int,
                            fn: (SparkSession, String) => DataFrame)
@@ -140,15 +154,16 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
-    Measured(samples, gcTotalMs() - gc0, heapUsedMb())
+    Measured(samples, gcTotalMs() - gc0, heapUsedMb(), storageUsedMb(spark))
   }
 
-  /** `{"name":[gc_ms,heap_mb],...}` — the per-query JVM block's exact
-    * shape (spec-pinned).
+  /** `{"name":[gc_ms,heap_mb,storage_mb],...}` — the per-query JVM
+    * block's exact shape (spec-pinned; the third element is new in r21,
+    * see storageUsedMb).
     */
   private[graft] def jvmJson(
-      m: collection.Map[String, (Long, Long)]): String =
-    m.map { case (k, (g, h)) => s""""$k":[$g,$h]""" }
+      m: collection.Map[String, (Long, Long, Long)]): String =
+    m.map { case (k, (g, h, s)) => s""""$k":[$g,$h,$s]""" }
       .mkString("{", ",", "}")
 
   /** Round number inferred from committed driver artifacts: the driver
@@ -223,18 +238,18 @@ object Bench {
     // the same for every end-of-sweep re-measurement (canary/re-time) —
     // together they let a verdict decide window-vs-session-pressure
     // from this one artifact
-    val jvm = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
-    val jvmEnd = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    val jvm = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    val jvmEnd = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try {
         val m = measureQuery(spark, sfDir, runs, fn)
         times += name -> m.median
-        jvm += name -> (m.gcMs -> m.heapMb)
+        jvm += name -> ((m.gcMs, m.heapMb, m.storageMb))
         System.err.println(s"[bench] $name median=${f3(m.median)} s  " +
           s"(${m.samples.map(f3).mkString(", ")})  gc=${m.gcMs}ms " +
-          s"heap=${m.heapMb}MiB")
+          s"heap=${m.heapMb}MiB storage=${m.storageMb}MiB")
       } catch {
         case e: Throwable =>
           errors += name -> e.toString.take(200)
@@ -242,6 +257,106 @@ object Bench {
           e.printStackTrace()
       }
     }
+
+    // ---- artifact emission, PHASE 1 (VERDICT r20 task 2) ----
+    // Everything the driver's one-line contract needs is known right
+    // here, before any end-of-sweep adjudication: the canary/re-time
+    // blocks only ADD metadata, they never change the first-pass map.
+    // r20's driver window proved the old order fatal: a timeout mid
+    // re-time (rc=124) left BENCH_r20.json with parsed:null even though
+    // the sweep itself was complete. So the canonical stdout line and
+    // the full-map files are written NOW, and re-written (enriched)
+    // after adjudication; a killed adjudication pass can no longer cost
+    // the round its bench artifact.
+
+    // escape ALL control chars: exception text regularly carries newlines,
+    // which would break the one-line JSON contract exactly on failures
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // compact variant (3-decimal seconds): the driver's bench artifact
+    // keeps only the last ~2000 chars of output, so every byte of the
+    // printed line costs visible per-query entries in the record
+    val qsCompact = times.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = times.values.sum
+    val rc = if (errors.nonEmpty) 1 else 0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}""")
+    System.out.flush()
+
+    // Artifact writer, shared by phase 1 (post-sweep, adjudication
+    // blocks still empty) and phase 2 (enriched): reads the mutable
+    // telemetry state at CALL time. LASTRUN is always written (failure
+    // evidence included); LATEST only on a CLEAN run, so a gate ratio
+    // anchored to it can never seed from a failed/partial bench (the
+    // r12 lesson); round-stamped summary only for clean FULL runs.
+    val round = inferRound()
+    def emitFiles(canaryEnd: collection.Map[String, Double],
+                  canaryRatio: Option[Double],
+                  retimed: collection.Map[String, Double],
+                  drifted: collection.Map[String, Double]): Unit = {
+      // canary block: per query [first-pass median, end-of-sweep median];
+      // ratio is null when the canary never ran. retimed/drifted: same
+      // [first, end] shape for the outlier (>2x) and slow-drift
+      // (1.25-2x) re-time bands.
+      val canaryJs = canaryEnd.map { case (k, v) =>
+        s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+      val canaryRatioJs = canaryRatio.map(f3).getOrElse("null")
+      val retimedJs = retimed.map { case (k, v) =>
+        s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+      val driftedJs = drifted.map { case (k, v) =>
+        s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+      // JVM blocks (VERDICT r19 task 2): "jvm" = first-pass per-query
+      // [gc_ms, heap_mb, storage_mb], "jvm_end" = the same for every
+      // end-of-sweep re-measurement, "jvm_session" = counters at emit
+      // time — a re-time that blows up WITH a gc/heap spike is session
+      // pressure, one that blows up on flat telemetry is the host window
+      val jvmSessionJs = s"""{"gc_total_ms":${gcTotalMs()},""" +
+        s""""heap_used_mb":${heapUsedMb()},""" +
+        s""""heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
+        s""""storage_mb":${storageUsedMb(spark)},""" +
+        s""""scratch_mb":${dirUsedMb(scratch)}}"""
+      val canaryFields =
+        s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs,"drifted":$driftedJs,"jvm":${jvmJson(jvm)},"jvm_end":${jvmJson(jvmEnd)},"jvm_session":$jvmSessionJs"""
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
+      def writeLine(path: String, line: String): Unit =
+        try {
+          val out = new java.io.PrintWriter(path, "UTF-8")
+          try out.println(line) finally out.close()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $path: $e") }
+      writeLine("BENCH_FULL_LASTRUN.json", fullJson)
+      if (rc == 0 && only.isEmpty) writeLine("BENCH_FULL_LATEST.json", fullJson)
+      val summaryJson =
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
+      writeLine("BENCH_SUMMARY_LASTRUN.json", summaryJson)
+      if (rc == 0 && only.isEmpty)
+        writeLine(s"BENCH_SUMMARY_r$round.json", summaryJson)
+    }
+    // phase 1: full artifacts on disk BEFORE any adjudication runs
+    emitFiles(Map.empty, None, Map.empty, Map.empty)
+
+    // End-of-sweep adjudication runs under a wall budget (VERDICT r20
+    // task 2): r20's driver window triggered 20 outlier re-times of the
+    // WORST (slowest) queries, each a warmup + 3 timed runs — the pass
+    // alone outlived the driver's timeout. Two caps: a query whose
+    // first-pass median exceeded 10 s is re-timed with ONE run (its
+    // signal is whole seconds; a median of 3 buys noise rejection only
+    // at sub-second scale), and the whole pass stops loudly once the
+    // budget is spent.
+    val retimeBudgetS = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_RETIME_BUDGET_S", "600").toDouble
+    val adjDeadline = System.nanoTime() + (retimeBudgetS * 1e9).toLong
+    def budgetLeft(): Boolean = System.nanoTime() < adjDeadline
+    def adjRuns(first: Double): Int = if (first > 10.0) 1 else runs
 
     // Canary re-run (r15 verdict task 4): the fuzzy-dedup family twice
     // inflated 2-3.7x in driver bench windows while same-code local runs
@@ -270,7 +385,7 @@ object Bench {
         try {
           val m = measureQuery(spark, sfDir, runs, SparkEntry.queries(name))
           canaryEnd += name -> m.median
-          jvmEnd += name -> (m.gcMs -> m.heapMb)
+          jvmEnd += name -> ((m.gcMs, m.heapMb, m.storageMb))
           System.err.println(
             s"[bench] canary $name first=${f3(times(name))} " +
               s"end=${f3(m.median)} s gc=${m.gcMs}ms heap=${m.heapMb}MiB")
@@ -314,12 +429,18 @@ object Bench {
       cands.take(cap).foreach { case (name, first) =>
         canaryEnd.get(name) match {
           case Some(end) => out += name -> end
+          case None if !budgetLeft() =>
+            // budget exhaustion is loud but not fatal: the first-pass
+            // map and phase-1 artifacts already exist; what's lost is
+            // only this outlier's in-file exoneration
+            System.err.println(s"[bench] $label $name SKIPPED — " +
+              s"adjudication budget (${retimeBudgetS.toLong}s) spent")
           case None =>
             try {
-              val m = measureQuery(spark, sfDir, runs,
+              val m = measureQuery(spark, sfDir, adjRuns(first),
                 SparkEntry.queries(name))
               out += name -> m.median
-              jvmEnd += name -> (m.gcMs -> m.heapMb)
+              jvmEnd += name -> ((m.gcMs, m.heapMb, m.storageMb))
               System.err.println(s"[bench] $label $name first=${f3(first)} " +
                 s"end=${f3(m.median)} s (baseline=${f3(baseline(name))}) " +
                 s"gc=${m.gcMs}ms heap=${m.heapMb}MiB")
@@ -346,88 +467,14 @@ object Bench {
     // block did not already re-time gets ONE end-of-sweep re-time.
     val drifted = retimeWorst(1.25, 10, "drift", retimed.keySet)
 
-    // escape ALL control chars: exception text regularly carries newlines,
-    // which would break the one-line JSON contract exactly on failures
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    // compact variant (3-decimal seconds): the driver's bench artifact
-    // keeps only the last ~2000 chars of output, so every byte of the
-    // printed line costs visible per-query entries in the record
-    val qsCompact = times.map { case (k, v) => s"${jstr(k)}:${f3(v)}" }
-      .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = times.values.sum
-    val rc = if (errors.nonEmpty) 1 else 0
-    // canary block: per query [first-pass median, end-of-sweep median];
-    // ratio is null when the canary never ran
-    val canaryJs = canaryEnd.map { case (k, v) =>
-      s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
+    // phase 2: re-emit the artifacts enriched with the adjudication
+    // blocks (canary/retimed/drifted/jvm_end + final session counters).
+    // The stdout "total" line was already printed before adjudication —
+    // deliberately NOT printed again, so consumers see exactly one line
+    // with metric "total"; everything adjudication adds rides the files
+    // and the trailing total_summary line below.
+    emitFiles(canaryEnd, canaryRatio, retimed, drifted)
     val canaryRatioJs = canaryRatio.map(f3).getOrElse("null")
-    // retimed block: per outlier [first-pass median, end-of-sweep median]
-    val retimedJs = retimed.map { case (k, v) =>
-      s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
-    // drifted block: same shape, for the 1.25-2x slow-drift band
-    val driftedJs = drifted.map { case (k, v) =>
-      s"${jstr(k)}:[${f3(times(k))},${f3(v)}]" }.mkString("{", ",", "}")
-    // JVM blocks (VERDICT r19 task 2): "jvm" = first-pass per-query
-    // [gc_ms, heap_mb], "jvm_end" = the same for every end-of-sweep
-    // re-measurement, "jvm_session" = the sweep-final counters — a
-    // re-time that blows up WITH a gc/heap spike is session pressure,
-    // one that blows up on flat telemetry is the host window
-    val jvmSessionJs = s"""{"gc_total_ms":${gcTotalMs()},""" +
-      s""""heap_used_mb":${heapUsedMb()},""" +
-      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},""" +
-      s""""scratch_mb":${dirUsedMb(scratch)}}"""
-    val canaryFields =
-      s""""canary":$canaryJs,"canary_ratio":$canaryRatioJs,"retimed":$retimedJs,"drifted":$driftedJs,"jvm":${jvmJson(jvm)},"jvm_end":${jvmJson(jvmEnd)},"jvm_session":$jvmSessionJs"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qs,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
-    // the UNTRUNCATED artifact of record: the driver's tail window cannot
-    // hold ~96 query entries, so the full-precision JSON also lands in a
-    // file next to the repo's BENCH_r{N}.json history. LASTRUN is always
-    // written (failure evidence included); LATEST only on a CLEAN run, so
-    // a gate ratio anchored to it can never seed from a failed/partial
-    // bench (the r12 lesson: the rc=1 artifact replaced the rc=0 one and
-    // would have become the baseline of record).
-    def writeJson(path: String): Unit =
-      try {
-        val out = new java.io.PrintWriter(path, "UTF-8")
-        try out.println(fullJson) finally out.close()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $path: $e") }
-    writeJson("BENCH_FULL_LASTRUN.json")
-    // LATEST is the full-suite artifact of record: neither a failed run
-    // NOR a filtered profiling run (SPARK_GRAFT_BENCH_ONLY) may replace
-    // it — a clean-but-partial map would silently shrink the baseline
-    if (rc == 0 && only.isEmpty) writeJson("BENCH_FULL_LATEST.json")
-    // machine-readable PER-ROUND summary (r13 verdict task 8): the
-    // driver's BENCH_r{N}.json keeps only a truncated tail, so the
-    // per-query map also lands in a small round-stamped file that can
-    // never truncate (3-decimal seconds, ~25 bytes/query). The round
-    // number is inferred as 1 + the highest committed BENCH_r{N}.json —
-    // the driver writes that artifact AFTER this bench runs, so during
-    // round N the highest on disk is N-1.
-    val round = inferRound()
-    val summaryJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,$canaryFields,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}"""
-    def writeSummary(path: String): Unit =
-      try {
-        val out = new java.io.PrintWriter(path, "UTF-8")
-        try out.println(summaryJson) finally out.close()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $path: $e") }
-    writeSummary("BENCH_SUMMARY_LASTRUN.json")
-    // round-stamped only for CLEAN FULL runs: a filtered profiling run
-    // (SPARK_GRAFT_BENCH_ONLY) must not replace the round's full map
-    if (rc == 0 && only.isEmpty) writeSummary(s"BENCH_SUMMARY_r$round.json")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","rc":$rc,"queries":$qsCompact,"errors":$es,"n_failed":${errors.size},"n_queries":${times.size},"sf":"$sfDir"}""")
     // trailing summary line: short enough to ALWAYS fit the tail window,
     // carries the coverage count and the pointer to the full map. Metric
     // name is DISTINCT from the per-query line's "total" so a consumer

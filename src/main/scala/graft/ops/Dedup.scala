@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.StringType
   * [[graft.queries.LlmQueries]] replay the identical computation).
   *
   * Resource contract: the pair operators persist small sketch relations
-  * (MEMORY_AND_DISK) to prevent recomputation races across join sides.
+  * (MEMORY_AND_DISK_SER) to prevent recomputation races across join sides.
   * They are NOT unpersisted here (the returned plans still reference
   * them); consume the result, then release with
   * `spark.catalog.clearCache()` — as Verify/Bench do per query.
@@ -512,31 +512,34 @@ object Dedup {
     * construction and broadcast for the anti-join — `banded` itself is
     * never re-shuffled.
     */
-  /** Compute the hot-bucket key set of `counted` (buckets above `cap`) as
-    * a small local DataFrame, reporting drops loudly. The hot set is
-    * COLLECTED to the driver: it is tiny by the cap's own definition
-    * (each hot bucket holds > cap members, so there are at most
-    * corpus/cap of them, and in practice a handful of floods), one action
-    * replaces three lazy re-evaluations, and no cache-manager entry is
-    * left behind — the per-ingest callers must stay leak-free.
+  /** Compute the hot-bucket key set of `counted` (buckets above `cap`),
+    * reporting drops loudly. r21 (VERDICT r20 task 6): the hot set is NO
+    * LONGER collected to the driver — the driver pulls exactly ONE
+    * aggregate row (count + dropped-member sum, both exact) for the loud
+    * audit, and the key set itself stays distributed behind an eager
+    * serialized localCheckpoint (no cache-manager entry, so the
+    * per-ingest callers stay leak-free; blocks free via ContextCleaner).
+    * A pathological corpus with millions of distinct hot buckets can no
+    * longer driver-OOM the audit of the guard that exists to prevent
+    * blowups. The common cool path still costs one tiny job (the audit
+    * aggregate); the checkpoint job runs only when hot buckets exist.
     */
   private def hotBucketKeys(counted: DataFrame, keys: Seq[String], cap: Int,
                             what: String): Option[DataFrame] = {
-    val hotRows = counted.filter(col("__bsz") > cap).collect()
-    if (hotRows.isEmpty) None
+    val hotLazy = counted.filter(col("__bsz") > cap)
+    val audit = hotLazy
+      .agg(count(lit(1)).as("__n"), sum("__bsz").as("__dropped")).collect()(0)
+    val n = audit.getAs[Long]("__n")
+    if (n == 0L) None
     else {
-      val dropped = hotRows.map(_.getAs[Long]("__bsz")).sum
-      System.err.println(s"[graft] $what: dropped ${hotRows.length} hot " +
+      val dropped = audit.getAs[Long]("__dropped")
+      System.err.println(s"[graft] $what: dropped $n hot " +
         s"bucket(s) (> $cap members, $dropped rows total) from the " +
         s"candidate join; their documents skip near-dup detection — " +
         s"collapse exact duplicates upstream to avoid this")
-      val spark = counted.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(
-        keys.map(n => counted.schema(n)))
-      val rows = hotRows.map(r =>
-        org.apache.spark.sql.Row.fromSeq(keys.indices.map(r.get)))
-      Some(spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), schema))
+      Some(hotLazy.select(keys.map(col): _*)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     }
   }
 
@@ -600,7 +603,7 @@ object Dedup {
     // scan->shingle->sketch pipeline per join side (broadcast joins have
     // no common exchange for ReuseExchange to dedup).
     val banded = bandRelation(df, idCol, numHashes, bands, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // Materialize ONCE, serially, before the join: its two sides (stream +
     // broadcast thread) would otherwise race to compute the same cache
     // blocks concurrently — observed as multi-10x nondeterministic stalls
@@ -633,7 +636,7 @@ object Dedup {
                                idCol: String, numHashes: Int, bands: Int,
                                textCol: String = "text", k: Int = 3,
                                maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val bOld = bandRelation(corpus, idCol, numHashes, bands, textCol, k).persist(sl)
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = bandRelation(batch, idCol, numHashes, bands, textCol, k).persist(sl)
@@ -645,7 +648,7 @@ object Dedup {
     // Checkpointed blocks self-free via the ContextCleaner when the
     // returned plan is collected — same rationale as resolveClusters.
     val result = incrementalLshCandidatesIndexed(bOld, bNew, maxBucketSize)
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     bOld.unpersist()
     bNew.unpersist()
     result
@@ -683,13 +686,13 @@ object Dedup {
     // Both relations here are candidate-sized (small by construction) and
     // referenced 2-3 times each — persist so the upstream LSH pipeline and
     // the semi-joined shingle explode run once, not per reference.
-    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     cand.count() // serial materialization — see lshCandidatePairs
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
     val needed = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
     val sh = shingleRows(needed, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     sh.count() // serial materialization before the 3 dependent joins
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
@@ -790,7 +793,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, candidates: DataFrame, idCol: String,
                        k: Int, threshold: Double,
                        textCol: String = "text"): DataFrame = {
-    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     cand.count() // serial materialization — see lshCandidatePairs
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
@@ -802,7 +805,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("ws"))
       .withColumn("c", size(col("ws")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     arr.count()
     val withArrays = cand
       .join(arr.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
@@ -829,7 +832,7 @@ object Dedup {
     */
   def containmentPairsFrom(docTokens: DataFrame, candidates: DataFrame,
                            threshold: Double): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val cand = candidates.persist(sl)
     cand.count() // serial materialization — see lshCandidatePairs
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
@@ -873,7 +876,12 @@ object Dedup {
     * quantifying what `maxBucketSize = cap` would drop from the
     * banded-LSH candidate stage over `docs` — total band buckets, hot
     * buckets (> cap members), band rows inside them, and the distinct
-    * documents that consequently skip near-dup detection. The
+    * documents with membership in ANY hot bucket. NOTE (ADVICE r20):
+    * `docs_affected` is an UPPER BOUND on the recall exposure, not the
+    * exact loss — a doc in one hot bucket can still be detected through
+    * a non-hot bucket in another band; the exact missed-pair count
+    * (all-witnesses-hot) is what `ScaleProbe publish_cap_audit`
+    * measures, and it is always <= this column's implication. The
     * [[capBuckets]] stderr line reports drops at run time; this is the
     * same information as a RELATION, so a deployment can record the
     * cap's recall exposure next to its ladder rungs (the
@@ -887,7 +895,7 @@ object Dedup {
                   bands: Int, cap: Int, textCol: String = "text",
                   k: Int = 3): DataFrame = {
     require(cap > 0, s"lshCapAudit needs a positive cap, got $cap")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val banded = bandIndex(docs, idCol, numHashes, bands, textCol, k)
       .persist(sl)
     banded.count() // serial materialization — see lshCandidatePairs
@@ -909,7 +917,7 @@ object Dedup {
       .select(lit(cap).as("cap"), col("n_buckets"),
         col("n_hot_buckets"), col("band_rows_dropped"),
         col("docs_affected"))
-      .localCheckpoint(true) // eager: release the persists below safely
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // eager: release the persists below safely
     banded.unpersist()
     sizes.unpersist()
     out
@@ -941,7 +949,7 @@ object Dedup {
                                maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val eps = 1e-9
     def shingles(d: DataFrame) =
       shingleRows(d.select(col(idCol), col(textCol)), idCol, textCol, k)
@@ -1078,7 +1086,7 @@ object Dedup {
   def setSimilarityPairs(docs: DataFrame, idCol: String, threshold: Double,
                          textCol: String = "text", k: Int = 3,
                          maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val (cand, docTokens) =
       setSimilarityCandidates(docs, idCol, threshold, textCol, k,
         maxBucketSize)
@@ -1112,7 +1120,7 @@ object Dedup {
       maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     // the set universe is k-shingles (k = 1 -> word sets). Prefix
     // filtering needs a DIVERSE universe to prune: a tiny vocabulary
     // (the 31-word synthetic corpus) makes every "rare" prefix token
@@ -1209,7 +1217,7 @@ object Dedup {
                            k: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val tk = containmentTokens(docs, idCol, textCol, k).persist(sl)
     tk.count()
     val docTokens = containmentDocTokens(tk).persist(sl)
@@ -1260,7 +1268,7 @@ object Dedup {
                                maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val eps = 1e-9
     val docTokens = docTokens0
       .withColumn("p",
@@ -1344,7 +1352,7 @@ object Dedup {
                                  maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val eps = 1e-9
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // NON-distinct grams: the weights ARE the duplicate counts
@@ -1442,7 +1450,7 @@ object Dedup {
                                maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val eps = 1e-9
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs.select(col(idCol).as("doc_id"),
@@ -1555,7 +1563,7 @@ object Dedup {
   private def weightedIncrementalRows(corpus: DataFrame, batch: DataFrame,
                                       idCol: String, textCol: String,
                                       k: Int): WeightedSides = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
       explode(coalesce(
@@ -1612,7 +1620,7 @@ object Dedup {
                                        maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val eps = 1e-9
     val ws = weightedIncrementalRows(corpus, batch, idCol, textCol, k)
     def pref(r: DataFrame) = r.filter(col("suffw").cast("double") >=
@@ -1685,7 +1693,7 @@ object Dedup {
   private def weightedMergeVerify(cand: DataFrame, tf: DataFrame,
                                   sums: DataFrame,
                                   label: String): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val docArrs = tf.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("w"), col("tf"))))
         .as("wt"))
@@ -1697,12 +1705,14 @@ object Dedup {
     // would have been a bare count() also sums actual token bytes
     // (~32 B/slot covers the tf long + array offsets; ~96 B/doc covers
     // the id + row + hash-entry overhead) — zero extra jobs, no second
-    // scan of the tf lineage. Token bytes via length(concat_ws) +
-    // 32*size, NOT a higher-order aggregate: HOFs evaluate interpreted
+    // scan of the tf lineage. Token bytes via octet_length(concat_ws)
+    // — OCTET, not char (ADVICE r20): length() counts CHARACTERS, which
+    // under-prices multi-byte UTF-8 corpora (CJK, Cyrillic) up to 4x —
+    // + 32*size, NOT a higher-order aggregate: HOFs evaluate interpreted
     // (per-element lambda dispatch), measured ~0.5 s over a 60k-doc
     // corpus where this codegen'd form is free
     val stats = docArrs.agg(count(lit(1)).as("n"),
-      coalesce(sum(length(concat_ws("", col("ws"))).cast("long") +
+      coalesce(sum(octet_length(concat_ws("", col("ws"))).cast("long") +
         lit(32L) * size(col("ws"))), lit(0L)).as("b")).head()
     val nDocs = stats.getLong(0)
     val estBytes = stats.getLong(1) + nDocs * 96L
@@ -1741,7 +1751,7 @@ object Dedup {
                                      maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val eps = 1e-9
     val ws = weightedIncrementalRows(corpus, batch, idCol, textCol, k)
     def tag(r: DataFrame, t: Int) = r.withColumn("__new", lit(t))
@@ -1807,7 +1817,7 @@ object Dedup {
                              maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val eps = 1e-9
     def shingles(d: DataFrame) =
       shingleRows(d.select(col(idCol), col(textCol)), idCol, textCol, k)
@@ -1915,12 +1925,12 @@ object Dedup {
     * unchanged.
     */
   def resolveClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
-    val p = pairs.localCheckpoint()
+    val p = pairs.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -1939,7 +1949,7 @@ object Dedup {
       val next = stepped.join(dict, col("l1") === col("dn"), "left")
         .select(col("node"), col("old"),
           least(col("l1"), coalesce(col("dl"), col("l1"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("node"), col("label"))
     }
@@ -2004,7 +2014,7 @@ object Dedup {
                        textCol: String = "text", k: Int = 3,
                        maxBucketSize: Int = 0): DataFrame = {
     val collapsed = exactKeepFirst(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     collapsed.count() // serial materialization — see lshCandidatePairs
     fuzzyKeepFirst(collapsed,
       fuzzy(collapsed, idCol, numHashes, bands, threshold, textCol, k,
@@ -2025,7 +2035,7 @@ object Dedup {
                       textCol: String = "text", k: Int = 3,
                       maxBucketSize: Int = 0): DataFrame = {
     val collapsed = exactKeepFirst(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     collapsed.count() // serial materialization — see lshCandidatePairs
     fuzzyKeepBest(collapsed,
       fuzzy(collapsed, idCol, numHashes, bands, threshold, textCol, k,
@@ -2107,7 +2117,7 @@ object Dedup {
       s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     // persist: sketch-sized (4 rows/doc); read once by both join sides
     val banded0 = simhashBandIndex(sketches)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     banded0.count() // serial materialization — see lshCandidatePairs
     val banded = capBuckets(banded0, Seq("band", "v"), maxBucketSize,
       "simhashPairs")
@@ -2138,7 +2148,7 @@ object Dedup {
                               batchSketches: DataFrame,
                               maxHamming: Int,
                               maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val bOld = simhashBandIndex(corpusSketches).persist(sl)
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = simhashBandIndex(batchSketches).persist(sl)
@@ -2146,7 +2156,7 @@ object Dedup {
     // eager candidate-sized materialization + cache release — the
     // per-ingest path must not accumulate cached band relations
     val result = incrementalSimhashPairsIndexed(bOld, bNew, maxHamming,
-      maxBucketSize).localCheckpoint()
+      maxBucketSize).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     bOld.unpersist()
     bNew.unpersist()
     result

@@ -70,12 +70,19 @@ object ForcedBroadcast {
     val cap = capBytes(df)
     if (est <= cap && rows <= HardRowClamp) broadcast(df)
     else {
-      System.err.println(s"[graft] $label: estimated broadcast size " +
-        s"${est >> 20} MiB ($rows rows) exceeds the " +
-        s"${cap >> 20} MiB guard (driver-heap/10 clamped under Spark's " +
-        "8GB/512M-row broadcast limits; " +
-        "spark.graft.forcedBroadcastMaxBytes overrides downward) — " +
-        "joining via shuffle instead")
+      // name the clamp that actually tripped (ADVICE r20): a row-clamp
+      // refusal with a tiny byte estimate must not claim a byte overflow
+      val reason =
+        if (est > cap)
+          s"estimated broadcast size ${est >> 20} MiB ($rows rows) " +
+            s"exceeds the ${cap >> 20} MiB guard (driver-heap/10 " +
+            "clamped under Spark's 8GB/512M-row broadcast limits; " +
+            "spark.graft.forcedBroadcastMaxBytes overrides downward)"
+        else
+          s"$rows rows exceed the $HardRowClamp-row clamp (under " +
+            s"Spark's 512M-row broadcast hard limit; est ${est >> 20} MiB)"
+      System.err.println(s"[graft] $label: $reason — joining via shuffle " +
+        "instead")
       df
     }
   }

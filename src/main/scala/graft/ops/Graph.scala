@@ -34,12 +34,12 @@ object Graph {
       teleport: Double = 0.15, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // static per-edge (src, dst, deg) — computed once, reused per
     // iteration, never re-derived from the scan
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ed = e.join(deg, "src").localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     for (_ <- 1 to iterations) {
       val contribs = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"),
@@ -51,7 +51,7 @@ object Graph {
           round(lit(teleport) + lit(damping) *
             coalesce(col("s"), lit(0).cast("decimal(38,12)"))
               .cast("double"), 12).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -102,7 +102,7 @@ object Graph {
         struct(col("b").as("s"), col("a").as("d"), col("dega").as("dd")))
         .as("o"))
       .select(col("o.s").as("s"), col("o.d").as("d"), col("o.dd").as("dd"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val w1 = oriented.select(col("s"), col("d").as("v"), col("dd").as("dv"))
     val w2 = oriented.select(col("s"), col("d").as("w"), col("dd").as("dw"))
     // the wedge relation is the quadratic one (sum of C(out-deg, 2));
@@ -158,7 +158,7 @@ object Graph {
     * constant; a retry can never replay the whole peel history).
     */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var r = 0
     while (r < rounds) {
       val deg = e.select(col("a").as("node"))
@@ -167,7 +167,7 @@ object Graph {
       val keep = deg.filter(col("deg") >= k).select(col("node"))
       e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b")).localCheckpoint()
+        .select(col("a"), col("b")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       r += 1
     }
     e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
@@ -186,9 +186,9 @@ object Graph {
     val e = edges.select(col("a"), col("b")).distinct()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var visited = adj.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0).as("dist")).localCheckpoint()
+      .select(lit(source).as("node"), lit(0).as("dist")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var frontier = visited
     var h = 0
     while (h < maxHops) {
@@ -197,8 +197,8 @@ object Graph {
         .join(visited.select(col("node").as("__seen")),
           col("node") === col("__seen"), "left_anti")
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      visited = visited.unionByName(next).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       frontier = next
       h += 1
     }

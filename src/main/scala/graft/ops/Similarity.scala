@@ -361,14 +361,14 @@ object Similarity {
                             planes: Int, dim: Int,
                             threshold: Double,
                             maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val bOld = srpIndex(corpus, planes, dim).persist(sl)
     bOld.count() // serial materialization — see Dedup.lshCandidatePairs
     val bNew = srpIndex(batch, planes, dim).persist(sl)
     bNew.count()
     val result = incrementalSrpNearDupIndexed(bOld, bNew, threshold,
       maxBucketSize)
-      .localCheckpoint() // eager + cache release: the per-ingest path
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // eager + cache release: the per-ingest path
     bOld.unpersist()
     bNew.unpersist()
     result
@@ -528,14 +528,14 @@ object Similarity {
   def incrementalSemanticPairs(corpus: DataFrame, batch: DataFrame,
                                codebook: DataFrame, threshold: Double,
                                maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val iOld = semanticIndex(corpus, codebook).persist(sl)
     iOld.count() // serial materialization — see Dedup.lshCandidatePairs
     val iNew = semanticIndex(batch, codebook).persist(sl)
     iNew.count()
     val result = incrementalSrpNearDupIndexed(iOld, iNew, threshold,
       maxBucketSize)
-      .localCheckpoint() // eager + cache release: the per-ingest path
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // eager + cache release: the per-ingest path
     iOld.unpersist()
     iNew.unpersist()
     result
@@ -647,7 +647,7 @@ object Similarity {
         (0 until m).map(j => struct(lit(j).as("sub"),
           slice(col("embedding"), j * sub + 1, sub).as("xe"))): _*)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.xe").as("xe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var cb = seedCb
       .select(col("sub").cast("int"), col("code").cast("long"),
         col("ce").cast("array<double>"))

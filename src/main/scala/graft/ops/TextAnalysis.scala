@@ -106,7 +106,7 @@ object TextAnalysis {
     */
   def trainBpeMerges(df: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     var vocab = Par.fanOut(df.select(col(textCol)))
       .select(explode(
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("w"))
@@ -137,7 +137,7 @@ object TextAnalysis {
         // materializes eagerly and stores the blocks itself — no extra
         // persist); other rounds persist + materialize explicitly
         val next =
-          if ((round + 1) % 8 == 0) reEnc.localCheckpoint(true)
+          if ((round + 1) % 8 == 0) reEnc.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
           else { val p = reEnc.persist(sl); p.count(); p }
         vocab.unpersist()
         vocab = next
@@ -852,7 +852,7 @@ object TextAnalysis {
     */
   def removeFlagged(corpus: DataFrame, flagged: DataFrame,
                     idCol: String): DataFrame = {
-    val f = flagged.select(col("doc_id")).localCheckpoint(true)
+    val f = flagged.select(col("doc_id")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     corpus.join(broadcast(f), corpus(idCol) === f("doc_id"), "left_anti")
   }
 
@@ -870,7 +870,7 @@ object TextAnalysis {
     // on the scale probe (37 s -> 11 s at 50 k docs, 192 s -> 19 s at 100 k).
     val flagged = contaminationReportIndexed(corpus, benchGrams, idCol,
         textCol, n)
-      .select(col("doc_id")).localCheckpoint(true)
+      .select(col("doc_id")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
       "left_anti")
   }
@@ -898,7 +898,7 @@ object TextAnalysis {
                          numBits: Int = 0,
                          numHashes: Int = 5): DataFrame = {
     val benchGrams = Dedup.shingleRows(benchmark, idCol, textCol, n)
-      .select(col("s")).distinct().localCheckpoint(true)
+      .select(col("s")).distinct().localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // numBits <= 0 -> auto-size at ~10 bits/key (~1% FP with 5 hashes)
     // from the materialized gram count: an oversized filter is pure
     // constant overhead (its words array rides every task binary), an
@@ -921,7 +921,7 @@ object TextAnalysis {
     val flagged = corpusGrams
       .filter(Bloom.mightContain(f, col("s")))
       .join(broadcast(benchGrams), "s")
-      .select(col("doc_id")).distinct().localCheckpoint(true)
+      .select(col("doc_id")).distinct().localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
       "left_anti")
   }
@@ -947,7 +947,7 @@ object TextAnalysis {
                          numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5, k: Int = 3,
                          maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val bC = Dedup.bandIndex(corpus, idCol, numHashes, bands, textCol, k)
       .persist(sl)
     bC.count() // serial materialization — see Dedup.lshCandidatePairs
@@ -960,7 +960,7 @@ object TextAnalysis {
     val cand = pC.as("a").join(broadcast(pB.as("b")),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     bC.unpersist(); bB.unpersist()
 
     // cross-relation Jaccard verification: corpus shingles restricted to
@@ -999,7 +999,7 @@ object TextAnalysis {
                          maxBucketSize: Int = 0): DataFrame = {
     val flagged = fuzzyContamination(corpus, benchmark, idCol, textCol,
         numHashes, bands, threshold, k, maxBucketSize)
-      .select(col("doc_id")).distinct().localCheckpoint(true)
+      .select(col("doc_id")).distinct().localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     corpus.join(broadcast(flagged), corpus(idCol) === flagged("doc_id"),
       "left_anti")
   }
@@ -1265,7 +1265,7 @@ object TextAnalysis {
       .withColumn("own", min(col("doc_id")).over(byGram))
       .filter(col("doc_id") =!= col("own"))
       .select(col("doc_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     df.join(flagged, df(idCol) === flagged("doc_id"), "left_anti")
   }
 
@@ -1305,7 +1305,7 @@ object TextAnalysis {
       .select(col("doc_id"))
     // eager lineage cut before the anti-join — see [[substringDedup]]
     val flagged = inBatch.unionByName(vsIndex).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     batch.join(flagged, batch(idCol) === flagged("doc_id"), "left_anti")
   }
 
@@ -1338,7 +1338,7 @@ object TextAnalysis {
         least(col("batch_own"), coalesce(col("idx_own"), col("batch_own"))))
       .filter(col("gown") < col("doc_id"))
       .select(col("doc_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     batch.join(flagged, batch(idCol) === flagged("doc_id"), "left_anti")
   }
 

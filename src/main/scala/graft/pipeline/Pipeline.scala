@@ -93,8 +93,8 @@ object Pipeline {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new HPath(path))) return 0L
     val purge = org.apache.spark.sql.functions.broadcast(
-      ids.toDF("__purge_id").distinct().localCheckpoint())
-    val before = spark.read.parquet(path).localCheckpoint()
+      ids.toDF("__purge_id").distinct().localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val before = spark.read.parquet(path).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keep = idCols.foldLeft(before) { (d, c) =>
       d.join(purge, d(c) === org.apache.spark.sql.functions.col("__purge_id"), "left_anti")
     }
@@ -252,7 +252,7 @@ object Pipeline {
         } else up
       // materialize BEFORE the swap: the merged plan reads the very
       // files the overwrite replaces
-      atomicOverwrite(spark, merged.localCheckpoint(true), pdir)
+      atomicOverwrite(spark, merged.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), pdir)
     }
   }
 
@@ -277,7 +277,7 @@ object Pipeline {
         .withColumn(partitionCol,
           org.apache.spark.sql.functions.lit(pv))
       val kept = cur.filter(!predicate).drop(partitionCol)
-      atomicOverwrite(spark, kept.localCheckpoint(true), pdir)
+      atomicOverwrite(spark, kept.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), pdir)
     }
   }
 

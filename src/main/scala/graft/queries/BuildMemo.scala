@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Session-lifetime build-once memo for index-grade artifacts: derived
   * relations (trained codebooks, code indexes, edge lists, candidate
@@ -16,15 +17,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * key) so concurrent test sessions and different fixture dirs can
   * never cross-feed.
   *
-  * This is the r13/r14 residual-index pattern (LlmQueries.memoDf,
-  * which cut the residual-eval family 36.4→4.6 s) promoted to a shared
-  * utility so the mining/graph edge builds and the planted-quote
-  * corpus ride the same discipline.
+  * r21 (VERDICT r20 task 3 — the memo was unbounded): checkpoint
+  * blocks are now stored SERIALIZED (`MEMORY_AND_DISK_SER`: compact
+  * byte buffers the old-gen scans cheaply, vs tens of GiB of live
+  * UnsafeRow object graphs that billed multi-second GC pauses to the
+  * dedup queries under the driver's 91 GiB heap), each entry's
+  * checkpoint RDD ids are tracked, and the memo holds at most
+  * `spark.graft.memoBudgetMb` (sysprop, then SPARK_GRAFT_MEMO_BUDGET_MB
+  * env; default maxHeap/4) of live block bytes — past the budget the
+  * OLDEST entries are dropped (rebuild-on-demand). Dropping an entry
+  * releases the memo's reference only: the blocks free via the
+  * ContextCleaner once the last holder's plan is unreachable, so a
+  * caller that cached the returned DataFrame (residualBuiltMemo) can
+  * never observe a vanished checkpoint block. The budget therefore
+  * bounds what the MEMO retains, which was the unbounded term.
   */
 object BuildMemo {
 
+  /** df + the persistent-RDD ids its eager checkpoint registered +
+    * insertion order (for oldest-first eviction).
+    */
+  private final case class Entry(df: DataFrame, rddIds: Set[Int], seq: Long)
+
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    (SparkSession, String, String), Entry]()
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Memo byte budget: sysprop (tests) > env (deployments) > heap/4. */
+  private[graft] def budgetBytes(): Long =
+    sys.props.get("spark.graft.memoBudgetMb")
+      .orElse(sys.env.get("SPARK_GRAFT_MEMO_BUDGET_MB"))
+      .map(_.toLong << 20)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 4)
+
+  /** Live block-manager bytes (memory + disk) of one entry, from the
+    * session's storage listing — reflects what the blocks cost NOW
+    * (post-spill, post-cleaner), not a build-time estimate.
+    */
+  private def liveBytes(s: SparkSession, ids: Set[Int]): Long =
+    try {
+      s.sparkContext.getRDDStorageInfo
+        .filter(i => ids.contains(i.id))
+        .map(i => i.memSize + i.diskSize).sum
+    } catch { case _: Throwable => 0L }
+
+  /** Total live bytes the memo currently retains for `s` — the number
+    * the budget bounds (exposed for the bench/spec).
+    */
+  private[graft] def retainedBytes(s: SparkSession): Long = {
+    var total = 0L
+    memo.forEach { (k, e) => if (k._1 eq s) total += liveBytes(s, e.rddIds) }
+    total
+  }
+
+  private def persistedIds(s: SparkSession): Set[Int] =
+    try s.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    catch { case _: Throwable => Set.empty }
 
   /** get-then-putIfAbsent, NOT computeIfAbsent: a build lambda may
     * itself call [[df]] for a dependency (quoteAnchorCands builds on
@@ -34,18 +82,59 @@ object BuildMemo {
     * benign race (two threads may both build; one result wins and the
     * loser's checkpoint blocks are reclaimed by the ContextCleaner when
     * its plan is GC'd) — correct either way, since builds are
-    * deterministic and bit-identical.
+    * deterministic and bit-identical. The same race can misattribute
+    * rdd ids between concurrently-built entries, which skews the
+    * BUDGET accounting only, never results.
     */
   def df(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     evictStopped()
     val k = (s, dir, key)
     val hit = memo.get(k)
-    if (hit != null) hit
+    if (hit != null) hit.df
     else {
-      val built = build.localCheckpoint(true)
-      val prev = memo.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      val before = persistedIds(s)
+      val built = build.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      // ids claimed by entries a NESTED df() call inserted during this
+      // build belong to those entries, not this one
+      val nested = {
+        val claimed = scala.collection.mutable.Set[Int]()
+        memo.forEach { (mk, e) => if (mk._1 eq s) claimed ++= e.rddIds }
+        claimed
+      }
+      val mine = persistedIds(s) -- before -- nested
+      val prev = memo.putIfAbsent(k, Entry(built, mine.toSet,
+        seqGen.incrementAndGet()))
+      if (prev != null) prev.df
+      else { enforceBudget(s); built }
+    }
+  }
+
+  /** Oldest-first eviction past the byte budget; the just-inserted
+    * (newest) entry always survives, so a single over-budget artifact
+    * still memoizes rather than thrashing.
+    */
+  private def enforceBudget(s: SparkSession): Unit = {
+    val budget = budgetBytes()
+    val mine = {
+      val b = Seq.newBuilder[((SparkSession, String, String), Entry, Long)]
+      memo.forEach { (k, e) =>
+        if (k._1 eq s) b += ((k, e, liveBytes(s, e.rddIds)))
+      }
+      b.result().sortBy(_._2.seq)
+    }
+    var total = mine.map(_._3).sum
+    val it = mine.iterator
+    while (total > budget && it.hasNext) {
+      val (k, e, bytes) = it.next()
+      if (e.seq != mine.last._2.seq) { // never the newest
+        memo.remove(k)
+        total -= bytes
+        System.err.println(s"[BuildMemo] evicted '${k._3}' (${bytes >> 20} " +
+          s"MiB live) — memo over budget (${budget >> 20} MiB); blocks " +
+          "release via ContextCleaner when the last reference drops; " +
+          "next request rebuilds")
+      }
     }
   }
 

@@ -1444,7 +1444,7 @@ object LlmQueries {
       val pairs = Dedup.containmentPairsFrom(quoteDocTokens(s, dir),
         quoteAnchorCands(s, dir), threshold = 0.5)
         .filter(col("quote_like") === 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val drop = pairs.select(
         when(col("cont_a_in_b") > col("cont_b_in_a"), col("doc_a"))
           .when(col("cont_b_in_a") > col("cont_a_in_b"), col("doc_b"))
@@ -1672,7 +1672,7 @@ object LlmQueries {
     // it both sides re-run the tokenize+64-column aggregation.
     "dedup_simhash_incremental" -> ((s, dir) => {
       val sk = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       sk.count()
       Dedup.incrementalSimhashPairs(
         sk.filter(Dedup.hashBucket(col("doc_id")) >= 20),
@@ -2349,7 +2349,7 @@ object LlmQueries {
       val docs = Tables.documents(s, dir)
       val sk = QualityModel.featureSketchNg(docs, "doc_id", "text",
         when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
-          .otherwise(0), dim = 262144, maxN = 2).localCheckpoint(true)
+          .otherwise(0), dim = 262144, maxN = 2).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       QualityModel.trainHashedLogRegWith(sk, "doc_id", lr = 0.5, iters = 3)
     }),
 
@@ -2699,14 +2699,14 @@ object LlmQueries {
     "llm_dedup_funnel" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val collapsed = Dedup.exactKeepFirst(docs, "doc_id", "text")
-        .localCheckpoint(true)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val kept = Dedup.fuzzyKeepFirst(collapsed,
         Dedup.fuzzy(collapsed, "doc_id", numHashes = 16, bands = 4,
           threshold = 0.5, maxBucketSize = 64), "doc_id")
-        .localCheckpoint(true)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val substrFlagged = TextAnalysis.substringDupStats(docs,
           "doc_id", "text", w = 20)
-        .filter(col("dropped")).select(col("doc_id")).localCheckpoint(true)
+        .filter(col("dropped")).select(col("doc_id")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val unsub = kept.join(substrFlagged,
         kept("doc_id") === substrFlagged("doc_id"), "left_anti")
       def stage(i: Int, name: String,
@@ -2733,7 +2733,7 @@ object LlmQueries {
       val substrFlagged = TextAnalysis.substringDupStats(docs,
           "doc_id", "text", w = 20)
         .filter(col("dropped")).select(col("doc_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val unsub = kept.join(substrFlagged,
         kept("doc_id") === substrFlagged("doc_id"), "left_anti")
       val flagged = TextAnalysis.contaminationReport(docs,
@@ -2761,7 +2761,7 @@ object LlmQueries {
       val curatedIds = TextAnalysis.curationFilter(kept, "doc_id", "text",
           minTokens = 20, maxTokens = 2000, minQuality = 0.1,
           maxRepetition = 0.2, keepLang = "en")
-        .select(col("doc_id")).localCheckpoint(true)
+        .select(col("doc_id")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val released = docs.join(curatedIds, Seq("doc_id"), "left_semi")
       Dedup.weightedSampleJoined(released, "doc_id", "source",
         Dedup.temperatureMixRates(released, "source", col("n_chars"),
@@ -3010,7 +3010,7 @@ object LlmQueries {
           .withColumn("c_mktsegment", lit("MOVED2"))
           .withColumn("ts", lit(2000L)))
       val h2 = Dimensions.scd2Apply(h1, ch2, Seq("c_custkey"), "ts")
-        .localCheckpoint(true) // four faces read it; build once
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // four faces read it; build once
       def face(name: String, df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n"))

@@ -80,7 +80,7 @@ object DeconIngest {
     // both the audit append and the anti-join broadcast (the same
     // eager-flagged discipline as the batch operator)
     val flagged = TextAnalysis.contaminationReportIndexed(
-      batch, benchGrams, idCol, textCol, n).localCheckpoint(true)
+      batch, benchGrams, idCol, textCol, n).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     flagged.write.mode("append").parquet(flaggedDir)
     val flaggedIds = flagged.select(col("doc_id"))
     batch.join(broadcast(flaggedIds),
@@ -135,7 +135,7 @@ object DeconIngest {
     val spark = batch.sparkSession
     val bench = spark.read.parquet(benchIndexDir).dropDuplicates("vec_id")
     val flagged = graft.ops.Similarity.embeddingContaminationReport(
-      batch, bench, threshold).localCheckpoint(true)
+      batch, bench, threshold).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     flagged.write.mode("append").parquet(flaggedDir)
     val flaggedIds = flagged.select(col("vec_id").as("__flag_id"))
     batch.join(broadcast(flaggedIds),

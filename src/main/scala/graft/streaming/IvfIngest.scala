@@ -55,7 +55,7 @@ object IvfIngest {
       s"IvfIngest: no frozen codebook at $codebookDir — call " +
         "freezeCodebook(trainedCentroids, dir) before ingesting")
     val recs = batch.select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     recs.count() // materialize before the store append below
     Similarity.ivfAssign(recs, spark.read.parquet(codebookDir))
       .write.mode("append").parquet(indexDir)
@@ -175,7 +175,7 @@ object IvfIngest {
     // before either runs
     val vecs = index(spark, indexDir)
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val k = spark.read.parquet(codebookDir).count().toInt
     // k seeds spread evenly over the id order: quantile cutpoints at
     // the BUCKET MIDPOINTS (i+0.5)/k from a sketch aggregate, then the
@@ -194,9 +194,19 @@ object IvfIngest {
       .select(col("vec_id"))
     val seeds = vecs.join(seedIds, Seq("vec_id"), "left_semi")
     val cb = Similarity.kmeansTrain(vecs, seeds, maxIters)
+    // Stage the NEW index generation fully (eager, lineage cut) BEFORE
+    // either store swap (ADVICE r20): the two atomicOverwrites cannot be
+    // made jointly atomic across directories, but materializing the
+    // rebuilt index first shrinks the codebook/index mismatch window
+    // from "a distributed ivfAssign job that can die or be aborted by
+    // the append guard" to two back-to-back driver-side renames.
+    // Contract for the residual window: a retrain that did not return
+    // true must be RE-RUN TO COMPLETION before serving — serve() against
+    // a half-swapped pair probes the wrong cells without a loud signal.
+    val newIndex = Similarity.ivfAssign(vecs, cb).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     freezeCodebook(cb, codebookDir)
-    graft.pipeline.Pipeline.atomicOverwrite(spark,
-      Similarity.ivfAssign(vecs, cb), indexDir)
+    graft.pipeline.Pipeline.atomicOverwrite(spark, newIndex, indexDir)
     vecs.unpersist()
     true
   }

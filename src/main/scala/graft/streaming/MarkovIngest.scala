@@ -50,7 +50,7 @@ object MarkovIngest {
   def ingestBatch(batch: DataFrame, storeDir: String, epochId: Long): Unit = {
     val ev = batch.select(col("user_id"), col("event_id"),
         col("event_type"), unix_timestamp(col("ts")).as("tsec"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tsec"), col("event_id"))
     ev.withColumn("next_type", lead(col("event_type"), 1).over(w))

@@ -47,7 +47,7 @@ object Scd2Ingest {
     val next = Dimensions.scd2ApplyIdempotent(history, batch, keyCols, tsCol)
     // materialize BEFORE the swap: the plan reads the files it replaces
     graft.pipeline.Pipeline.atomicOverwrite(spark,
-      next.localCheckpoint(true), historyDir)
+      next.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER), historyDir)
   }
 
   def history(spark: SparkSession, historyDir: String): DataFrame =

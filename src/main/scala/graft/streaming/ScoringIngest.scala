@@ -51,7 +51,7 @@ object ScoringIngest {
     val spark = batch.sparkSession
     val w = spark.read.parquet(weightsDir)
     val scored = QualityModel.scoreHashedLogReg(batch, idCol, textCol, w, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     scored.count() // one materialization for the two sinks
     scored.withColumn("epoch_id", lit(epoch))
       .write.mode("append").parquet(scoresDir)
@@ -92,15 +92,38 @@ object ScoringIngest {
     * while a replay that spanned a weights RETRAIN (two genuinely
     * different score rows for one doc) resolves to the earliest
     * delivery deterministically rather than leaving the choice to
-    * `dropDuplicates` row order. Quiesce contract as family-wide: run
-    * with the ingest stopped ([[Stores.compactDedup]]).
+    * `dropDuplicates` row order.
+    *
+    * r21 (ADVICE r20): the kept sink is now reconciled against the
+    * SURVIVING score rows, not merely id-deduped — a doc admitted to
+    * keptDir because its later-epoch score passed `minScore` is REMOVED
+    * when its canonical (min-epoch) compacted score is below the cut,
+    * so the two sinks can never permanently disagree about corpus
+    * membership after a retrain-spanning replay. `minScore` must match
+    * the ingest's gate (both default 0.5). Membership identity: a doc
+    * whose min-epoch score passed was written to keptDir by that very
+    * batch, so {kept} ∩ {surviving >= minScore} = {surviving >=
+    * minScore} — the reconcile only ever drops later-epoch strays.
+    * Quiesce contract as family-wide: run with the ingest stopped
+    * ([[Stores.compactDedup]]).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, scoresDir: String,
-              keptDir: String, idCol: String = "doc_id"): Unit = {
-    if (Stores.hasParquet(spark, scoresDir))
-      graft.pipeline.Pipeline.atomicOverwrite(spark,
-        dedupScores(spark.read.parquet(scoresDir), idCol), scoresDir)
-    Stores.compactDedup(spark, keptDir, Seq(idCol))
+              keptDir: String, idCol: String = "doc_id",
+              minScore: Double = 0.5): Unit = {
+    if (Stores.hasParquet(spark, scoresDir)) {
+      // snapshot the surviving rows BEFORE the swap invalidates the
+      // files the plan reads
+      val surviving = dedupScores(spark.read.parquet(scoresDir), idCol)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      graft.pipeline.Pipeline.atomicOverwrite(spark, surviving, scoresDir)
+      if (Stores.hasParquet(spark, keptDir)) {
+        val kept = spark.read.parquet(keptDir).dropDuplicates(idCol)
+          .join(surviving.filter(col("score") >= minScore)
+            .select(col(idCol)), Seq(idCol), "left_semi")
+        graft.pipeline.Pipeline.atomicOverwrite(spark, kept, keptDir)
+      }
+    } else Stores.compactDedup(spark, keptDir, Seq(idCol))
   }
 
 }

@@ -26,7 +26,7 @@ object RotationProbe {
 
     val e = Tables.embeddings(spark, sfDir)
     val exact = Similarity.bruteForceTopK(e, col("vec_id") % 100 === 0, k = 10)
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     def meanRecall(emb: DataFrame, d: Int): Double =
       Similarity.recallAtK(
           Similarity.bruteForceTopK(
@@ -36,7 +36,7 @@ object RotationProbe {
           exact, k = 10)
         .agg(avg(col("recall"))).head().getDouble(0)
     val rot = Similarity.rotate(e, Similarity.pcaRotation(e, 64))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val perm = Similarity.varianceOrder(e, 64)
     val permuted = e.select(col("vec_id"),
       array(perm.toIndexedSeq.map(i => col("embedding").getItem(i)): _*)

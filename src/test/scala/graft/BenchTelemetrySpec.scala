@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 class BenchTelemetrySpec extends SparkSpec {
 
-  test("measureQuery returns timing samples plus gc/heap telemetry") {
+  test("measureQuery returns timing samples plus gc/heap/storage telemetry") {
     val m = Bench.measureQuery(spark, sf0001, runs = 3,
       (s, dir) => s.read.parquet(s"$dir/region.parquet")
         .agg(count(lit(1)).as("n")))
@@ -21,16 +21,20 @@ class BenchTelemetrySpec extends SparkSpec {
     assert(m.gcMs >= 0L, "GC delta must be a non-negative wall-ms count")
     assert(m.heapMb > 0L && m.heapMb <= (Runtime.getRuntime.maxMemory >> 20),
       "heap-used must be a sane MiB reading")
+    assert(m.storageMb >= 0L,
+      "block-manager storage must be a non-negative MiB reading")
   }
 
-  test("jvm block emits {\"name\":[gc_ms,heap_mb]} and session counters are live") {
+  test("jvm block emits {\"name\":[gc_ms,heap_mb,storage_mb]} and session " +
+      "counters are live") {
     val js = Bench.jvmJson(scala.collection.mutable.LinkedHashMap(
-      "q_a" -> (12L -> 345L), "q_b" -> (0L -> 7L)))
-    assert(js == """{"q_a":[12,345],"q_b":[0,7]}""")
-    assert(Bench.jvmJson(Map.empty[String, (Long, Long)]) == "{}")
+      "q_a" -> ((12L, 345L, 67L)), "q_b" -> ((0L, 7L, 0L))))
+    assert(js == """{"q_a":[12,345,67],"q_b":[0,7,0]}""")
+    assert(Bench.jvmJson(Map.empty[String, (Long, Long, Long)]) == "{}")
     // the session counters the artifact's jvm_session block reads
     assert(Bench.gcTotalMs() >= 0L)
     assert(Bench.heapUsedMb() > 0L)
+    assert(Bench.storageUsedMb(spark) >= 0L)
   }
 
   test("dirUsedMb sums a scratch tree and is 0 for missing paths") {

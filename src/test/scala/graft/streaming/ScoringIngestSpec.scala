@@ -65,7 +65,7 @@ class ScoringIngestSpec extends SparkSpec {
       wDir, scoresDir, keptDir, dim = 64, minScore = cut,
       idCol = "doc_id", textCol = "text", epoch = 0L)
     val rawBefore = spark.read.parquet(scoresDir).count()
-    ScoringIngest.compact(spark, scoresDir, keptDir)
+    ScoringIngest.compact(spark, scoresDir, keptDir, minScore = cut)
     assert(spark.read.parquet(scoresDir).count() < rawBefore,
       "replayed score rows should collapse")
     assert(spark.read.parquet(scoresDir)
@@ -91,12 +91,21 @@ class ScoringIngestSpec extends SparkSpec {
     assert(readFace == batch,
       "read-side dedup must resolve a retrain-spanning replay to the " +
         "min-epoch delivery")
-    ScoringIngest.compact(spark, scoresDir, keptDir)
+    ScoringIngest.compact(spark, scoresDir, keptDir, minScore = cut)
     assert(spark.read.parquet(scoresDir)
       .select("doc_id", "score", "pred").collect().map(_.toSeq).toSet
       == batch,
       "compact must keep the min-epoch row under a retrain-spanning replay")
     assert(spark.read.parquet(scoresDir).count() == batch.size)
+    // r21 (ADVICE r20): after the retrain-spanning replay, the kept sink
+    // must agree with the SURVIVING (min-epoch) scores — a doc admitted
+    // under the retrained weights whose canonical score fails the cut is
+    // reconciled OUT, so the two sinks can never disagree about corpus
+    // membership
+    assert(spark.read.parquet(keptDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == expected,
+      "kept sink must match the surviving scores' membership after a " +
+        "retrain-spanning replay compact")
     spark.catalog.clearCache()
   }
 }
