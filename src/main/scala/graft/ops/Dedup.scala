@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.StringType
   * [[graft.queries.LlmQueries]] replay the identical computation).
   *
   * Resource contract: the pair operators persist small sketch relations
-  * (MEMORY_AND_DISK_SER) to prevent recomputation races across join sides.
+  * (MEMORY_AND_DISK, deserialized: SQL-cache blocks are already compact
+  * columnar CachedBatches — the r21 _SER experiment measured a 5x wall
+  * regression on the containment family from the added per-read
+  * serialization, see OPTIMIZATION_r21.md) to prevent recomputation
+  * races across join sides.
   * They are NOT unpersisted here (the returned plans still reference
   * them); consume the result, then release with
   * `spark.catalog.clearCache()` — as Verify/Bench do per query.
@@ -603,7 +607,7 @@ object Dedup {
     // scan->shingle->sketch pipeline per join side (broadcast joins have
     // no common exchange for ReuseExchange to dedup).
     val banded = bandRelation(df, idCol, numHashes, bands, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize ONCE, serially, before the join: its two sides (stream +
     // broadcast thread) would otherwise race to compute the same cache
     // blocks concurrently — observed as multi-10x nondeterministic stalls
@@ -636,7 +640,7 @@ object Dedup {
                                idCol: String, numHashes: Int, bands: Int,
                                textCol: String = "text", k: Int = 3,
                                maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bOld = bandRelation(corpus, idCol, numHashes, bands, textCol, k).persist(sl)
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = bandRelation(batch, idCol, numHashes, bands, textCol, k).persist(sl)
@@ -686,13 +690,13 @@ object Dedup {
     // Both relations here are candidate-sized (small by construction) and
     // referenced 2-3 times each — persist so the upstream LSH pipeline and
     // the semi-joined shingle explode run once, not per reference.
-    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count() // serial materialization — see lshCandidatePairs
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
     val needed = docs.join(candIds, col(idCol) === col("cid"), "left_semi")
     val sh = shingleRows(needed, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // serial materialization before the 3 dependent joins
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
@@ -793,7 +797,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, candidates: DataFrame, idCol: String,
                        k: Int, threshold: Double,
                        textCol: String = "text"): DataFrame = {
-    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count() // serial materialization — see lshCandidatePairs
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
       .distinct()
@@ -805,7 +809,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("ws"))
       .withColumn("c", size(col("ws")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     arr.count()
     val withArrays = cand
       .join(arr.select(col("doc_id").as("doc_a"), col("ws").as("wa"),
@@ -832,7 +836,7 @@ object Dedup {
     */
   def containmentPairsFrom(docTokens: DataFrame, candidates: DataFrame,
                            threshold: Double): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cand = candidates.persist(sl)
     cand.count() // serial materialization — see lshCandidatePairs
     val candIds = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("cid"))
@@ -895,7 +899,7 @@ object Dedup {
                   bands: Int, cap: Int, textCol: String = "text",
                   k: Int = 3): DataFrame = {
     require(cap > 0, s"lshCapAudit needs a positive cap, got $cap")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val banded = bandIndex(docs, idCol, numHashes, bands, textCol, k)
       .persist(sl)
     banded.count() // serial materialization — see lshCandidatePairs
@@ -949,7 +953,7 @@ object Dedup {
                                maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eps = 1e-9
     def shingles(d: DataFrame) =
       shingleRows(d.select(col(idCol), col(textCol)), idCol, textCol, k)
@@ -1086,7 +1090,7 @@ object Dedup {
   def setSimilarityPairs(docs: DataFrame, idCol: String, threshold: Double,
                          textCol: String = "text", k: Int = 3,
                          maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (cand, docTokens) =
       setSimilarityCandidates(docs, idCol, threshold, textCol, k,
         maxBucketSize)
@@ -1120,7 +1124,7 @@ object Dedup {
       maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the set universe is k-shingles (k = 1 -> word sets). Prefix
     // filtering needs a DIVERSE universe to prune: a tiny vocabulary
     // (the 31-word synthetic corpus) makes every "rare" prefix token
@@ -1217,7 +1221,7 @@ object Dedup {
                            k: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val tk = containmentTokens(docs, idCol, textCol, k).persist(sl)
     tk.count()
     val docTokens = containmentDocTokens(tk).persist(sl)
@@ -1268,7 +1272,7 @@ object Dedup {
                                maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eps = 1e-9
     val docTokens = docTokens0
       .withColumn("p",
@@ -1352,7 +1356,7 @@ object Dedup {
                                  maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eps = 1e-9
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // NON-distinct grams: the weights ARE the duplicate counts
@@ -1450,7 +1454,7 @@ object Dedup {
                                maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eps = 1e-9
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs.select(col(idCol).as("doc_id"),
@@ -1563,7 +1567,7 @@ object Dedup {
   private def weightedIncrementalRows(corpus: DataFrame, batch: DataFrame,
                                       idCol: String, textCol: String,
                                       k: Int): WeightedSides = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
       explode(coalesce(
@@ -1620,7 +1624,7 @@ object Dedup {
                                        maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eps = 1e-9
     val ws = weightedIncrementalRows(corpus, batch, idCol, textCol, k)
     def pref(r: DataFrame) = r.filter(col("suffw").cast("double") >=
@@ -1693,7 +1697,7 @@ object Dedup {
   private def weightedMergeVerify(cand: DataFrame, tf: DataFrame,
                                   sums: DataFrame,
                                   label: String): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docArrs = tf.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("w"), col("tf"))))
         .as("wt"))
@@ -1751,7 +1755,7 @@ object Dedup {
                                      maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eps = 1e-9
     val ws = weightedIncrementalRows(corpus, batch, idCol, textCol, k)
     def tag(r: DataFrame, t: Int) = r.withColumn("__new", lit(t))
@@ -1817,7 +1821,7 @@ object Dedup {
                              maxBucketSize: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eps = 1e-9
     def shingles(d: DataFrame) =
       shingleRows(d.select(col(idCol), col(textCol)), idCol, textCol, k)
@@ -2014,7 +2018,7 @@ object Dedup {
                        textCol: String = "text", k: Int = 3,
                        maxBucketSize: Int = 0): DataFrame = {
     val collapsed = exactKeepFirst(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     collapsed.count() // serial materialization — see lshCandidatePairs
     fuzzyKeepFirst(collapsed,
       fuzzy(collapsed, idCol, numHashes, bands, threshold, textCol, k,
@@ -2035,7 +2039,7 @@ object Dedup {
                       textCol: String = "text", k: Int = 3,
                       maxBucketSize: Int = 0): DataFrame = {
     val collapsed = exactKeepFirst(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     collapsed.count() // serial materialization — see lshCandidatePairs
     fuzzyKeepBest(collapsed,
       fuzzy(collapsed, idCol, numHashes, bands, threshold, textCol, k,
@@ -2117,7 +2121,7 @@ object Dedup {
       s"4x16-bit banding guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     // persist: sketch-sized (4 rows/doc); read once by both join sides
     val banded0 = simhashBandIndex(sketches)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded0.count() // serial materialization — see lshCandidatePairs
     val banded = capBuckets(banded0, Seq("band", "v"), maxBucketSize,
       "simhashPairs")
@@ -2148,7 +2152,7 @@ object Dedup {
                               batchSketches: DataFrame,
                               maxHamming: Int,
                               maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bOld = simhashBandIndex(corpusSketches).persist(sl)
     bOld.count() // serial materialization — see lshCandidatePairs
     val bNew = simhashBandIndex(batchSketches).persist(sl)

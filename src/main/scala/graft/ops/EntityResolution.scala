@@ -230,7 +230,7 @@ object EntityResolution {
         // is a truly quadratic pair set — dropped loudly, never silently
         val nbc = Dedup.capBuckets(nb, Seq("v"), maxBucketSize,
           "editDistanceRescue")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         nbc.count()
         val rcand = nbc.select(col("v"), col("mid").as("id_a"))
           .join(nbc.select(col("v"), col("mid").as("id_b")), Seq("v"))

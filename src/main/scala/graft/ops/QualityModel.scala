@@ -113,7 +113,7 @@ object QualityModel {
   def trainHashedLogReg(df: DataFrame, idCol: String, textCol: String,
                         labelCol: Column, dim: Int = 64, lr: Double = 0.5,
                         iters: Int = 3): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sk = featureSketch(df, idCol, textCol, labelCol, dim).persist(sl)
     val w = trainHashedLogRegWith(sk, idCol, lr, iters)
     sk.unpersist() // weights are eagerly checkpointed — sketch is done

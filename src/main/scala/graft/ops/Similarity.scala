@@ -361,7 +361,7 @@ object Similarity {
                             planes: Int, dim: Int,
                             threshold: Double,
                             maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bOld = srpIndex(corpus, planes, dim).persist(sl)
     bOld.count() // serial materialization — see Dedup.lshCandidatePairs
     val bNew = srpIndex(batch, planes, dim).persist(sl)
@@ -528,7 +528,7 @@ object Similarity {
   def incrementalSemanticPairs(corpus: DataFrame, batch: DataFrame,
                                codebook: DataFrame, threshold: Double,
                                maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val iOld = semanticIndex(corpus, codebook).persist(sl)
     iOld.count() // serial materialization — see Dedup.lshCandidatePairs
     val iNew = semanticIndex(batch, codebook).persist(sl)
@@ -647,7 +647,7 @@ object Similarity {
         (0 until m).map(j => struct(lit(j).as("sub"),
           slice(col("embedding"), j * sub + 1, sub).as("xe"))): _*)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.xe").as("xe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cb = seedCb
       .select(col("sub").cast("int"), col("code").cast("long"),
         col("ce").cast("array<double>"))

@@ -106,7 +106,7 @@ object TextAnalysis {
     */
   def trainBpeMerges(df: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var vocab = Par.fanOut(df.select(col(textCol)))
       .select(explode(
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("w"))
@@ -947,7 +947,7 @@ object TextAnalysis {
                          numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5, k: Int = 3,
                          maxBucketSize: Int = 0): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bC = Dedup.bandIndex(corpus, idCol, numHashes, bands, textCol, k)
       .persist(sl)
     bC.count() // serial materialization — see Dedup.lshCandidatePairs

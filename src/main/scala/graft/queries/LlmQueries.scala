@@ -1444,7 +1444,7 @@ object LlmQueries {
       val pairs = Dedup.containmentPairsFrom(quoteDocTokens(s, dir),
         quoteAnchorCands(s, dir), threshold = 0.5)
         .filter(col("quote_like") === 1)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val drop = pairs.select(
         when(col("cont_a_in_b") > col("cont_b_in_a"), col("doc_a"))
           .when(col("cont_b_in_a") > col("cont_a_in_b"), col("doc_b"))
@@ -1672,7 +1672,7 @@ object LlmQueries {
     // it both sides re-run the tokenize+64-column aggregation.
     "dedup_simhash_incremental" -> ((s, dir) => {
       val sk = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sk.count()
       Dedup.incrementalSimhashPairs(
         sk.filter(Dedup.hashBucket(col("doc_id")) >= 20),

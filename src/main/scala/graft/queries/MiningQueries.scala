@@ -307,19 +307,18 @@ object MiningQueries {
           sum(round(col("o_totalprice") * 100).cast("long"))
             .as("monetary_cents"))
       val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
-      // r21: persist the customer-sized RFM base — the three exact-CDF
-      // quartile legs plus the scoring projection each replayed the
-      // orders scan + groupBy (58 parquet scans / 73 exchanges in one
-      // plan, ReusedExchange caught only 14); one serialized
-      // materialization serves every leg (guide §2.4/§5). Eager count
-      // before the broadcast legs can race its cache blocks.
+      // r21 note: persisting this base relation was TRIED and reverted —
+      // the static plan shows 58 scans/73 exchanges across the three
+      // exact-CDF quartile legs, but the same-window A/B
+      // (tools/creep_ab.sh, OPTIMIZATION_r21.md) measured the persist
+      // ~1.5-2x SLOWER (3.9/4.7 s vs 3.0/2.2 s old): the repeated
+      // subtrees are ReusedExchange-deduped and OS-cache-backed, so the
+      // cache write + per-leg read overhead nets negative at this shape.
       val m = cust.crossJoin(broadcast(anchor))
         .withColumn("recency_days",
           datediff(col("anchor"), col("last_order")).cast("long"))
         .select(col("custkey"), col("recency_days"), col("frequency"),
           col("monetary_cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      m.count()
       def quartiles(c: String, hi: Long, tag: String) = broadcast(
         graft.ops.DataProfile.quantilesExact(m, c, 0L, hi, Seq(25, 50, 75))
           .agg(max(when(col("p") === 25, col("value"))).as(s"${tag}25"),

@@ -48,7 +48,7 @@ object ContainmentIngest {
                   k: Int = 3, maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
     val recs = batch.select(col(idCol), col(textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recs.count() // materialize before the index read below can race it
     val old =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)

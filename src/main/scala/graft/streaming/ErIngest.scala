@@ -48,7 +48,7 @@ object ErIngest {
     val spark = batch.sparkSession
     val recs = batch.select(col(idCol), col(strCol))
     val iNew = EntityResolution.indexSegments(recs, idCol, strCol, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     iNew.count() // materialize before the index read below can race it
     val iOld =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)

@@ -55,7 +55,7 @@ object IvfIngest {
       s"IvfIngest: no frozen codebook at $codebookDir — call " +
         "freezeCodebook(trainedCentroids, dir) before ingesting")
     val recs = batch.select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recs.count() // materialize before the store append below
     Similarity.ivfAssign(recs, spark.read.parquet(codebookDir))
       .write.mode("append").parquet(indexDir)

@@ -60,7 +60,7 @@ object NearDupIngest {
                   textCol: String, k: Int, maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
     val bNew = Dedup.bandIndex(batch, idCol, numHashes, bands, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
     val bOld =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
@@ -161,7 +161,7 @@ object NearDupIngest {
     val spark = batch.sparkSession
     val batchDocs = batch.select(col(idCol), col(textCol))
     val bNew = Dedup.bandIndex(batchDocs, idCol, numHashes, bands, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
     val bOld =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
@@ -207,7 +207,7 @@ object NearDupIngest {
                          maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
     val bNew = Dedup.simhashBandIndex(Dedup.simhash(batch, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count() // serial materialization — see Dedup.lshCandidatePairs
     val bOld =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
@@ -244,7 +244,7 @@ object NearDupIngest {
                            maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
     val bNew = Similarity.srpIndex(batch, planes, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count()
     val bOld =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)
@@ -290,7 +290,7 @@ object NearDupIngest {
                           maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
     val bNew = Similarity.semanticIndex(batch, codebook)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bNew.count()
     val bOld =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)

@@ -59,7 +59,7 @@ object QuoteIngest {
                   nAnchors: Int, threshold: Double, k: Int = 3,
                   maxBucketSize: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val recs = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .persist(sl)
     recs.count() // materialize before the store reads below can race it

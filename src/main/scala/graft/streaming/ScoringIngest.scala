@@ -51,7 +51,7 @@ object ScoringIngest {
     val spark = batch.sparkSession
     val w = spark.read.parquet(weightsDir)
     val scored = QualityModel.scoreHashedLogReg(batch, idCol, textCol, w, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count() // one materialization for the two sinks
     scored.withColumn("epoch_id", lit(epoch))
       .write.mode("append").parquet(scoresDir)

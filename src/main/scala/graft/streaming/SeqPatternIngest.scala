@@ -60,7 +60,7 @@ object SeqPatternIngest {
                   supp2Dir: String, supp3Dir: String,
                   maxGapSeconds: Long): Unit = {
     val spark = batch.sparkSession
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ev = batch.select(col("user_id"), col("event_type"),
       col("tsec").cast("long").as("tsec"),
       col("event_id").cast("long").as("event_id")).persist(sl)

@@ -53,7 +53,7 @@ object WeightedSetSimIngest {
     // convention, so purge's doc_id key matches ANY caller idCol
     val recs = batch.select(col(idCol).as("doc_id"),
         col(textCol).as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     recs.count() // materialize before the index read below can race it
     val old =
       if (Stores.hasParquet(spark, indexDir)) spark.read.parquet(indexDir)

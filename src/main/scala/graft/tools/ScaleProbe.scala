@@ -133,7 +133,7 @@ object ScaleProbe {
     // join doesn't re-bill the suffix-weight window) and skipping the
     // no-op bucket cap.
     if (only.exists(_.contains("containment_w_attr"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val eps = 1e-9
       val th = 0.5
       graft.functions.GraftFunctions.register(spark)
@@ -239,7 +239,7 @@ object ScaleProbe {
     // ~flat as k grows: the join is bucket-density-bound, not
     // corpus-bound.
     if (k >= 2 && only.forall(_.contains("incr_ingest_join"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val batch0 = docs.filter(col("doc_id") < 10000000L)
       val corpusRest = docs.filter(col("doc_id") >= 10000000L)
       val idx = Dedup.bandIndex(corpusRest, "doc_id", 16, 4).persist(sl)
@@ -367,7 +367,7 @@ object ScaleProbe {
       spark.catalog.clearCache()
       val capped = Dedup.fuzzy(collapsed, "doc_id", 16, 4, 0.5,
         maxBucketSize = cap)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nCapped = capped.count()
       if (k <= 16) {
         val nUncapped = Dedup.fuzzy(collapsed, "doc_id", 16, 4, 0.5).count()
@@ -383,7 +383,7 @@ object ScaleProbe {
         // hot set is corpus/cap buckets) and verifying them covers
         // every possibly-missed pair; anti-join the capped result
         val banded = Dedup.bandIndex(collapsed, "doc_id", 16, 4)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         banded.count()
         val hot = banded.groupBy(col("band"), col("sig"))
           .agg(count(lit(1)).as("bsz")).filter(col("bsz") > cap)
@@ -691,7 +691,7 @@ object ScaleProbe {
     // aggregates over the k-fold corpus — cost must be linear in the
     // corpus times the (fixed) selection budget, with zero joins
     if (only.exists(_.contains("coreset_fps"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val embM = embL.persist(sl); embM.count()
       t("coreset_fps", keepCache = true)(
         Similarity.farthestPointSample(embM, k = 8, startId = 0L))
@@ -774,7 +774,7 @@ object ScaleProbe {
         ev0.select((col("user_id") + lit(r * 10000000L)).as("user_id"),
           col("event_type"), col("ts"))
       }.reduce(_ unionByName _)
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // materialize once: the probes time the OPERATOR, not k unions
       val evP = evP0.persist(sl); evP.count()
       val hot = evP.withColumn("user_id",
@@ -859,7 +859,7 @@ object ScaleProbe {
     // pipeline from the checkpointed oriented list — so "inherent or
     // fixable" is answered with data. Ignores k (runs at base sf).
     if (only.exists(_.contains("triangles_attr"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       def edgesBuild() = {
         val b = spark.read.parquet(s"$sfDir/lineitem.parquet")
           .select(col("l_orderkey").as("k"), col("l_partkey").as("i"))
@@ -929,7 +929,7 @@ object ScaleProbe {
     // stay cell-bounded (corpus-independent) like the unfiltered server
     // (|Q| = corpus/1000, as the other serve probes)
     if (only.forall(_.contains("filtered_serve"))) {
-      val slF = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val slF = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val cbF = embL.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(slF)
       val idxF = Similarity.ivfAssign(embL, cbF).persist(slF)
@@ -949,7 +949,7 @@ object ScaleProbe {
       // artifacts — materialize them outside the timer so the serving
       // number measures the probed-cell join, not corpus re-scans
       // through the lazy replica union
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ivfCb = embP.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(sl)
       val pqCb = Similarity.pqCodebook(embP, m = 4, dim = 64,
@@ -988,7 +988,7 @@ object ScaleProbe {
     // and serve timed separately over persisted inputs.
     if (only.forall(o => o.contains("ivfpq_build_fixedcb") ||
         o.contains("ivfpq_topk_fixedcb"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ivfCb = embP.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(sl)
       val pqCbF = Similarity.pqCodebook(
@@ -1012,7 +1012,7 @@ object ScaleProbe {
     // raw LUT, still broadcast-sized) and the q·c base-term join — so
     // serve cost must track ivfpq_topk_indexed, not the corpus
     if (only.forall(_.contains("ivfpq_residual_serve"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ivfCb = embP.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(sl)
       val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
@@ -1039,7 +1039,7 @@ object ScaleProbe {
     // must stay corpus-independent like the np=3 m=4 probe above
     // (training depth does not affect serve cost, so maxIters=1 here)
     if (only.forall(_.contains("ivfpq_residual_serve_r13"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ivfCb = embP.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(sl)
       val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
@@ -1065,7 +1065,7 @@ object ScaleProbe {
     // bounded, so each knob point must stay corpus-independent and the
     // np=20 rows within ~2x of the np=10 row for the rung to move.
     if (only.forall(_.exists(_.startsWith("ivfpq_residual_serve_r14")))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ivfCb = embP.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(sl)
       val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
@@ -1099,7 +1099,7 @@ object ScaleProbe {
     // must match-or-beat the float row at every corpus size (recall
     // cost measured separately: holdout-identical, BASELINE.md)
     if (only.forall(_.exists(_.startsWith("ivfpq_residual_serve_q8")))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ivfCb = embP.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(sl)
       val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
@@ -1137,7 +1137,7 @@ object ScaleProbe {
     // must grow linearly with k while the IVF leg stays cell-bounded —
     // this ladder is the adoption decision's scale evidence.
     if (only.forall(_.exists(_.startsWith("cascade_serve")))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ivfCb = embP.filter(col("vec_id") % 50 === 0)
         .select("vec_id", "embedding").persist(sl)
       val res = Similarity.ivfResiduals(embP, ivfCb).persist(sl)
@@ -1180,7 +1180,7 @@ object ScaleProbe {
     // (it3 - it1) / 2 marginal must both track the corpus LINEARLY
     if (only.forall(o => o.contains("pq_train_it1") ||
         o.contains("pq_train_it3"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val seedCb = Similarity.pqCodebook(
         embP.filter(col("vec_id") < 10000000L), m = 4, dim = 64,
         centroidMod = 50).persist(sl)
@@ -1225,7 +1225,7 @@ object ScaleProbe {
     if (only.forall(_.contains("brute_topk_q8_indexed"))) {
       val qidx = Similarity.quantize(emb)
         .select(col("vec_id"), col("q8"), col("q_scale"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       qidx.count()
       t("brute_topk_q8_indexed", keepCache = true)(
         Similarity.bruteForceTopKQ8Indexed(qidx, col("vec_id") % 1000 === 0, 10))
@@ -1238,7 +1238,7 @@ object ScaleProbe {
     // distinct key; Misra-Gries shuffles k_mg * numPartitions summary
     // rows regardless of corpus size, so its gap must WIDEN with k.
     if (only.forall(o => o.contains("hh_exact") || o.contains("hh_sketch"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
       val evK = (0 until k).map { r =>
         ev0.select((col("event_id") + lit(r * 10000000L)).as("event_id"),
@@ -1269,7 +1269,7 @@ object ScaleProbe {
     // near-linear. The unblocked alternative is n^2/2 levenshtein calls
     // (2e8 at k=1 — untimeable). Row count = distance<=1 pairs.
     if (only.forall(_.contains("er_selfjoin"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val names = spark.range(20000L * k).selectExpr("id",
         "translate(lpad(CAST(id * 1000003 % 10000000000 AS VARCHAR(20)), " +
           "10, '0'), '0123456789', 'abcdefghij') AS nm").persist(sl)
@@ -1288,7 +1288,7 @@ object ScaleProbe {
     // the uncapped ground truth at near-capped cost).
     if (only.forall(o => o.contains("er_flood_uncapped") ||
         o.contains("er_flood_capped") || o.contains("er_flood_rescued"))) {
-      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val names = spark.range(20000L * k).selectExpr("id",
         "translate(reverse(lpad(CAST(id AS VARCHAR(20)), 10, '0')), " +
           "'0123456789', 'abcdefghij') AS nm").persist(sl)
@@ -1317,7 +1317,7 @@ object ScaleProbe {
       val prices = (0 until k).map { r =>
         li.select((col("l_extendedprice") + lit(r * 0.0001)).as("v"))
       }.reduce(_ unionByName _).persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       prices.count()
       t("hist_depth", keepCache = true)(
         graft.ops.DataProfile.equiDepthHistogram(prices, "v",
@@ -1341,7 +1341,7 @@ object ScaleProbe {
         o.contains("curriculum_global"))) {
       val ids = spark.range(500000L * k).select(col("id").as("doc_id"))
         .withColumn("tier", (col("doc_id") % 4 + 1).cast("int"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ids.count()
       t("curriculum", keepCache = true)(
         graft.ops.Corpus.curriculum(ids, "doc_id"))
@@ -1381,7 +1381,7 @@ object ScaleProbe {
         li0.select((col("l_orderkey") + lit(r * 1000000000L)).as("l_orderkey"),
           col("l_partkey"))
       }.reduce(_ unionByName _)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       li.count()
       t("basket_pairs", keepCache = true)(
         graft.ops.MarketBasket.frequentPairs(li, "l_orderkey", "l_partkey",
@@ -1410,7 +1410,7 @@ object ScaleProbe {
         .select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e0.count()
       // exact-name gates (Set membership, None = run all): requesting
       // "triangles_hub" must NOT also fire the plain triangles probe
@@ -1432,7 +1432,7 @@ object ScaleProbe {
           .select(lit(n).as("a"), col("id").as("b"))
           .distinct()
         val withHub = e0.unionByName(hub)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         withHub.count()
         t("triangles_hub", keepCache = true)(
           graft.ops.Graph.triangleCounts(withHub))
@@ -1449,7 +1449,7 @@ object ScaleProbe {
       val ev = spark.range(500000L * k).select(
         concat(lit("s"), col("id") % 4).as("slice"),
         (col("id") * 2654435761L % (100000L * k)).as("key"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ev.count()
       t("kmv_sketch", keepCache = true)(
         graft.ops.Kmv.distinctEstimate(
